@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * One parquet file per table under `$dir/`; schemas documented in
+  * FIXTURES.md. All reads go through here so every query benefits from
+  * the same scan path (columnar parquet + pushdown + pruning).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Cross-engine canonicalization helpers.
+  *
+  * The driver hash-compares our parquet output against DuckDB running
+  * the oracle SQL on the same inputs. Floating-point aggregation is
+  * order-dependent, so every money aggregate is computed in exact
+  * DECIMAL arithmetic (the fixtures' money columns are 2-decimal
+  * doubles, which `DECIMAL(18,2)` recovers exactly) and only converted
+  * to DOUBLE once, at the end — a single correctly-rounded conversion
+  * that both engines perform identically. See SURVEY.md §7.4 (risk 4).
+  */
+object Canon {
+  /** Exact decimal view of a 2-decimal money double. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Final exact-decimal → double conversion for output columns. */
+  def d(c: Column): Column = c.cast(DoubleType)
+
+  /** Timestamp literal pinned to UTC session time. */
+  def ts(s: String): Column = to_timestamp(lit(s))
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.{Canon, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-table queries (SURVEY.md §2.3 Q16, Q22–Q25): lag/lead,
+  * event-time windows (tumbling / sliding), sessionization, and JSON
+  * extraction. These are the batch twins of the streaming pipelines in
+  * `graft.streaming`; the window semantics (epoch-aligned tumbling /
+  * sliding windows, 30-min session gap) are identical so a streaming
+  * run over the same rows produces the same aggregates.
+  */
+object Events {
+  import Canon._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events loader tolerant of parquet TIMESTAMP(NANOS): Spark reads it
+    * as LongType when `spark.sql.legacy.parquet.nanosAsLong=true`; we
+    * convert to a microsecond timestamp (identical to DuckDB, whose
+    * TIMESTAMP is microseconds, so the truncation matches the oracle).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
+
+  // q16: lag / lead over a per-user ordered window
+  private val q16: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  private val q16Sql =
+    """SELECT user_id, event_id, ts, value,
+      |  value - lag(value, 1) OVER w AS delta_prev,
+      |  lead(event_id, 1) OVER w AS next_event_id
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  // q22: tumbling 1-hour event-time window (epoch-aligned, = date_trunc)
+  private val q22: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").getField("start")
+        .cast("timestamp_ntz").as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        d(sum(dec2(col("value")))).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val q22Sql =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // q23: sliding window — 1 hour long, sliding every 15 minutes.
+  // Each event lands in 4 windows whose starts are the 15-min grid
+  // points in (ts-1h, ts]; the oracle enumerates those starts directly.
+  private val q23: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start")
+        .cast("timestamp_ntz").as("window_start"))
+      .agg(count(lit(1)).as("n_events"),
+        d(sum(dec2(col("value")))).as("sum_value"))
+      .orderBy(col("window_start"))
+
+  private val q23Sql =
+    """SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * (INTERVAL 15 MINUTE) AS window_start,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events, (VALUES (0), (1), (2), (3)) AS k(k)
+      |GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  // q24: sessionization — 30-min inactivity gap, via lag + running sum
+  private val q24: Q = (s, dir) => {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapped = events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q24Sql =
+    """WITH gapped AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts, 1) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM gapped)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // q25: JSON scalar extraction from the props column
+  private val q25: Q = (s, dir) =>
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        d(sum(dec2(col("value")))).as("sum_value"))
+      .orderBy(col("k"))
+
+  private val q25Sql =
+    """SELECT CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS k,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q16_lag_lead" -> q16,
+    "q22_tumbling_window" -> q22,
+    "q23_sliding_window" -> q23,
+    "q24_sessionization" -> q24,
+    "q25_json_extract" -> q25,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q16_lag_lead" -> q16Sql,
+    "q22_tumbling_window" -> q22Sql,
+    "q23_sliding_window" -> q23Sql,
+    "q24_sessionization" -> q24Sql,
+    "q25_json_extract" -> q25Sql,
+  )
+}

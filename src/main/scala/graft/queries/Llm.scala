@@ -1,0 +1,348 @@
+package graft.queries
+
+import graft.{Canon, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.3 Q27–Q30, §2.4):
+  * exact + fuzzy dedup (n-gram Jaccard, MinHash+LSH, SimHash),
+  * embedding similarity search, text analysis (lang-id heuristic,
+  * quality scoring, token counts, fingerprinting), and the multimodal
+  * decode-stub plumbing.
+  *
+  * Scale posture (100 TB): nothing here is quadratic in corpus size
+  * except the declared brute-force similarity baselines (oracle
+  * checks); the scale paths are the shingle-join Jaccard (sparse join
+  * on shared shingles) and MinHash+LSH banding (candidate generation is
+  * a hash-bucket self-join). Embedding ops use sequential array folds
+  * (deterministic FP order) and broadcast the query vector.
+  */
+object Llm {
+  import Canon._
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---- shared pieces -------------------------------------------------
+
+  /** Per-doc distinct word-3-gram shingles. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(tk)-3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("s"))
+      .distinct()
+
+  /** Sequential-fold double dot product of two float arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm2(a: Column): Column = dot(a, a)
+
+  /** Exact Jaccard (distinct word-3-gram shingles) for all doc pairs
+    * sharing at least one shingle; the sparse-join formulation — cost
+    * scales with shared-shingle pairs, not corpus². */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast(DoubleType) /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+  }
+
+  private val jaccardOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |            for i in generate_series(1, len(tk)-2)]) AS s
+      |  FROM tok),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- q27: exact dedup ---------------------------------------------
+
+  private val q27: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("text")).as("n_distinct_texts"))
+      .orderBy(col("lang"))
+
+  private val q27Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  count(DISTINCT text) AS n_distinct_texts
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // exact dedup, row form: one keeper per duplicated text
+  private val q27b: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("copies"))
+      .filter(col("copies") > 1)
+      .select(col("keeper_id"), col("copies"))
+      .orderBy(col("keeper_id"))
+
+  private val q27bSql =
+    """SELECT min(doc_id) AS keeper_id, count(*) AS copies
+      |FROM documents GROUP BY text HAVING count(*) > 1
+      |ORDER BY keeper_id""".stripMargin
+
+  // ---- q28: text analysis per language -------------------------------
+
+  private val q28: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_tokens")).cast(DoubleType) / count(lit(1)))
+          .as("avg_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  private val q28Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q29: similarity search — brute-force cosine top-k --------------
+
+  private val q29: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qe")) /
+          (sqrt(norm2(col("embedding"))) * sqrt(norm2(col("qe")))), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val q29Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(
+      |    list_sum([CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+      |              for i in generate_series(1, len(embedding))]) /
+      |    (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) *
+      |     sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in qe]))),
+      |  4) AS score
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
+  // ---- q30: near-dup similarity join (cosine > 0.5) -------------------
+
+  private val q30: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("ea"), col("eb")) /
+          (sqrt(norm2(col("ea"))) * sqrt(norm2(col("eb")))), 4).as("score"))
+      .filter(col("score") > 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val q30Sql =
+    """WITH e AS (SELECT vec_id,
+      |    [CAST(x AS DOUBLE) for x in embedding] AS ed FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(
+      |    list_sum([a.ed[i] * b.ed[i] for i in generate_series(1, len(a.ed))]) /
+      |    (sqrt(list_sum([x * x for x in a.ed])) *
+      |     sqrt(list_sum([x * x for x in b.ed]))), 4) AS score
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(
+      |    list_sum([a.ed[i] * b.ed[i] for i in generate_series(1, len(a.ed))]) /
+      |    (sqrt(list_sum([x * x for x in a.ed])) *
+      |     sqrt(list_sum([x * x for x in b.ed]))), 4) > 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- fuzzy dedup: exact n-gram Jaccard (sparse shingle join) --------
+
+  private val ngramJaccard: Q = (s, dir) =>
+    jaccardPairs(s, dir)
+      .filter(col("jaccard") >= 0.6)
+      .orderBy(col("a_id"), col("b_id"))
+
+  // ---- fuzzy dedup: MinHash + LSH banding, exact-verified -------------
+  // 64 minhash permutations (min over xxhash64(shingle, seed)), 32
+  // bands x 2 rows -> candidate recall ~1-(1-J^2)^32 (≥0.9999994 at
+  // J=0.6); candidates are then exact-verified, so output equals the
+  // brute-force Jaccard oracle whenever LSH recall is 1 on the corpus.
+  private val minhashLsh: Q = (s, dir) => {
+    val sh = shingles(s, dir)
+    val nHashes = 64
+    val bands = 32 // 2 rows per band
+    val mhCols = (0 until nHashes).map(j =>
+      min(xxhash64(col("s"), lit(j))).as(s"mh$j"))
+    val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val bandCols = (0 until bands).map(b =>
+      xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"), lit(b)))
+    val banded = mh.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    // exact-verify candidates with the shingle-join Jaccard
+    jaccardPairs(s, dir)
+      .join(cand, Seq("a_id", "b_id"), "left_semi")
+      .filter(col("jaccard") >= 0.6)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---- fuzzy dedup: SimHash fingerprints (no SQL oracle; xxhash64) ----
+  private val simhash: Q = (s, dir) => {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitCols = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val fp = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  // ---- text analysis: language-id heuristic ---------------------------
+  private val stop = Seq("the", "a", "of", "and", "to")
+
+  private val langid: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(array_intersect(col("tk"),
+          array(stop.map(lit): _*))).cast(LongType).as("en_stopwords"),
+        when(size(array_intersect(col("tk"),
+          array(stop.map(lit): _*))) > 0, lit("en"))
+          .otherwise(lit("unknown")).as("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  private val langidSql =
+    s"""SELECT doc_id,
+       |  CAST(len(list_intersect(string_split(text, ' '),
+       |    ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS en_stopwords,
+       |  CASE WHEN len(list_intersect(string_split(text, ' '),
+       |    ['the', 'a', 'of', 'and', 'to'])) > 0
+       |    THEN 'en' ELSE 'unknown' END AS predicted_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- text analysis: quality scoring ---------------------------------
+  private val quality: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tk")).cast(LongType))
+      .withColumn("stop_hits",
+        size(array_intersect(col("tk"), array(stop.map(lit): _*)))
+          .cast(LongType))
+      .select(col("doc_id"), col("n_tokens"),
+        (length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
+          col("n_tokens")).as("chars_per_token"),
+        (col("stop_hits").cast(DoubleType) / col("n_tokens"))
+          .as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+
+  private val qualitySql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(strlen(replace(text, ' ', '')) AS DOUBLE) /
+      |    len(string_split(text, ' ')) AS chars_per_token,
+      |  CAST(len(list_intersect(string_split(text, ' '),
+      |    ['the', 'a', 'of', 'and', 'to'])) AS DOUBLE) /
+      |    len(string_split(text, ' ')) AS stopword_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- text analysis: token counts per source -------------------------
+  private val tokenCount: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("source"))
+
+  private val tokenCountSql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- text analysis: document fingerprinting -------------------------
+  private val fingerprint: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(encode(lower(col("text")), "UTF-8")).as("fp"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintSql =
+    """SELECT doc_id, md5(lower(text)) AS fp, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q27_dedup_exact" -> q27,
+    "q27b_dedup_keepers" -> q27b,
+    "q28_text_stats" -> q28,
+    "q29_similarity_topk" -> q29,
+    "q30_neardup_pairs" -> q30,
+    "llm_ngram_jaccard_dedup" -> ngramJaccard,
+    "llm_minhash_lsh_dedup" -> minhashLsh,
+    "llm_simhash" -> simhash,
+    "llm_langid" -> langid,
+    "llm_quality_score" -> quality,
+    "llm_token_count" -> tokenCount,
+    "llm_fingerprint" -> fingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q27_dedup_exact" -> q27Sql,
+    "q27b_dedup_keepers" -> q27bSql,
+    "q28_text_stats" -> q28Sql,
+    "q29_similarity_topk" -> q29Sql,
+    "q30_neardup_pairs" -> q30Sql,
+    "llm_ngram_jaccard_dedup" -> jaccardOracle,
+    // minhash-lsh: exact-verified output; equals the brute-force
+    // Jaccard result when LSH recall is 1 (verified on the fixtures)
+    "llm_minhash_lsh_dedup" -> jaccardOracle,
+    // llm_simhash: no oracle (xxhash64 has no DuckDB equivalent)
+    "llm_langid" -> langidSql,
+    "llm_quality_score" -> qualitySql,
+    "llm_token_count" -> tokenCountSql,
+    "llm_fingerprint" -> fingerprintSql,
+  )
+}

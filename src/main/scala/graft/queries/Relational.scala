@@ -1,0 +1,481 @@
+package graft.queries
+
+import graft.{Canon, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch relational query inventory (SURVEY.md §2.3 Q1–Q21, Q26).
+  *
+  * Every query is declarative DataFrame code — Catalyst plans the scans
+  * (parquet pushdown + pruning), picks join strategies (broadcast for
+  * the small dims), and does partial aggregation. Each query has a
+  * DuckDB oracle with identical column names and ORDER BY so the
+  * driver's hash compare is deterministic.
+  *
+  * Determinism recipe (see Canon): money aggregates run in exact
+  * DECIMAL, single final cast to DOUBLE; integer-valued doubles (e.g.
+  * l_quantity) may sum natively (exact in IEEE754 at any order);
+  * integer-typed function results are cast to BIGINT to match DuckDB's
+  * output types; ORDER BY always includes a unique tiebreak.
+  */
+object Relational {
+  import Canon._
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // q01: scan + projection + filter (pushdown visible in explain)
+  private val q01: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q01Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // q02: TPC-H Q1 shape — hash aggregate, multi-aggregate w/ partials
+  private val q02: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("2000-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        d(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        d(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))))
+          .as("sum_disc_price"),
+        d(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+          * (lit(1) + dec2(col("l_tax"))))).as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        (d(sum(dec2(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        (d(sum(dec2(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q02Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  avg(l_quantity) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // q03: TPC-H Q3 shape — two joins + agg + top-k
+  private val q03: Q = (s, dir) => {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(d(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q03Sql =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // q04: broadcast join of the two smallest dims
+  private val q04: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_name"))
+
+  private val q04Sql =
+    """SELECT n_nationkey, n_name, r_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' ORDER BY n_name""".stripMargin
+
+  // q05: TPC-H Q5 shape — 6-table multi-way join
+  private val q05: Q = (s, dir) => {
+    val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1998-01-01"))
+    val l = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(d(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q05Sql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // q06: TPC-H Q6 shape — filter + scalar aggregate
+  private val q06: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(d(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val q06Sql =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // q07: left outer join + null handling (customers with zero orders kept)
+  private val q07: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        d(coalesce(sum(dec2(col("o_totalprice"))),
+          lit(0).cast(DecimalType(18, 2)))).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q07Sql =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  // q08: left semi join (EXISTS)
+  private val q08: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+    c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q08Sql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // q09: left anti join (NOT EXISTS)
+  private val q09: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q09Sql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // q10: equi key + range (theta) condition join
+  private val q10: Q = (s, dir) => {
+    val p = t(s, dir, "part")
+    val l = t(s, dir, "lineitem")
+    l.join(p, col("l_partkey") === col("p_partkey") &&
+        col("l_quantity") < col("p_size"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q10Sql =
+    """SELECT p_brand, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN part
+      |  ON l_partkey = p_partkey AND l_quantity < p_size
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // q11: distinct + count(distinct)
+  private val q11: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count_distinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q11Sql =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // q12: ROLLUP with grouping id
+  private val q12: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        d(sum(dec2(col("o_totalprice")))).as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  private val q12Sql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  GROUPING(o_orderpriority, o_orderstatus) AS gid,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  count(*) AS n
+      |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY gid, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+
+  // q13: CUBE with grouping id
+  private val q13: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        d(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))))
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val q13Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // q14: ranking window functions, top-3 orders per customer
+  private val q14: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast(LongType).as("rn"),
+        rank().over(w).cast(LongType).as("rnk"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q14Sql =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER w AS rn, rank() OVER w AS rnk
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // q15: analytic window with explicit ROWS frame (running total)
+  private val q15: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        d(sum(dec2(col("o_totalprice"))).over(w)).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  private val q15Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // q17: global sort + limit (planned as TakeOrderedAndProject)
+  private val q17: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(20)
+
+  private val q17Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin
+
+  // q18: set algebra — union / intersect / except branches, tagged
+  private val q18: Q = (s, dir) => {
+    val buyers = t(s, dir, "orders").select(col("o_custkey").as("key")).distinct()
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("key"))
+    val u = buyers.union(rich).distinct().withColumn("tag", lit("union"))
+    val i = buyers.intersect(rich).withColumn("tag", lit("intersect"))
+    val e = buyers.except(rich).withColumn("tag", lit("except"))
+    u.union(i).union(e).select(col("tag"), col("key"))
+      .orderBy(col("tag"), col("key"))
+  }
+
+  private val q18Sql =
+    """WITH buyers AS (SELECT DISTINCT o_custkey AS key FROM orders),
+      |     rich AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000)
+      |SELECT 'union' AS tag, key FROM (SELECT key FROM buyers UNION SELECT key FROM rich)
+      |UNION ALL
+      |SELECT 'intersect' AS tag, key FROM (SELECT key FROM buyers INTERSECT SELECT key FROM rich)
+      |UNION ALL
+      |SELECT 'except' AS tag, key FROM (SELECT key FROM buyers EXCEPT SELECT key FROM rich)
+      |ORDER BY tag, key""".stripMargin
+
+  // q19: scalar functions — string / date / math / conditional
+  private val q19: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+          .as("order_month"),
+        year(col("o_orderdate")).cast(LongType).as("order_year"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat(col("o_orderstatus"), lit("/"), col("o_orderpriority"))
+          .as("status_prio"),
+        lower(col("o_orderpriority")).as("prio_lower"),
+        length(col("o_orderpriority")).cast(LongType).as("prio_len"),
+        floor(col("o_totalprice")).cast(LongType).as("price_floor"),
+        when(col("o_totalprice") > 300000, lit("high"))
+          .when(col("o_totalprice") > 100000, lit("mid"))
+          .otherwise(lit("low")).as("price_band"))
+      .orderBy(col("o_orderkey"))
+
+  private val q19Sql =
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+      |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  substring(o_orderpriority, 1, 1) AS prio_code,
+      |  o_orderstatus || '/' || o_orderpriority AS status_prio,
+      |  lower(o_orderpriority) AS prio_lower,
+      |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |  CASE WHEN o_totalprice > 300000 THEN 'high'
+      |       WHEN o_totalprice > 100000 THEN 'mid'
+      |       ELSE 'low' END AS price_band
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // q20: HAVING over a scalar subquery (global average of group sums)
+  private val q20: Q = (s, dir) => {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("s"))
+    val thresh = perCust.agg(
+      (d(sum(col("s"))) / count(lit(1))).as("threshold"))
+    perCust.crossJoin(broadcast(thresh))
+      .filter(d(col("s")) > col("threshold"))
+      .select(col("o_custkey"), d(col("s")).as("total_spent"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q20Sql =
+    """WITH t AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, CAST(s AS DOUBLE) AS total_spent FROM t
+      |WHERE CAST(s AS DOUBLE) > (SELECT CAST(sum(s) AS DOUBLE) / count(*) FROM t)
+      |ORDER BY o_custkey""".stripMargin
+
+  // q21: correlated subquery (decorrelated as window-average + filter)
+  private val q21: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+    t(s, dir, "orders")
+      .withColumn("cust_avg",
+        d(sum(dec2(col("o_totalprice"))).over(w)) / count(lit(1)).over(w))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q21Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // q26: approximate distinct (HLL) — no exact oracle, rows-only check
+  private val q26: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+      .orderBy(col("o_orderpriority"))
+
+  val queries: Map[String, Q] = Map(
+    "q01_scan_filter" -> q01,
+    "q02_agg_tpch_q1" -> q02,
+    "q03_join_topk" -> q03,
+    "q04_broadcast_join" -> q04,
+    "q05_multiway_join" -> q05,
+    "q06_scalar_agg" -> q06,
+    "q07_left_outer_join" -> q07,
+    "q08_semi_join" -> q08,
+    "q09_anti_join" -> q09,
+    "q10_range_join" -> q10,
+    "q11_count_distinct" -> q11,
+    "q12_rollup" -> q12,
+    "q13_cube" -> q13,
+    "q14_window_rank" -> q14,
+    "q15_window_frame" -> q15,
+    "q17_topk" -> q17,
+    "q18_set_ops" -> q18,
+    "q19_scalar_funcs" -> q19,
+    "q20_having_subquery" -> q20,
+    "q21_correlated_subquery" -> q21,
+    "q26_approx_distinct" -> q26,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_filter" -> q01Sql,
+    "q02_agg_tpch_q1" -> q02Sql,
+    "q03_join_topk" -> q03Sql,
+    "q04_broadcast_join" -> q04Sql,
+    "q05_multiway_join" -> q05Sql,
+    "q06_scalar_agg" -> q06Sql,
+    "q07_left_outer_join" -> q07Sql,
+    "q08_semi_join" -> q08Sql,
+    "q09_anti_join" -> q09Sql,
+    "q10_range_join" -> q10Sql,
+    "q11_count_distinct" -> q11Sql,
+    "q12_rollup" -> q12Sql,
+    "q13_cube" -> q13Sql,
+    "q14_window_rank" -> q14Sql,
+    "q15_window_frame" -> q15Sql,
+    "q17_topk" -> q17Sql,
+    "q18_set_ops" -> q18Sql,
+    "q19_scalar_funcs" -> q19Sql,
+    "q20_having_subquery" -> q20Sql,
+    "q21_correlated_subquery" -> q21Sql,
+    // q26 intentionally has no oracle (approximate result)
+  )
+}
