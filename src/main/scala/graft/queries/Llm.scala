@@ -25,21 +25,21 @@ object Llm {
 
   // ---- shared pieces -------------------------------------------------
 
-  /** Per-doc distinct word-3-gram shingles. */
+  /** Per-doc distinct word-3-gram shingles. Dedup happens inside the
+    * row (`array_distinct` before explode) so no shuffle is needed —
+    * at 100 TB this keeps shingle extraction embarrassingly parallel.
+    */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), explode(array_distinct(
         expr("transform(sequence(0, size(tk)-3), " +
-          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("s"))
-      .distinct()
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))).as("s"))
 
-  /** Sequential-fold double dot product of two float arrays. */
+  /** Sequential-fold double dot product (codegen'd Catalyst expr). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-      x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.dot_product(a, b)
 
   private def norm2(a: Column): Column = dot(a, a)
 
@@ -163,13 +163,19 @@ object Llm {
   // ---- q30: near-dup similarity join (cosine > 0.5) -------------------
 
   private val q30: Q = (s, dir) => {
+    // norms are precomputed per vector (O(n)) so the pair join does a
+    // single codegen'd dot product per candidate pair
     val e = t(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(norm2(col("embedding"))).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(dot(col("ea"), col("eb")) /
-          (sqrt(norm2(col("ea"))) * sqrt(norm2(col("eb")))), 4).as("score"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("score"))
       .filter(col("score") > 0.5)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -202,16 +208,21 @@ object Llm {
   // J=0.6); candidates are then exact-verified, so output equals the
   // brute-force Jaccard oracle whenever LSH recall is 1 on the corpus.
   private val minhashLsh: Q = (s, dir) => {
-    val sh = shingles(s, dir)
-    val nHashes = 64
-    val bands = 32 // 2 rows per band
-    val mhCols = (0 until nHashes).map(j =>
-      min(xxhash64(col("s"), lit(j))).as(s"mh$j"))
-    val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-    val bandCols = (0 until bands).map(b =>
-      xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"), lit(b)))
+    // minhash signatures are computed per-row over the shingle array
+    // (array_min over 64 hashed transforms) — zero shuffles until the
+    // band-bucket self-join, which is the only O(candidates) stage
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        expr("transform(sequence(0, size(tk)-3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("sh"))
+    val mh = docs.select(col("doc_id"),
+      graft.functions.MinHash.minhash_signature(col("sh"), 64).as("mh"))
     val banded = mh.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      posexplode(expr(
+        "transform(sequence(0, 31), b -> xxhash64(mh[2*b], mh[2*b+1], b))"))
+        .as(Seq("band_idx", "band_hash")))
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -219,9 +230,14 @@ object Llm {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // exact-verify candidates with the shingle-join Jaccard
-    jaccardPairs(s, dir)
-      .join(cand, Seq("a_id", "b_id"), "left_semi")
+    // exact-verify candidates via per-doc shingle-array intersection
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          (size(col("sa")) + size(col("sb")) -
+            size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .orderBy(col("a_id"), col("b_id"))
   }

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column <-> Expression converters
+  * (org.apache.spark.sql.classic.ExpressionUtils), needed to expose
+  * custom Catalyst expressions (graft.functions.*) as user-facing
+  * Columns on Spark 4's ColumnNode-backed API.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
