@@ -1,0 +1,65 @@
+package graft.flow
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A task message: the reference's free-form JSON task enriched with
+  * flow lineage (`/root/reference/lib/distribot/worker.rb:123-131`).
+  * Payload is a flat string map (the dynamic-schema escape hatch of
+  * SURVEY.md §1.2); typed handlers can parse what they need.
+  */
+final case class TaskMsg(
+    flowId: String,
+    phase: String,
+    payload: Map[String, String])
+
+/** Context a handler runs with: the session, the submitted flow's
+  * opaque data (as JSON text), and fixture location. The session is
+  * `@transient`: `process` runs on executors, where `spark` is null —
+  * data-plane task code must not touch the driver session. */
+final case class HandlerContext(
+    @transient spark: SparkSession,
+    flowId: String,
+    phase: String,
+    dataJson: Option[String],
+    sfDir: String)
+
+/** The engine's handler contract — the Spark-native reshaping of the
+  * reference worker mixin (`lib/distribot/worker.rb:17-30`):
+  * `enumerate` produces the task set for data-dependent fan-out
+  * (their `enumerate_with`, our generator stage) and `process` is the
+  * per-task parallel map (their `process_tasks_with`). `process` runs
+  * inside executors (`foreachPartition`), so implementations must be
+  * serializable and idempotent (the reference is at-least-once;
+  * Spark task retry gives the same contract).
+  */
+trait Handler extends Serializable {
+  def name: String = getClass.getSimpleName.stripSuffix("$")
+  def version: SemVer = SemVer(1, 0, 0)
+
+  /** Produce the tasks for this flow/phase (runs on the driver;
+    * may itself run Spark jobs). */
+  def enumerate(ctx: HandlerContext): Seq[TaskMsg]
+
+  /** Process one task (runs on executors). */
+  def process(ctx: HandlerContext, task: TaskMsg): Unit
+}
+
+/** A handler that runs one declarative DataFrame query as its phase
+  * work — the bridge that exposes the SURVEY §2.3 relational surface
+  * through distribot-shaped flows (SURVEY.md §2.2). Enumerates a
+  * single task; `run` materializes the DataFrame.
+  */
+final class QueryHandler(
+    override val name: String,
+    override val version: SemVer,
+    query: (SparkSession, String) => DataFrame)
+    extends Handler {
+
+  override def enumerate(ctx: HandlerContext): Seq[TaskMsg] =
+    Seq(TaskMsg(ctx.flowId, ctx.phase, Map("query" -> name)))
+
+  override def process(ctx: HandlerContext, task: TaskMsg): Unit = ()
+
+  /** Driver-side materialization hook used by the engine. */
+  def run(ctx: HandlerContext): Long = query(ctx.spark, ctx.sfDir).count()
+}

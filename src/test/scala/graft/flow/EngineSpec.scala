@@ -1,0 +1,285 @@
+package graft.flow
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+import scala.collection.concurrent.TrieMap
+import scala.collection.immutable.ListMap
+import scala.concurrent.Await
+import scala.concurrent.duration._
+
+import graft.SparkSpec
+
+/** Flow lifecycle semantics (SURVEY.md §2.1/§3): create→phases→finish,
+  * fan-out/fan-in barriers, empty-phase short-circuit, pause/resume,
+  * cancel, error transitions, counters, transition-log derivation.
+  * Mirrors the behavioral contracts of the reference specs
+  * (`spec/distribot/flow_spec.rb:304-437` guards,
+  * `worker_spec.rb:147-179` counters) without their infrastructure
+  * mocks — the engine runs for real on local Spark.
+  *
+  * Handlers are top-level classes and coordinate through the static
+  * `EngineSpec` registries: task closures are serialized even in local
+  * mode, and latches/queues aren't serializable.
+  */
+class EngineSpec extends SparkSpec {
+  import EngineSpec._
+
+  private def newEngine(reg: HandlerRegistry) =
+    new Engine(spark, reg, EngineConfig(sfDir = "/root/testdata/sf0.001"))
+
+  private def linearFlow(handlers: ListMap[String, Seq[String]]): String = {
+    val names = handlers.keys.toSeq
+    val phases = names.zipWithIndex.map { case (n, i) =>
+      val hs = handlers(n).map(h => s""""$h"""").mkString("[", ",", "]")
+      val init = if (i == 0) """"is_initial": true,""" else ""
+      val fin = if (i == names.size - 1) """"is_final": true,""" else ""
+      val trans = if (i < names.size - 1)
+        s""""transitions_to": "${names(i + 1)}",""" else ""
+      s"""{"name": "$n", $init $fin $trans "handlers": $hs}"""
+    }
+    s"""{"name": "t", "phases": [${phases.mkString(",")}]}"""
+  }
+
+  test("a three-phase flow runs to completion with task fan-out") {
+    processed.clear()
+    val reg = new HandlerRegistry
+    reg.register(new CountingHandler("H1", 5))
+    reg.register(new CountingHandler("H2", 3))
+    val engine = newEngine(reg)
+    val run = engine.submit(linearFlow(ListMap(
+      "start" -> Nil, "work" -> Seq("H1", "H2"), "done" -> Nil)))
+    val result = Await.result(run.future, 2.minutes)
+    assert(result.finalPhase == "done")
+    assert(run.isFinished)
+    // all 8 tasks processed exactly the enumerated set (O10-O14)
+    assert(processed.toArray.toSet ==
+      ((0 until 5).map(i => s"H1/$i") ++ (0 until 3).map(i => s"H2/$i")).toSet)
+    // transition log is ordered and complete (O3-O5)
+    assert(run.transitions.map(_.to) == Seq("start", "work", "done"))
+    assert(run.transitions.map(_.timestampMs).sliding(2).forall {
+      case Seq(a, b) => a <= b
+      case _ => true
+    })
+    // O17: finished flows deregister
+    assert(engine.find(run.id).isEmpty)
+    assert(engine.runningCount == 0)
+  }
+
+  test("empty phases short-circuit straight through (O19)") {
+    val engine = newEngine(new HandlerRegistry)
+    val run = engine.submit(
+      """{"phases":[
+        |{"name":"a","is_initial":true,"transitions_to":"b"},
+        |{"name":"b","transitions_to":"c"},
+        |{"name":"c","is_final":true}]}""".stripMargin)
+    val result = Await.result(run.future, 1.minute)
+    assert(result.finalPhase == "c")
+    assert(run.transitions.map(_.to) == Seq("a", "b", "c"))
+  }
+
+  test("submit fails fast on unknown handler or unsatisfiable version") {
+    val reg = new HandlerRegistry
+    reg.register(new CountingHandler("Known", 1))
+    val engine = newEngine(reg)
+    assertThrows[FlowSpec.InvalidFlow](engine.submit(
+      """{"phases":[{"name":"a","is_initial":true,"is_final":true,
+        |"handlers":["Ghost"]}]}""".stripMargin))
+    assertThrows[FlowSpec.InvalidFlow](engine.submit(
+      """{"phases":[{"name":"a","is_initial":true,"is_final":true,
+        |"handlers":[{"name":"Known","version":"~> 9.0"}]}]}""".stripMargin))
+  }
+
+  test("semver routing picks the highest matching handler (O20)") {
+    processed.clear()
+    val reg = new HandlerRegistry
+    reg.register(new TaggedHandler("V", SemVer(1, 0, 0), "v1.0.0"))
+    reg.register(new TaggedHandler("V", SemVer(1, 4, 0), "v1.4.0"))
+    reg.register(new TaggedHandler("V", SemVer(2, 0, 0), "v2.0.0"))
+    val engine = newEngine(reg)
+    val run = engine.submit(
+      """{"phases":[{"name":"a","is_initial":true,"is_final":true,
+        |"handlers":[{"name":"V","version":"~> 1.0"}]}]}""".stripMargin)
+    Await.result(run.future, 1.minute)
+    assert(processed.toArray.toSeq == Seq("v1.4.0"))
+  }
+
+  test("failing handler takes on_error_transition_to (O34 upgraded)") {
+    processed.clear()
+    val reg = new HandlerRegistry
+    reg.register(new BoomHandler)
+    reg.register(new CountingHandler("Reporter", 1))
+    val engine = newEngine(reg)
+    val run = engine.submit(
+      """{"phases":[
+        |{"name":"a","is_initial":true,"transitions_to":"b",
+        | "on_error_transition_to":"err","handlers":["Boom"]},
+        |{"name":"b","is_final":true},
+        |{"name":"err","is_final":true,"handlers":["Reporter"]}]}""".stripMargin)
+    val result = Await.result(run.future, 1.minute)
+    assert(result.finalPhase == "err")
+    assert(run.transitions.map(_.to) == Seq("a", "err"))
+    assert(processed.toArray.toSet == Set("Reporter/0"))
+  }
+
+  test("failing handler without error phase fails the flow future") {
+    val reg = new HandlerRegistry
+    reg.register(new BoomHandler)
+    val engine = newEngine(reg)
+    val run = engine.submit(
+      """{"phases":[{"name":"a","is_initial":true,"transitions_to":"b",
+        |"handlers":["Boom"]},{"name":"b","is_final":true}]}""".stripMargin)
+    intercept[Exception](Await.result(run.future, 1.minute))
+    assert(run.transitions.map(_.to) == Seq("a"))
+    assert(engine.find(run.id).isEmpty)
+  }
+
+  test("pause is phase-granular; resume continues from the paused " +
+    "phase; guards mirror the reference (O6-O9)") {
+    processed.clear()
+    val started = latch("pause.started", 1)
+    val gate = latch("pause.gate", 1)
+    val reg = new HandlerRegistry
+    reg.register(new GateHandler("Slow", "pause.started", "pause.gate"))
+    reg.register(new CountingHandler("After", 1))
+    val engine = newEngine(reg)
+    val run = engine.submit(linearFlow(ListMap(
+      "p1" -> Seq("Slow"), "p2" -> Seq("After"), "p3" -> Nil)))
+    assert(started.await(30, TimeUnit.SECONDS)) // p1 in flight
+    assert(run.pause()) // takes effect at the next phase boundary
+    gate.countDown() // let p1 finish
+    eventually(run.isPaused, 30000)
+    assert(run.transitions.map(_.to).endsWith(Seq("paused")))
+    assert(run.currentPhase == "paused")
+    assert(!run.pause()) // O6 guard: only running flows pause
+    assert(run.resume()) // O7
+    val result = Await.result(run.future, 1.minute)
+    assert(result.finalPhase == "p3")
+    // p1 completed, flow advanced to p2, parked, resumed into p2
+    assert(run.transitions.map(_.to) ==
+      Seq("p1", "p2", "paused", "p2", "p3"))
+    assert(!run.resume()) // O7 guard: only paused flows resume
+  }
+
+  test("cancel marks terminal, stops the flow, deregisters (O8)") {
+    processed.clear()
+    val started = latch("cancel.started", 1)
+    latch("cancel.gate", 1) // never opened; cancel interrupts the wait
+    val reg = new HandlerRegistry
+    reg.register(new GateHandler("Slow", "cancel.started", "cancel.gate"))
+    reg.register(new CountingHandler("Never", 1))
+    val engine = newEngine(reg)
+    val run = engine.submit(linearFlow(ListMap(
+      "p1" -> Seq("Slow"), "p2" -> Seq("Never"), "p3" -> Nil)))
+    assert(started.await(30, TimeUnit.SECONDS))
+    assert(run.cancel())
+    intercept[Exception](Await.result(run.future, 1.minute))
+    assert(run.isCanceled)
+    assert(run.transitions.map(_.to).endsWith(Seq("canceled")))
+    assert(!run.cancel()) // O8 guard: cancel is terminal
+    assert(engine.find(run.id).isEmpty)
+    assert(!processed.toArray.exists(_.toString.startsWith("Never")))
+  }
+
+  test("status exposes per-handler progress counters (O28)") {
+    val reg = new HandlerRegistry
+    reg.register(new CountingHandler("H", 4))
+    val engine = newEngine(reg)
+    val run = engine.submit(
+      """{"phases":[{"name":"a","is_initial":true,"is_final":true,
+        |"handlers":["H"]}]}""".stripMargin)
+    Await.result(run.future, 1.minute)
+    val st = run.status()
+    assert(st.state == "Finished")
+    val hp = st.handlers.find(_.handler == "H")
+    assert(hp.exists(h => h.total == 4 && h.finished == 4))
+  }
+
+  test("query handlers run the relational surface through a flow (§2.2)") {
+    val reg = new HandlerRegistry
+    reg.register(new QueryHandler("Q2", SemVer(1, 0, 0),
+      graft.SparkEntry.queries("q02_agg_tpch_q1")))
+    val engine = newEngine(reg)
+    val run = engine.submit(
+      """{"phases":[
+        |{"name":"start","is_initial":true,"transitions_to":"agg"},
+        |{"name":"agg","transitions_to":"done","handlers":["Q2"]},
+        |{"name":"done","is_final":true}]}""".stripMargin)
+    val result = Await.result(run.future, 2.minutes)
+    assert(result.finalPhase == "done")
+  }
+
+  test("concurrent flows are tracked independently (O1-O2 registry)") {
+    val reg = new HandlerRegistry
+    reg.register(new CountingHandler("H", 2))
+    val engine = newEngine(reg)
+    val runs = (1 to 3).map { _ =>
+      engine.submit(
+        """{"phases":[{"name":"a","is_initial":true,"is_final":true,
+          |"handlers":["H"]}]}""".stripMargin)
+    }
+    assert(runs.map(_.id).distinct.size == 3)
+    runs.foreach(r => Await.result(r.future, 1.minute))
+    assert(engine.runningCount == 0)
+  }
+
+  private def eventually(cond: => Boolean, timeoutMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(cond)
+  }
+}
+
+object EngineSpec {
+  val processed = new ConcurrentLinkedQueue[String]()
+  private val latches = TrieMap.empty[String, CountDownLatch]
+  def latch(key: String, n: Int): CountDownLatch =
+    latches.getOrElseUpdate(key, new CountDownLatch(n))
+}
+
+/** Enumerates n tasks; records each processed task. */
+private[flow] class CountingHandler(
+    override val name: String,
+    nTasks: Int,
+    override val version: SemVer = SemVer(1, 0, 0))
+    extends Handler {
+  def enumerate(ctx: HandlerContext): Seq[TaskMsg] =
+    (0 until nTasks).map(i =>
+      TaskMsg(ctx.flowId, ctx.phase, Map("i" -> i.toString)))
+  def process(ctx: HandlerContext, task: TaskMsg): Unit = {
+    EngineSpec.processed.add(s"$name/${task.payload("i")}"); ()
+  }
+}
+
+/** Records a fixed tag — used to observe which version was routed. */
+private[flow] class TaggedHandler(
+    override val name: String,
+    override val version: SemVer,
+    tag: String) extends Handler {
+  def enumerate(ctx: HandlerContext): Seq[TaskMsg] =
+    Seq(TaskMsg(ctx.flowId, ctx.phase, Map("tag" -> tag)))
+  def process(ctx: HandlerContext, task: TaskMsg): Unit = {
+    EngineSpec.processed.add(task.payload("tag")); ()
+  }
+}
+
+/** Fails enumeration (exercises error transitions). */
+private[flow] class BoomHandler extends Handler {
+  override val name = "Boom"
+  def enumerate(ctx: HandlerContext): Seq[TaskMsg] =
+    throw new RuntimeException("injected failure")
+  def process(ctx: HandlerContext, task: TaskMsg): Unit = ()
+}
+
+/** Signals `startedKey` when processing begins, then blocks on
+  * `gateKey` (interruptible) — lets tests pause/cancel mid-phase. */
+private[flow] class GateHandler(
+    override val name: String,
+    startedKey: String,
+    gateKey: String) extends Handler {
+  def enumerate(ctx: HandlerContext): Seq[TaskMsg] =
+    Seq(TaskMsg(ctx.flowId, ctx.phase, Map.empty))
+  def process(ctx: HandlerContext, task: TaskMsg): Unit = {
+    EngineSpec.latch(startedKey, 1).countDown()
+    EngineSpec.latch(gateKey, 1).await(30, TimeUnit.SECONDS)
+    ()
+  }
+}
