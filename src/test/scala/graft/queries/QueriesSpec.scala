@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Inventory-wide invariants: every query runs on the smoke fixture,
+  * every oracle key matches a query key, and the flagship entry
+  * returns rows (the driver's t1 smoke check). Deep value-correctness
+  * is the DuckDB gate (tools/check.py, driver t2) — not re-tested here.
+  */
+class QueriesSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("oracle keys are a subset of query keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracles without queries: $extra")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name executes on the smoke fixture") {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty)
+      // empty results are legitimate for some dedup queries at this sf
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("q01 pushes its filter and projection into the parquet scan") {
+    val plan = SparkEntry.queries("q01_scan_filter")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), s"no pushdown in plan:\n$plan")
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("l_extendedprice"), "projection not pruned")
+  }
+
+  test("q04 plans a broadcast join for the small dimension") {
+    val plan = SparkEntry.queries("q04_broadcast_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("dot_product matches the interpreted fold exactly") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.25f)))
+      .toDF("a", "b")
+    val fast = df.select(
+      graft.functions.VectorOps.dot_product(col("a"), col("b")))
+      .head().getDouble(0)
+    val slow = df.select(
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)).head().getDouble(0)
+    assert(fast == slow)
+    assert(fast == (1.0f.toDouble * 0.5f + 2.0f.toDouble * -1.0f
+      + 3.0f.toDouble * 2.25f))
+  }
+
+  test("minhash signatures are deterministic and length-64") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array("a b c", "b c d", "c d e"))).toDF("sh")
+    val sig1 = df.select(
+      graft.functions.MinHash.minhash_signature(col("sh"), 64))
+      .head().getSeq[Long](0)
+    val sig2 = df.select(
+      graft.functions.MinHash.minhash_signature(col("sh"), 64))
+      .head().getSeq[Long](0)
+    assert(sig1.size == 64)
+    assert(sig1 == sig2)
+    // identical sets -> identical signature regardless of order
+    val sig3 = df.select(graft.functions.MinHash.minhash_signature(
+      reverse(col("sh")), 64)).head().getSeq[Long](0)
+    assert(sig3 == sig1)
+  }
+
+  test("minhash collision probability tracks jaccard similarity") {
+    import spark.implicits._
+    // two 90%-overlapping shingle sets should collide on most rows
+    val a = (0 until 100).map(i => s"sh$i").toArray
+    val b = ((0 until 90).map(i => s"sh$i") ++
+      (0 until 10).map(i => s"other$i")).toArray
+    val df = Seq((a, b)).toDF("a", "b")
+    val Array(sa, sb) = df.select(
+      graft.functions.MinHash.minhash_signature(col("a"), 64),
+      graft.functions.MinHash.minhash_signature(col("b"), 64))
+      .head() match {
+      case r => Array(r.getSeq[Long](0), r.getSeq[Long](1))
+    }
+    val agree = sa.zip(sb).count { case (x, y) => x == y }
+    // E[agree] = 64 * J ~= 64 * 0.818 ~= 52; allow generous slack
+    assert(agree > 35 && agree < 64, s"agreement $agree out of range")
+  }
+}

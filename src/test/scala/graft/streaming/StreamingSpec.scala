@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.queries.Events
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming/batch twin parity (SURVEY.md §5 point 4, §7.4 risk 5):
+  * replaying the fixture `events` rows through MemoryStream must
+  * reproduce the batch q22/q23/q24 aggregates, and the stateful flow
+  * tracker must implement the intended barrier semantics (the
+  * reference's O14/O15, minus its vacuous-check bug — SURVEY §2.1).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  private lazy val fixtureRows: Seq[Ev] = {
+    val df = Events.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    df.collect().toSeq.map(r => Ev(r.getLong(0), r.getTimestamp(1),
+      r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+  }
+
+  private def runStream(build: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(fixtureRows)
+    val out = build(mem.toDF().withColumn("ts", col("ts").cast("timestamp")))
+    val qName = s"q_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qName)
+      .outputMode(OutputMode.Complete()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(qName).collect()
+  }
+
+  test("streaming tumbling windows equal the batch q22 aggregates") {
+    val streamed = runStream(EventPipelines.tumbling(_))
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = graft.SparkEntry.queries("q22_tumbling_window")(
+      spark, "/root/testdata/sf0.001")
+      .withColumn("window_start", col("window_start").cast("timestamp"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming sliding windows equal the batch q23 aggregates") {
+    val streamed = runStream(EventPipelines.sliding(_))
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batch = graft.SparkEntry.queries("q23_sliding_window")(
+      spark, "/root/testdata/sf0.001")
+      .withColumn("window_start", col("window_start").cast("timestamp"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming session windows equal the batch q24 sessionization") {
+    val streamed = runStream(EventPipelines.sessions(_))
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime)).toSet
+    val batch = graft.SparkEntry.queries("q24_sessionization")(
+      spark, "/root/testdata/sf0.001")
+      .withColumn("session_start", col("session_start").cast("timestamp"))
+      .withColumn("session_end", col("session_end").cast("timestamp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getTimestamp(3).getTime,
+        r.getTimestamp(4).getTime)).toSet
+    // batch rows: (user_id, session_id, n_events, start, end) — compare
+    // the session (user, n_events, start, end) sets
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("flow-state tracker implements the barrier semantics (O14-O16)") {
+    import spark.implicits._
+    import FlowStateStream._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FlowEvent]
+    val out = track(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("flowstate")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        FlowEvent("f1", "phase_started", "work", 0, 1),
+        FlowEvent("f1", "tasks_enumerated", "work", 5, 2))
+      q.processAllAvailable()
+      val afterEnum = spark.table("flowstate").collect()
+        .filter(_.getString(0) == "f1").last
+      assert(afterEnum.getLong(2) == 5 && afterEnum.getLong(4) == 5)
+      assert(!afterEnum.getBoolean(5))
+
+      mem.addData((1 to 4).map(i =>
+        FlowEvent("f1", "task_finished", "work", 1, 10 + i)): _*)
+      q.processAllAvailable()
+      val partial = spark.table("flowstate").collect()
+        .filter(_.getString(0) == "f1").last
+      assert(partial.getLong(4) == 1 && !partial.getBoolean(5))
+
+      mem.addData(FlowEvent("f1", "task_finished", "work", 1, 20))
+      q.processAllAvailable()
+      val done = spark.table("flowstate").collect()
+        .filter(_.getString(0) == "f1").last
+      assert(done.getLong(4) == 0 && done.getBoolean(5)) // barrier fires
+      // next phase resets the accounting (counter delete, O14)
+      mem.addData(FlowEvent("f1", "phase_started", "next", 0, 30))
+      q.processAllAvailable()
+      val reset = spark.table("flowstate").collect()
+        .filter(_.getString(0) == "f1").last
+      assert(reset.getString(1) == "next" && reset.getLong(2) == 0)
+    } finally q.stop()
+  }
+}
