@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorOps.{dot_product => dot}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A media blob row entering the multimodal pipeline. */
+final case class MediaRow(doc_id: Long, source: String, blob: Array[Byte])
+
+/** Typed metadata produced by the decode stage. */
+final case class MediaMeta(doc_id: Long, source: String, byte_len: Long,
+    width: Long, height: Long, n_frames: Long, checksum: String)
+
+/** Multimodal-column plumbing + ANN similarity (SURVEY.md §2.4).
+  *
+  * Multimodal: image/audio/video are opaque `binary` columns with
+  * typed metadata. The decode / feature-extract step runs batch-wise
+  * in `mapPartitions` over a typed Dataset — the Scala analogue of a
+  * `mapInPandas` batch UDF: schema in, iterator of batches, schema
+  * out. The decoders themselves are STUBBED deterministically (no
+  * codec libraries in this environment): byte length, modulo-derived
+  * dimensions, md5 checksum — so the Spark-side plumbing
+  * (binary column, typed Encoders, partition-wise batching, metadata
+  * schema) is real and oracle-checked while the codec call is a
+  * clearly-marked fake.
+  *
+  * ANN-IVF: an inverted-file index with a deterministic coarse
+  * quantizer — centroids are the first 8 vectors, every vector is
+  * assigned to its nearest centroid (exact arithmetic contract shared
+  * with the DuckDB oracle), and a query probes only its own cell.
+  * At 100 TB the assignment is a broadcast-map (centroids are tiny)
+  * and each cell is a partition-pruned shard; the brute-force q29/q30
+  * remain the small-scale/recall-1 baselines.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** STUB decode — deterministic fake of a codec call. A real deploy
+    * swaps this body for the image/audio library invocation; the
+    * pipeline shape (batched iterator in executors) stays identical. */
+  private def decodeStub(r: MediaRow): MediaMeta = {
+    val len = r.blob.length.toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(r.blob).map("%02x".format(_)).mkString
+    MediaMeta(r.doc_id, r.source, len,
+      width = 32 + len % 640,
+      height = 32 + (len * 7) % 480,
+      n_frames = 1 + len % 30,
+      checksum = hex)
+  }
+
+  private val decodeMeta: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("blob"))
+      .as[MediaRow]
+      .mapPartitions(_.map(decodeStub)) // batch-wise executor decode
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val decodeMetaSql =
+    """SELECT doc_id, source,
+      |  CAST(strlen(text) AS BIGINT) AS byte_len,
+      |  CAST(32 + strlen(text) % 640 AS BIGINT) AS width,
+      |  CAST(32 + (strlen(text) * 7) % 480 AS BIGINT) AS height,
+      |  CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames,
+      |  md5(text) AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // frame sampling over the stubbed video metadata: every k-th frame
+  private val frameSample: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("blob"))
+      .as[MediaRow]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(5L)))
+          .as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val frameSampleSql =
+    """SELECT doc_id, unnest(range(0, 1 + strlen(text) % 30, 5)) AS frame_idx
+      |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---- ANN-IVF similarity search ------------------------------------
+
+  private val annIvf: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("n2"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("n2").as("cn2"))
+    // assignment: nearest centroid by ||v||^2 + ||c||^2 - 2<v,c>
+    // (identical expression tree in the oracle -> identical doubles)
+    val byDist = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cid"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("n2") + col("cn2") - lit(2.0) * dot(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cid"))
+    val q = assign.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("n2").as("qn2"),
+        col("cid").as("qcid"))
+    assign.join(broadcast(q), col("cid") === col("qcid"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qe")) /
+          (sqrt(col("n2")) * sqrt(col("qn2"))), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val annIvfSql =
+    """WITH e AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ed,
+      |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |              for x in embedding]) AS n2
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, ed AS ce, n2 AS cn2 FROM e WHERE vec_id < 8),
+      |dists AS (
+      |  SELECT e.vec_id, e.ed, e.n2, c.cid,
+      |    e.n2 + c.cn2 - 2.0 * list_sum([e.ed[i] * c.ce[i]
+      |      for i in generate_series(1, len(e.ed))]) AS d2
+      |  FROM e, c),
+      |assign AS (
+      |  SELECT vec_id, ed, n2, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |q AS (SELECT ed AS qe, n2 AS qn2, cid AS qcid FROM assign WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_sum([a.ed[i] * q.qe[i]
+      |    for i in generate_series(1, len(a.ed))]) /
+      |    (sqrt(a.n2) * sqrt(q.qn2)), 4) AS score
+      |FROM assign a, q WHERE a.cid = q.qcid AND a.vec_id <> 0
+      |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "mm_decode_meta" -> decodeMeta,
+    "mm_frame_sample" -> frameSample,
+    "llm_ann_ivf" -> annIvf,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_decode_meta" -> decodeMetaSql,
+    "mm_frame_sample" -> frameSampleSql,
+    "llm_ann_ivf" -> annIvfSql,
+  )
+}
