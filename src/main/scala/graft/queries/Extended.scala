@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.{Canon, Tables}
+import graft.operators.AsofJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Extended operator coverage beyond the SURVEY §2.3 core: as-of join,
+  * pivot, and exact-arithmetic statistical aggregates. Each has a
+  * DuckDB oracle (ASOF JOIN is native there; stats are computed from
+  * exact decimal sums on both engines so the doubles are identical).
+  */
+object Extended {
+  import Canon._
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // q31: as-of join — each event matched to the user's most recent
+  // order at-or-before the event time. Output carries the matched
+  // order date (not the key) so same-date order ties can't introduce
+  // nondeterminism on either engine.
+  private val q31: Q = (s, dir) => {
+    val ev = Events.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"))
+    AsofJoin.asofJoin(ev, ord,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightVals = Seq("o_orderdate"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_o_orderdate").as("last_order_date"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q31Sql =
+    """SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+      |FROM events e ASOF LEFT JOIN orders o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  // q32: pivot — order totals by priority x status
+  private val q32: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(d(sum(dec2(col("o_totalprice")))))
+      .select(col("o_orderpriority"),
+        col("F").as("total_f"), col("O").as("total_o"),
+        col("P").as("total_p"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q32Sql =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // q33: statistical aggregates with exact arithmetic — mean/variance/
+  // stddev derived from exact decimal sums (sum, sum of squares), so
+  // both engines evaluate the identical double expression tree.
+  private val q33: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        d(sum(dec2(col("l_discount")))).as("sum_disc"),
+        d(sum(dec2(col("l_discount")) * dec2(col("l_discount"))))
+          .as("sumsq_disc"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sum_qty") / col("n")).as("mean_qty"),
+        (col("sum_disc") / col("n")).as("mean_disc"),
+        sqrt((col("sumsq_disc") - col("sum_disc") * col("sum_disc") / col("n"))
+          / (col("n") - 1)).as("stddev_disc"))
+      .orderBy(col("l_returnflag"))
+
+  private val q33Sql =
+    """WITH a AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(l_quantity) AS sum_qty,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(18,2)) *
+      |             CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  sum_qty / n AS mean_qty,
+      |  sum_disc / n AS mean_disc,
+      |  sqrt((sumsq_disc - sum_disc * sum_disc / n) / (n - 1)) AS stddev_disc
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q31_asof_join" -> q31,
+    "q32_pivot" -> q32,
+    "q33_stats_agg" -> q33,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q31_asof_join" -> q31Sql,
+    "q32_pivot" -> q32Sql,
+    "q33_stats_agg" -> q33Sql,
+  )
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Custom operator semantics: the salted skew join must be result-
+  * identical to the plain equi-join; the as-of join must pick the most
+  * recent right row at-or-before each left time per key.
+  */
+class OperatorsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted equi-join returns exactly the plain join's rows") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+    val salted = SkewJoin.saltedEquiJoin(li, o, "l_orderkey", "o_orderkey",
+      salts = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("as-of join carries the latest right value at-or-before each " +
+    "left time, null when none exists") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 5L, "e1"), (1L, 10L, "e2"), (1L, 20L, "e3"),
+      (2L, 7L, "e4"), (3L, 9L, "e5"))
+      .toDF("key", "t", "tag")
+    val right = Seq(
+      (1L, 5L, "r@5"), (1L, 15L, "r@15"),
+      (2L, 8L, "r@8")) // key 2's only row is later than e4; key 3 empty
+      .toDF("key", "t", "v")
+    val out = AsofJoin.asofJoin(left, right,
+      "key", "key", "t", "t", Seq("v"))
+      .select(col("tag"), col("asof_v"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(
+      "e1" -> Some("r@5"), // inclusive: same-instant right row matches
+      "e2" -> Some("r@5"),
+      "e3" -> Some("r@15"),
+      "e4" -> None,
+      "e5" -> None))
+  }
+}
