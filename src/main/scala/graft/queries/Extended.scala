@@ -94,15 +94,62 @@ object Extended {
       |  sqrt((sumsq_disc - sum_disc * sum_disc / n) / (n - 1)) AS stddev_disc
       |FROM a ORDER BY l_returnflag""".stripMargin
 
+  // q34: array construction + aggregation — per-customer sorted order
+  // totals as an array column, with element access and length
+  private val q34: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_totalprice"))).as("totals"))
+      .select(col("o_custkey"),
+        size(col("totals")).cast(LongType).as("n_orders"),
+        col("totals").getItem(0).as("smallest"),
+        element_at(col("totals"), -1).as("largest"),
+        col("totals"))
+      .orderBy(col("o_custkey"))
+
+  private val q34Sql =
+    """SELECT o_custkey,
+      |  CAST(len(list(o_totalprice)) AS BIGINT) AS n_orders,
+      |  min(o_totalprice) AS smallest,
+      |  max(o_totalprice) AS largest,
+      |  list(o_totalprice ORDER BY o_totalprice) AS totals
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // q35: BPE-ish regex tokenization — non-alphanumeric splits, token
+  // stats per language (the "token counting" north-star variant that
+  // doesn't assume whitespace-clean text)
+  private val q35: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), "[^a-z0-9]+"))
+      .withColumn("n_tok",
+        size(filter(col("tk"), x => length(x) > 0)).cast(LongType))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        max(col("n_tok")).as("max_tokens"))
+      .orderBy(col("lang"))
+
+  private val q35Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
+      |    x -> strlen(x) > 0))) AS BIGINT) AS total_tokens,
+      |  CAST(max(len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
+      |    x -> strlen(x) > 0))) AS BIGINT) AS max_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q31_asof_join" -> q31,
     "q32_pivot" -> q32,
     "q33_stats_agg" -> q33,
+    "q34_array_agg" -> q34,
+    "q35_regex_tokens" -> q35,
   )
 
   val oracles: Map[String, String] = Map(
     "q31_asof_join" -> q31Sql,
     "q32_pivot" -> q32Sql,
     "q33_stats_agg" -> q33Sql,
+    "q34_array_agg" -> q34Sql,
+    "q35_regex_tokens" -> q35Sql,
   )
 }
