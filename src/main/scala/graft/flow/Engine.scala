@@ -292,6 +292,11 @@ final class FlowRun private[flow] (
         counters.put((phase.name, h.name), (1L, acc))
         q.run(ctx)
         acc.add(1)
+      case m: MaterializeHandler =>
+        val acc = spark.sparkContext.longAccumulator(s"$id.${phase.name}.${h.name}")
+        counters.put((phase.name, h.name), (1L, acc))
+        m.run(ctx)
+        acc.add(1)
       case _ =>
         val tasks = h.enumerate(ctx) // O10: dynamic fan-out
         val acc = spark.sparkContext.longAccumulator(s"$id.${phase.name}.${h.name}")

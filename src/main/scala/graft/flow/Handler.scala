@@ -63,3 +63,36 @@ final class QueryHandler(
   /** Driver-side materialization hook used by the engine. */
   def run(ctx: HandlerContext): Long = query(ctx.spark, ctx.sfDir).count()
 }
+
+/** Cross-phase data handoff: phase N materializes a DataFrame to a
+  * table path that phase N+1 reads. This replaces the reference's
+  * worker pattern of stashing intermediate results in shared Redis
+  * sets between phases (`/root/reference/examples/worker:83-94,
+  * 104-109`) with the engine-native handoff — a parquet table write,
+  * which also upgrades the contract from at-least-once side effects to
+  * exactly-once results (idempotent overwrite; SURVEY.md §7.4 risk 3).
+  *
+  * `path` may contain `{flow_id}`, substituted per flow so concurrent
+  * flows don't collide (the reference namespaces its keys by flow id
+  * the same way).
+  */
+final class MaterializeHandler(
+    override val name: String,
+    override val version: SemVer,
+    query: (SparkSession, String) => DataFrame,
+    path: String)
+    extends Handler {
+
+  def resolvedPath(ctx: HandlerContext): String =
+    path.replace("{flow_id}", ctx.flowId)
+
+  override def enumerate(ctx: HandlerContext): Seq[TaskMsg] =
+    Seq(TaskMsg(ctx.flowId, ctx.phase, Map("out" -> resolvedPath(ctx))))
+
+  override def process(ctx: HandlerContext, task: TaskMsg): Unit = ()
+
+  /** Driver-side hook: write the result table for downstream phases. */
+  def run(ctx: HandlerContext): Unit =
+    query(ctx.spark, ctx.sfDir).write.mode("overwrite")
+      .parquet(resolvedPath(ctx))
+}

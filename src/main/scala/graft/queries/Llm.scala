@@ -47,8 +47,17 @@ object Llm {
     * sharing at least one shingle; the sparse-join formulation — cost
     * scales with shared-shingle pairs, not corpus². */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // per-doc set sizes come from the array form (no shuffle); AQE
+    // picks broadcast when the corpus is small enough — no hint, since
+    // at 100 TB sizes has one row per doc and must shuffle-join
     val sh = shingles(s, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizes = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), size(array_distinct(
+        expr("transform(sequence(0, size(tk)-3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .cast("long").as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -207,6 +207,29 @@ class EngineSpec extends SparkSpec {
     assert(result.finalPhase == "done")
   }
 
+  test("cross-phase handoff: phase N materializes a table phase N+1 " +
+    "reads (the reference's shared-store handoff, engine-native)") {
+    val tmp = java.nio.file.Files.createTempDirectory("handoff").toString
+    val reg = new HandlerRegistry
+    // phase 1: write distinct customer keys; phase 2: query over them
+    reg.register(new MaterializeHandler("WriteKeys", SemVer(1, 0, 0),
+      (s, dir) => s.read.parquet(s"$dir/orders.parquet")
+        .select(org.apache.spark.sql.functions.col("o_custkey")).distinct(),
+      s"$tmp/{flow_id}/keys"))
+    reg.register(new QueryHandler("CountKeys", SemVer(1, 0, 0),
+      (s, _) => s.read.parquet(s"$tmp/${EngineSpec.lastFlowId}/keys")))
+    val engine = newEngine(reg)
+    val run = engine.submit(linearFlow(ListMap(
+      "write" -> Seq("WriteKeys"), "read" -> Seq("CountKeys"),
+      "done" -> Nil)))
+    EngineSpec.lastFlowId = run.id
+    val result = Await.result(run.future, 2.minutes)
+    assert(result.finalPhase == "done")
+    // the handoff table exists, namespaced by flow id
+    val n = spark.read.parquet(s"$tmp/${run.id}/keys").count()
+    assert(n > 0)
+  }
+
   test("concurrent flows are tracked independently (O1-O2 registry)") {
     val reg = new HandlerRegistry
     reg.register(new CountingHandler("H", 2))
@@ -230,6 +253,7 @@ class EngineSpec extends SparkSpec {
 
 object EngineSpec {
   val processed = new ConcurrentLinkedQueue[String]()
+  @volatile var lastFlowId: String = ""
   private val latches = TrieMap.empty[String, CountDownLatch]
   def latch(key: String, n: Int): CountDownLatch =
     latches.getOrElseUpdate(key, new CountDownLatch(n))
