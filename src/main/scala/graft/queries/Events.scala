@@ -23,6 +23,9 @@ object Events {
     * TIMESTAMP is microseconds, so the truncation matches the oracle).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
+    // defensive: sessions that didn't set the conf would fail to read
+    // the NANOS column at all (SQLConf is dynamic, so set it here)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = Tables(s, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
