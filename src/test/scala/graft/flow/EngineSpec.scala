@@ -244,6 +244,27 @@ class EngineSpec extends SparkSpec {
     assert(engine.runningCount == 0)
   }
 
+  test("property: random valid phase chains always terminate " +
+    "(SURVEY §5 plan item 2)") {
+    val reg = new HandlerRegistry
+    reg.register(new CountingHandler("H", 1))
+    val engine = newEngine(reg)
+    val rnd = new scala.util.Random(42)
+    val runs = (1 to 10).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      val names = (0 until n).map(j => s"ph$j")
+      val handlers = ListMap(names.map(nm =>
+        nm -> (if (rnd.nextBoolean()) Seq("H") else Nil)): _*)
+      engine.submit(linearFlow(handlers)) -> n
+    }
+    runs.foreach { case (run, n) =>
+      val result = Await.result(run.future, 2.minutes)
+      assert(result.finalPhase == s"ph${n - 1}")
+      assert(run.transitions.size == n)
+    }
+    assert(engine.runningCount == 0)
+  }
+
   private def eventually(cond: => Boolean, timeoutMs: Long): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
