@@ -137,7 +137,34 @@ object Extended {
       |    x -> strlen(x) > 0))) AS BIGINT) AS max_tokens
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // q36: explicit GROUPING SETS through the SQL surface (the engine
+  // accepts SQL text as well as the DataFrame DSL; Catalyst plans both
+  // identically)
+  private val q36: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val q36Sql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  GROUPING(o_orderpriority, o_orderstatus) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderpriority ASC NULLS FIRST,
+      |  o_orderstatus ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q36_grouping_sets" -> q36,
     "q31_asof_join" -> q31,
     "q32_pivot" -> q32,
     "q33_stats_agg" -> q33,
@@ -146,6 +173,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q36_grouping_sets" -> q36Sql,
     "q31_asof_join" -> q31Sql,
     "q32_pivot" -> q32Sql,
     "q33_stats_agg" -> q33Sql,

@@ -92,6 +92,38 @@ object Multimodal {
     """SELECT doc_id, unnest(range(0, 1 + strlen(text) % 30, 5)) AS frame_idx
       |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
 
+  // resize: scale stubbed media dimensions into a bounding box with
+  // integer math (aspect-preserving, floor semantics on both engines)
+  private val resize: Q = (s, dir) => {
+    import s.implicits._
+    val box = 128L
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("blob"))
+      .as[MediaRow]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        // scale = box / max(w, h), in exact integer arithmetic:
+        // out_dim = dim * box div max(w, h)
+        (col("width") * box / greatest(col("width"), col("height")))
+          .cast(LongType).as("out_width"),
+        (col("height") * box / greatest(col("width"), col("height")))
+          .cast(LongType).as("out_height"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val resizeSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(32 + strlen(text) % 640 AS BIGINT) AS width,
+      |    CAST(32 + (strlen(text) * 7) % 480 AS BIGINT) AS height
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      |  CAST(width * 128 // greatest(width, height) AS BIGINT) AS out_width,
+      |  CAST(height * 128 // greatest(width, height) AS BIGINT) AS out_height
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // ---- ANN-IVF similarity search ------------------------------------
 
   private val annIvf: Q = (s, dir) => {
@@ -150,12 +182,14 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "mm_decode_meta" -> decodeMeta,
     "mm_frame_sample" -> frameSample,
+    "mm_resize" -> resize,
     "llm_ann_ivf" -> annIvf,
   )
 
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" -> decodeMetaSql,
     "mm_frame_sample" -> frameSampleSql,
+    "mm_resize" -> resizeSql,
     "llm_ann_ivf" -> annIvfSql,
   )
 }
