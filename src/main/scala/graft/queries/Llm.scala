@@ -348,7 +348,67 @@ object Llm {
     """SELECT doc_id, md5(lower(text)) AS fp, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // dedup APPLIED: drop the higher-id doc of every near-dup pair
+  // (J >= 0.6) plus exact-dup copies, count the surviving corpus per
+  // language — the operator a curation pipeline actually ships
+  private val dedupApply: Q = (s, dir) => {
+    val losers = jaccardPairs(s, dir)
+      .filter(col("jaccard") >= 0.6)
+      .select(col("b_id").as("doc_id"))
+      .distinct()
+    t(s, dir, "documents")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  private val dedupApplySql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |            for i in generate_series(1, len(tk)-2)]) AS s
+      |  FROM tok),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |losers AS (
+      |  SELECT DISTINCT b_id AS doc_id
+      |  FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6)
+      |SELECT lang, count(*) AS n_docs FROM documents d
+      |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // embedding L2 normalization (unit vectors for downstream cosine)
+  private val normalize: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(norm2(col("embedding"))).as("nrm"))
+    e.select(col("vec_id"), col("nrm"),
+      transform(col("embedding"), x => x.cast(DoubleType) / col("nrm"))
+        .as("unit"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val normalizeSql =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |                   for x in embedding])) AS nrm,
+      |    [CAST(x AS DOUBLE) for x in embedding] AS ed
+      |  FROM embeddings)
+      |SELECT vec_id, nrm, [x / nrm for x in ed] AS unit
+      |FROM e ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_dedup_apply" -> dedupApply,
+    "llm_normalize_embeddings" -> normalize,
     "q27_dedup_exact" -> q27,
     "q27b_dedup_keepers" -> q27b,
     "q28_text_stats" -> q28,
@@ -364,6 +424,8 @@ object Llm {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dedup_apply" -> dedupApplySql,
+    "llm_normalize_embeddings" -> normalizeSql,
     "q27_dedup_exact" -> q27Sql,
     "q27b_dedup_keepers" -> q27bSql,
     "q28_text_stats" -> q28Sql,
