@@ -77,6 +77,42 @@ class QueriesSpec extends SparkSpec {
     assert(sig3 == sig1)
   }
 
+  test("map functions: construction, keys, lookup (SURVEY §2.2 scalar row)") {
+    import spark.implicits._
+    val m = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(
+        collect_list(struct(col("o_orderstatus"), col("c")))).as("m"))
+      .select(col("o_orderpriority"),
+        size(map_keys(col("m"))).as("n_keys"),
+        array_contains(map_keys(col("m")), "F").as("has_f"))
+      .collect()
+    assert(m.length == 5)
+    m.foreach { r => assert(r.getInt(1) > 0 && r.getBoolean(2)) }
+  }
+
+  test("scalar udf() registration works (non-hot-path escape hatch)") {
+    import spark.implicits._
+    val bucket = udf((price: Double) => if (price > 200000) "high" else "low")
+    spark.udf.register("price_bucket", bucket)
+    val viaApi = spark.read.parquet(s"$dir/orders.parquet")
+      .select(bucket(col("o_totalprice")).as("b"))
+      .groupBy("b").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaSql = {
+      spark.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("orders_udf_v")
+      spark.sql(
+        "SELECT price_bucket(o_totalprice) b, count(*) c " +
+          "FROM orders_udf_v GROUP BY 1").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(viaApi == viaSql)
+    assert(viaApi.values.sum == 1500)
+  }
+
   test("minhash collision probability tracks jaccard similarity") {
     import spark.implicits._
     // two 90%-overlapping shingle sets should collide on most rows
