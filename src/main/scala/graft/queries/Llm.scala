@@ -58,19 +58,15 @@ object Llm {
         expr("transform(sequence(0, size(tk)-3), " +
           "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
         .cast("long").as("n"))
-    // posting-list formulation: group docs per shingle, emit ordered
-    // doc pairs from each posting list in-row — one shuffle (by s)
-    // instead of a self-join exchange pair. At web scale, cap shingle
-    // document-frequency first (boilerplate shingles add c^2 pairs and
-    // no discrimination); exact mode keeps all.
-    val inter = sh.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ds, (a, i) -> " +
-          "transform(slice(ds, i + 2, size(ds)), " +
-          "b -> struct(a AS a_id, b AS b_id))))")).as("p"))
-      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    // pair generation via shingle self-join: measured faster than the
+    // posting-list + in-row combination explode (nested HOF lambdas
+    // are interpreted; the join stays in codegen). At web scale, cap
+    // shingle document-frequency first (boilerplate shingles add c^2
+    // pairs and no discrimination); exact mode keeps all.
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
