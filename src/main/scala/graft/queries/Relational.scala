@@ -285,7 +285,9 @@ object Relational {
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).cast(LongType).as("rn"),
-        rank().over(w).cast(LongType).as("rnk"))
+        rank().over(w).cast(LongType).as("rnk"),
+        dense_rank().over(w).cast(LongType).as("drnk"),
+        ntile(4).over(w).cast(LongType).as("quartile"))
       .filter(col("rn") <= 3)
       .orderBy(col("o_custkey"), col("rn"))
   }
@@ -293,7 +295,8 @@ object Relational {
   private val q14Sql =
     """SELECT * FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
-      |    row_number() OVER w AS rn, rank() OVER w AS rnk
+      |    row_number() OVER w AS rn, rank() OVER w AS rnk,
+      |    dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
       |  FROM orders
       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
@@ -338,7 +341,11 @@ object Relational {
     val u = buyers.union(rich).distinct().withColumn("tag", lit("union"))
     val i = buyers.intersect(rich).withColumn("tag", lit("intersect"))
     val e = buyers.except(rich).withColumn("tag", lit("except"))
-    u.union(i).union(e).select(col("tag"), col("key"))
+    // ALL variants keep duplicates (bag semantics)
+    val ia = buyers.intersectAll(rich).withColumn("tag", lit("intersect_all"))
+    val ea = buyers.exceptAll(rich).withColumn("tag", lit("except_all"))
+    u.union(i).union(e).union(ia).union(ea)
+      .select(col("tag"), col("key"))
       .orderBy(col("tag"), col("key"))
   }
 
@@ -350,6 +357,10 @@ object Relational {
       |SELECT 'intersect' AS tag, key FROM (SELECT key FROM buyers INTERSECT SELECT key FROM rich)
       |UNION ALL
       |SELECT 'except' AS tag, key FROM (SELECT key FROM buyers EXCEPT SELECT key FROM rich)
+      |UNION ALL
+      |SELECT 'intersect_all' AS tag, key FROM (SELECT key FROM buyers INTERSECT ALL SELECT key FROM rich)
+      |UNION ALL
+      |SELECT 'except_all' AS tag, key FROM (SELECT key FROM buyers EXCEPT ALL SELECT key FROM rich)
       |ORDER BY tag, key""".stripMargin
 
   // q19: scalar functions — string / date / math / conditional
