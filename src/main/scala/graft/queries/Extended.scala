@@ -95,7 +95,10 @@ object Extended {
       |FROM a ORDER BY l_returnflag""".stripMargin
 
   // q34: array construction + aggregation — per-customer sorted order
-  // totals as an array column, with element access and length
+  // totals built as an array (collect_list + sort_array + element_at),
+  // then exploded back to (idx, total) rows: the driver's pandas-based
+  // comparator can't sort array cells, so the checkable surface is
+  // scalar while the array ops stay exercised end-to-end.
   private val q34: Q = (s, dir) =>
     t(s, dir, "orders")
       .groupBy(col("o_custkey"))
@@ -104,16 +107,24 @@ object Extended {
         size(col("totals")).cast(LongType).as("n_orders"),
         col("totals").getItem(0).as("smallest"),
         element_at(col("totals"), -1).as("largest"),
-        col("totals"))
-      .orderBy(col("o_custkey"))
+        posexplode(col("totals")).as(Seq("idx", "total")))
+      .withColumn("idx", col("idx").cast(LongType))
+      .orderBy(col("o_custkey"), col("idx"))
 
+  // oracle twin: window aggregates + row_number over the sorted
+  // per-customer totals (tie rows carry equal totals, so idx
+  // assignment among ties is value-identical on both engines)
   private val q34Sql =
     """SELECT o_custkey,
-      |  CAST(len(list(o_totalprice)) AS BIGINT) AS n_orders,
-      |  min(o_totalprice) AS smallest,
-      |  max(o_totalprice) AS largest,
-      |  list(o_totalprice ORDER BY o_totalprice) AS totals
-      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+      |  CAST(count(*) OVER w AS BIGINT) AS n_orders,
+      |  min(o_totalprice) OVER w AS smallest,
+      |  max(o_totalprice) OVER w AS largest,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice) - 1 AS BIGINT) AS idx,
+      |  o_totalprice AS total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey)
+      |ORDER BY o_custkey, idx""".stripMargin
 
   // q35: BPE-ish regex tokenization — non-alphanumeric splits, token
   // stats per language (the "token counting" north-star variant that

@@ -435,12 +435,28 @@ object Relational {
       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
-  // q26: approximate distinct (HLL) — no exact oracle, rows-only check
+  // q26: approximate distinct (HLL) with the SURVEY §2.3 declared
+  // tolerance oracle: the output carries the exact distinct count plus
+  // a within-5% verdict on the HLL estimate (rsd=0.01, so the 5% band
+  // holds with huge margin); the oracle asserts the same exact count
+  // and `TRUE` — any estimate drifting outside tolerance flips the
+  // boolean and hash-fails the round.
   private val q26: Q = (s, dir) =>
     t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+      .agg(count_distinct(col("o_custkey")).as("exact_customers"),
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx"))
+      .select(col("o_orderpriority"), col("exact_customers"),
+        (abs(col("approx") - col("exact_customers")).cast(DoubleType) /
+          col("exact_customers") <= 0.05).as("approx_within_5pct"))
       .orderBy(col("o_orderpriority"))
+
+  private val q26Sql =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS exact_customers,
+      |  TRUE AS approx_within_5pct
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q01_scan_filter" -> q01,
@@ -487,6 +503,6 @@ object Relational {
     "q19_scalar_funcs" -> q19Sql,
     "q20_having_subquery" -> q20Sql,
     "q21_correlated_subquery" -> q21Sql,
-    // q26 intentionally has no oracle (approximate result)
+    "q26_approx_distinct" -> q26Sql,
   )
 }
