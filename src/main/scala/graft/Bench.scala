@@ -1,21 +1,37 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query and
-  * total wall-clock seconds.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line (stdout) with per-query
+  * and total wall-clock seconds.
   *
-  * Methodology: input tables are cached (and materialized) up front so
-  * timings measure query compute, not cold parquet decode; each query
-  * runs twice and the faster run is reported (absorbs JIT/codegen
-  * warm-up and GC noise — the steady-state number a long-lived engine
-  * would show).
+  * Methodology: input tables are persisted (MEMORY_AND_DISK — spills
+  * instead of GC-thrashing when the host is contended) and registered
+  * as temp views so per-query parquet re-resolution drops out of the
+  * timing floor; each query runs in `SPARK_GRAFT_ROUNDS` round-robin
+  * rounds (default 3) and the fastest run is reported, absorbing
+  * JIT/codegen warm-up — the steady-state number a long-lived engine
+  * would show.
+  *
+  * Hardening (r1 postmortem — the driver's forked run died after 40
+  * min with executor-heartbeat timeouts and recorded no number):
+  * generous heartbeat/network timeouts; per-run progress and errors
+  * stream to STDERR as they happen, so a crash mid-run still leaves
+  * per-query data in the log; exceptions are never swallowed silently —
+  * a failing query is reported in the final JSON under "errors" and
+  * its message is printed the moment it fails; queries slower than
+  * `SlowCutoffSec` are not re-run in later rounds (one measurement is
+  * enough — re-running pathological cases is what starved r1).
   */
 object Bench {
+  private val SlowCutoffSec = 60.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,36 +45,71 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // survive long GC pauses / host interference (see Scaladoc)
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "120s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // warm the engine: cache + materialize every input table
-    Tables.all.foreach { n =>
-      val df = spark.read.parquet(s"$sfDir/$n.parquet")
-      df.cache()
-      df.count()
+    def note(msg: String): Unit = {
+      System.err.println(s"[bench] $msg")
+      System.err.flush()
     }
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+    // warm the engine: persist + materialize every input table and
+    // register it as a temp view (Tables routes reads through views
+    // for this dir from here on)
+    val tWarm = System.nanoTime()
+    Tables.registerViews(spark, sfDir, StorageLevel.MEMORY_AND_DISK)
+    note(f"tables warmed in ${(System.nanoTime() - tWarm) / 1e9}%.1f s")
+
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
+          note(s"ERROR $name: $msg")
+          Left(msg)
+      }
     }
 
-    // 4 round-robin rounds, best per query: interleaving absorbs
-    // bursty host interference better than back-to-back repeats
+    // round-robin rounds, best per query: interleaving absorbs bursty
+    // host interference better than back-to-back repeats
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val rounds = (1 to 4).map { _ => ordered.map { case (n, fn) => n -> timeOnce(fn) } }
-    val results = ordered.map { case (name, _) =>
-      val ts = rounds.map(_.find(_._1 == name).get._2)
-      name -> (if (ts.contains(-1.0)) -1.0 else ts.min)
+    val best = scala.collection.mutable.Map[String, Double]()
+    val errors = scala.collection.mutable.Map[String, String]()
+    for (r <- 1 to rounds; (name, fn) <- ordered) {
+      val skip = r > 1 && best.get(name).exists(_ > SlowCutoffSec)
+      if (!skip) {
+        timeOnce(name, fn) match {
+          case Right(secs) =>
+            if (best.get(name).forall(secs < _)) best(name) = secs
+            note(f"round=$r $name ${secs}%.3f s (best ${best(name)}%.3f)")
+          case Left(msg) =>
+            errors(name) = msg
+        }
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def j(v: Double): String = f"$v%.4f"
+    val qs = ordered.map { case (k, _) =>
+      "\"" + k + "\":" + best.get(k).map(j).getOrElse("-1")
+    }.mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.toSeq.sorted
+        .map { case (k, v) =>
+          "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\""
+        }
+        .mkString(""","errors":{""", ",", "}")
+    val total = best.values.sum
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

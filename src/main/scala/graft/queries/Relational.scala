@@ -335,9 +335,13 @@ object Relational {
 
   // q18: set algebra — union / intersect / except branches, tagged
   private val q18: Q = (s, dir) => {
-    val buyers = t(s, dir, "orders").select(col("o_custkey").as("key")).distinct()
+    // both legs feed five set operators below — persist them so the
+    // distinct-over-orders isn't recomputed per operator (the same
+    // CTE-reuse DuckDB gets for free)
+    val buyers = t(s, dir, "orders").select(col("o_custkey").as("key"))
+      .distinct().persist()
     val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
-      .select(col("c_custkey").as("key"))
+      .select(col("c_custkey").as("key")).persist()
     val u = buyers.union(rich).distinct().withColumn("tag", lit("union"))
     val i = buyers.intersect(rich).withColumn("tag", lit("intersect"))
     val e = buyers.except(rich).withColumn("tag", lit("except"))
