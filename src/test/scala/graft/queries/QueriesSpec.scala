@@ -113,6 +113,36 @@ class QueriesSpec extends SparkSpec {
     assert(viaApi.values.sum == 1500)
   }
 
+  test("jaccard shingle df cap bounds hot-shingle pair fan-out") {
+    import spark.implicits._
+    // 20 docs share one boilerplate 3-gram ("common header text") and
+    // are otherwise disjoint: uncapped, the hot shingle alone emits
+    // C(20,2) = 190 candidate pairs; with the cap below its df the
+    // shingle is pruned BEFORE the self-join, so zero pairs survive.
+    val docs = (1 to 20).map { i =>
+      (i.toLong, s"common header text unique$i filler$i tail$i")
+    }.toDF("doc_id", "text")
+    val uncapped = Llm.jaccardPairsFor(docs, maxDf = 1000)
+    assert(uncapped.count() == 190)
+    val capped = Llm.jaccardPairsFor(docs, maxDf = 10)
+    assert(capped.count() == 0)
+    // a genuinely similar pair (many shared low-df shingles) survives
+    // the cap even when boilerplate is pruned
+    val mixed = docs.union(Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text"))
+    val out = Llm.jaccardPairsFor(mixed, maxDf = 10)
+      .filter(col("jaccard") >= 0.5).collect()
+    assert(out.length == 1 &&
+      out.head.getLong(0) == 100L && out.head.getLong(1) == 101L)
+    // fixture guarantee: no fixture shingle reaches the default cap,
+    // so capped output is bit-identical to exact uncapped Jaccard
+    val fixture = spark.read.parquet(s"$dir/documents.parquet")
+    val exact = Llm.jaccardPairsFor(fixture, maxDf = Int.MaxValue)
+    val prod = Llm.jaccardPairsFor(fixture)
+    assert(exact.exceptAll(prod).isEmpty && prod.exceptAll(exact).isEmpty)
+  }
+
   test("minhash collision probability tracks jaccard similarity") {
     import spark.implicits._
     // two 90%-overlapping shingle sets should collide on most rows
