@@ -84,10 +84,10 @@ final class Engine(
   def activeFlows: Seq[FlowRun] = active.values.toSeq
   def runningCount: Int = runningGauge.get()
 
-  private[flow] def deregister(run: FlowRun): Unit = {
-    active.remove(run.id) // O17: decr gauge + deregister
-    runningGauge.decrementAndGet()
-  }
+  // O17: decr gauge + deregister. Idempotent — runLoop's normal exit
+  // and start()'s catch-all escape hatch may both reach here.
+  private[flow] def deregister(run: FlowRun): Unit =
+    if (active.remove(run.id).isDefined) runningGauge.decrementAndGet()
 
   /** O28: status over all active flows as a DataFrame view. */
   def statusDataFrame(): DataFrame = {
@@ -203,7 +203,11 @@ final class FlowRun private[flow] (
       phaseStartedAt = System.currentTimeMillis()
     }
 
+  // Any escape path out of runLoop (including bugs in the loop itself)
+  // must deregister, or the flow leaks in the active set and the
+  // running gauge never decrements (ADVICE r1).
   private[flow] def start(): Unit = Future(runLoop()).failed.foreach { e =>
+    engine.deregister(this)
     promise.tryFailure(e)
   }
 
@@ -211,6 +215,11 @@ final class FlowRun private[flow] (
     var phase = spec.initialPhase
     transitionTo("", phase.name) // O18: flow.created → first phase
     var done = false
+    // belt-and-braces against error-transition ping-pong: validation
+    // guarantees every error chain terminates, but a phase pair whose
+    // handlers keep failing into each other would still loop — bound
+    // total error hops by the phase count
+    var errorHops = 0
     while (!done) {
       // control checks at the phase boundary
       if (state == Canceled) {
@@ -262,11 +271,12 @@ final class FlowRun private[flow] (
           }
         case Failure(_) if state == Canceled => () // loop records cancel
         case Failure(e) =>
+          errorHops += 1
           phase.onErrorTransitionTo.flatMap(spec.phase) match {
-            case Some(errPhase) => // O34, implemented for real
-              transitionTo(phase.name, errPhase.name)
+            case Some(errPhase) if errorHops <= spec.phases.size =>
+              transitionTo(phase.name, errPhase.name) // O34, for real
               phase = errPhase
-            case None =>
+            case _ =>
               state = Failed
               engine.deregister(this)
               promise.tryFailure(e)
@@ -322,9 +332,12 @@ object Retry {
     var delay = initialDelayMs
     var left = attempts
     while (true) {
+      // NonFatal only (ADVICE r1): cancellation (InterruptedException)
+      // and fatal JVM errors (OutOfMemoryError etc.) propagate
+      // immediately instead of being retried
       try return f
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           left -= 1
           if (left <= 0) throw e
           Thread.sleep(delay)

@@ -95,18 +95,27 @@ object FlowSpec {
     for (p <- spec.phases; t <- p.transitionsTo ++ p.onErrorTransitionTo)
       if (!names.contains(t))
         throw InvalidFlow(s"phase ${p.name} transitions to unknown phase $t")
-    // the chain from the initial phase must terminate in a final phase
-    var seen = Set.empty[String]
-    var cur: Option[PhaseSpec] = Some(initials.head)
-    while (cur.isDefined) {
-      val p = cur.get
-      if (seen(p.name)) throw InvalidFlow(s"phase cycle at ${p.name}")
-      seen += p.name
-      if (p.isFinal) return
-      cur = spec.nextPhase(p)
-      if (cur.isEmpty && !p.isFinal)
-        throw InvalidFlow(s"chain dead-ends at non-final phase ${p.name}")
+    // the chain from the initial phase must terminate in a final
+    // phase — and so must the chain from every error target, or a
+    // failing phase would route the flow onto a path that cycles or
+    // dead-ends at runtime (ADVICE r1: Engine.runLoop would otherwise
+    // loop forever / hit nextPhase(...).get)
+    def chainTerminates(start: PhaseSpec, what: String): Unit = {
+      var seen = Set.empty[String]
+      var cur: Option[PhaseSpec] = Some(start)
+      while (cur.isDefined) {
+        val p = cur.get
+        if (seen(p.name)) throw InvalidFlow(s"$what: phase cycle at ${p.name}")
+        seen += p.name
+        if (p.isFinal) return
+        cur = spec.nextPhase(p)
+        if (cur.isEmpty)
+          throw InvalidFlow(s"$what: chain dead-ends at non-final phase ${p.name}")
+      }
     }
+    chainTerminates(initials.head, "main chain")
+    for (p <- spec.phases; t <- p.onErrorTransitionTo)
+      chainTerminates(spec.phase(t).get, s"error chain of ${p.name}")
   }
 
   /** Serialize back to the reference JSON shape (round-trip support). */

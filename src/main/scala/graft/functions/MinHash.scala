@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -23,6 +24,19 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // analysis-time guards (ADVICE r1): demand array<string> input and a
+  // hash count within the fixed coefficient tables, instead of a
+  // ClassCastException / ArrayIndexOutOfBoundsException at eval time
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (numHashes < 1 || numHashes > MinHashSignature.MaxHashes)
+      TypeCheckResult.TypeCheckFailure(
+        s"numHashes must be in [1, ${MinHashSignature.MaxHashes}], got $numHashes")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature needs array<string>, got ${other.sql}")
+    }
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val a = MinHashSignature.A
@@ -31,14 +45,16 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes, 42L)
-      var j = 0
-      while (j < numHashes) {
-        val v = a(j) * h + b(j)
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!arr.isNullAt(i)) { // null shingles contribute nothing
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var j = 0
+        while (j < numHashes) {
+          val v = a(j) * h + b(j)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -50,7 +66,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 object MinHashSignature {
-  private val MaxHashes = 256
+  private[functions] val MaxHashes = 256
   // fixed universal-hash parameters (odd multipliers), seeded rng
   private[functions] val (a0, b0) = {
     val rng = new java.util.Random(0x5eed5eedL)

@@ -18,7 +18,17 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /** @param rightVals right-side columns to carry (propagated as
-    *                  `last non-null as-of` values onto left rows) */
+    *                  as-of values of the latest matching right row
+    *                  onto left rows)
+    *
+    * Null semantics (ADVICE r1): every right row is packed into ONE
+    * non-null struct and `last(ignoreNulls)` runs over the struct, so
+    * a matched right row whose carried value is NULL propagates that
+    * NULL (not an older non-null value). Right rows with a NULL key
+    * are dropped before the union — SQL ASOF equality never matches
+    * NULL — so null-keyed left rows get NULL as-of values instead of
+    * picking up null-keyed right rows from the shared null window
+    * partition. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -26,33 +36,31 @@ object AsofJoin {
       leftTime: String, rightTime: String,
       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rTagged = right
+      .filter(col(rightKey).isNotNull)
+      .select(
+        col(rightKey).as("__key"), col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        struct(rightVals.map(c => col(c).as(s"__r_$c")): _*).as("__rv"))
+    val rvType = rTagged.schema("__rv").dataType
     val lTagged = left
       .withColumn("__key", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-    val rTagged = right.select(
-      (col(rightKey).as("__key") +: col(rightTime).as("__t")
-        +: lit(0).as("__side")
-        +: rightVals.map(c => col(c).as(s"__r_$c"))): _*)
+      .withColumn("__rv", lit(null).cast(rvType))
     // align schemas for the union
-    val lAll = rightVals.foldLeft(lTagged)((df, c) =>
-      df.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
     val rAll = leftCols.foldLeft(rTagged)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val unioned = lAll.select(
-      (leftCols.map(col) ++ Seq(col("__key"), col("__t"), col("__side"))
-        ++ rightVals.map(c => col(s"__r_$c"))): _*)
-      .unionByName(rAll.select(
-        (leftCols.map(col) ++ Seq(col("__key"), col("__t"), col("__side"))
-          ++ rightVals.map(c => col(s"__r_$c"))): _*))
+    val shape = leftCols.map(col) ++
+      Seq(col("__key"), col("__t"), col("__side"), col("__rv"))
+    val unioned = lTagged.select(shape: _*).unionByName(rAll.select(shape: _*))
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"asof_$c",
-        last(col(s"__r_$c"), ignoreNulls = true).over(w)))
-    carried.filter(col("__side") === 1)
+    unioned
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        rightVals.map(c => col(s"asof_$c"))): _*)
+        rightVals.map(c => col("__asof").getField(s"__r_$c").as(s"asof_$c"))): _*)
   }
 }

@@ -132,6 +132,26 @@ class EngineSpec extends SparkSpec {
     assert(engine.find(run.id).isEmpty)
   }
 
+  test("error-transition ping-pong is bounded: repeated failures " +
+    "terminate the flow instead of looping (ADVICE r1)") {
+    val reg = new HandlerRegistry
+    reg.register(new BoomHandler)
+    val engine = newEngine(reg)
+    val before = engine.runningCount
+    // both phases' chains terminate (validation passes), but their
+    // handlers fail into each other forever at runtime
+    val run = engine.submit(
+      """{"phases":[
+        |{"name":"a","is_initial":true,"transitions_to":"z",
+        | "on_error_transition_to":"b","handlers":["Boom"]},
+        |{"name":"b","transitions_to":"z",
+        | "on_error_transition_to":"a","handlers":["Boom"]},
+        |{"name":"z","is_final":true}]}""".stripMargin)
+    intercept[Exception](Await.result(run.future, 1.minute))
+    assert(engine.find(run.id).isEmpty, "failed flow must deregister")
+    assert(engine.runningCount == before, "gauge must return to baseline")
+  }
+
   test("pause is phase-granular; resume continues from the paused " +
     "phase; guards mirror the reference (O6-O9)") {
     processed.clear()

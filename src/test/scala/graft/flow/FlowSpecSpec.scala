@@ -83,4 +83,32 @@ class FlowSpecSpec extends AnyFunSuite {
         |{"name":"z","is_final":true}]}""".stripMargin
     assertThrows[FlowSpec.InvalidFlow](FlowSpec.parse(deadEnd))
   }
+
+  test("rejects error chains that dead-end or cycle (ADVICE r1)") {
+    // error target is a non-final phase with no transitions_to
+    val errDeadEnd =
+      """{"phases":[
+        |{"name":"a","is_initial":true,"transitions_to":"z",
+        | "on_error_transition_to":"e"},
+        |{"name":"e"},
+        |{"name":"z","is_final":true}]}""".stripMargin
+    assertThrows[FlowSpec.InvalidFlow](FlowSpec.parse(errDeadEnd))
+    // error target's transitions_to chain cycles without a final phase
+    val errCycle =
+      """{"phases":[
+        |{"name":"a","is_initial":true,"transitions_to":"z",
+        | "on_error_transition_to":"e1"},
+        |{"name":"e1","transitions_to":"e2"},
+        |{"name":"e2","transitions_to":"e1"},
+        |{"name":"z","is_final":true}]}""".stripMargin
+    assertThrows[FlowSpec.InvalidFlow](FlowSpec.parse(errCycle))
+    // a terminating error chain is accepted
+    val ok =
+      """{"phases":[
+        |{"name":"a","is_initial":true,"transitions_to":"z",
+        | "on_error_transition_to":"e"},
+        |{"name":"e","transitions_to":"z"},
+        |{"name":"z","is_final":true}]}""".stripMargin
+    assert(FlowSpec.parse(ok).phases.size == 3)
+  }
 }

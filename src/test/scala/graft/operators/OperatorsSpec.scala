@@ -46,4 +46,26 @@ class OperatorsSpec extends SparkSpec {
       "e4" -> None,
       "e5" -> None))
   }
+
+  test("as-of join propagates a matched right row's NULL value and " +
+    "never matches NULL keys") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), 10L, "e1"), (Option(1L), 30L, "e2"),
+      (Option.empty[Long], 10L, "e3")) // null-key left row
+      .toDF("key", "t", "tag")
+    val right = Seq(
+      (Option(1L), 5L, Option("r@5")),
+      (Option(1L), 20L, Option.empty[String]), // matched row carries NULL
+      (Option.empty[Long], 1L, Option("null-key-r"))) // must never match
+      .toDF("key", "t", "v")
+    val out = AsofJoin.asofJoin(left, right,
+      "key", "key", "t", "t", Seq("v"))
+      .select(col("tag"), col("asof_v"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(
+      "e1" -> Some("r@5"),
+      "e2" -> None, // the r@20 match's NULL, not the older r@5
+      "e3" -> None)) // ASOF equality never matches a NULL key
+  }
 }

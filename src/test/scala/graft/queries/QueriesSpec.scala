@@ -143,6 +143,31 @@ class QueriesSpec extends SparkSpec {
     assert(exact.exceptAll(prod).isEmpty && prod.exceptAll(exact).isEmpty)
   }
 
+  test("minhash rejects non-array<string> input and out-of-range " +
+    "numHashes at analysis time (ADVICE r1)") {
+    import spark.implicits._
+    val bad = Seq(Tuple1(Array(1L, 2L))).toDF("sh")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(graft.functions.MinHash.minhash_signature(col("sh"), 64))
+        .collect()
+    }
+    val ok = Seq(Tuple1(Array("a", "b"))).toDF("sh")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ok.select(graft.functions.MinHash.minhash_signature(col("sh"), 300))
+        .collect()
+    }
+    // null elements are skipped, not NPE'd
+    val withNull = Seq(Tuple1(Array("a", null, "b"))).toDF("sh")
+    val sig = withNull.select(
+      graft.functions.MinHash.minhash_signature(col("sh"), 8))
+      .head().getSeq[Long](0)
+    val noNull = Seq(Tuple1(Array("a", "b"))).toDF("sh")
+    val sig2 = noNull.select(
+      graft.functions.MinHash.minhash_signature(col("sh"), 8))
+      .head().getSeq[Long](0)
+    assert(sig == sig2)
+  }
+
   test("minhash collision probability tracks jaccard similarity") {
     import spark.implicits._
     // two 90%-overlapping shingle sets should collide on most rows
