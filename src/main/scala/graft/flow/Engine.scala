@@ -11,10 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.util.LongAccumulator
 import org.json4s.jackson.JsonMethods
 
-/** Engine configuration (SURVEY.md §2.1 O32). */
+/** Engine configuration (SURVEY.md §2.1 O32).
+  *
+  * @param eventLogDir when set, every finished/failed/canceled flow's
+  *   transitions and definition are appended as parquet under this
+  *   directory — the durable, cross-process audit the reference keeps
+  *   in Redis (`flow.rb:126-134`, `flow.rb:54-60`). `None` keeps the
+  *   log driver-local (tests, throwaway sessions).
+  */
 final case class EngineConfig(
     sfDir: String = "/root/testdata/sf0.001",
-    taskPartitions: Int = 8)
+    taskPartitions: Int = 8,
+    eventLogDir: Option[String] = None)
 
 /** One transition-log record (O3-O4): event-sourced, state derived by
   * timestamp order (`/root/reference/lib/distribot/flow.rb:126-143`). */
@@ -58,7 +66,24 @@ final class Engine(
 
   private val active = TrieMap.empty[String, FlowRun] // O2: Flow.active
   private val runningGauge = new AtomicInteger(0) // O1/O17 gauge
+  private val finishListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[FlowResult => Unit]
   private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  /** O24: completion broadcast — every registered listener is invoked
+    * for every flow that finishes successfully, the reference's
+    * fanout-exchange `flow.finished` announcement
+    * (`connector.rb:134-138`, `flow_finished_handler.rb:10`) without
+    * the broker. Listeners run on the flow's completion thread; a
+    * throwing listener is isolated (logged, others still fire). */
+  def onFlowFinished(listener: FlowResult => Unit): Unit =
+    finishListeners.add(listener)
+
+  private[flow] def notifyFinished(result: FlowResult): Unit =
+    finishListeners.forEach { l =>
+      Try(l(result)).failed.foreach(e =>
+        System.err.println(s"[engine] flow-finished listener failed: $e"))
+    }
 
   def submit(flowJson: String): FlowRun = submit(FlowSpec.parse(flowJson))
 
@@ -85,9 +110,56 @@ final class Engine(
   def runningCount: Int = runningGauge.get()
 
   // O17: decr gauge + deregister. Idempotent — runLoop's normal exit
-  // and start()'s catch-all escape hatch may both reach here.
+  // and start()'s catch-all escape hatch may both reach here. A
+  // terminal flow's history is flushed to the durable event log
+  // before it leaves the active set, so `transitionLog()` never has a
+  // window where a flow is in neither store.
   private[flow] def deregister(run: FlowRun): Unit =
-    if (active.remove(run.id).isDefined) runningGauge.decrementAndGet()
+    if (active.remove(run.id).isDefined) {
+      appendEventLog(run)
+      runningGauge.decrementAndGet()
+    }
+
+  /** O4 durability: append the finished flow's transitions and its
+    * definition to `$eventLogDir/{transitions,flows}` parquet. Each
+    * flow is one small append task — at fleet scale this would be the
+    * batched sink of a Structured Streaming event feed
+    * (`streaming/FlowStateStream`), but the schema and read path are
+    * identical. Log IO must never fail the flow: errors are noted and
+    * swallowed. */
+  private def appendEventLog(run: FlowRun): Unit =
+    config.eventLogDir.foreach { dir =>
+      Try {
+        import spark.implicits._
+        run.transitions.toDF()
+          .write.mode("append").parquet(s"$dir/transitions")
+        Seq((run.id, run.spec.name.getOrElse(""), run.status().state,
+          FlowSpec.render(run.spec), System.currentTimeMillis()))
+          .toDF("flow_id", "name", "final_state", "spec_json",
+            "finished_at_ms")
+          .write.mode("append").parquet(s"$dir/flows")
+      }.failed.foreach(e =>
+        System.err.println(s"[engine] event-log append failed for " +
+          s"${run.id}: $e"))
+    }
+
+  private def logTable(sub: String): Option[DataFrame] =
+    config.eventLogDir.flatMap { dir =>
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) Some(spark.read.parquet(path.toString)) else None
+    }
+
+  /** Finished-flow registry from the durable log (the reference's
+    * `Flow.find` for completed flows, `flow.rb:54-60`): one row per
+    * terminal flow with its final state and round-trippable spec. */
+  def finishedFlows(): DataFrame =
+    logTable("flows").getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, String, String, String, Long)]
+        .toDF("flow_id", "name", "final_state", "spec_json",
+          "finished_at_ms")
+    }
 
   /** O28: status over all active flows as a DataFrame view. */
   def statusDataFrame(): DataFrame = {
@@ -103,11 +175,15 @@ final class Engine(
       "handler_progress")
   }
 
-  /** O4: the cross-flow transition log as a DataFrame (event-sourced
-    * audit; append to parquet for durability). */
+  /** O4: the cross-flow transition log as a DataFrame — live
+    * (in-flight flows, driver memory) unioned with the durable parquet
+    * log (terminal flows), so finished flows stay queryable across
+    * engine instances, matching the reference's always-readable Redis
+    * transition list (`flow.rb:126-143`). */
   def transitionLog(): DataFrame = {
     import spark.implicits._
-    activeFlows.flatMap(_.transitions).toDF()
+    val live = activeFlows.flatMap(_.transitions).toDF()
+    logTable("transitions").fold(live)(live.unionByName(_))
   }
 }
 
@@ -135,6 +211,16 @@ final class FlowRun private[flow] (
   @volatile private var currentPhaseName: String = spec.initialPhase.name
   private val counters =
     TrieMap.empty[(String, String), (Long, LongAccumulator)]
+  // Mid-phase checkpoint (O6/O7 upgrade): handlers that completed in
+  // the current attempt of each phase. A phase re-entered after a
+  // mid-phase pause (or an error loop routing back) re-runs only the
+  // handlers not recorded here — the reference's per-task requeue
+  // semantics (`worker.rb:133-137`) at handler granularity.
+  private val completedHandlers = TrieMap.empty[(String, String), Unit]
+
+  /** Current (phase, handler) checkpoints — test/observability hook. */
+  private[flow] def checkpointedHandlers: Set[(String, String)] =
+    completedHandlers.keySet.toSet
   private val promise = Promise[FlowResult]()
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
@@ -159,6 +245,21 @@ final class FlowRun private[flow] (
   def pause(): Boolean = lock.synchronized {
     if (state != Running) false
     else { pauseRequested = true; true }
+  }
+
+  /** O6 (cooperative variant): pause that takes effect immediately by
+    * interrupting the phase's running Spark jobs. In-flight handlers
+    * fail and will re-run on resume; handlers that already completed
+    * this phase are checkpointed and skipped — the reference's
+    * requeue-on-pause (`worker.rb:133-137`, `connector.rb:66-68`)
+    * without losing completed work. */
+  def pauseNow(): Boolean = lock.synchronized {
+    if (state != Running) false
+    else {
+      pauseRequested = true
+      engine.spark.sparkContext.cancelJobGroup(id)
+      true
+    }
   }
 
   /** O7: resume — only a paused flow; re-enters the last real phase. */
@@ -243,26 +344,43 @@ final class FlowRun private[flow] (
         transitionTo("paused", phase.name) // O7: back to last real phase
       }
 
-      // O19: dispatch handlers (empty phase short-circuits to advance)
+      // O19: dispatch handlers (empty phase short-circuits to
+      // advance); handlers checkpointed complete in an earlier attempt
+      // of this phase (mid-phase pause, error loop-back) are skipped
+      val toRun = phase.handlers
+        .filterNot(ref => completedHandlers.contains((phase.name, ref.name)))
       val outcome: Try[Unit] =
-        if (phase.handlers.isEmpty) Success(())
-        else Try {
-          val fs = phase.handlers.map { ref =>
+        if (toRun.isEmpty) Success(())
+        else {
+          val fs = toRun.map { ref =>
             val h = resolved((phase.name, ref.name))
-            Future(runHandler(phase, h))
+            Future {
+              runHandler(phase, h)
+              completedHandlers.put((phase.name, ref.name), ())
+            }.transform(Success(_))
           }
-          // O15: phase barrier = all handler futures complete
+          // O15: phase barrier = every handler future SETTLED (not
+          // fail-fast: a pause/cancel interrupt must not leave
+          // straggler jobs running into the paused window)
           import scala.concurrent.duration._
-          scala.concurrent.Await.result(Future.sequence(fs), 1.day)
-          ()
+          val settled =
+            scala.concurrent.Await.result(Future.sequence(fs), 1.day)
+          settled.collectFirst { case Failure(e) => e }
+            .fold[Try[Unit]](Success(()))(Failure(_))
         }
 
       outcome match {
         case Success(_) =>
+          // phase complete: drop its checkpoints so a future re-entry
+          // (error path cycling back) re-runs it in full
+          completedHandlers.keys
+            .filter(_._1 == phase.name).foreach(completedHandlers.remove)
           if (phase.isFinal) { // O16/O17: flow finish
             state = Finished
             engine.deregister(this)
-            promise.trySuccess(FlowResult(id, phase.name, transitions))
+            val result = FlowResult(id, phase.name, transitions)
+            promise.trySuccess(result)
+            engine.notifyFinished(result) // O24 broadcast
             done = true
           } else {
             val next = spec.nextPhase(phase).get
@@ -270,6 +388,8 @@ final class FlowRun private[flow] (
             phase = next
           }
         case Failure(_) if state == Canceled => () // loop records cancel
+        case Failure(_) if pauseRequested =>
+          () // pauseNow interrupt: loop top parks, resume re-enters
         case Failure(e) =>
           errorHops += 1
           phase.onErrorTransitionTo.flatMap(spec.phase) match {
@@ -298,10 +418,20 @@ final class FlowRun private[flow] (
       interruptOnCancel = true)
     try h match {
       case q: QueryHandler =>
+        // In-phase progress (reference `examples/status:7-38`): total =
+        // result partitions, one tick as each partition materializes,
+        // so status() moves during a long query instead of 0/1 → 1/1.
+        // (df.rdd finalizes the plan — with AQE that may run upstream
+        // stages eagerly; the final stage runs under the tick loop.)
+        val df = q.frame(ctx)
+        val rdd = df.rdd
+        val parts = math.max(rdd.getNumPartitions, 1)
         val acc = spark.sparkContext.longAccumulator(s"$id.${phase.name}.${h.name}")
-        counters.put((phase.name, h.name), (1L, acc))
-        q.run(ctx)
-        acc.add(1)
+        counters.put((phase.name, h.name), (parts.toLong, acc))
+        rdd.foreachPartition { it =>
+          while (it.hasNext) it.next()
+          acc.add(1)
+        }
       case m: MaterializeHandler =>
         val acc = spark.sparkContext.longAccumulator(s"$id.${phase.name}.${h.name}")
         counters.put((phase.name, h.name), (1L, acc))

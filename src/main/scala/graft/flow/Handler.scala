@@ -60,8 +60,14 @@ final class QueryHandler(
 
   override def process(ctx: HandlerContext, task: TaskMsg): Unit = ()
 
-  /** Driver-side materialization hook used by the engine. */
-  def run(ctx: HandlerContext): Long = query(ctx.spark, ctx.sfDir).count()
+  /** The phase's query as an unexecuted plan — the engine drives
+    * materialization itself (per-partition, so progress ticks during
+    * the run; Engine.runHandler). */
+  def frame(ctx: HandlerContext): org.apache.spark.sql.DataFrame =
+    query(ctx.spark, ctx.sfDir)
+
+  /** Driver-side materialization hook (direct use outside the engine). */
+  def run(ctx: HandlerContext): Long = frame(ctx).count()
 }
 
 /** Cross-phase data handoff: phase N materializes a DataFrame to a

@@ -28,12 +28,16 @@ final case class MediaMeta(doc_id: Long, source: String, byte_len: Long,
   * clearly-marked fake.
   *
   * ANN-IVF: an inverted-file index with a deterministic coarse
-  * quantizer — centroids are the first 8 vectors, every vector is
-  * assigned to its nearest centroid (exact arithmetic contract shared
-  * with the DuckDB oracle), and a query probes only its own cell.
-  * At 100 TB the assignment is a broadcast-map (centroids are tiny)
-  * and each cell is a partition-pruned shard; the brute-force q29/q30
-  * remain the small-scale/recall-1 baselines.
+  * quantizer — the 8 centroids are a deterministic hash sample (the 8
+  * vectors with the smallest `md5(vec_id)`, an order-free stand-in
+  * for seeded random sampling that both engines compute identically),
+  * every vector is assigned to its nearest centroid (exact arithmetic
+  * contract shared with the DuckDB oracle), and a query probes its 2
+  * nearest cells (multi-probe — recall is quantified against the
+  * brute-force q29 baseline in MultimodalSpec). At 100 TB the
+  * assignment is a broadcast-map (centroids are tiny) and each cell is
+  * a partition-pruned shard; the brute-force q29/q30 remain the
+  * small-scale/recall-1 baselines.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -126,27 +130,46 @@ object Multimodal {
 
   // ---- ANN-IVF similarity search ------------------------------------
 
-  private val annIvf: Q = (s, dir) => {
+  /** IVF top-k with a pluggable probe width. `nProbe=2` is the shipped
+    * operator; MultimodalSpec sweeps it to quantify the recall/probe
+    * tradeoff against brute force. */
+  private[queries] def annIvfWith(s: SparkSession, dir: String,
+      nProbe: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("n2"))
-    val cents = e.filter(col("vec_id") < 8)
+    // deterministic hash-sampled coarse quantizer: the 8 vectors with
+    // the smallest md5(vec_id) — seeded-sample semantics, no
+    // insertion-order bias, identical on both engines
+    val cents = e
+      .withColumn("hk", md5(col("vec_id").cast(StringType)))
+      .orderBy(col("hk"))
+      .limit(8)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("n2").as("cn2"))
-    // assignment: nearest centroid by ||v||^2 + ||c||^2 - 2<v,c>
-    // (identical expression tree in the oracle -> identical doubles)
+    // spherical assignment: the query metric is cosine, so cells are
+    // direction cones — each vector goes to the centroid of maximum
+    // cosine (L2 on unnormalized vectors would scatter same-direction
+    // vectors across cells by length; measured recall@10 at nProbe=2
+    // was 0.5 with L2 vs 0.8+ spherical). Identical expression tree in
+    // the oracle -> identical doubles; centroids broadcast.
+    val dists = e.crossJoin(broadcast(cents))
+      .withColumn("cs",
+        dot(col("embedding"), col("ce")) /
+          (sqrt(col("n2")) * sqrt(col("cn2"))))
     val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2"), col("cid"))
-    val assign = e.crossJoin(broadcast(cents))
-      .withColumn("d2",
-        col("n2") + col("cn2") - lit(2.0) * dot(col("embedding"), col("ce")))
+      .orderBy(col("cs").desc, col("cid"))
+    val ranked = dists
       .withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") === 1)
+    val assign = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("n2"), col("cid"))
-    val q = assign.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("n2").as("qn2"),
-        col("cid").as("qcid"))
-    assign.join(broadcast(q), col("cid") === col("qcid"))
+    // multi-probe: the query searches its nProbe nearest cells
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("n2").as("qn2"))
+    val qcells = ranked.filter(col("vec_id") === 0 && col("rn") <= nProbe)
+      .select(col("cid").as("qcid"))
+    assign.join(broadcast(qcells), col("cid") === col("qcid"))
+      .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
         round(dot(col("embedding"), col("qe")) /
@@ -155,28 +178,35 @@ object Multimodal {
       .limit(10)
   }
 
+  private val annIvf: Q = (s, dir) => annIvfWith(s, dir, nProbe = 2)
+
   private val annIvfSql =
     """WITH e AS (
       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ed,
       |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
       |              for x in embedding]) AS n2
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS cid, ed AS ce, n2 AS cn2 FROM e WHERE vec_id < 8),
+      |c AS (
+      |  SELECT vec_id AS cid, ed AS ce, n2 AS cn2 FROM e
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
       |dists AS (
       |  SELECT e.vec_id, e.ed, e.n2, c.cid,
-      |    e.n2 + c.cn2 - 2.0 * list_sum([e.ed[i] * c.ce[i]
-      |      for i in generate_series(1, len(e.ed))]) AS d2
+      |    list_sum([e.ed[i] * c.ce[i]
+      |      for i in generate_series(1, len(e.ed))]) /
+      |      (sqrt(e.n2) * sqrt(c.cn2)) AS cs
       |  FROM e, c),
-      |assign AS (
-      |  SELECT vec_id, ed, n2, cid FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |    FROM dists) WHERE rn = 1),
-      |q AS (SELECT ed AS qe, n2 AS qn2, cid AS qcid FROM assign WHERE vec_id = 0)
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      |  FROM dists),
+      |assign AS (SELECT vec_id, ed, n2, cid FROM ranked WHERE rn = 1),
+      |q AS (SELECT ed AS qe, n2 AS qn2 FROM e WHERE vec_id = 0),
+      |qcells AS (SELECT cid AS qcid FROM ranked WHERE vec_id = 0 AND rn <= 2)
       |SELECT vec_id,
       |  round(list_sum([a.ed[i] * q.qe[i]
       |    for i in generate_series(1, len(a.ed))]) /
       |    (sqrt(a.n2) * sqrt(q.qn2)), 4) AS score
-      |FROM assign a, q WHERE a.cid = q.qcid AND a.vec_id <> 0
+      |FROM assign a JOIN qcells ON a.cid = qcells.qcid, q
+      |WHERE a.vec_id <> 0
       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
   val queries: Map[String, Q] = Map(

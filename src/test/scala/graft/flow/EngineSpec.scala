@@ -285,6 +285,112 @@ class EngineSpec extends SparkSpec {
     assert(engine.runningCount == 0)
   }
 
+  test("transition log is durable: a finished flow stays queryable " +
+    "from the parquet event log, even from a fresh engine (O4)") {
+    val tmp = java.nio.file.Files.createTempDirectory("evlog").toString
+    val reg = new HandlerRegistry
+    reg.register(new CountingHandler("H", 2))
+    val engine = new Engine(spark, reg,
+      EngineConfig(sfDir = "/root/testdata/sf0.001",
+        eventLogDir = Some(tmp)))
+    val run = engine.submit(linearFlow(ListMap(
+      "start" -> Seq("H"), "done" -> Nil)))
+    Await.result(run.future, 1.minute)
+    assert(engine.find(run.id).isEmpty) // gone from the active set...
+    val logged = engine.transitionLog()
+      .filter(org.apache.spark.sql.functions.col("flowId") === run.id)
+    assert(logged.count() == 2) // ...but its full history survives
+    // and a brand-new engine over the same log dir sees it too
+    val fresh = new Engine(spark, reg,
+      EngineConfig(sfDir = "/root/testdata/sf0.001",
+        eventLogDir = Some(tmp)))
+    assert(fresh.transitionLog()
+      .filter(org.apache.spark.sql.functions.col("flowId") === run.id)
+      .count() == 2)
+    val rec = fresh.finishedFlows()
+      .filter(org.apache.spark.sql.functions.col("flow_id") === run.id)
+      .collect()
+    assert(rec.length == 1)
+    assert(rec(0).getAs[String]("final_state") == "Finished")
+    // the logged spec round-trips through the parser
+    val spec = FlowSpec.parse(rec(0).getAs[String]("spec_json"))
+    assert(spec.phases.map(_.name) == Seq("start", "done"))
+  }
+
+  test("flow-finished broadcast reaches every registered listener " +
+    "(O24 fanout)") {
+    val reg = new HandlerRegistry
+    reg.register(new CountingHandler("H", 1))
+    val engine = newEngine(reg)
+    val heard = new ConcurrentLinkedQueue[String]()
+    engine.onFlowFinished(r => { heard.add(s"a:${r.flowId}"); () })
+    engine.onFlowFinished(_ => throw new RuntimeException("bad listener"))
+    engine.onFlowFinished(r => { heard.add(s"b:${r.flowId}"); () })
+    val run = engine.submit(
+      """{"phases":[{"name":"a","is_initial":true,"is_final":true,
+        |"handlers":["H"]}]}""".stripMargin)
+    Await.result(run.future, 1.minute)
+    eventually(heard.size == 2, 10000)
+    assert(heard.toArray.toSet ==
+      Set(s"a:${run.id}", s"b:${run.id}"),
+      "both good listeners fire; the throwing one is isolated")
+  }
+
+  test("query-handler progress ticks per partition while the query " +
+    "runs (in-phase progress, examples/status parity)") {
+    val reg = new HandlerRegistry
+    reg.register(new QueryHandler("SlowQ", SemVer(1, 0, 0), (s, _) => {
+      import s.implicits._
+      // 6 partitions, each ~300 ms: a query long enough to observe
+      s.range(0, 6, 1, 6).map { i => Thread.sleep(300); i }.toDF("v")
+    }))
+    val engine = newEngine(reg)
+    val run = engine.submit(
+      """{"phases":[{"name":"a","is_initial":true,"is_final":true,
+        |"handlers":["SlowQ"]}]}""".stripMargin)
+    // poll status() while the phase runs; record mid-flight counters
+    val sawPartial = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val deadline = System.currentTimeMillis() + 60000
+    while (!run.isFinished && System.currentTimeMillis() < deadline) {
+      run.status().handlers.find(_.handler == "SlowQ").foreach { h =>
+        if (h.finished > 0 && h.finished < h.total) sawPartial.set(true)
+      }
+      Thread.sleep(20)
+    }
+    Await.result(run.future, 1.minute)
+    assert(sawPartial.get,
+      "status() must show 0 < finished < total mid-query")
+    val hp = run.status().handlers.find(_.handler == "SlowQ").get
+    assert(hp.total == 6 && hp.finished == 6)
+  }
+
+  test("pauseNow interrupts mid-phase; resume re-runs only the " +
+    "incomplete handler (completed-handler checkpointing)") {
+    processed.clear()
+    val started = latch("pausenow.started", 1)
+    val reg = new HandlerRegistry
+    reg.register(new CountingHandler("Fast", 1))
+    reg.register(new GateHandler("Slow", "pausenow.started", "pausenow.gate"))
+    val engine = newEngine(reg)
+    val run = engine.submit(linearFlow(ListMap(
+      "work" -> Seq("Fast", "Slow"), "done" -> Nil)))
+    assert(started.await(30, TimeUnit.SECONDS)) // Slow is in flight
+    // wait for Fast to be checkpointed, then pause mid-phase
+    eventually(run.checkpointedHandlers.contains(("work", "Fast")), 30000)
+    assert(run.pauseNow())
+    eventually(run.isPaused, 30000)
+    assert(run.transitions.map(_.to).endsWith(Seq("paused")))
+    latch("pausenow.gate", 1).countDown() // let Slow pass next time
+    assert(run.resume())
+    val result = Await.result(run.future, 1.minute)
+    assert(result.finalPhase == "done")
+    // Fast's task processed exactly once across both phase attempts
+    assert(processed.toArray.count(_ == "Fast/0") == 1,
+      "checkpointed handler must not re-run on resume")
+    assert(run.transitions.map(_.to) ==
+      Seq("work", "paused", "work", "done"))
+  }
+
   private def eventually(cond: => Boolean, timeoutMs: Long): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
