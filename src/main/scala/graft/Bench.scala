@@ -60,7 +60,8 @@ object Bench {
     // register it as a temp view (Tables routes reads through views
     // for this dir from here on)
     val tWarm = System.nanoTime()
-    Tables.registerViews(spark, sfDir, StorageLevel.MEMORY_AND_DISK)
+    Tables.registerViews(spark, sfDir, StorageLevel.MEMORY_AND_DISK,
+      parts = cpus.toInt)
     note(f"tables warmed in ${(System.nanoTime() - tWarm) / 1e9}%.1f s")
 
     def timeOnce(name: String,
@@ -80,8 +81,12 @@ object Bench {
     }
 
     // round-robin rounds, best per query: interleaving absorbs bursty
-    // host interference better than back-to-back repeats
+    // host interference better than back-to-back repeats.
+    // SPARK_GRAFT_ONLY=a,b,c restricts to a subset (iteration aid).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) => only.forall(_.contains(k)) }
     val best = scala.collection.mutable.Map[String, Double]()
     val slowRuns = scala.collection.mutable.Map[String, Int]()
     val errors = scala.collection.mutable.Map[String, String]()

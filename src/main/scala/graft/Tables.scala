@@ -22,11 +22,20 @@ object Tables {
 
   /** Persist + materialize every table of `dir` and register it as a
     * temp view, so subsequent `Tables(spark, dir, _)` calls skip
-    * parquet footer re-resolution (per-query planning floor). */
+    * parquet footer re-resolution (per-query planning floor).
+    *
+    * Tables are repartitioned to `parts` first: the local fixtures
+    * are single small parquet files = ONE input split, which serializes
+    * every pre-shuffle stage (e.g. shingle extraction ran 1-threaded,
+    * 3.6 s; at 32 parts, 0.5 s). A production cluster gets thousands
+    * of splits from the source layout naturally — this recreates that
+    * parallelism at fixture scale. */
   def registerViews(spark: SparkSession, dir: String,
-      level: org.apache.spark.storage.StorageLevel): Unit = {
+      level: org.apache.spark.storage.StorageLevel,
+      parts: Int = 0): Unit = {
     all.foreach { n =>
-      val df = spark.read.parquet(s"$dir/$n.parquet")
+      val raw = spark.read.parquet(s"$dir/$n.parquet")
+      val df = if (parts > 0) raw.repartition(parts) else raw
       df.persist(level)
       df.count()
       df.createOrReplaceTempView(n)

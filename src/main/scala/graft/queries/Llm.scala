@@ -63,39 +63,50 @@ object Llm {
     * self-join (the VERDICT r1 #3 cap): a hot shingle in c docs emits
     * c² join rows and carries no discriminative signal, so the prune
     * bounds any one shuffle key's fan-out at maxDf² — the classic
-    * posting-list prune. Set sizes are computed over the same capped
-    * universe, making this a well-defined "Jaccard over discriminative
-    * shingles"; on any corpus where no shingle exceeds maxDf (all
-    * fixtures) the output is bit-identical to uncapped exact Jaccard.
-    * The df window partitions by shingle — the same key the self-join
-    * shuffles on, so the exchange is reused, not duplicated.
+    * posting-list prune. Intersections are counted over the surviving
+    * (discriminative) shingles; set SIZES are exact full-universe
+    * counts, carried on every exploded row (`n = size(sh)` computed
+    * in-row before the explode) so there is NO per-doc sizes
+    * aggregation or join — the pair groupBy reconstructs them from
+    * its grouping keys. On any corpus where no shingle exceeds maxDf
+    * (all fixtures) the output is bit-identical to uncapped exact
+    * Jaccard. One extraction pass feeds both join sides (identical
+    * subplans -> one reused exchange); the df window partitions by
+    * shingle — the same key the self-join shuffles on, so that
+    * exchange is shared too.
     */
   private[queries] def jaccardPairsFor(docs: DataFrame,
       maxDf: Int = JaccardMaxDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capped = shinglesFor(docs)
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        expr("transform(sequence(0, size(tk)-3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n"),
+        explode(col("sh")).as("s"))
+    val capped = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDf)
       .drop("df")
-    // per-doc sizes over the capped universe; AQE picks broadcast when
-    // the corpus is small enough — no hint, since at 100 TB sizes has
-    // one row per doc and must shuffle-join
-    val sizes = capped.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"))
     // pair generation via shingle self-join: measured faster than the
     // posting-list + in-row combination explode (nested HOF lambdas
-    // are interpreted; the join stays in codegen)
-    val inter = capped.as("a")
+    // are interpreted; the join stays in codegen). No join hint: at
+    // fixture scale the optimizer broadcasts the capped shingle side
+    // (measured faster than forcing sort-merge, which pays the window
+    // sort twice); at 100 TB size estimates exceed any broadcast
+    // threshold and the same code plans as a shuffle join on `s` —
+    // co-partitioned with the df-cap window's exchange.
+    capped.as("a")
       .join(capped.as("b"), col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast(DoubleType) /
-          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
@@ -284,6 +295,61 @@ object Llm {
 
   private val minhashLsh: Q = (s, dir) =>
     lshVerifiedPairsFor(t(s, dir, "documents"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  // ---- fuzzy dedup: embedding-cosine near-dup via SRP-LSH -------------
+  // Signed-random-projection LSH (Charikar): 32 fixed Rademacher (±1)
+  // hyperplanes -> 32 sign bits per vector -> 16 bands x 2 bits.
+  // Vectors sharing ANY band bucket become candidates (bucket
+  // self-join — never corpus²) and are then exact cosine-verified
+  // (> 0.5), so output equals the brute-force q30 whenever band
+  // recall is 1. At the q30 threshold (cos = 0.5, θ = 60°) a single
+  // bit agrees w.p. 1-θ/π ≈ 0.667, a 2-bit band w.p. ≈ 0.444, and 16
+  // bands miss w.p. (1-0.444)^16 ≈ 8e-5 — recall ≈ 0.9999, and
+  // higher for nearer pairs. This is the 100 TB path for
+  // embedding-space dedup, as MinHash+LSH is for token-space.
+  private val SrpBits = 32
+  private val SrpBandBits = 2
+  // fixed seeded hyperplanes, sliced per-row to the embedding dim
+  private[queries] val srpPlanes: Array[Array[Double]] = {
+    val rng = new java.util.Random(0x5ca1ab1eL)
+    Array.fill(SrpBits)(Array.fill(256)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  private[queries] def cosineLshPairsFor(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      sqrt(norm2(col("embedding"))).as("nrm"))
+    val bits: Seq[Column] = srpPlanes.toSeq.map { p =>
+      val plane = slice(typedLit(p.toSeq), lit(1), size(col("embedding")))
+      when(dot(col("embedding"), plane) > 0.0, 1L).otherwise(0L)
+    }
+    val bands: Seq[Column] = (0 until SrpBits / SrpBandBits).map { b =>
+      (0 until SrpBandBits).map(i =>
+        bits(b * SrpBandBits + i) * (1L << i)).reduce(_ + _)
+    }
+    val banded = e
+      .select(col("vec_id"),
+        posexplode(array(bands: _*)).as(Seq("band_idx", "band_val")))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("nrm").as("na")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("score"))
+      .filter(col("score") > 0.5)
+  }
+
+  private val cosineLsh: Q = (s, dir) =>
+    cosineLshPairsFor(t(s, dir, "embeddings"))
       .orderBy(col("a_id"), col("b_id"))
 
   // ---- fuzzy dedup: SimHash fingerprints (md5-bit hash, oracle-checked)
@@ -488,6 +554,7 @@ object Llm {
     "q30_neardup_pairs" -> q30,
     "llm_ngram_jaccard_dedup" -> ngramJaccard,
     "llm_minhash_lsh_dedup" -> minhashLsh,
+    "llm_cosine_lsh_neardup" -> cosineLsh,
     "llm_simhash" -> simhash,
     "llm_langid" -> langid,
     "llm_quality_score" -> quality,
@@ -507,6 +574,9 @@ object Llm {
     // minhash-lsh: exact-verified output; equals the brute-force
     // Jaccard result when LSH recall is 1 (verified on the fixtures)
     "llm_minhash_lsh_dedup" -> jaccardOracle,
+    // cosine-lsh: exact-verified output; equals brute-force q30 when
+    // SRP band recall is 1 (verified on the fixtures)
+    "llm_cosine_lsh_neardup" -> q30Sql,
     "llm_simhash" -> simhashSql,
     "llm_langid" -> langidSql,
     "llm_quality_score" -> qualitySql,

@@ -335,13 +335,16 @@ object Relational {
 
   // q18: set algebra — union / intersect / except branches, tagged
   private val q18: Q = (s, dir) => {
-    // both legs feed five set operators below — persist them so the
-    // distinct-over-orders isn't recomputed per operator (the same
-    // CTE-reuse DuckDB gets for free)
+    // both legs feed five set operators below; their distinct/filter
+    // subtrees are identical across branches, so Spark's
+    // ReusedExchange materializes each shuffle once (the CTE-reuse
+    // DuckDB gets). No persist(): a cache entry inside a library
+    // query can never be unpersisted and leaks block-manager state on
+    // every invocation.
     val buyers = t(s, dir, "orders").select(col("o_custkey").as("key"))
-      .distinct().persist()
+      .distinct()
     val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
-      .select(col("c_custkey").as("key")).persist()
+      .select(col("c_custkey").as("key"))
     val u = buyers.union(rich).distinct().withColumn("tag", lit("union"))
     val i = buyers.intersect(rich).withColumn("tag", lit("intersect"))
     val e = buyers.except(rich).withColumn("tag", lit("except"))

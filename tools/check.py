@@ -34,6 +34,14 @@ def cmp_cell(a, b):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    # list cells compare elementwise (NaN-aware, recursive) — plain ==
+    # makes any NaN-bearing array cell unequal to itself (ADVICE r1)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(
+            cmp_cell(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(
+            cmp_cell(v, b[k]) for k, v in a.items())
     return a == b
 
 
