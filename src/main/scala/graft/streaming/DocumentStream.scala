@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming LLM-data ingestion operators (SURVEY.md §2.4 in streaming
+  * form): a curation pipeline's firehose side. Each operator is the
+  * streaming twin of a batch `llm_*` query and works on any streaming
+  * (or batch) DataFrame with the `documents` schema plus an event-time
+  * column.
+  *
+  * Scale posture: `dedup` keys state by content fingerprint, so state
+  * size is bounded by the watermark horizon (expired keys are dropped),
+  * never by corpus size — the streaming analogue of hash-groupBy exact
+  * dedup. `qualityGate` is stateless (per-row filter; no shuffle at
+  * all). Near-dup (MinHash/SRP) candidates remain a batch concern over
+  * the deduped bronze table — banding joins need a bounded corpus.
+  */
+object DocumentStream {
+
+  /** Exact streaming dedup: first-seen document (by lowercased-text
+    * md5 fingerprint) wins; re-arrivals inside the watermark horizon
+    * are dropped. `dropDuplicatesWithinWatermark` keeps one state row
+    * per fingerprint only until the watermark passes it — bounded
+    * state, exactly the at-most-once-emission contract a downstream
+    * training-data sink wants. */
+  def dedup(docs: DataFrame, tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(encode(lower(col("text")), "UTF-8")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Stateless quality gate: the streaming twin of llm_quality_score's
+    * thresholds — keeps docs with enough tokens and a sane
+    * chars-per-token ratio. Pure filter: stays in whole-stage codegen,
+    * no state store. */
+  def qualityGate(docs: DataFrame, minTokens: Int = 5,
+      maxCharsPerToken: Double = 12.0): DataFrame = {
+    val nTokens = size(split(col("text"), " "))
+    docs
+      .withColumn("n_tokens", nTokens.cast("long"))
+      .filter(col("n_tokens") >= minTokens &&
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          col("n_tokens")) <= maxCharsPerToken)
+  }
+
+  /** Watermarked per-source token throughput: 1-hour tumbling windows
+    * of document and token counts — the live ingestion dashboard a
+    * curation pipeline runs next to its sinks. */
+  def tokenThroughput(docs: DataFrame, tsCol: String = "ts",
+      watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("total_tokens"))
+}
