@@ -48,6 +48,11 @@ object Bench {
       // survive long GC pauses / host interference (see Scaladoc)
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "120s")
+      // broadcast/shuffle block cleanup rides on driver GC, which an
+      // 8g heap under light allocation may not trigger for the whole
+      // run — force a periodic GC so ContextCleaner keeps up over 150
+      // query executions
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

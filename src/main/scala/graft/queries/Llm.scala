@@ -35,16 +35,16 @@ object Llm {
   private[queries] val JaccardMaxDf = 64
 
   /** Per-doc distinct word-3-gram shingles. Dedup happens inside the
-    * row (`array_distinct` before explode) so no shuffle is needed —
-    * at 100 TB this keeps shingle extraction embarrassingly parallel.
+    * row (single-pass `word_shingles` expression — see
+    * functions/Shingles.scala) so no shuffle is needed — at 100 TB
+    * this keeps shingle extraction embarrassingly parallel.
     */
   private[queries] def shinglesFor(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(0, size(tk)-3), " +
-          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))).as("s"))
+      .select(col("doc_id"),
+        explode(graft.functions.Shingles.word_shingles(col("tk"), 3)).as("s"))
 
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shinglesFor(t(s, dir, "documents"))
@@ -81,9 +81,8 @@ object Llm {
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), array_distinct(
-        expr("transform(sequence(0, size(tk)-3), " +
-          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.Shingles.word_shingles(col("tk"), 3).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast(LongType).as("n"),
         explode(col("sh")).as("s"))
     val capped = sh
@@ -266,9 +265,8 @@ object Llm {
     val docs = documents
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), array_distinct(
-        expr("transform(sequence(0, size(tk)-3), " +
-          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.Shingles.word_shingles(col("tk"), 3).as("sh"))
     val mh = docs.select(col("doc_id"),
       graft.functions.MinHash.minhash_signature(col("sh"), 64).as("mh"))
     val banded = mh.select(col("doc_id"),
