@@ -438,17 +438,33 @@ final class FlowRun private[flow] (
         m.run(ctx)
         acc.add(1)
       case _ =>
-        val tasks = h.enumerate(ctx) // O10: dynamic fan-out
-        val acc = spark.sparkContext.longAccumulator(s"$id.${phase.name}.${h.name}")
-        counters.put((phase.name, h.name), (tasks.size.toLong, acc))
-        if (tasks.nonEmpty) {
-          import spark.implicits._
-          val parts = math.min(engine.config.taskPartitions,
-            math.max(tasks.size, 1))
-          // O11: scatter; O12: parallel per-task processing
-          spark.createDataset(tasks).repartition(parts)
-            .foreachPartition { it: Iterator[TaskMsg] =>
-              it.foreach { t => h.process(ctx, t); acc.add(1) }
+        h.enumerateDataset(ctx) match {
+          case Some(ds) =>
+            // O10 distributed form: the task set never touches the
+            // driver — count for the progress total, then process in
+            // place (the source's own partitioning is the scatter)
+            val acc = spark.sparkContext.longAccumulator(
+              s"$id.${phase.name}.${h.name}")
+            val total = ds.count()
+            counters.put((phase.name, h.name), (total, acc))
+            if (total > 0)
+              ds.foreachPartition { it: Iterator[TaskMsg] =>
+                it.foreach { t => h.process(ctx, t); acc.add(1) }
+              }
+          case None =>
+            val tasks = h.enumerate(ctx) // O10: driver-side fan-out
+            val acc = spark.sparkContext.longAccumulator(
+              s"$id.${phase.name}.${h.name}")
+            counters.put((phase.name, h.name), (tasks.size.toLong, acc))
+            if (tasks.nonEmpty) {
+              import spark.implicits._
+              val parts = math.min(engine.config.taskPartitions,
+                math.max(tasks.size, 1))
+              // O11: scatter; O12: parallel per-task processing
+              spark.createDataset(tasks).repartition(parts)
+                .foreachPartition { it: Iterator[TaskMsg] =>
+                  it.foreach { t => h.process(ctx, t); acc.add(1) }
+                }
             }
         }
     } finally spark.sparkContext.clearJobGroup()

@@ -40,6 +40,14 @@ trait Handler extends Serializable {
     * may itself run Spark jobs). */
   def enumerate(ctx: HandlerContext): Seq[TaskMsg]
 
+  /** Distributed enumeration (O10 at scale): override to return the
+    * task set as a Dataset and the driver never materializes it — a
+    * data-dependent task list derived from a 100 TB table flows
+    * straight from its source partitions into `process`. When this
+    * returns Some, `enumerate` is not called. */
+  def enumerateDataset(ctx: HandlerContext)
+      : Option[org.apache.spark.sql.Dataset[TaskMsg]] = None
+
   /** Process one task (runs on executors). */
   def process(ctx: HandlerContext, task: TaskMsg): Unit
 }

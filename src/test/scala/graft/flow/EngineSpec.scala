@@ -391,6 +391,22 @@ class EngineSpec extends SparkSpec {
       Seq("work", "paused", "work", "done"))
   }
 
+  test("dataset-enumerating handler fans out without driver " +
+    "materialization (O10 at scale)") {
+    processed.clear()
+    val reg = new HandlerRegistry
+    reg.register(new DatasetHandler("FromTable"))
+    val engine = newEngine(reg)
+    val run = engine.submit(
+      """{"phases":[{"name":"a","is_initial":true,"is_final":true,
+        |"handlers":["FromTable"]}]}""".stripMargin)
+    Await.result(run.future, 2.minutes)
+    // one task per region row (5 in the fixture), all processed
+    val st = run.status().handlers.find(_.handler == "FromTable").get
+    assert(st.total == 5 && st.finished == 5)
+    assert(processed.toArray.count(_.toString.startsWith("FromTable/")) == 5)
+  }
+
   private def eventually(cond: => Boolean, timeoutMs: Long): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
@@ -429,6 +445,28 @@ private[flow] class TaggedHandler(
     Seq(TaskMsg(ctx.flowId, ctx.phase, Map("tag" -> tag)))
   def process(ctx: HandlerContext, task: TaskMsg): Unit = {
     EngineSpec.processed.add(task.payload("tag")); ()
+  }
+}
+
+/** Enumerates one task per `region` row as a Dataset — the
+  * distributed O10 form (nothing driver-side). */
+private[flow] class DatasetHandler(override val name: String)
+    extends Handler {
+  def enumerate(ctx: HandlerContext): Seq[TaskMsg] =
+    throw new IllegalStateException("driver path must not be used")
+  override def enumerateDataset(ctx: HandlerContext)
+      : Option[org.apache.spark.sql.Dataset[TaskMsg]] = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val flowId = ctx.flowId
+    val phase = ctx.phase
+    Some(spark.read.parquet(s"${ctx.sfDir}/region.parquet")
+      .select(org.apache.spark.sql.functions.col("r_regionkey"))
+      .as[Long]
+      .map(k => TaskMsg(flowId, phase, Map("key" -> k.toString))))
+  }
+  def process(ctx: HandlerContext, task: TaskMsg): Unit = {
+    EngineSpec.processed.add(s"$name/${task.payload("key")}"); ()
   }
 }
 
