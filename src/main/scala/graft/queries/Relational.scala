@@ -465,6 +465,112 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // q37: FULL OUTER join — completes the join family (inner/left/
+  // semi/anti/range are q03-q10). Customers with no orders and order
+  // keys with no customer row both survive with NULL fill; COALESCE
+  // keys keep the output deterministic.
+  private val q37: Q = (s, dir) => {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    // restrict one side so both sides have unmatched rows
+    val rich = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    rich.join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_acctbal"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        (col("c_custkey").isNull).as("no_customer_row"),
+        (col("o_custkey").isNull).as("no_orders"))
+      .orderBy(col("custkey"))
+  }
+
+  private val q37Sql =
+    """WITH perCust AS (
+      |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+      |rich AS (
+      |  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000)
+      |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  c_custkey IS NULL AS no_customer_row,
+      |  o_custkey IS NULL AS no_orders
+      |FROM rich FULL OUTER JOIN perCust ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  // q38: RANGE window frame — value-based bounds (all orders within
+  // the last 30 days of each order's date), vs q15's row-based frame.
+  // The frame key is the epoch day so both engines share integer
+  // range arithmetic.
+  private val q38: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("day", datediff(col("o_orderdate"), lit("1970-01-01"))
+        .cast(LongType))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        d(sum(dec2(col("o_totalprice"))).over(w)).as("sum_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  private val q38Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d,
+      |  CAST(count(*) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+      |FROM orders
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
+  // q39: exact percentiles + first/last/nth window values. Exact
+  // interpolated percentile (Spark `percentile` = DuckDB
+  // `quantile_cont`) keeps the oracle hash-exact where
+  // approx_percentile could not.
+  private val q39: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        first(col("o_orderkey")).over(w).as("cheapest_key"),
+        last(col("o_orderkey")).over(w).as("dearest_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        first(col("cheapest_key")).as("cheapest_key"),
+        first(col("dearest_key")).as("dearest_key"),
+        first(col("second_key")).as("second_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q39Sql =
+    """WITH w AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    first_value(o_orderkey) OVER win AS cheapest_key,
+      |    last_value(o_orderkey) OVER win AS dearest_key,
+      |    nth_value(o_orderkey, 2) OVER win AS second_key
+      |  FROM orders
+      |  WINDOW win AS (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+      |  first(cheapest_key) AS cheapest_key,
+      |  first(dearest_key) AS dearest_key,
+      |  first(second_key) AS second_key
+      |FROM w GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_scan_filter" -> q01,
     "q02_agg_tpch_q1" -> q02,
@@ -487,6 +593,9 @@ object Relational {
     "q20_having_subquery" -> q20,
     "q21_correlated_subquery" -> q21,
     "q26_approx_distinct" -> q26,
+    "q37_full_outer_join" -> q37,
+    "q38_range_frame" -> q38,
+    "q39_percentiles" -> q39,
   )
 
   val oracles: Map[String, String] = Map(
@@ -511,5 +620,8 @@ object Relational {
     "q20_having_subquery" -> q20Sql,
     "q21_correlated_subquery" -> q21Sql,
     "q26_approx_distinct" -> q26Sql,
+    "q37_full_outer_join" -> q37Sql,
+    "q38_range_frame" -> q38Sql,
+    "q39_percentiles" -> q39Sql,
   )
 }
