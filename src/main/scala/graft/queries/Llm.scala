@@ -296,46 +296,62 @@ object Llm {
       .orderBy(col("a_id"), col("b_id"))
 
   // ---- fuzzy dedup: embedding-cosine near-dup via SRP-LSH -------------
-  // Signed-random-projection LSH (Charikar): 32 fixed Rademacher (±1)
-  // hyperplanes -> 32 sign bits per vector -> 16 bands x 2 bits.
-  // Vectors sharing ANY band bucket become candidates (bucket
-  // self-join — never corpus²) and are then exact cosine-verified
-  // (> 0.5), so output equals the brute-force q30 whenever band
-  // recall is 1. At the q30 threshold (cos = 0.5, θ = 60°) a single
-  // bit agrees w.p. 1-θ/π ≈ 0.667, a 2-bit band w.p. ≈ 0.444, and 16
-  // bands miss w.p. (1-0.444)^16 ≈ 8e-5 — recall ≈ 0.9999, and
-  // higher for nearer pairs. This is the 100 TB path for
-  // embedding-space dedup, as MinHash+LSH is for token-space.
-  private val SrpBits = 32
-  private val SrpBandBits = 2
+  // Signed-random-projection LSH (Charikar): fixed Rademacher (±1)
+  // hyperplanes -> sign bits per vector -> `nBands` bands of
+  // `bandBits` bits. Vectors sharing ANY band bucket become
+  // candidates (bucket self-join — never corpus²) and are then exact
+  // cosine-verified, so output equals brute force whenever band
+  // recall is 1.
+  //
+  // Band geometry must be tuned to the similarity threshold: a bit
+  // agrees w.p. 1-θ/π, so at the fixtures' q30 threshold (cos = 0.5,
+  // p ≈ 0.667) the near/far gap vs random pairs (p = 0.5) is small —
+  // the shipped 16 bands × 2 bits buys recall ≈ 0.9999 but prunes
+  // little (isotropic fixtures are SRP's worst case, like IVF's — see
+  // MultimodalSpec). At a realistic near-dup threshold (cos ≥ 0.9,
+  // p ≈ 0.856) the tighter 8 × 8 geometry prunes candidates to a few
+  // % of all pairs at recall ≈ 0.97 — pinned on clustered data in
+  // CosineLshSpec. This is the 100 TB path for embedding-space dedup,
+  // as MinHash+LSH is for token-space.
+  private val SrpMaxBits = 64
   // fixed seeded hyperplanes, sliced per-row to the embedding dim
   private[queries] val srpPlanes: Array[Array[Double]] = {
     val rng = new java.util.Random(0x5ca1ab1eL)
-    Array.fill(SrpBits)(Array.fill(256)(if (rng.nextBoolean()) 1.0 else -1.0))
+    Array.fill(SrpMaxBits)(
+      Array.fill(256)(if (rng.nextBoolean()) 1.0 else -1.0))
   }
 
-  private[queries] def cosineLshPairsFor(emb: DataFrame): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"),
-      sqrt(norm2(col("embedding"))).as("nrm"))
-    val bits: Seq[Column] = srpPlanes.toSeq.map { p =>
+  /** SRP band-bucket candidate pairs (a_id < b_id), deduplicated. */
+  private[queries] def srpCandidatesFor(emb: DataFrame,
+      nBands: Int, bandBits: Int): DataFrame = {
+    require(nBands * bandBits <= SrpMaxBits)
+    val bits: Seq[Column] = srpPlanes.take(nBands * bandBits).toSeq.map { p =>
       val plane = slice(typedLit(p.toSeq), lit(1), size(col("embedding")))
       when(dot(col("embedding"), plane) > 0.0, 1L).otherwise(0L)
     }
-    val bands: Seq[Column] = (0 until SrpBits / SrpBandBits).map { b =>
-      (0 until SrpBandBits).map(i =>
-        bits(b * SrpBandBits + i) * (1L << i)).reduce(_ + _)
+    val bands: Seq[Column] = (0 until nBands).map { b =>
+      (0 until bandBits).map(i =>
+        bits(b * bandBits + i) * (1L << i)).reduce(_ + _)
     }
-    val banded = e
+    val banded = emb
       .select(col("vec_id"),
         posexplode(array(bands: _*)).as(Seq("band_idx", "band_val")))
-    val cand = banded.as("x")
+    banded.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
-    cand
+  }
+
+  /** Candidates exact-verified against the cosine threshold. */
+  private[queries] def cosineLshPairsFor(emb: DataFrame,
+      threshold: Double = 0.5, nBands: Int = 16, bandBits: Int = 2)
+      : DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      sqrt(norm2(col("embedding"))).as("nrm"))
+    srpCandidatesFor(emb, nBands, bandBits)
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
         col("nrm").as("na")), "a_id")
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
@@ -343,7 +359,7 @@ object Llm {
       .select(col("a_id"), col("b_id"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
           .as("score"))
-      .filter(col("score") > 0.5)
+      .filter(col("score") > threshold)
   }
 
   private val cosineLsh: Q = (s, dir) =>
