@@ -415,6 +415,77 @@ object Llm {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  // ---- chunking: fixed-size token windows with overlap ---------------
+  // The pre-training sample cutter: each doc yields chunks of
+  // `chunkTokens` tokens starting every `stride` tokens (overlap =
+  // chunkTokens - stride). Pure per-row explode — embarrassingly
+  // parallel at 100 TB, no shuffle until the caller aggregates.
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
+
+  private val chunk: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n"),
+        posexplode(sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)),
+          lit(ChunkStride))).as(Seq("chunk_idx", "start")))
+      .filter(col("start") < col("n"))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        least(lit(ChunkTokens), col("n") - col("start")).cast(LongType)
+          .as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val chunkSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |st AS (
+       |  SELECT doc_id, len(tk) AS n,
+       |    unnest(range(0, greatest(len(tk), 1), $ChunkStride)) AS start
+       |  FROM tok)
+       |SELECT doc_id,
+       |  CAST(start / $ChunkStride AS BIGINT) AS chunk_idx,
+       |  CAST(least($ChunkTokens, n - start) AS BIGINT) AS chunk_tokens
+       |FROM st WHERE start < n
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- packing: bin documents into context-length budgets ------------
+  // Greedy sequential packing: docs ordered by id within a source;
+  // each doc lands in the bin where its cumulative token count starts
+  // (floor((cum - n)/L)). One window + one aggregation — the 100 TB
+  // plan is a single co-partitioned sort per source.
+  private val PackLen = 2048
+
+  private val pack: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")) / PackLen).cast(LongType))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  private val packSql =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT source,
+       |  CAST(floor((cum - n_tokens) / $PackLen) AS BIGINT) AS bin,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY source, bin
+       |ORDER BY source, bin""".stripMargin
+
   // ---- text analysis: language-id heuristic ---------------------------
   private val stop = Seq("the", "a", "of", "and", "to")
 
@@ -569,6 +640,8 @@ object Llm {
     "llm_ngram_jaccard_dedup" -> ngramJaccard,
     "llm_minhash_lsh_dedup" -> minhashLsh,
     "llm_cosine_lsh_neardup" -> cosineLsh,
+    "llm_chunk" -> chunk,
+    "llm_pack_sequences" -> pack,
     "llm_simhash" -> simhash,
     "llm_langid" -> langid,
     "llm_quality_score" -> quality,
@@ -591,6 +664,8 @@ object Llm {
     // cosine-lsh: exact-verified output; equals brute-force q30 when
     // SRP band recall is 1 (verified on the fixtures)
     "llm_cosine_lsh_neardup" -> q30Sql,
+    "llm_chunk" -> chunkSql,
+    "llm_pack_sequences" -> packSql,
     "llm_simhash" -> simhashSql,
     "llm_langid" -> langidSql,
     "llm_quality_score" -> qualitySql,
