@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{DotProduct, MinHashSignature, WordShingles}
+
+/** Session extension (SURVEY §7.3 mechanism c): registers the engine's
+  * custom Catalyst expressions as SQL functions, so the pure-SQL
+  * surface (`spark.sql`, thrift, notebooks) reaches them without the
+  * Scala Column API. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  *
+  * Registered: `dot_product(a, b)`, `minhash_signature(shingles, k)`,
+  * `word_shingles(tokens, n)` — the numeric arguments must be integer
+  * literals (they parameterize the expression, not the row).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "dot_product(a, b) takes 2 arguments")
+        DotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName,
+        "minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "minhash_signature(shingles, numHashes) takes 2 arguments")
+        MinHashSignature(args(0), intLit(args(1), "numHashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "word_shingles(tokens, n) takes 2 arguments")
+        WordShingles(args(0), intLit(args(1), "n"))
+      }))
+  }
+}

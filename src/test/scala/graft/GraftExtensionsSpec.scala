@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface reaches the custom expressions through
+  * SparkSessionExtensions — pure `spark.sql` text, no Column API. The
+  * spec builds its own session (extensions bind at session creation)
+  * over the shared SparkContext, then restores the default session.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private def withExtSession[T](f: SparkSession => T): T = {
+    val base = SparkSpec.session // ensure the shared context exists
+    SparkSpec.session.synchronized {
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      try {
+        // withExtensions (not the spark.sql.extensions static conf):
+        // the shared SparkContext already exists, and static confs
+        // only bind when the context is created
+        val s = SparkSession.builder()
+          .master("local[2]")
+          .withExtensions(new GraftExtensions)
+          .getOrCreate()
+        f(s)
+      } finally {
+        prevDefault.fold(SparkSession.clearDefaultSession())(
+          SparkSession.setDefaultSession)
+        prevActive.fold(SparkSession.clearActiveSession())(
+          SparkSession.setActiveSession)
+      }
+    }
+  }
+
+  test("dot_product / word_shingles / minhash_signature are callable " +
+    "from SQL text") {
+    withExtSession { s =>
+      val dot = s.sql(
+        "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head().getDouble(0)
+      assert(dot == 11.0)
+
+      val sh = s.sql(
+        "SELECT word_shingles(array('a','b','c','d'), 3) AS sh")
+        .head().getSeq[String](0)
+      assert(sh == Seq("a b c", "b c d"))
+
+      val mh = s.sql(
+        "SELECT minhash_signature(array('x','y','z'), 16) AS mh")
+        .head().getSeq[Long](0)
+      assert(mh.size == 16)
+
+      // SQL and Column API produce identical results
+      import s.implicits._
+      val viaCol = Seq(Tuple1(Seq("a", "b", "c", "d"))).toDF("tk")
+        .select(graft.functions.Shingles.word_shingles(
+          org.apache.spark.sql.functions.col("tk"), 3))
+        .head().getSeq[String](0)
+      assert(viaCol == sh)
+    }
+  }
+
+  test("bad arguments fail with a clear message") {
+    withExtSession { s =>
+      val e = intercept[Exception] {
+        s.sql("SELECT minhash_signature(array('x'), 'not-a-literal')")
+          .collect()
+      }
+      assert(e.getMessage.contains("integer literal") ||
+        e.getMessage.contains("numHashes"))
+    }
+  }
+}
