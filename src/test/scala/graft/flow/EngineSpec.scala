@@ -407,6 +407,34 @@ class EngineSpec extends SparkSpec {
     assert(processed.toArray.count(_.toString.startsWith("FromTable/")) == 5)
   }
 
+  test("controller keeps the fleet at the concurrency target until " +
+    "the total is reached (examples/controller parity)") {
+    processed.clear()
+    val reg = new HandlerRegistry
+    reg.register(new CountingHandler("H", 1))
+    val engine = newEngine(reg)
+    val spec = FlowSpec.parse(
+      """{"phases":[{"name":"a","is_initial":true,"is_final":true,
+        |"handlers":["H"]}]}""".stripMargin)
+    val ctl = new Controller(engine, _ => spec,
+      maxConcurrent = 3, targetTotal = 10)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val watcher = new Thread(() => {
+      while (ctl.finishedCount < 10) {
+        maxSeen.getAndUpdate(m => math.max(m, engine.runningCount))
+        Thread.sleep(5)
+      }
+    })
+    watcher.setDaemon(true)
+    watcher.start()
+    ctl.start()
+    assert(ctl.awaitDone(120000), "controller must complete the fleet")
+    assert(ctl.finishedCount >= 10)
+    assert(ctl.ratePerSec > 0)
+    assert(maxSeen.get() <= 3, s"ran ${maxSeen.get()} > maxConcurrent")
+    eventually(engine.runningCount == 0, 30000)
+  }
+
   private def eventually(cond: => Boolean, timeoutMs: Long): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
