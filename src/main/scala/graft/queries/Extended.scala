@@ -174,8 +174,31 @@ object Extended {
       |ORDER BY gid, o_orderpriority ASC NULLS FIRST,
       |  o_orderstatus ASC NULLS FIRST""".stripMargin
 
+  // q40: map construction + explosion — build a per-customer map of
+  // order-status -> count, then explode it back to rows. Covers the
+  // map side of the collection functions (arrays are q34, regex
+  // tokens q35); DuckDB's MAP type round-trips the same shape.
+  private val q40: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_custkey"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("o_orderstatus"), col("n"))))).as("status_counts"))
+      .select(col("o_custkey"),
+        explode(col("status_counts")).as(Seq("status", "n_orders")))
+      .orderBy(col("o_custkey"), col("status"))
+
+  private val q40Sql =
+    """WITH per AS (
+      |  SELECT o_custkey, o_orderstatus, count(*) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_custkey, o_orderstatus AS status, n AS n_orders
+      |FROM per ORDER BY o_custkey, status""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_grouping_sets" -> q36,
+    "q40_map_funcs" -> q40,
     "q31_asof_join" -> q31,
     "q32_pivot" -> q32,
     "q33_stats_agg" -> q33,
@@ -185,6 +208,7 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q36_grouping_sets" -> q36Sql,
+    "q40_map_funcs" -> q40Sql,
     "q31_asof_join" -> q31Sql,
     "q32_pivot" -> q32Sql,
     "q33_stats_agg" -> q33Sql,
