@@ -85,10 +85,15 @@ object Llm {
         graft.functions.Shingles.word_shingles(col("tk"), 3).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast(LongType).as("n"),
         explode(col("sh")).as("s"))
+    // lazy localCheckpoint: both join sides consume the SAME
+    // materialized blocks, so extraction + the df window run once
+    // (explicit CTE materialization; blocks freed when the plan is
+    // GC'd — see the q18 note on lineage truncation at cluster scale)
     val capped = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDf)
       .drop("df")
+      .localCheckpoint(false)
     // pair generation via shingle self-join: measured faster than the
     // posting-list + in-row combination explode (nested HOF lambdas
     // are interpreted; the join stays in codegen). No join hint: at

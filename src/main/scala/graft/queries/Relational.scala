@@ -335,16 +335,19 @@ object Relational {
 
   // q18: set algebra — union / intersect / except branches, tagged
   private val q18: Q = (s, dir) => {
-    // both legs feed five set operators below; their distinct/filter
-    // subtrees are identical across branches, so Spark's
-    // ReusedExchange materializes each shuffle once (the CTE-reuse
-    // DuckDB gets). No persist(): a cache entry inside a library
-    // query can never be unpersisted and leaks block-manager state on
-    // every invocation.
+    // both legs feed five set operators below. Lazy localCheckpoint =
+    // explicit CTE materialization (what DuckDB does automatically
+    // for multiply-referenced CTEs): each leg computes once and the
+    // five consumers read its blocks. Unlike persist() inside a
+    // library query (which can never be unpersisted and leaks),
+    // checkpoint blocks are freed when the plan is GC'd. Cluster
+    // note: localCheckpoint truncates lineage — an executor loss
+    // mid-query forces a recompute; use a reliable checkpoint dir
+    // when that matters.
     val buyers = t(s, dir, "orders").select(col("o_custkey").as("key"))
-      .distinct()
+      .distinct().localCheckpoint(false)
     val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
-      .select(col("c_custkey").as("key"))
+      .select(col("c_custkey").as("key")).localCheckpoint(false)
     val u = buyers.union(rich).distinct().withColumn("tag", lit("union"))
     val i = buyers.intersect(rich).withColumn("tag", lit("intersect"))
     val e = buyers.except(rich).withColumn("tag", lit("except"))
