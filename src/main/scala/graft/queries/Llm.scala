@@ -34,21 +34,6 @@ object Llm {
     * maxDf² at web scale. */
   private[queries] val JaccardMaxDf = 64
 
-  /** Per-doc distinct word-3-gram shingles. Dedup happens inside the
-    * row (single-pass `word_shingles` expression — see
-    * functions/Shingles.scala) so no shuffle is needed — at 100 TB
-    * this keeps shingle extraction embarrassingly parallel.
-    */
-  private[queries] def shinglesFor(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"),
-        explode(graft.functions.Shingles.word_shingles(col("tk"), 3)).as("s"))
-
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    shinglesFor(t(s, dir, "documents"))
-
   /** Sequential-fold double dot product (codegen'd Catalyst expr). */
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorOps.dot_product(a, b)
