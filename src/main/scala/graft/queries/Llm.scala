@@ -315,8 +315,14 @@ object Llm {
   private[queries] def srpCandidatesFor(emb: DataFrame,
       nBands: Int, bandBits: Int): DataFrame = {
     require(nBands * bandBits <= SrpMaxBits)
+    // resolve the embedding dim once (one-row driver peek) so each
+    // hyperplane is a fixed-size literal — the per-row
+    // slice(typedLit) alternative allocates a plane copy per row per
+    // bit. Dim is a schema-level fact; peeking it is planning work.
+    val dim = emb.select(size(col("embedding")).as("d"))
+      .head().getInt(0)
     val bits: Seq[Column] = srpPlanes.take(nBands * bandBits).toSeq.map { p =>
-      val plane = slice(typedLit(p.toSeq), lit(1), size(col("embedding")))
+      val plane = typedLit(p.take(dim).toSeq)
       when(dot(col("embedding"), plane) > 0.0, 1L).otherwise(0L)
     }
     val bands: Seq[Column] = (0 until nBands).map { b =>
