@@ -196,9 +196,81 @@ object Extended {
       |SELECT o_custkey, o_orderstatus AS status, n AS n_orders
       |FROM per ORDER BY o_custkey, status""".stripMargin
 
+  // q41: merge/upsert (the lakehouse MERGE INTO, via full-outer +
+  // coalesce — the parquet-only formulation): apply a change set onto
+  // a base table — matched keys take the update's values, unmatched
+  // updates insert, unmatched base rows carry over. The change set is
+  // derived deterministically from the fixtures: every customer with
+  // an odd key gets +100 balance, and the 5 smallest keys also appear
+  // re-keyed +1000000 as inserts.
+  private val q41: Q = (s, dir) => {
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val bumps = base.filter(col("key") % 2 === 1)
+      .select(col("key"), (col("bal") + 100.0).as("u_bal"),
+        col("seg").as("u_seg"))
+    val inserts = base.orderBy(col("key")).limit(5)
+      .select((col("key") + 1000000L).as("key"),
+        col("bal").as("u_bal"), lit("NEWSEG").as("u_seg"))
+    val updates = bumps.unionByName(inserts)
+    base.join(updates, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("u_bal"), col("bal")).as("bal"),
+        coalesce(col("u_seg"), col("seg")).as("seg"),
+        when(col("u_bal").isNotNull && col("bal").isNotNull, "updated")
+          .when(col("bal").isNull, "inserted")
+          .otherwise("unchanged").as("action"))
+      .orderBy(col("key"))
+  }
+
+  private val q41Sql =
+    """WITH base AS (
+      |  SELECT c_custkey AS key, c_acctbal AS bal, c_mktsegment AS seg
+      |  FROM customer),
+      |bumps AS (
+      |  SELECT key, bal + 100.0 AS u_bal, seg AS u_seg
+      |  FROM base WHERE key % 2 = 1),
+      |ins AS (
+      |  SELECT key + 1000000 AS key, bal AS u_bal, 'NEWSEG' AS u_seg
+      |  FROM base ORDER BY key LIMIT 5),
+      |updates AS (SELECT * FROM bumps UNION ALL SELECT * FROM ins)
+      |SELECT coalesce(b.key, u.key) AS key,
+      |  coalesce(u.u_bal, b.bal) AS bal,
+      |  coalesce(u.u_seg, b.seg) AS seg,
+      |  CASE WHEN u.u_bal IS NOT NULL AND b.bal IS NOT NULL THEN 'updated'
+      |       WHEN b.bal IS NULL THEN 'inserted'
+      |       ELSE 'unchanged' END AS action
+      |FROM base b FULL OUTER JOIN updates u ON b.key = u.key
+      |ORDER BY key""".stripMargin
+
+  // q42: deterministic hash sampling — the scalable sampling method
+  // (consistent across engines, partitions, and reruns, unlike
+  // seed-based TABLESAMPLE): keep rows whose md5(key) starts with
+  // '0' (a ~1/16 sample), then aggregate the sample.
+  private val q42: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(substring(md5(col("l_orderkey").cast(StringType)), 1, 1)
+        === "0")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        graft.Canon.d(sum(graft.Canon.dec2(col("l_extendedprice"))))
+          .as("sum_price"))
+      .orderBy(col("l_returnflag"))
+
+  private val q42Sql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM lineitem
+      |WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) = '0'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_grouping_sets" -> q36,
     "q40_map_funcs" -> q40,
+    "q41_merge_upsert" -> q41,
+    "q42_hash_sample" -> q42,
     "q31_asof_join" -> q31,
     "q32_pivot" -> q32,
     "q33_stats_agg" -> q33,
@@ -209,6 +281,8 @@ object Extended {
   val oracles: Map[String, String] = Map(
     "q36_grouping_sets" -> q36Sql,
     "q40_map_funcs" -> q40Sql,
+    "q41_merge_upsert" -> q41Sql,
+    "q42_hash_sample" -> q42Sql,
     "q31_asof_join" -> q31Sql,
     "q32_pivot" -> q32Sql,
     "q33_stats_agg" -> q33Sql,
