@@ -252,6 +252,9 @@ object Llm {
     * which is the only O(candidates) stage; candidates are then
     * exact-verified against the full shingle sets. */
   private[queries] def lshVerifiedPairsFor(documents: DataFrame): DataFrame = {
+    // (A/B-measured: lazy-localCheckpointing this frame is a wash —
+    // its three consumers otherwise compute in parallel plan
+    // branches, and the materialization barrier serializes them)
     val docs = documents
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
