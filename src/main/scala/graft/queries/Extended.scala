@@ -266,11 +266,64 @@ object Extended {
       |WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) = '0'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // q43: recursive CTE (Spark 4 WITH RECURSIVE) — walk each customer
+  // key to the root by integer-dividing by 10; hops = digit depth.
+  // Dialect note: Spark integer division is DIV, DuckDB's is // —
+  // same rows either way.
+  private val q43: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS key, c_custkey AS cur, 0 AS depth
+        |  FROM customer_v WHERE c_custkey <= 100
+        |  UNION ALL
+        |  SELECT key, cur DIV 10, depth + 1 FROM chain WHERE cur > 0)
+        |SELECT key, CAST(max(depth) AS BIGINT) AS hops
+        |FROM chain GROUP BY key ORDER BY key""".stripMargin)
+  }
+
+  private val q43Sql =
+    """WITH RECURSIVE chain AS (
+      |  SELECT c_custkey AS key, c_custkey AS cur, 0 AS depth
+      |  FROM customer WHERE c_custkey <= 100
+      |  UNION ALL
+      |  SELECT key, cur // 10, depth + 1 FROM chain WHERE cur > 0)
+      |SELECT key, CAST(max(depth) AS BIGINT) AS hops
+      |FROM chain GROUP BY key ORDER BY key""".stripMargin
+
+  // q44: LATERAL correlated subquery — per region, the top-2 nations
+  // by customer count (the per-group top-k shape as a lateral join,
+  // complementing q14's window formulation).
+  private val q44: Q = (s, dir) => {
+    t(s, dir, "region").createOrReplaceTempView("region_v")
+    t(s, dir, "nation").createOrReplaceTempView("nation_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT r.r_name, l.n_name, l.n_cust FROM region_v r,
+        |LATERAL (
+        |  SELECT n.n_name, count(*) AS n_cust
+        |  FROM nation_v n JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name ORDER BY n_cust DESC, n.n_name LIMIT 2) l
+        |ORDER BY r.r_name, l.n_cust DESC, l.n_name""".stripMargin)
+  }
+
+  private val q44Sql =
+    """SELECT r.r_name, l.n_name, l.n_cust FROM region r,
+      |LATERAL (
+      |  SELECT n.n_name, count(*) AS n_cust
+      |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name ORDER BY n_cust DESC, n.n_name LIMIT 2) l
+      |ORDER BY r.r_name, l.n_cust DESC, l.n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_grouping_sets" -> q36,
     "q40_map_funcs" -> q40,
     "q41_merge_upsert" -> q41,
     "q42_hash_sample" -> q42,
+    "q43_recursive_cte" -> q43,
+    "q44_lateral_topn" -> q44,
     "q31_asof_join" -> q31,
     "q32_pivot" -> q32,
     "q33_stats_agg" -> q33,
@@ -283,6 +336,8 @@ object Extended {
     "q40_map_funcs" -> q40Sql,
     "q41_merge_upsert" -> q41Sql,
     "q42_hash_sample" -> q42Sql,
+    "q43_recursive_cte" -> q43Sql,
+    "q44_lateral_topn" -> q44Sql,
     "q31_asof_join" -> q31Sql,
     "q32_pivot" -> q32Sql,
     "q33_stats_agg" -> q33Sql,
