@@ -601,6 +601,84 @@ object Llm {
       |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // near-dup CLUSTERS: connected components over the verified
+  // near-dup pair graph. Pairwise dedup mishandles chains (a~b, b~c
+  // but not a~c): the cluster view collapses each component to one
+  // keeper. Min-label propagation, the standard Spark iterative
+  // pattern: each round every node takes the min label among itself
+  // and its neighbors; converges in O(component diameter) rounds
+  // (near-dup clusters are shallow). Per-round localCheckpoint
+  // truncates the growing lineage — without it, iteration N replans
+  // N copies of the loop body. The convergence check is one count()
+  // per round, not a collect — at 100 TB each round is two
+  // co-partitioned shuffles over the (tiny) pair graph, never the
+  // corpus.
+  private[queries] def dedupClustersFor(documents: DataFrame): DataFrame = {
+    val pairs = lshVerifiedPairsFor(documents)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .unionByName(pairs.select(col("b_id").as("a_id"),
+        col("a_id").as("b_id")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(false)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      rounds += 1
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "a_id"), "a_id")
+        .select(col("b_id").as("id"), col("lbl"))
+        .unionByName(labels)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+      val changed = prop.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels = prop
+      converged = changed == 0
+    }
+    labels.groupBy(col("lbl").as("keeper_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("keeper_id"))
+  }
+
+  private val dedupClusters: Q = (s, dir) =>
+    dedupClustersFor(t(s, dir, "documents"))
+
+  // oracle: transitive closure by recursive CTE over the same exact
+  // Jaccard pairs, component label = min reachable id
+  private val dedupClustersSql =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |            for i in generate_series(1, len(tk)-2)]) AS s
+      |  FROM tok),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a_id, b_id
+      |  FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6),
+      |e AS (SELECT a_id AS s, b_id AS d FROM pairs
+      |      UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach AS (
+      |  SELECT s, d FROM e
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+      |comp AS (
+      |  SELECT s AS id, least(s, min(d)) AS lbl FROM reach GROUP BY s)
+      |SELECT lbl AS keeper_id, count(*) AS cluster_size
+      |FROM comp GROUP BY lbl ORDER BY keeper_id""".stripMargin
+
   // embedding L2 normalization (unit vectors for downstream cosine).
   // The unit vector is built with `transform` (the array op under
   // test), then posexploded to (idx, u) rows because the driver's
@@ -641,6 +719,7 @@ object Llm {
     "llm_cosine_lsh_neardup" -> cosineLsh,
     "llm_chunk" -> chunk,
     "llm_pack_sequences" -> pack,
+    "llm_dedup_clusters" -> dedupClusters,
     "llm_simhash" -> simhash,
     "llm_langid" -> langid,
     "llm_quality_score" -> quality,
@@ -665,6 +744,10 @@ object Llm {
     "llm_cosine_lsh_neardup" -> q30Sql,
     "llm_chunk" -> chunkSql,
     "llm_pack_sequences" -> packSql,
+    // clusters: LSH-verified pairs equal exact-Jaccard pairs on the
+    // fixtures (recall 1), so components over them match the oracle's
+    // recursive closure over exact pairs
+    "llm_dedup_clusters" -> dedupClustersSql,
     "llm_simhash" -> simhashSql,
     "llm_langid" -> langidSql,
     "llm_quality_score" -> qualitySql,

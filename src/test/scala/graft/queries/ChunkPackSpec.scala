@@ -37,6 +37,25 @@ class ChunkPackSpec extends SparkSpec {
     assert(wrongSize.count() == 0)
   }
 
+  test("dedup clusters resolve transitive chains: a~b and b~c land in " +
+    "ONE cluster even when a and c are not pairwise near-dups") {
+    import spark.implicits._
+    // b overlaps heavily with both a and c; a vs c share less
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // ~1
+      (3L, "beta gamma delta epsilon zeta eta iota kappa"),   // ~2, not ~1
+      (10L, "one two three four five six"),
+      (11L, "one two three four five six"),                   // exact dup of 10
+      (20L, "completely unrelated text lives here alone")
+    ).toDF("doc_id", "text")
+    val out = Llm.dedupClustersFor(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain {1,2,3} -> keeper 1 size 3; {10,11} -> keeper 10 size 2;
+    // 20 is a singleton (no edges, not a cluster)
+    assert(out == Map(1L -> 3L, 10L -> 2L), s"got $out")
+  }
+
   test("packing conserves tokens and respects the budget up to one " +
     "straddling document") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
