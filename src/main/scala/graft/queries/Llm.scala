@@ -620,8 +620,14 @@ object Llm {
       .unionByName(pairs.select(col("b_id").as("a_id"),
         col("a_id").as("b_id")))
       .localCheckpoint(false)
-    var labels = edges.select(col("a_id").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // initialize with propagation round 1 folded in: each node starts
+    // at min(own id, min neighbor id) — one aggregation instead of a
+    // full identity round
+    var labels = edges
+      .groupBy(col("a_id"))
+      .agg(min(col("b_id")).as("mn"))
+      .select(col("a_id").as("id"),
+        least(col("a_id"), col("mn")).as("lbl"))
       .localCheckpoint(false)
     var converged = false
     var rounds = 0
