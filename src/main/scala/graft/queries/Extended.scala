@@ -317,7 +317,46 @@ object Extended {
       |  GROUP BY n.n_name ORDER BY n_cust DESC, n.n_name LIMIT 2) l
       |ORDER BY r.r_name, l.n_cust DESC, l.n_name""".stripMargin
 
+  // q45: ordered string aggregation — the listagg/string_agg shape,
+  // spelled deterministically on both engines (sorted collect).
+  private val q45: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+        .as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
+  private val q45Sql =
+    """SELECT n_regionkey,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  count(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // q46: numeric histogram via width_bucket — 10 equal bins over the
+  // order-price range plus the two overflow bins, same built-in on
+  // both engines.
+  private val q46: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(width_bucket(col("o_totalprice"), lit(0.0),
+        lit(500000.0), lit(10)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  // DuckDB 1.0 has no width_bucket — the oracle spells out the same
+  // binning (floor(x/width)+1 with under/overflow bins 0 and 11)
+  private val q46Sql =
+    """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+      |            WHEN o_totalprice >= 500000.0 THEN 11
+      |            ELSE CAST(floor(o_totalprice / 50000.0) + 1 AS BIGINT)
+      |       END AS bucket,
+      |  count(*) AS n
+      |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q45_string_agg" -> q45,
+    "q46_histogram" -> q46,
     "q36_grouping_sets" -> q36,
     "q40_map_funcs" -> q40,
     "q41_merge_upsert" -> q41,
@@ -338,6 +377,8 @@ object Extended {
     "q42_hash_sample" -> q42Sql,
     "q43_recursive_cte" -> q43Sql,
     "q44_lateral_topn" -> q44Sql,
+    "q45_string_agg" -> q45Sql,
+    "q46_histogram" -> q46Sql,
     "q31_asof_join" -> q31Sql,
     "q32_pivot" -> q32Sql,
     "q33_stats_agg" -> q33Sql,
