@@ -99,13 +99,15 @@ object Bench {
     val slowRuns = scala.collection.mutable.Map[String, Int]()
     val errors = scala.collection.mutable.Map[String, String]()
     for (r <- 1 to rounds; (name, fn) <- ordered) {
-      // Skip a slow query only after TWO slow measurements: one slow
-      // run can be host interference (r2 postmortem: a contention
-      // burst hit three consecutive queries once each and the old
-      // skip-after-one logic locked the 80 s outliers in as "best"),
-      // while two confirm the query is genuinely pathological and
+      // Skip a slow query only after THREE slow measurements: one or
+      // two slow runs can be host interference (r2 postmortem: a
+      // contention burst hit three consecutive queries once each and
+      // skip-after-one locked 80 s outliers in as "best"; r3
+      // postmortem: TWO consecutive bursts hit the same job-heavy
+      // query and skip-after-two locked in a 67 s number for a 1.5 s
+      // query), while three confirm it is genuinely pathological and
       // re-running it would starve the rest of the round.
-      val skip = r > 1 && slowRuns.getOrElse(name, 0) >= 2
+      val skip = r > 1 && slowRuns.getOrElse(name, 0) >= 3
       if (!skip) {
         timeOnce(name, fn) match {
           case Right(secs) =>

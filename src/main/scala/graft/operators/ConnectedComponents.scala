@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions.{col, count, least, lit, min}
+
+/** Exact connected components over an undirected edge list, labeling
+  * every node with the minimum node id reachable from it.
+  *
+  * Two execution modes, picked by measured edge count:
+  *
+  * - **Small graphs** (≤ `smallEdgeCap` edges): a single-partition
+  *   union-find pass on ONE EXECUTOR (not the driver — no collect).
+  *   Near-dup graphs are tiny relative to the corpus they come from
+  *   (the verified-pair set at any useful similarity threshold is
+  *   sparse), so even a 100 TB corpus usually lands here: 10M edges
+  *   is ~160 MB of longs. One Spark job, no iteration.
+  *
+  * - **Large graphs**: distributed min-label propagation — each round
+  *   every node takes the min label among itself and its neighbors;
+  *   converges in O(component diameter) rounds (near-dup clusters are
+  *   shallow). Per-round localCheckpoint truncates the growing
+  *   lineage; each round is two co-partitioned shuffles over the pair
+  *   graph, never the corpus. Hitting `maxRounds` without convergence
+  *   THROWS (ADVICE r3): unconverged labels must never be mistaken
+  *   for exact components.
+  */
+object ConnectedComponents {
+
+  /** @param edges    two integral columns, one row per undirected edge
+    * @param aCol     source-id column name
+    * @param bCol     destination-id column name
+    * @return (id, lbl) — every node appearing in `edges`, labeled with
+    *         the min id of its component
+    */
+  def of(edges: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      smallEdgeCap: Long = 10000000L, maxRounds: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .localCheckpoint(false)
+    if (e.count() <= smallEdgeCap) {
+      // union-find with min-id roots: smaller root always becomes the
+      // parent, so find() yields the component's min id directly
+      e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) {
+            val nx = parent(c); parent(c) = r; c = nx
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        parent.keys.toArray.iterator.map(k => (k, find(k)))
+      }.toDF("id", "lbl")
+    } else {
+      val both = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint(false)
+      // init with propagation round 1 folded in: each node starts at
+      // min(own id, min neighbor id)
+      var labels = both
+        .groupBy(col("a"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("a").as("id"), least(col("a"), col("mn")).as("lbl"))
+        .localCheckpoint(false)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        rounds += 1
+        val prop = both
+          .join(labels.withColumnRenamed("id", "a"), "a")
+          .select(col("b").as("id"), col("lbl"))
+          .unionByName(labels)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(false)
+        val changed = prop.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.lbl") =!= col("o.lbl"))
+          .count()
+        labels = prop
+        converged = changed == 0
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxRounds rounds " +
+            "(component diameter exceeds the cap); raise maxRounds")
+      labels
+    }
+  }
+
+  /** Components summarized to (keeper_id, cluster_size). */
+  def clusters(edges: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      smallEdgeCap: Long = 10000000L, maxRounds: Int = 50): DataFrame =
+    of(edges, aCol, bCol, smallEdgeCap, maxRounds)
+      .groupBy(col("lbl").as("keeper_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+}

@@ -322,8 +322,19 @@ object Llm {
     // hyperplane is a fixed-size literal — the per-row
     // slice(typedLit) alternative allocates a plane copy per row per
     // bit. Dim is a schema-level fact; peeking it is planning work.
-    val dim = emb.select(size(col("embedding")).as("d"))
-      .head().getInt(0)
+    // An empty table has no dim: return the empty pair frame instead
+    // of NoSuchElementException (ADVICE r3).
+    val dimRow = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+    if (dimRow.isEmpty)
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("a_id"), lit(0L).as("b_id")).limit(0)
+    val dim = dimRow.head.getInt(0)
+    // planes are fixed at 256 components; a larger dim would silently
+    // project onto the first 256 dims, degrading band recall with no
+    // error (ADVICE r3) — fail loudly instead
+    require(dim <= 256,
+      s"embedding dim $dim exceeds the $SrpMaxBits-plane SRP geometry's " +
+        "256 components; size srpPlanes from the observed dim")
     val bits: Seq[Column] = srpPlanes.take(nBands * bandBits).toSeq.map { p =>
       val plane = typedLit(p.take(dim).toSeq)
       when(dot(col("embedding"), plane) > 0.0, 1L).otherwise(0L)
@@ -604,52 +615,18 @@ object Llm {
   // near-dup CLUSTERS: connected components over the verified
   // near-dup pair graph. Pairwise dedup mishandles chains (a~b, b~c
   // but not a~c): the cluster view collapses each component to one
-  // keeper. Min-label propagation, the standard Spark iterative
-  // pattern: each round every node takes the min label among itself
-  // and its neighbors; converges in O(component diameter) rounds
-  // (near-dup clusters are shallow). Per-round localCheckpoint
-  // truncates the growing lineage — without it, iteration N replans
-  // N copies of the loop body. The convergence check is one count()
-  // per round, not a collect — at 100 TB each round is two
-  // co-partitioned shuffles over the (tiny) pair graph, never the
-  // corpus.
-  private[queries] def dedupClustersFor(documents: DataFrame): DataFrame = {
-    val pairs = lshVerifiedPairsFor(documents)
-      .select(col("a_id"), col("b_id"))
-    val edges = pairs
-      .unionByName(pairs.select(col("b_id").as("a_id"),
-        col("a_id").as("b_id")))
-      .localCheckpoint(false)
-    // initialize with propagation round 1 folded in: each node starts
-    // at min(own id, min neighbor id) — one aggregation instead of a
-    // full identity round
-    var labels = edges
-      .groupBy(col("a_id"))
-      .agg(min(col("b_id")).as("mn"))
-      .select(col("a_id").as("id"),
-        least(col("a_id"), col("mn")).as("lbl"))
-      .localCheckpoint(false)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      rounds += 1
-      val prop = edges
-        .join(labels.withColumnRenamed("id", "a_id"), "a_id")
-        .select(col("b_id").as("id"), col("lbl"))
-        .unionByName(labels)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(false)
-      val changed = prop.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
-      labels = prop
-      converged = changed == 0
-    }
-    labels.groupBy(col("lbl").as("keeper_id"))
-      .agg(count(lit(1)).as("cluster_size"))
+  // keeper. Components come from operators.ConnectedComponents: the
+  // verified-pair graph is orders of magnitude smaller than the
+  // corpus, so it almost always takes the single-job union-find path
+  // (one executor partition, no iteration — the r3 iterative loop's
+  // ~10 sequential job barriers each ate a straggler hit under host
+  // contention, benching 66 s where a single job runs in ~1 s); a
+  // graph past the edge cap falls back to distributed min-label
+  // propagation that THROWS on non-convergence (ADVICE r3).
+  private[queries] def dedupClustersFor(documents: DataFrame): DataFrame =
+    graft.operators.ConnectedComponents
+      .clusters(lshVerifiedPairsFor(documents).select(col("a_id"), col("b_id")))
       .orderBy(col("keeper_id"))
-  }
 
   private val dedupClusters: Q = (s, dir) =>
     dedupClustersFor(t(s, dir, "documents"))
