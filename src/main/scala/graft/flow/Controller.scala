@@ -5,14 +5,18 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 /** Concurrency controller (the reference's autoscaling loop,
   * `/root/reference/examples/controller:149-163`): keep up to
   * `maxConcurrent` flows running by spawning replacements as flows
-  * finish, and report throughput (flows finished/sec,
+  * terminate, and report throughput (flows finished/sec,
   * `controller:153-156`).
   *
   * The reference polls Redis gauges every 2 s and spawns the
-  * difference; here the completion broadcast (O24) drives respawn
-  * event-wise — no poll, no gap where the fleet runs below target —
-  * and the gauge is the engine's own `runningCount`. `targetTotal`
-  * bounds the experiment (the reference loops forever).
+  * difference; here the terminal broadcast drives respawn event-wise —
+  * no poll, no gap where the fleet runs below target. Respawn fires on
+  * ANY terminal outcome (Finished, Failed, Canceled — ADVICE r3: the
+  * success-only channel leaked a concurrency slot per failure and
+  * stalled the fleet), while only successes count toward
+  * `targetTotal`, so a failed flow is replaced until the success
+  * budget is met. `targetTotal` bounds the experiment (the reference
+  * loops forever).
   */
 final class Controller(
     engine: Engine,
@@ -21,6 +25,7 @@ final class Controller(
     targetTotal: Long) {
 
   private val started = new AtomicLong(0)
+  private val terminal = new AtomicLong(0)
   private val finished = new AtomicLong(0)
   private val stopped = new AtomicBoolean(false)
   private val startedAt = System.nanoTime()
@@ -29,14 +34,20 @@ final class Controller(
 
   def finishedCount: Long = finished.get()
 
+  /** Terminal flows that did NOT finish successfully. */
+  def failedCount: Long = terminal.get() - finished.get()
+
   /** flows finished per second since start (reference rate metric). */
   def ratePerSec: Double =
     finished.get() / math.max((System.nanoTime() - startedAt) / 1e9, 1e-9)
 
   private def spawnUpToTarget(): Unit = synchronized {
     if (stopped.get()) return
-    while (engine.runningCount < maxConcurrent &&
-        started.get() < targetTotal) {
+    // outstanding = this controller's own in-flight flows (not the
+    // engine gauge, which other submitters may share)
+    def outstanding = started.get() - terminal.get()
+    while (outstanding < maxConcurrent &&
+        finished.get() + outstanding < targetTotal) {
       val idx = started.incrementAndGet()
       engine.submit(makeSpec(idx))
     }
@@ -44,8 +55,9 @@ final class Controller(
 
   /** Start the fleet and register the respawn listener. */
   def start(): Unit = {
-    engine.onFlowFinished { _ =>
-      finished.incrementAndGet()
+    engine.onFlowTerminal { ev =>
+      terminal.incrementAndGet()
+      if (ev.state == "Finished") finished.incrementAndGet()
       if (finished.get() >= targetTotal) doneLatch.countDown()
       else spawnUpToTarget()
     }

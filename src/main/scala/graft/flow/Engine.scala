@@ -32,6 +32,12 @@ final case class Transition(flowId: String, from: String, to: String,
 final case class FlowResult(flowId: String, finalPhase: String,
     transitions: Seq[Transition])
 
+/** Terminal event for ANY flow outcome — Finished, Failed, or
+  * Canceled (ADVICE r3: success-only broadcast leaked concurrency
+  * slots in the controller when a flow failed). */
+final case class FlowTerminal(flowId: String, state: String,
+    finalPhase: String, transitions: Seq[Transition])
+
 /** Per-handler progress counters (O11/O14/O28): total enumerated tasks
   * and finished count — the reference's Redis `incrby`/`decr` pair
   * (`worker.rb:123-131`, `worker.rb:102-103`) collapsed into a Spark
@@ -65,9 +71,19 @@ final class Engine(
     val config: EngineConfig = EngineConfig()) {
 
   private val active = TrieMap.empty[String, FlowRun] // O2: Flow.active
+  // terminal flows whose event-log flush is still in flight: consulted
+  // by transitionLog() so a flow is never in neither store
+  private val flushing = TrieMap.empty[String, FlowRun]
   private val runningGauge = new AtomicInteger(0) // O1/O17 gauge
   private val finishListeners =
     new java.util.concurrent.CopyOnWriteArrayList[FlowResult => Unit]
+  private val terminalListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[FlowTerminal => Unit]
+  // concurrent flows finish on independent threads, but parquet
+  // appends to one path share a FileOutputCommitter _temporary staging
+  // dir — one job's commit/cleanup can delete another's staged files
+  // (ADVICE r3). All event-log appends funnel through this lock.
+  private val eventLogLock = new Object
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
   /** O24: completion broadcast — every registered listener is invoked
@@ -83,6 +99,20 @@ final class Engine(
     finishListeners.forEach { l =>
       Try(l(result)).failed.foreach(e =>
         System.err.println(s"[engine] flow-finished listener failed: $e"))
+    }
+
+  /** Terminal broadcast: fires for EVERY flow leaving the engine —
+    * Finished, Failed, or Canceled — from `deregister`, so a listener
+    * driving respawn/accounting (the Controller) never misses a slot.
+    * `onFlowFinished` remains the success-only channel (the
+    * reference's `flow.finished` fanout). */
+  def onFlowTerminal(listener: FlowTerminal => Unit): Unit =
+    terminalListeners.add(listener)
+
+  private def notifyTerminal(ev: FlowTerminal): Unit =
+    terminalListeners.forEach { l =>
+      Try(l(ev)).failed.foreach(e =>
+        System.err.println(s"[engine] flow-terminal listener failed: $e"))
     }
 
   def submit(flowJson: String): FlowRun = submit(FlowSpec.parse(flowJson))
@@ -110,14 +140,24 @@ final class Engine(
   def runningCount: Int = runningGauge.get()
 
   // O17: decr gauge + deregister. Idempotent — runLoop's normal exit
-  // and start()'s catch-all escape hatch may both reach here. A
-  // terminal flow's history is flushed to the durable event log
-  // before it leaves the active set, so `transitionLog()` never has a
-  // window where a flow is in neither store.
+  // and start()'s catch-all escape hatch may both reach here (the
+  // active.remove guard keeps the event-log append exactly-once).
+  // While the durable flush is in flight the run sits in `flushing`,
+  // which transitionLog() consults — so a terminal flow is never in
+  // neither store (ADVICE r3: the old remove-then-append left a
+  // multi-hundred-ms window where it was invisible).
   private[flow] def deregister(run: FlowRun): Unit =
     if (active.remove(run.id).isDefined) {
-      appendEventLog(run)
+      flushing.put(run.id, run)
       runningGauge.decrementAndGet()
+      val st = run.status().state
+      // a crash that escapes runLoop can reach here still "Running"
+      val terminalState =
+        if (st == "Running" || st == "Paused") "Failed" else st
+      notifyTerminal(FlowTerminal(run.id, terminalState, run.currentPhase,
+        run.transitions))
+      appendEventLog(run)
+      flushing.remove(run.id)
     }
 
   /** O4 durability: append the finished flow's transitions and its
@@ -129,7 +169,7 @@ final class Engine(
     * swallowed. */
   private def appendEventLog(run: FlowRun): Unit =
     config.eventLogDir.foreach { dir =>
-      Try {
+      Try { eventLogLock.synchronized {
         import spark.implicits._
         run.transitions.toDF()
           .write.mode("append").parquet(s"$dir/transitions")
@@ -138,7 +178,7 @@ final class Engine(
           .toDF("flow_id", "name", "final_state", "spec_json",
             "finished_at_ms")
           .write.mode("append").parquet(s"$dir/flows")
-      }.failed.foreach(e =>
+      } }.failed.foreach(e =>
         System.err.println(s"[engine] event-log append failed for " +
           s"${run.id}: $e"))
     }
@@ -182,8 +222,21 @@ final class Engine(
     * transition list (`flow.rb:126-143`). */
   def transitionLog(): DataFrame = {
     import spark.implicits._
-    val live = activeFlows.flatMap(_.transitions).toDF()
-    logTable("transitions").fold(live)(live.unionByName(_))
+    // one snapshot of active + mid-flush runs (deduped by id: a run
+    // may move active → flushing between the two reads); the durable
+    // side excludes those ids so a flush that lands mid-query is not
+    // double-counted
+    val snapshot = (active.values.toSeq ++ flushing.values.toSeq)
+      .groupBy(_.id).map(_._2.head).toSeq
+    val live = snapshot.flatMap(_.transitions).toDF()
+    val ids = snapshot.map(_.id)
+    logTable("transitions").fold(live) { durable =>
+      val d =
+        if (ids.isEmpty) durable
+        else durable.filter(!org.apache.spark.sql.functions.col("flowId")
+          .isin(ids: _*))
+      live.unionByName(d)
+    }
   }
 }
 

@@ -435,6 +435,55 @@ class EngineSpec extends SparkSpec {
     eventually(engine.runningCount == 0, 30000)
   }
 
+  test("terminal broadcast fires for failed and canceled flows " +
+    "(ADVICE r3: success-only broadcast leaked controller slots)") {
+    val reg = new HandlerRegistry
+    reg.register(new BoomHandler)
+    reg.register(new GateHandler("Gate", "term.started", "term.gate"))
+    val engine = newEngine(reg)
+    val heard = new ConcurrentLinkedQueue[String]()
+    engine.onFlowTerminal(ev => { heard.add(s"${ev.state}:${ev.flowId}"); () })
+    val bad = engine.submit(
+      """{"phases":[{"name":"a","is_initial":true,"is_final":true,
+        |"handlers":["Boom"]}]}""".stripMargin)
+    assertThrows[RuntimeException](Await.result(bad.future, 1.minute))
+    val gated = engine.submit(
+      """{"phases":[{"name":"a","is_initial":true,"is_final":true,
+        |"handlers":["Gate"]}]}""".stripMargin)
+    assert(latch("term.started", 1).await(30, TimeUnit.SECONDS))
+    assert(gated.cancel())
+    assert(scala.util.Try(Await.result(gated.future, 1.minute)).isFailure)
+    eventually(heard.size == 2, 30000)
+    assert(heard.toArray.toSet ==
+      Set(s"Failed:${bad.id}", s"Canceled:${gated.id}"))
+  }
+
+  test("controller respawns failed flows and still completes the " +
+    "success budget (ADVICE r3)") {
+    processed.clear()
+    val reg = new HandlerRegistry
+    reg.register(new CountingHandler("H", 1))
+    reg.register(new BoomHandler)
+    val engine = newEngine(reg)
+    val good = FlowSpec.parse(
+      """{"phases":[{"name":"a","is_initial":true,"is_final":true,
+        |"handlers":["H"]}]}""".stripMargin)
+    val bad = FlowSpec.parse(
+      """{"phases":[{"name":"a","is_initial":true,"is_final":true,
+        |"handlers":["Boom"]}]}""".stripMargin)
+    // every 3rd spawn fails: without terminal-event respawn the fleet
+    // would leak a slot per failure and never reach the target
+    val ctl = new Controller(engine,
+      idx => if (idx % 3 == 0) bad else good,
+      maxConcurrent = 2, targetTotal = 6)
+    ctl.start()
+    assert(ctl.awaitDone(120000),
+      "fleet must reach 6 successes despite injected failures")
+    assert(ctl.finishedCount >= 6)
+    assert(ctl.failedCount >= 1, "at least one Boom flow terminated")
+    eventually(engine.runningCount == 0, 30000)
+  }
+
   private def eventually(cond: => Boolean, timeoutMs: Long): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
