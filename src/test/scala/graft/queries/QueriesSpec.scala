@@ -44,6 +44,14 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("q48 broadcasts the fixed dimension for the edit-distance " +
+    "self-join") {
+    val plan = SparkEntry.queries("q48_edit_distance")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
   test("dot_product matches the interpreted fold exactly") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.25f)))
