@@ -71,9 +71,11 @@ object Llm {
       .select(col("doc_id"), size(col("sh")).cast(LongType).as("n"),
         explode(col("sh")).as("s"))
     // lazy localCheckpoint: both join sides consume the SAME
-    // materialized blocks, so extraction + the df window run once
-    // (explicit CTE materialization; blocks freed when the plan is
-    // GC'd — see the q18 note on lineage truncation at cluster scale)
+    // materialized blocks, so extraction + the df window run once.
+    // (A/B r4: dropping the checkpoint to let ReusedExchange share the
+    // window's hashpartitioning(s) exchange measured SLOWER — 1.9-2.9 s
+    // vs 1.6-1.8 s at sf0.1 — AQE re-plans the two join subtrees
+    // independently and recomputes extraction+window per side.)
     val capped = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDf)

@@ -335,26 +335,43 @@ object Relational {
 
   // q18: set algebra — union / intersect / except branches, tagged
   private val q18: Q = (s, dir) => {
-    // both legs feed five set operators below. Lazy localCheckpoint =
-    // explicit CTE materialization (what DuckDB does automatically
-    // for multiply-referenced CTEs): each leg computes once and the
-    // five consumers read its blocks. Unlike persist() inside a
-    // library query (which can never be unpersisted and leaks),
-    // checkpoint blocks are freed when the plan is GC'd. Cluster
-    // note: localCheckpoint truncates lineage — an executor loss
-    // mid-query forces a recompute; use a reliable checkpoint dir
-    // when that matters.
-    val buyers = t(s, dir, "orders").select(col("o_custkey").as("key"))
-      .distinct().localCheckpoint(false)
-    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
-      .select(col("c_custkey").as("key")).localCheckpoint(false)
-    val u = buyers.union(rich).distinct().withColumn("tag", lit("union"))
-    val i = buyers.intersect(rich).withColumn("tag", lit("intersect"))
-    val e = buyers.except(rich).withColumn("tag", lit("except"))
-    // ALL variants keep duplicates (bag semantics)
-    val ia = buyers.intersectAll(rich).withColumn("tag", lit("intersect_all"))
-    val ea = buyers.exceptAll(rich).withColumn("tag", lit("except_all"))
-    u.union(i).union(e).union(ia).union(ea)
+    // Set algebra via counted aggregation: every set operator is a
+    // function of the per-key multiplicities (cb, cr) of the two legs
+    //   UNION          cb>0 or cr>0            (1 copy)
+    //   INTERSECT      cb>0 and cr>0           (1 copy)
+    //   EXCEPT         cb>0 and cr=0           (1 copy)
+    //   INTERSECT ALL  min(cb, cr) copies
+    //   EXCEPT ALL     max(cb-cr, 0) copies
+    // so all five branches ride ONE co-partitioned join of two
+    // pre-aggregated sides — one key shuffle instead of five separate
+    // hash set-ops (r3 plan: 5 ops × ~2 exchanges benched 2.0-2.5 s;
+    // this 0.7 s at sf0.1). Copies materialize via explode(sequence),
+    // all codegen. Parity with Spark's native union/intersect/except
+    // operators is pinned in QueriesSpec.
+    val cb = t(s, dir, "orders").select(col("o_custkey").as("key"))
+      .distinct() // buyers leg is DISTINCT keys by definition
+      .groupBy(col("key")).agg(count(lit(1)).as("cb"))
+    val cr = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("cr"))
+    val m = cb.join(cr, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    m.select(col("key"), explode(array(
+        struct(lit("union").as("tag"),
+          when(col("cb") > 0 || col("cr") > 0, 1L).otherwise(0L).as("n")),
+        struct(lit("intersect").as("tag"),
+          when(col("cb") > 0 && col("cr") > 0, 1L).otherwise(0L).as("n")),
+        struct(lit("except").as("tag"),
+          when(col("cb") > 0 && col("cr") === 0, 1L).otherwise(0L).as("n")),
+        struct(lit("intersect_all").as("tag"),
+          least(col("cb"), col("cr")).as("n")),
+        struct(lit("except_all").as("tag"),
+          greatest(col("cb") - col("cr"), lit(0L)).as("n")))).as("t"))
+      .filter(col("t.n") > 0)
+      .select(col("t.tag").as("tag"), col("key"),
+        explode(sequence(lit(1L), col("t.n"))).as("copy"))
       .select(col("tag"), col("key"))
       .orderBy(col("tag"), col("key"))
   }

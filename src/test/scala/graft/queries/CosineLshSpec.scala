@@ -51,6 +51,24 @@ class CosineLshSpec extends SparkSpec {
       .filter(col("score") > threshold)
   }
 
+  test("an empty embeddings table yields the empty candidate frame " +
+    "(ADVICE r3: head() threw)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Llm.srpCandidatesFor(empty, nBands = 8, bandBits = 8)
+      .count() == 0)
+  }
+
+  test("an embedding dim past the 256-component planes fails loudly " +
+    "(ADVICE r3: silent truncation degraded recall)") {
+    import spark.implicits._
+    val wide = Seq((1L, Seq.fill(300)(0.1))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Llm.srpCandidatesFor(wide, nBands = 8, bandBits = 8).count()
+    }
+    assert(e.getMessage.contains("256"))
+  }
+
   test("tight banding (8x8) on clustered data: few candidates, " +
     "exact brute-force output at cos > 0.9") {
     val nVec = clustered.count()

@@ -44,6 +44,30 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("q18's counted-aggregation rewrite equals Spark's native set " +
+    "operators branch-for-branch") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val buyers = orders.select(col("o_custkey").as("key")).distinct()
+    val rich = cust.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("key"))
+    val native = Seq(
+      "union" -> buyers.union(rich).distinct(),
+      "intersect" -> buyers.intersect(rich),
+      "except" -> buyers.except(rich),
+      "intersect_all" -> buyers.intersectAll(rich),
+      "except_all" -> buyers.exceptAll(rich))
+    val got = SparkEntry.queries("q18_set_ops")(spark, dir)
+      .groupBy("tag", "key").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((tag, df) <- native) {
+      val want = df.groupBy("key").count().collect()
+        .map(r => (tag, r.getLong(0)) -> r.getLong(1)).toMap
+      val gotTag = got.filter(_._1._1 == tag)
+      assert(gotTag == want, s"branch $tag diverges from the native op")
+    }
+  }
+
   test("q48 broadcasts the fixed dimension for the edit-distance " +
     "self-join") {
     val plan = SparkEntry.queries("q48_edit_distance")(spark, dir)
