@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Streaming LLM-data ingestion operators (SURVEY.md §2.4 in streaming
   * form): a curation pipeline's firehose side. Each operator is the
@@ -43,6 +44,40 @@ object DocumentStream {
       .filter(col("n_tokens") >= minTokens &&
         (length(regexp_replace(col("text"), " ", "")).cast("double") /
           col("n_tokens")) <= maxCharsPerToken)
+  }
+
+  /** Running per-source totals carried across micro-batches. */
+  final case class SourceTotals(totalDocs: Long)
+
+  /** One emitted anomaly row: a single micro-batch delivered more than
+    * the threshold from one source. */
+  final case class BurstAlert(source: String, batchDocs: Long,
+      totalDocs: Long)
+
+  /** Stateful ingestion-burst detector via `flatMapGroupsWithState`
+    * (the 0-to-N-outputs custom-state operator `mapGroupsWithState`
+    * can't express): per source, accumulate a running document total
+    * across micro-batches and emit an alert row whenever one batch
+    * alone delivers more than `threshold` docs — the poisoned-crawl /
+    * runaway-scraper tripwire a curation firehose runs inline. State
+    * is one counter per source (bounded by source cardinality, not
+    * corpus); emission is append-mode so downstream sinks see only
+    * alerts, not state. */
+  def burstAlerts(docs: DataFrame, threshold: Long = 1000): Dataset[BurstAlert] = {
+    implicit val stateEnc = Encoders.product[SourceTotals]
+    implicit val alertEnc = Encoders.product[BurstAlert]
+    docs.select(col("source"))
+      .groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroupsWithState[SourceTotals, BurstAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (source, rows, state) =>
+          val batchDocs = rows.size.toLong
+          val total = state.getOption.fold(0L)(_.totalDocs) + batchDocs
+          state.update(SourceTotals(total))
+          if (batchDocs > threshold)
+            Iterator(BurstAlert(source, batchDocs, total))
+          else Iterator.empty
+      }
   }
 
   /** Watermarked per-source token throughput: 1-hour tumbling windows

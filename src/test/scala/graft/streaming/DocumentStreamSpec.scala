@@ -76,6 +76,34 @@ class DocumentStreamSpec extends SparkSpec {
         r.getAs[Long]("total_tokens"))).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("burst alerts fire per over-threshold micro-batch and carry " +
+    "running totals across batches (flatMapGroupsWithState)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val qName = s"bursts_${System.nanoTime()}"
+    val q = DocumentStream.burstAlerts(mem.toDF(), threshold = 2)
+      .writeStream.format("memory").queryName(qName)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs) // web x3 (burst), books x2 (no burst)
+      q.processAllAvailable()
+      val first = spark.table(qName).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(first.toSeq == Seq(("web", 3L, 3L)))
+      // second batch: 3 more books docs — alert's total proves the
+      // per-source state survived the batch boundary (2 + 3 = 5)
+      mem.addData(Seq(
+        Doc(6, "books", "en", "b1", t(6)),
+        Doc(7, "books", "en", "b2", t(7)),
+        Doc(8, "books", "en", "b3", t(8))))
+      q.processAllAvailable()
+      val all = spark.table(qName).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(all == Set(("web", 3L, 3L), ("books", 3L, 5L)))
+    } finally q.stop()
+  }
 }
 
 object DocumentStreamSpec {
