@@ -337,13 +337,14 @@ object Llm {
     require(dim <= 256,
       s"embedding dim $dim exceeds the $SrpMaxBits-plane SRP geometry's " +
         "256 components; size srpPlanes from the observed dim")
-    val bits: Seq[Column] = srpPlanes.take(nBands * bandBits).toSeq.map { p =>
-      val plane = typedLit(p.take(dim).toSeq)
-      when(dot(col("embedding"), plane) > 0.0, 1L).otherwise(0L)
-    }
+    // all sign bits in ONE fused codegen traversal (r4: the unfused
+    // 32-dot_product form re-read the embedding array once per plane;
+    // srp_bits reads it once and packs signs into a single long)
+    val slicedPlanes = srpPlanes.take(nBands * bandBits).map(_.take(dim))
+    val bits = graft.functions.SrpBits.srp_bits(col("embedding"), slicedPlanes)
+    val bandMask = (1L << bandBits) - 1L
     val bands: Seq[Column] = (0 until nBands).map { b =>
-      (0 until bandBits).map(i =>
-        bits(b * bandBits + i) * (1L << i)).reduce(_ + _)
+      shiftright(bits, b * bandBits).bitwiseAND(lit(bandMask))
     }
     val banded = emb
       .select(col("vec_id"),

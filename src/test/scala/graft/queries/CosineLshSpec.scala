@@ -51,6 +51,27 @@ class CosineLshSpec extends SparkSpec {
       .filter(col("score") > threshold)
   }
 
+  test("fused srp_bits equals per-plane dot_product signs bit for bit") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val planes = Array.fill(24)(Array.fill(dim)(
+      if (rng.nextBoolean()) 1.0 else -1.0))
+    val df = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian()).toSeq))
+      .toDF("vec_id", "embedding")
+    val fused = df.select(col("vec_id"),
+      graft.functions.SrpBits.srp_bits(col("embedding"), planes).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unfused = df.select(col("vec_id") +: planes.zipWithIndex.map {
+        case (p, b) => (when(graft.functions.VectorOps.dot_product(
+          col("embedding"), typedLit(p.toSeq)) > 0.0, 1L).otherwise(0L) *
+          (1L << b)).as(s"b$b")
+      }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to planes.length).map(r.getLong).sum).toMap
+    assert(fused == unfused)
+  }
+
   test("an empty embeddings table yields the empty candidate frame " +
     "(ADVICE r3: head() threw)") {
     import spark.implicits._
