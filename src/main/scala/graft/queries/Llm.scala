@@ -44,25 +44,30 @@ object Llm {
     * at least one surviving shingle; the sparse-join formulation — cost
     * scales with shared-shingle pairs, not corpus².
     *
-    * Shingles with document frequency > maxDf are pruned BEFORE the
-    * self-join (the VERDICT r1 #3 cap): a hot shingle in c docs emits
-    * c² join rows and carries no discriminative signal, so the prune
-    * bounds any one shuffle key's fan-out at maxDf² — the classic
-    * posting-list prune. Intersections are counted over the surviving
-    * (discriminative) shingles; set SIZES are exact full-universe
-    * counts, carried on every exploded row (`n = size(sh)` computed
-    * in-row before the explode) so there is NO per-doc sizes
-    * aggregation or join — the pair groupBy reconstructs them from
-    * its grouping keys. On any corpus where no shingle exceeds maxDf
-    * (all fixtures) the output is bit-identical to uncapped exact
-    * Jaccard. One extraction pass feeds both join sides (identical
-    * subplans -> one reused exchange); the df window partitions by
-    * shingle — the same key the self-join shuffles on, so that
-    * exchange is shared too.
+    * Shingles with document frequency > maxDf are pruned before pair
+    * generation (the VERDICT r1 #3 cap): a hot shingle in c docs
+    * yields c² pairs and carries no discriminative signal, so the cap
+    * bounds any one posting list's fan-out at maxDf² — the classic
+    * posting-list prune, here literally a size filter on the list.
+    * Intersections are counted over the surviving (discriminative)
+    * shingles; set SIZES are exact full-universe counts, carried on
+    * every exploded row (`n = size(sh)` computed in-row before the
+    * explode) so there is NO per-doc sizes aggregation or join — the
+    * pair groupBy reconstructs them from its grouping keys. On any
+    * corpus where no shingle exceeds maxDf (all fixtures) the output
+    * is bit-identical to uncapped exact Jaccard.
+    *
+    * Formulation history: r1-r3 shipped the shingle SELF-JOIN (with a
+    * df-cap window and a localCheckpoint shared by both sides) after
+    * an A/B where posting lists lost — but that variant expanded
+    * combinations with nested INTERPRETED HOF lambdas. r4 re-ran the
+    * A/B with the expansion as a compiled Dataset.flatMap over the
+    * collected (doc_id, n) lists: two exchanges total (posting groupBy
+    * + pair groupBy, no window sort, no join) and ~30-40% faster at
+    * sf0.1 (1.0-1.3 s vs 1.6-1.9 s).
     */
   private[queries] def jaccardPairsFor(docs: DataFrame,
       maxDf: Int = JaccardMaxDf): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
@@ -70,31 +75,31 @@ object Llm {
         graft.functions.Shingles.word_shingles(col("tk"), 3).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast(LongType).as("n"),
         explode(col("sh")).as("s"))
-    // lazy localCheckpoint: both join sides consume the SAME
-    // materialized blocks, so extraction + the df window run once.
-    // (A/B r4: dropping the checkpoint to let ReusedExchange share the
-    // window's hashpartitioning(s) exchange measured SLOWER — 1.9-2.9 s
-    // vs 1.6-1.8 s at sf0.1 — AQE re-plans the two join subtrees
-    // independently and recomputes extraction+window per side.)
-    val capped = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
-      .localCheckpoint(false)
-    // pair generation via shingle self-join: measured faster than the
-    // posting-list + in-row combination explode (nested HOF lambdas
-    // are interpreted; the join stays in codegen). No join hint: at
-    // fixture scale the optimizer broadcasts the capped shingle side
-    // (measured faster than forcing sort-merge, which pays the window
-    // sort twice); at 100 TB size estimates exceed any broadcast
-    // threshold and the same code plans as a shuffle join on `s` —
-    // co-partitioned with the df-cap window's exchange.
-    capped.as("a")
-      .join(capped.as("b"), col("a.s") === col("b.s") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+    // pair generation via posting lists: ONE aggregation shuffles the
+    // shingle rows to per-shingle (doc_id, n) lists (the df cap is a
+    // size filter on the list — no window sort), then a compiled
+    // flatMap emits the id-ordered pairs locally. Two exchanges total
+    // (posting groupBy + pair groupBy) vs the r1-r3 self-join's
+    // window sort + join + pair shuffle.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val posting = sh
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+    val pairCounts = posting.select(col("ds"))
+      .as[Seq[(Long, Long)]]
+      .flatMap { ds =>
+        val sorted = ds.sortBy(_._1)
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1 until sorted.size).iterator
+        } yield (sorted(i)._1, sorted(j)._1, sorted(i)._2, sorted(j)._2)
+      }
+      .toDF("a_id", "b_id", "na", "nb")
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
+    pairCounts
       .select(col("a_id"), col("b_id"),
         (col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
