@@ -15,14 +15,17 @@ import org.apache.spark.sql.functions.{col, count, least, lit, min}
   *   sparse), so even a 100 TB corpus usually lands here: 10M edges
   *   is ~160 MB of longs. One Spark job, no iteration.
   *
-  * - **Large graphs**: distributed min-label propagation — each round
-  *   every node takes the min label among itself and its neighbors;
-  *   converges in O(component diameter) rounds (near-dup clusters are
-  *   shallow). Per-round localCheckpoint truncates the growing
-  *   lineage; each round is two co-partitioned shuffles over the pair
-  *   graph, never the corpus. Hitting `maxRounds` without convergence
-  *   THROWS (ADVICE r3): unconverged labels must never be mistaken
-  *   for exact components.
+  * - **Large graphs**: distributed min-label propagation with pointer
+  *   doubling — each round every node takes the min label among
+  *   itself and its neighbors over the edge set AUGMENTED with the
+  *   current id↔label links, so label reach doubles per round and a
+  *   diameter-d component converges in O(log d) rounds, not O(d)
+  *   (a 63-hop chain resolves in ≤7 rounds; pinned in the spec).
+  *   Per-round localCheckpoint truncates the growing lineage; each
+  *   round is two co-partitioned shuffles over the pair graph, never
+  *   the corpus. Hitting `maxRounds` without convergence THROWS
+  *   (ADVICE r3): unconverged labels must never be mistaken for exact
+  *   components.
   */
 object ConnectedComponents {
 
@@ -77,7 +80,18 @@ object ConnectedComponents {
       var rounds = 0
       while (!converged && rounds < maxRounds) {
         rounds += 1
-        val prop = both
+        // propagate along graph edges AND label edges (id <-> lbl):
+        // the label links act as shortcuts, so label information
+        // doubles its reach each round — O(log diameter) rounds
+        // (pointer doubling / hash-to-min), not O(diameter). A label
+        // edge connects nodes already known to share a component, so
+        // min-label over the augmented graph computes the same exact
+        // components.
+        val shortcut = labels.filter(col("id") =!= col("lbl"))
+        val augmented = both
+          .unionByName(shortcut.select(col("id").as("a"), col("lbl").as("b")))
+          .unionByName(shortcut.select(col("lbl").as("a"), col("id").as("b")))
+        val prop = augmented
           .join(labels.withColumnRenamed("id", "a"), "a")
           .select(col("b").as("id"), col("lbl"))
           .unionByName(labels)

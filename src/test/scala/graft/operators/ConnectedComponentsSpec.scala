@@ -58,4 +58,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("pointer doubling resolves a 63-hop chain within O(log d) " +
+    "rounds (plain propagation would need ~the diameter)") {
+    import spark.implicits._
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // 8 rounds << 63-hop diameter: only label-reach doubling gets there
+    val cl = ConnectedComponents
+      .clusters(chain, smallEdgeCap = 0L, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 64L))
+  }
 }
