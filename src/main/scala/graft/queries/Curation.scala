@@ -149,19 +149,165 @@ object Curation {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- llm_tfidf: per-source distinctive terms ------------------------
+  // TF-IDF over the corpus: tf per (source, term), document frequency
+  // per term, idf = ln(N/df). Three key-partitioned aggregations and
+  // one term-keyed join — every shuffle carries only (term, counts),
+  // never text; N rides a broadcast singleton. Scores are rounded to 4
+  // decimals so both engines hash the same doubles (same practice as
+  // the cosine queries).
+  private val tfidf: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    // collapse the token stream to per-(doc, word) counts ONCE and
+    // checkpoint the compact frame: both downstream aggregations (tf,
+    // df) derive from it, and (doc_id, w) is unique within it, so df
+    // is a plain count — no distinct-agg, no second explode pass
+    val dw = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val tf = dw.groupBy(col("source"), col("w"))
+      .agg(sum(col("c")).as("tf"))
+    val dfreq = dw.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 4))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("w"))))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("w").as("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("source"), col("score").desc, col("term"))
+  }
+
+  private val tfidfSql =
+    """WITH words AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tf AS (SELECT source, w, count(*) AS tf FROM words GROUP BY 1, 2),
+      |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT source, w AS term, tf, df,
+      |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+      |  FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+      |rk AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY source ORDER BY score DESC, term) AS rk
+      |  FROM scored)
+      |SELECT source, term, tf, df, score FROM rk
+      |WHERE rk <= 5 ORDER BY source, score DESC, term""".stripMargin
+
+  // ---- q50_interval_overlap: concurrency curve via interval binning --
+  // How many user sessions are active in each hour. Intervals
+  // (per-user-day [min ts, max ts]) explode into their hour buckets
+  // (sequence = bounded replication, interval_length/bucket copies),
+  // then a count per bucket — the scale-safe interval-overlap plan: no
+  // interval×interval join, one map-side-combinable aggregation. The
+  // temporal-family complement of q10 (range join) and q31 (as-of).
+  private val q50: Q = (s, dir) =>
+    Events.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      // date_trunc widens ntz → session-tz timestamp; cast back so the
+      // output hashes as the tz-naive hour DuckDB produces
+      .select(explode(sequence(
+        date_trunc("hour", col("st")).cast("timestamp_ntz"),
+        date_trunc("hour", col("en")).cast("timestamp_ntz"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("hour"))
+
+  private val q50Sql =
+    """WITH s AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    min(ts) AS st, max(ts) AS en
+      |  FROM events GROUP BY 1, 2)
+      |SELECT h AS hour, count(*) AS n_active
+      |FROM s, unnest(generate_series(
+      |  date_trunc('hour', st), date_trunc('hour', en),
+      |  INTERVAL 1 HOUR)) AS t(h)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q51_funnel: ordered-stage conversion funnel --------------------
+  // Users who did view → click → purchase IN ORDER: stage k's earliest
+  // qualifying timestamp lower-bounds stage k+1. Each stage is a
+  // conditional min over the SAME user partition — three chained
+  // Window ops behind ONE user_id exchange (no sort: unbounded
+  // frames), then a per-user collapse that reuses that partitioning.
+  // One wide shuffle of the event log total, vs the naive
+  // join-per-stage plan's six — the difference between one pass and
+  // four over a 100 TB log.
+  private val q51: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Events.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" &&
+          col("ts") >= col("v_ts"), col("ts"))).over(w))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("c_ts"), col("ts"))).over(w))
+    staged
+      .groupBy(col("user_id"))
+      .agg(min(col("v_ts")).as("v_ts"), min(col("c_ts")).as("c_ts"),
+        min(col("p_ts")).as("p_ts"))
+      .agg(count(col("v_ts")).as("n1"), count(col("c_ts")).as("n2"),
+        count(col("p_ts")).as("n3"))
+      .select(expr(
+        """stack(3, CAST(1 AS BIGINT), 'view', n1,
+          |         CAST(2 AS BIGINT), 'click', n2,
+          |         CAST(3 AS BIGINT), 'purchase', n3)
+          |  AS (stage_idx, stage, n_users)""".stripMargin))
+      .orderBy(col("stage_idx"))
+  }
+
+  private val q51Sql =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(ts) AS c_ts FROM events e
+      |  JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND ts >= v_ts GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(ts) AS p_ts FROM events e
+      |  JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts >= c_ts GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+      |  count(*) AS n_users FROM v
+      |UNION ALL SELECT 2, 'click', count(*) FROM c
+      |UNION ALL SELECT 3, 'purchase', count(*) FROM p
+      |ORDER BY stage_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "llm_vocab_topk" -> vocab,
     "llm_redact_terms" -> redact,
+    "llm_tfidf" -> tfidf,
     "q47_date_funcs" -> q47,
     "q48_edit_distance" -> q48,
     "q49_salted_join" -> q49,
+    "q50_interval_overlap" -> q50,
+    "q51_funnel" -> q51,
   )
 
   val oracles: Map[String, String] = Map(
     "llm_vocab_topk" -> vocabSql,
     "llm_redact_terms" -> redactSql,
+    "llm_tfidf" -> tfidfSql,
     "q47_date_funcs" -> q47Sql,
     "q48_edit_distance" -> q48Sql,
     "q49_salted_join" -> q49Sql,
+    "q50_interval_overlap" -> q50Sql,
+    "q51_funnel" -> q51Sql,
   )
 }

@@ -321,20 +321,21 @@ object Llm {
       Array.fill(256)(if (rng.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** SRP band-bucket candidate pairs (a_id < b_id), deduplicated. */
-  private[queries] def srpCandidatesFor(emb: DataFrame,
+  /** (vec_id, band_idx, band_val): one row per vector per band. */
+  private[queries] def srpBandedFor(emb: DataFrame,
       nBands: Int, bandBits: Int): DataFrame = {
     require(nBands * bandBits <= SrpMaxBits)
     // resolve the embedding dim once (one-row driver peek) so each
     // hyperplane is a fixed-size literal — the per-row
     // slice(typedLit) alternative allocates a plane copy per row per
     // bit. Dim is a schema-level fact; peeking it is planning work.
-    // An empty table has no dim: return the empty pair frame instead
+    // An empty table has no dim: return the empty banded frame instead
     // of NoSuchElementException (ADVICE r3).
     val dimRow = emb.select(size(col("embedding")).as("d")).limit(1).collect()
     if (dimRow.isEmpty)
       return emb.sparkSession.emptyDataFrame
-        .select(lit(0L).as("a_id"), lit(0L).as("b_id")).limit(0)
+        .select(lit(0L).as("vec_id"), lit(0).as("band_idx"),
+          lit(0L).as("band_val")).limit(0)
     val dim = dimRow.head.getInt(0)
     // planes are fixed at 256 components; a larger dim would silently
     // project onto the first 256 dims, degrading band recall with no
@@ -351,9 +352,14 @@ object Llm {
     val bands: Seq[Column] = (0 until nBands).map { b =>
       shiftright(bits, b * bandBits).bitwiseAND(lit(bandMask))
     }
-    val banded = emb
-      .select(col("vec_id"),
-        posexplode(array(bands: _*)).as(Seq("band_idx", "band_val")))
+    emb.select(col("vec_id"),
+      posexplode(array(bands: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  /** SRP band-bucket candidate pairs (a_id < b_id), deduplicated. */
+  private[queries] def srpCandidatesFor(emb: DataFrame,
+      nBands: Int, bandBits: Int): DataFrame = {
+    val banded = srpBandedFor(emb, nBands, bandBits)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -363,21 +369,55 @@ object Llm {
       .distinct()
   }
 
-  /** Candidates exact-verified against the cosine threshold. */
+  /** Candidate-pair count the band buckets would emit: Σ C(c, 2) over
+    * bucket sizes c — one tiny aggregation over the banded frame, the
+    * runtime stat that drives the adaptive plan choice below. */
+  private[queries] def srpCandidateEstimate(emb: DataFrame,
+      nBands: Int, bandBits: Int): Long =
+    srpBandedFor(emb, nBands, bandBits)
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("p"))
+      .collect()(0).getLong(0) / 2
+
+  /** Candidates exact-verified against the cosine threshold.
+    *
+    * ADAPTIVE (r4): LSH banding only pays when the buckets actually
+    * prune — on near-isotropic data at a low threshold (SRP's worst
+    * case, and exactly the fixtures' shape) the band self-join emits
+    * MORE pairs than brute force, then pays distinct + two row-pair
+    * joins on top. So, AQE-style, a planning-time stats pass sums
+    * C(c,2) over band buckets; if the candidate volume isn't under
+    * half of all-pairs, the verify runs as the q30-shape brute join
+    * (broadcast-nested-loop + codegen dot) instead. Either path
+    * exact-verifies every emitted pair, so the output is identical —
+    * the stat only picks the cheaper physical plan. Clustered
+    * corpora at realistic thresholds (the 100 TB regime) keep the
+    * LSH path: CosineLshSpec pins that the estimate prunes there. */
   private[queries] def cosineLshPairsFor(emb: DataFrame,
       threshold: Double = 0.5, nBands: Int = 16, bandBits: Int = 2)
       : DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"),
       sqrt(norm2(col("embedding"))).as("nrm"))
-    srpCandidatesFor(emb, nBands, bandBits)
-      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-        col("nrm").as("na")), "a_id")
-      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-        col("nrm").as("nb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
-          .as("score"))
-      .filter(col("score") > threshold)
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    if (srpCandidateEstimate(emb, nBands, bandBits) >= allPairs / 2) {
+      e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+          round(dot(col("x.embedding"), col("y.embedding")) /
+            (col("x.nrm") * col("y.nrm")), 4).as("score"))
+        .filter(col("score") > threshold)
+    } else {
+      srpCandidatesFor(emb, nBands, bandBits)
+        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          col("nrm").as("na")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("nrm").as("nb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+            .as("score"))
+        .filter(col("score") > threshold)
+    }
   }
 
   private val cosineLsh: Q = (s, dir) =>

@@ -112,6 +112,24 @@ class CosineLshSpec extends SparkSpec {
       s"missed ${(brute -- lsh).size}, extra ${(lsh -- brute).size}")
   }
 
+  test("adaptive planner stat: clustered data keeps the LSH path, " +
+    "isotropic data routes to the brute verify") {
+    import spark.implicits._
+    // clustered + tight banding: candidate estimate prunes hard
+    val nC = clustered.count()
+    val estC = Llm.srpCandidateEstimate(clustered, nBands = 8, bandBits = 8)
+    assert(estC < nC * (nC - 1) / 2 / 2,
+      s"clustered estimate $estC did not prune")
+    // isotropic + the shipped wide geometry: estimate shows banding
+    // emits at least half of all-pairs — the brute plan is cheaper
+    val rng = new scala.util.Random(23)
+    val iso = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(dim)(rng.nextGaussian()))).toDF("vec_id", "embedding")
+    val estI = Llm.srpCandidateEstimate(iso, nBands = 16, bandBits = 2)
+    assert(estI >= 300L * 299 / 2 / 2,
+      s"isotropic estimate $estI unexpectedly sparse")
+  }
+
   test("shipped geometry (16x2) still matches brute force at the " +
     "fixture threshold on clustered data") {
     val lsh = Llm.cosineLshPairsFor(clustered, threshold = 0.9)

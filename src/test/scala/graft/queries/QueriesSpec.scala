@@ -76,6 +76,33 @@ class QueriesSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("q51 funnel stage counts are monotone non-increasing") {
+    val rows = SparkEntry.queries("q51_funnel")(spark, dir)
+      .orderBy(col("stage_idx")).collect()
+    assert(rows.length == 3)
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.sliding(2).forall(p => p(0) >= p(1)),
+      s"funnel widened downstream: ${counts.mkString(",")}")
+  }
+
+  test("q50 hourly concurrency never exceeds the distinct-user count") {
+    val maxActive = SparkEntry.queries("q50_interval_overlap")(spark, dir)
+      .agg(max(col("n_active"))).collect()(0).getLong(0)
+    val users = Events.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(maxActive <= users, s"$maxActive active > $users users")
+  }
+
+  test("llm_tfidf keeps at most 5 terms per source, scores descending") {
+    val rows = SparkEntry.queries("llm_tfidf")(spark, dir).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.values.forall(_.length <= 5))
+    for ((_, rs) <- bySource) {
+      val scores = rs.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse, "scores not descending")
+    }
+  }
+
   test("dot_product matches the interpreted fold exactly") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.25f)))
