@@ -35,4 +35,46 @@ object SkewJoin {
           bigSalted("__salt") === smallExploded("__salt"))
       .drop("__salt")
   }
+
+  /** Hot-key-adaptive salted join (r4): salting EVERY key replicates
+    * the whole small side `salts`× even when only a handful of keys
+    * are hot — so detect the hot keys first (seeded sample of the big
+    * side, estimate > `hotRowThreshold` rows) and split the plan:
+    * hot-key rows ride the salted join, everything else a plain
+    * equi-join that Catalyst/AQE optimize as usual. On a corpus with
+    * no skew the operator degrades to exactly the plain join (zero
+    * replication); the result set is identical to the plain join in
+    * every case, which is what q49's oracle pins. Null-keyed rows
+    * match nothing under an inner equi-join, so routing them to
+    * either branch is immaterial.
+    */
+  def saltedHotKeyJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      salts: Int = 16,
+      sampleFraction: Double = 0.01,
+      hotRowThreshold: Long = 1000000L,
+      maxHotKeys: Int = 1000): DataFrame = {
+    require(salts > 0 && sampleFraction > 0 && sampleFraction <= 1)
+    val sampledCut = math.max(1L, (hotRowThreshold * sampleFraction).toLong)
+    val hotKeys = big.sample(withReplacement = false, sampleFraction, seed = 42)
+      .groupBy(col(bigKey)).count()
+      .filter(col("count") >= sampledCut)
+      .orderBy(col("count").desc).limit(maxHotKeys)
+      .select(col(bigKey)).collect().map(_.get(0))
+    if (hotKeys.isEmpty) {
+      big.join(small, big(bigKey) === small(smallKey))
+    } else {
+      val hot = saltedEquiJoin(
+        big.filter(col(bigKey).isInCollection(hotKeys)),
+        small.filter(col(smallKey).isInCollection(hotKeys)),
+        bigKey, smallKey, salts)
+      val cold = big.filter(!col(bigKey).isInCollection(hotKeys))
+        .join(small, big(bigKey) === small(smallKey))
+      // positional union: both branches are big.columns ++ small.columns
+      hot.union(cold)
+    }
+  }
 }

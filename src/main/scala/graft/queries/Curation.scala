@@ -125,18 +125,24 @@ object Curation {
       |FROM rk WHERE rk = 1 ORDER BY name""".stripMargin
 
   // ---- q49_salted_join: skew-mitigated equi-join under oracle check ---
-  // operators.SkewJoin.saltedEquiJoin replicates the build side over
-  // `salts` buckets so one hot key spreads across `salts` reducers —
-  // the manual fallback when AQE skew-split can't kick in (e.g. the
-  // skew is in a single key, not a partition). Result must equal the
+  // operators.SkewJoin.saltedHotKeyJoin — the manual fallback when
+  // AQE skew-split can't kick in (e.g. the skew is one hot KEY, not a
+  // fat partition). A seeded sample finds keys past the row
+  // threshold; only those ride the salted (replicated) join, the
+  // rest a plain equi-join. The fixture's keys are uniform, so the
+  // detector finds nothing and the plan degrades to exactly the
+  // plain join — zero replication tax, which is the point of
+  // detecting first. The hot path's result parity is pinned on a
+  // synthetic hot-key corpus in OperatorsSpec. Result must equal the
   // plain join: the oracle IS the plain join.
   private val q49: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
     val o = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
-    graft.operators.SkewJoin.saltedEquiJoin(li, o,
-        "l_orderkey", "o_orderkey", salts = 8)
+    graft.operators.SkewJoin.saltedHotKeyJoin(li, o,
+        "l_orderkey", "o_orderkey", salts = 8,
+        sampleFraction = 0.01, hotRowThreshold = 100000)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         d(sum(dec2(col("l_quantity")))).as("total_qty"))

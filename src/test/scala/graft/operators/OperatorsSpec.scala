@@ -24,6 +24,38 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("hot-key salted join: detects the hot key, splits the plan, " +
+    "and matches the plain join exactly") {
+    import spark.implicits._
+    // one pathological key (90% of rows) + a uniform tail
+    val big = ((1 to 9000).map(i => (999L, i.toLong)) ++
+      (1 to 1000).map(i => (i.toLong % 50, i.toLong)))
+      .toDF("k", "payload")
+    val small = (0L to 999L).map(k => (k, s"dim_$k")).toDF("sk", "attr")
+    val plain = big.join(small, big("k") === small("sk"))
+      .select(col("k"), col("payload"), col("attr"))
+    val adaptive = SkewJoin.saltedHotKeyJoin(big, small, "k", "sk",
+        salts = 8, sampleFraction = 0.5, hotRowThreshold = 1000)
+      .select(col("k"), col("payload"), col("attr"))
+    assert(adaptive.count() == plain.count())
+    assert(adaptive.exceptAll(plain).isEmpty &&
+      plain.exceptAll(adaptive).isEmpty)
+  }
+
+  test("hot-key salted join degrades to the plain join when nothing " +
+    "is hot") {
+    import spark.implicits._
+    val big = (1 to 2000).map(i => (i.toLong % 500, i.toLong))
+      .toDF("k", "payload")
+    val small = (0L to 499L).map(k => (k, s"dim_$k")).toDF("sk", "attr")
+    val adaptive = SkewJoin.saltedHotKeyJoin(big, small, "k", "sk",
+      salts = 8, sampleFraction = 0.5, hotRowThreshold = 100000)
+    // no explode/salt machinery in the degraded plan
+    assert(!adaptive.queryExecution.executedPlan.toString.contains("__salt"))
+    assert(adaptive.count() ==
+      big.join(small, big("k") === small("sk")).count())
+  }
+
   test("as-of join carries the latest right value at-or-before each " +
     "left time, null when none exists") {
     import spark.implicits._
