@@ -128,6 +128,45 @@ object Multimodal {
       |  CAST(height * 128 // greatest(width, height) AS BIGINT) AS out_height
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // feature-extract: blob → fixed-width feature vector in the same
+  // typed mapPartitions batch stage, then a pooled per-source mean.
+  // The STUB features are the 16 leading hex digits of md5(blob)
+  // (integers 0–15) — a real deploy swaps in the embedding model
+  // call; the pipeline shape (batched executor extraction → explode →
+  // key-partitioned pooling with exact integer sums, one final
+  // division) is the production one. Pooled means divide ONCE so both
+  // engines round the same double.
+  private val featureExtract: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("blob"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(r.blob).map("%02x".format(_)).mkString
+        (r.doc_id, r.source,
+          hex.take(16).map(c => "0123456789abcdef".indexOf(c).toLong))
+      })
+      .toDF("doc_id", "source", "features")
+      .select(col("source"),
+        posexplode(col("features")).as(Seq("feat_idx", "feat")))
+      .groupBy(col("source"), col("feat_idx").cast(LongType).as("feat_idx"))
+      .agg((sum(col("feat")).cast(DoubleType) /
+        count(lit(1))).as("mean_feat"))
+      .orderBy(col("source"), col("feat_idx"))
+  }
+
+  private val featureExtractSql =
+    """WITH f AS (
+      |  SELECT doc_id, source, i AS feat_idx,
+      |    instr('0123456789abcdef', substring(md5(text), i + 1, 1)) - 1
+      |      AS feat
+      |  FROM documents, unnest(generate_series(0, 15)) AS t(i))
+      |SELECT source, CAST(feat_idx AS BIGINT) AS feat_idx,
+      |  CAST(sum(feat) AS DOUBLE) / count(*) AS mean_feat
+      |FROM f GROUP BY 1, 2 ORDER BY source, feat_idx""".stripMargin
+
   // ---- ANN-IVF similarity search ------------------------------------
 
   /** IVF top-k with a pluggable probe width. `nProbe=2` is the shipped
@@ -213,6 +252,7 @@ object Multimodal {
     "mm_decode_meta" -> decodeMeta,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resize,
+    "mm_feature_extract" -> featureExtract,
     "llm_ann_ivf" -> annIvf,
   )
 
@@ -220,6 +260,7 @@ object Multimodal {
     "mm_decode_meta" -> decodeMetaSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize" -> resizeSql,
+    "mm_feature_extract" -> featureExtractSql,
     "llm_ann_ivf" -> annIvfSql,
   )
 }

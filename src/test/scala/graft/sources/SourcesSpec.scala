@@ -15,17 +15,22 @@ import org.apache.spark.sql.streaming.Trigger
 class SourcesSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  test("csv and json round-trip the nation table") {
+  test("csv, json, and orc round-trip the nation table") {
     val tmp = Files.createTempDirectory("srcfmt").toString
     val nation = Sources.read(spark, s"$dir/nation.parquet")
     nation.write.option("header", "true").csv(s"$tmp/csv")
     nation.write.json(s"$tmp/json")
+    nation.write.orc(s"$tmp/orc")
     val fromCsv = Sources.read(spark, s"$tmp/csv", "csv")
     val fromJson = Sources.read(spark, s"$tmp/json", "json")
+    val fromOrc = Sources.read(spark, s"$tmp/orc", "orc")
     assert(fromCsv.count() == nation.count())
     assert(fromJson.count() == nation.count())
+    assert(fromOrc.count() == nation.count())
     assert(fromCsv.select(sum(col("n_nationkey"))).head().getLong(0) ==
       nation.select(sum(col("n_nationkey"))).head().getLong(0))
+    // orc keeps the exact schema (columnar like parquet)
+    assert(fromOrc.schema == nation.schema)
   }
 
   test("foreachBatch parquet sink is exactly-once across a " +
