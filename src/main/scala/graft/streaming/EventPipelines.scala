@@ -60,7 +60,23 @@ object EventPipelines {
     * (an unbounded-time join would buffer both streams forever). Works
     * identically on batch frames (tested for parity). */
   def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours"): DataFrame =
+    attributed(clicks, purchases, watermark, "inner")
+
+  /** Left-outer variant: EVERY purchase emits — joined to qualifying
+    * clicks when they exist, with null click columns once the
+    * watermark proves no qualifying click can still arrive (the
+    * condition bounds click_ts ≤ purchase_ts, so a purchase row is
+    * complete as soon as the click watermark passes its timestamp).
+    * This is the attribution-report shape: unattributed conversions
+    * must appear, not silently drop, and state stays bounded by the
+    * same watermark + time-range condition as the inner join. */
+  def clickToPurchaseLeftOuter(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    attributed(clicks, purchases, watermark, "left_outer")
+
+  private def attributed(clicks: DataFrame, purchases: DataFrame,
+      watermark: String, joinType: String): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -72,7 +88,8 @@ object EventPipelines {
     p.join(c,
       col("p_user") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
   }

@@ -111,6 +111,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("left-outer stream-stream join emits unattributed purchases " +
+    "with null click columns after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(hours: Double) = new Timestamp(
+      t0.getTime + (hours * 3600 * 1000).toLong)
+    val memC = MemoryStream[Ev]
+    val memP = MemoryStream[Ev]
+    val out = EventPipelines.clickToPurchaseLeftOuter(
+      memC.toDF(), memP.toDF(), watermark = "1 hour")
+    val qName = s"ssjlo_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qName)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: click then purchase (attributed); user 2: purchase
+      // with NO click anywhere near it (unattributed)
+      memC.addData(Ev(100L, at(0), 1L, "click", 0.0, "{}"))
+      memP.addData(
+        Ev(200L, at(0.5), 1L, "purchase", 9.99, "{}"),
+        Ev(201L, at(0.5), 2L, "purchase", 5.00, "{}"))
+      q.processAllAvailable()
+      // push both watermarks well past purchase_ts + join bound so the
+      // unmatched row's state can close and emit
+      memC.addData(Ev(101L, at(6), 9L, "click", 0.0, "{}"))
+      memP.addData(Ev(202L, at(6), 9L, "purchase", 1.0, "{}"))
+      q.processAllAvailable()
+      memC.addData(Ev(102L, at(12), 9L, "click", 0.0, "{}"))
+      memP.addData(Ev(203L, at(12), 9L, "purchase", 1.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table(qName).collect()
+        .map(r => (r.getLong(1), Option(r.get(2)).map(_.toString)))
+        .toMap
+      assert(rows(200L).contains("100"), "attributed purchase lost its click")
+      assert(rows.contains(201L), "unattributed purchase never emitted")
+      assert(rows(201L).isEmpty, "unattributed purchase should carry null")
+    } finally q.stop()
+  }
+
   test("flow-state tracker implements the barrier semantics (O14-O16)") {
     import spark.implicits._
     import FlowStateStream._
