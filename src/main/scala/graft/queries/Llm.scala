@@ -401,7 +401,13 @@ object Llm {
       sqrt(norm2(col("embedding"))).as("nrm"))
     val n = emb.count()
     val allPairs = n * (n - 1) / 2
-    if (srpCandidateEstimate(emb, nBands, bandBits) >= allPairs / 2) {
+    // below ~1e8 pairs the codegen brute join is seconds of work on a
+    // few cores — cheaper than even RUNNING the banding stats pass, so
+    // skip straight to it; the stats decide only where brute could
+    // actually hurt
+    val bruteCheapPairs = 100000000L
+    if (allPairs <= bruteCheapPairs ||
+        srpCandidateEstimate(emb, nBands, bandBits) >= allPairs / 2) {
       e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
           round(dot(col("x.embedding"), col("y.embedding")) /

@@ -425,9 +425,12 @@ object Relational {
 
   // q20: HAVING over a scalar subquery (global average of group sums)
   private val q20: Q = (s, dir) => {
+    // checkpoint the group sums: both the threshold (scalar) and the
+    // HAVING filter consume them — one orders aggregation, not two
     val perCust = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(dec2(col("o_totalprice"))).as("s"))
+      .localCheckpoint(false)
     val thresh = perCust.agg(
       (d(sum(col("s"))) / count(lit(1))).as("threshold"))
     perCust.crossJoin(broadcast(thresh))
