@@ -594,6 +594,30 @@ object Relational {
       |FROM w GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // q52: APPROX percentile (mergeable quantile sketch) under the
+  // q26-style tolerance oracle. Exact per-group percentiles need the
+  // whole group sorted in one place; the sketch is bounded-memory and
+  // mergeable across partitions — the only percentile that runs at
+  // 100 TB. Output carries the exact value (hash-checked) plus a
+  // within-1% verdict on the sketch; drift flips the boolean and
+  // fails the round.
+  private val q52: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_p50"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap"))
+      .select(col("o_orderpriority"), col("exact_p50"),
+        (abs(col("ap") - col("exact_p50")) / col("exact_p50") <= 0.01)
+          .as("approx_within_1pct"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q52Sql =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+      |  TRUE AS approx_within_1pct
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_scan_filter" -> q01,
     "q02_agg_tpch_q1" -> q02,
@@ -619,6 +643,7 @@ object Relational {
     "q37_full_outer_join" -> q37,
     "q38_range_frame" -> q38,
     "q39_percentiles" -> q39,
+    "q52_approx_percentile" -> q52,
   )
 
   val oracles: Map[String, String] = Map(
@@ -646,5 +671,6 @@ object Relational {
     "q37_full_outer_join" -> q37Sql,
     "q38_range_frame" -> q38Sql,
     "q39_percentiles" -> q39Sql,
+    "q52_approx_percentile" -> q52Sql,
   )
 }
