@@ -623,6 +623,44 @@ object Llm {
     """SELECT doc_id, md5(lower(text)) AS fp, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- text analysis: winnowing fingerprints (rolling hash) ----------
+  // The MOSS algorithm (Schleimer et al., SIGMOD'03): O(n) Rabin-Karp
+  // rolling hash over 8-char windows + sliding-minimum winnowing
+  // (functions.WinnowFingerprints, custom codegen expression). The
+  // oracle recomputes every window hash positionally (O(n·k) — fine
+  // for an oracle) and winnows with a ROWS-frame window min: exact
+  // integer equality end to end. Guarantee: docs sharing ≥23
+  // consecutive chars share a fingerprint; ≥1 hash kept per 16
+  // positions (density bound).
+  private val winnowFp: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints
+          .winnow_fingerprints(col("text"))).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+
+  private val winnowFpSql =
+    """WITH h AS (
+      |  SELECT doc_id, i,
+      |    (CAST(ord(substring(text, CAST(i AS INT), 1)) AS BIGINT) * 623063367
+      |   + CAST(ord(substring(text, CAST(i + 1 AS INT), 1)) AS BIGINT) * 336663071
+      |   + CAST(ord(substring(text, CAST(i + 2 AS INT), 1)) AS BIGINT) * 168429323
+      |   + CAST(ord(substring(text, CAST(i + 3 AS INT), 1)) AS BIGINT) * 67503107
+      |   + CAST(ord(substring(text, CAST(i + 4 AS INT), 1)) AS BIGINT) * 16974593
+      |   + CAST(ord(substring(text, CAST(i + 5 AS INT), 1)) AS BIGINT) * 66049
+      |   + CAST(ord(substring(text, CAST(i + 6 AS INT), 1)) AS BIGINT) * 257
+      |   + CAST(ord(substring(text, CAST(i + 7 AS INT), 1)) AS BIGINT)) % 2147483647 AS hv,
+      |    len(text) - 7 AS nh
+      |  FROM documents, unnest(generate_series(1, len(text) - 7)) AS t(i)
+      |  WHERE len(text) >= 8),
+      |wm AS (
+      |  SELECT doc_id, i, nh,
+      |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+      |  FROM h)
+      |SELECT DISTINCT doc_id, fp FROM wm WHERE i <= nh - 15
+      |ORDER BY doc_id, fp""".stripMargin
+
   // dedup APPLIED: drop the higher-id doc of every near-dup pair
   // (J >= 0.6) plus exact-dup copies, count the surviving corpus per
   // language — the operator a curation pipeline actually ships.
@@ -762,6 +800,7 @@ object Llm {
     "llm_quality_score" -> quality,
     "llm_token_count" -> tokenCount,
     "llm_fingerprint" -> fingerprint,
+    "llm_winnow_fingerprint" -> winnowFp,
   )
 
   val oracles: Map[String, String] = Map(
@@ -790,5 +829,6 @@ object Llm {
     "llm_quality_score" -> qualitySql,
     "llm_token_count" -> tokenCountSql,
     "llm_fingerprint" -> fingerprintSql,
+    "llm_winnow_fingerprint" -> winnowFpSql,
   )
 }
