@@ -661,6 +661,56 @@ object Llm {
       |SELECT DISTINCT doc_id, fp FROM wm WHERE i <= nh - 15
       |ORDER BY doc_id, fp""".stripMargin
 
+  // ---- fuzzy dedup: winnow-fingerprint overlap pairs -----------------
+  // The MOSS use-case: doc pairs sharing >= 5 winnowed fingerprints —
+  // detects partial overlap/containment (a long passage copied into an
+  // otherwise-different doc), which whole-document Jaccard similarity
+  // under-scores. Same scale shape as the jaccard pipeline: per-doc
+  // fingerprints (per-row compute) → posting lists per fingerprint
+  // (one aggregation; hot prints df-capped at 64 like hot shingles) →
+  // compiled flatMap pair expansion → pair count. Never corpus².
+  private val winnowNeardup: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val fps = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints
+          .winnow_fingerprints(col("text"))).as("fp"))
+    val posting = fps
+      .groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, 64))
+    posting.select(col("ds")).as[Seq[Long]]
+      .flatMap { ds =>
+        val sorted = ds.sorted
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1 until sorted.size).iterator
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("a_id", "b_id")
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val winnowNeardupSql = {
+    val fpsCte = winnowFpSql
+      .replaceAll("\nORDER BY doc_id, fp$", "")
+      .replace("  FROM h)\nSELECT DISTINCT doc_id, fp FROM wm WHERE i <= nh - 15",
+        "  FROM h),\nfps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= nh - 15)")
+      .replace("WITH h AS", "h AS")
+    s"""WITH $fpsCte,
+       |ok AS (SELECT fp FROM fps GROUP BY fp
+       |       HAVING count(*) BETWEEN 2 AND 64)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+       |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |WHERE a.fp IN (SELECT fp FROM ok)
+       |GROUP BY 1, 2 HAVING count(*) >= 5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // dedup APPLIED: drop the higher-id doc of every near-dup pair
   // (J >= 0.6) plus exact-dup copies, count the surviving corpus per
   // language — the operator a curation pipeline actually ships.
@@ -801,6 +851,7 @@ object Llm {
     "llm_token_count" -> tokenCount,
     "llm_fingerprint" -> fingerprint,
     "llm_winnow_fingerprint" -> winnowFp,
+    "llm_winnow_neardup" -> winnowNeardup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -830,5 +881,6 @@ object Llm {
     "llm_token_count" -> tokenCountSql,
     "llm_fingerprint" -> fingerprintSql,
     "llm_winnow_fingerprint" -> winnowFpSql,
+    "llm_winnow_neardup" -> winnowNeardupSql,
   )
 }
