@@ -76,6 +76,18 @@ class QueriesSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("no query plans an un-broadcast cartesian product") {
+    // broadcast-singleton cross joins (scalar thresholds, n_docs
+    // counts) compile to BroadcastNestedLoopJoin and are fine; a
+    // CartesianProductExec means a non-broadcast cross join slipped
+    // in — always a scale bug, whatever the fixture timing says
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
   test("q51 funnel stage counts are monotone non-increasing") {
     val rows = SparkEntry.queries("q51_funnel")(spark, dir)
       .orderBy(col("stage_idx")).collect()
