@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinHashSignature, WordShingles}
+import graft.functions.{DotProduct, MinHashSignature, WinnowFingerprints, WordShingles}
 
 /** Session extension (SURVEY §7.3 mechanism c): registers the engine's
   * custom Catalyst expressions as SQL functions, so the pure-SQL
@@ -14,8 +14,9 @@ import graft.functions.{DotProduct, MinHashSignature, WordShingles}
   * `.withExtensions(new GraftExtensions)`.
   *
   * Registered: `dot_product(a, b)`, `minhash_signature(shingles, k)`,
-  * `word_shingles(tokens, n)` — the numeric arguments must be integer
-  * literals (they parameterize the expression, not the row).
+  * `word_shingles(tokens, n)`, `winnow_fingerprints(text, k, w)` — the
+  * numeric arguments must be integer literals (they parameterize the
+  * expression, not the row).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -50,6 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 2,
           "word_shingles(tokens, n) takes 2 arguments")
         WordShingles(args(0), intLit(args(1), "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "winnow_fingerprints(text, k, w) takes 3 arguments")
+        WinnowFingerprints(args(0), intLit(args(1), "k"),
+          intLit(args(2), "w"))
       }))
   }
 }

@@ -53,6 +53,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head().getSeq[Long](0)
       assert(mh.size == 16)
 
+      val wf = s.sql(
+        "SELECT winnow_fingerprints('the quick brown fox jumps over', 8, 4)" +
+          " AS fp").head().getSeq[Long](0)
+      assert(wf.nonEmpty && wf == wf.sorted)
+      assert(wf == graft.functions.WinnowFingerprints
+        .compute("the quick brown fox jumps over", 8, 4).toSeq)
+
       // SQL and Column API produce identical results
       import s.implicits._
       val viaCol = Seq(Tuple1(Seq("a", "b", "c", "d"))).toDF("tk")
