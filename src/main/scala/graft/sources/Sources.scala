@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.StructType
@@ -45,4 +46,66 @@ object Sources {
       batch.toDF().write.mode("overwrite")
         .parquet(s"$outDir/batch_id=$batchId")
     }
+
+  /** Exactly-once streaming MERGE: maintains a keyed running-aggregate
+    * parquet table (additive measures) across micro-batches — the
+    * lakehouse upsert-sink shape, without a table format. Each batch
+    * version of the state is written to `outDir/state_v<batchId>`:
+    * replayed batches find their version already committed (a
+    * `_SUCCESS`-marked directory) and SKIP, so at-least-once attempts
+    * yield exactly-once totals; a crash mid-write leaves no `_SUCCESS`
+    * and the retry rewrites the same version. Readers
+    * (`readRunningAgg`) resolve the highest committed version — a
+    * half-written directory is never visible. State size is the key
+    * cardinality, not the stream length; the per-batch merge is one
+    * key-partitioned outer join of (state, batch-delta). */
+  def foreachBatchRunningAgg(df: DataFrame, outDir: String,
+      keys: Seq[String], sums: Seq[String]): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      mergeBatch(batch.toDF(), outDir, keys, sums, batchId)
+    }
+
+  /** One merge step (factored out so replay semantics are unit-testable
+    * without a streaming query). */
+  def mergeBatch(batch: DataFrame, outDir: String, keys: Seq[String],
+      sums: Seq[String], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val target = new Path(s"$outDir/state_v$batchId")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(target, "_SUCCESS"))) return // replay: done
+    val delta = batch.groupBy(keys.map(col): _*)
+      .agg(sums.map(c => sum(col(c)).as(c)).head,
+        sums.map(c => sum(col(c)).as(c)).tail: _*)
+    val merged = latestState(spark, outDir) match {
+      case Some(state) =>
+        val joined = state.as("s").join(delta.as("d"),
+          keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _),
+          "full_outer")
+        joined.select(
+          keys.map(k => coalesce(col(s"s.$k"), col(s"d.$k")).as(k)) ++
+          sums.map(c => (coalesce(col(s"s.$c"), lit(0L)) +
+            coalesce(col(s"d.$c"), lit(0L))).as(c)): _*)
+      case None => delta
+    }
+    merged.write.mode("overwrite").parquet(target.toString)
+  }
+
+  /** The latest committed running-aggregate state, if any. */
+  def latestState(spark: SparkSession, outDir: String): Option[DataFrame] = {
+    val base = new Path(outDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return None
+    val versions = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("state_v") &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(s => s.getPath.getName.stripPrefix("state_v").toLong)
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(s"$outDir/state_v${versions.max}"))
+  }
+
+  /** Reader alias with the public sink-facing name. */
+  def readRunningAgg(spark: SparkSession, outDir: String): DataFrame =
+    latestState(spark, outDir).getOrElse(
+      throw new IllegalStateException(s"no committed state under $outDir"))
 }

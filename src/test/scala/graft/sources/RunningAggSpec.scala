@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Exactly-once running-aggregate MERGE sink: totals equal the batch
+  * aggregate of everything streamed, replayed batches don't
+  * double-count, and an uncommitted (crashed) version is retried and
+  * never read.
+  */
+object RunningAggSpec {
+  case class Doc(source: String, n_tokens: Long)
+}
+
+class RunningAggSpec extends SparkSpec {
+  import RunningAggSpec.Doc
+
+  test("streamed totals equal the batch aggregate; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("runagg").toString
+    val mem = MemoryStream[Doc]
+    val q = Sources.foreachBatchRunningAgg(mem.toDF(), out,
+        keys = Seq("source"), sums = Seq("n_tokens"))
+      .option("checkpointLocation", s"$out/_ckpt").start()
+    try {
+      mem.addData(Doc("a", 10), Doc("b", 5))
+      q.processAllAvailable()
+      mem.addData(Doc("a", 7), Doc("c", 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = Sources.readRunningAgg(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state == Map("a" -> 17L, "b" -> 5L, "c" -> 1L))
+
+    // replay batch 1 (same batchId, already committed) — skipped
+    Sources.mergeBatch(Seq(Doc("a", 7), Doc("c", 1)).toDF(), out,
+      Seq("source"), Seq("n_tokens"), batchId = 1)
+    val replayed = Sources.readRunningAgg(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(replayed == state, "replayed batch double-counted")
+
+    // a later batch still merges on top
+    Sources.mergeBatch(Seq(Doc("b", 2)).toDF(), out,
+      Seq("source"), Seq("n_tokens"), batchId = 2)
+    val next = Sources.readRunningAgg(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(next == Map("a" -> 17L, "b" -> 7L, "c" -> 1L))
+  }
+
+  test("an uncommitted version is invisible to readers and safely " +
+    "retried") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("runagg2").toString
+    Sources.mergeBatch(Seq(Doc("a", 3)).toDF(), out,
+      Seq("source"), Seq("n_tokens"), batchId = 0)
+    // simulate a crash mid-write of version 1: directory without
+    // _SUCCESS
+    val crashed = new java.io.File(s"$out/state_v1")
+    assert(crashed.mkdirs())
+    val state = Sources.readRunningAgg(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state == Map("a" -> 3L), "uncommitted version leaked to reader")
+    // retry of batch 1 overwrites the partial dir and commits
+    Sources.mergeBatch(Seq(Doc("a", 4)).toDF(), out,
+      Seq("source"), Seq("n_tokens"), batchId = 1)
+    val after = Sources.readRunningAgg(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == Map("a" -> 7L))
+  }
+}
