@@ -40,6 +40,48 @@ object Extended {
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  // q53: FORWARD as-of with tolerance (the full merge_asof surface):
+  // each purchase paired with the user's NEXT click, kept only when it
+  // lands within an hour — nearest-then-tolerance semantics (the
+  // nearest click is found first; a nearest click farther than the
+  // tolerance yields NULL, it does not fall back to a later one).
+  // (user_id, ts) is unique per event type in the fixtures, so the
+  // nearest pick is deterministic on both engines.
+  private val q53: Q = (s, dir) => {
+    val ev = Events.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    AsofJoin.asofJoin(p, c,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightTime = "c_ts",
+        rightVals = Seq("click_id", "c_ts"),
+        direction = "forward",
+        tolerance = Some(expr("INTERVAL 1 HOUR")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_click_id").as("next_click_id"),
+        col("asof_c_ts").as("next_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q53Sql =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, ts AS c_ts, event_id AS click_id FROM events
+      |  WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  CASE WHEN c.c_ts - p.ts <= INTERVAL 1 HOUR
+      |       THEN c.click_id END AS next_click_id,
+      |  CASE WHEN c.c_ts - p.ts <= INTERVAL 1 HOUR
+      |       THEN c.c_ts END AS next_click_ts
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts <= c.c_ts
+      |ORDER BY p.event_id""".stripMargin
+
   // q32: pivot — order totals by priority x status
   private val q32: Q = (s, dir) =>
     t(s, dir, "orders")
@@ -364,6 +406,7 @@ object Extended {
     "q43_recursive_cte" -> q43,
     "q44_lateral_topn" -> q44,
     "q31_asof_join" -> q31,
+    "q53_asof_forward" -> q53,
     "q32_pivot" -> q32,
     "q33_stats_agg" -> q33,
     "q34_array_agg" -> q34,
@@ -380,6 +423,7 @@ object Extended {
     "q45_string_agg" -> q45Sql,
     "q46_histogram" -> q46Sql,
     "q31_asof_join" -> q31Sql,
+    "q53_asof_forward" -> q53Sql,
     "q32_pivot" -> q32Sql,
     "q33_stats_agg" -> q33Sql,
     "q34_array_agg" -> q34Sql,

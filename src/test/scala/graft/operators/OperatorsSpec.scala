@@ -56,6 +56,32 @@ class OperatorsSpec extends SparkSpec {
       big.join(small, big("k") === small("sk")).count())
   }
 
+  test("forward as-of picks the nearest at-or-after right row; " +
+    "tolerance nulls matches beyond the bound") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 205L), (2L, 50L))
+      .toDF("k", "t")
+    val right = Seq((1L, 100L, "exact"), (1L, 150L, "mid"),
+      (1L, 400L, "far"), (2L, 45L, "before"))
+      .toDF("rk", "rt", "v")
+    val fwd = AsofJoin.asofJoin(left, right, "k", "rk", "t", "rt",
+        Seq("v"), direction = "forward")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.getString(2))).toMap
+    // inclusive at equal times; nearest following otherwise
+    assert(fwd((1L, 100L)).contains("exact"))
+    assert(fwd((1L, 205L)).contains("far"))
+    assert(fwd((2L, 50L)).isEmpty, "no right row at-or-after")
+    val tol = AsofJoin.asofJoin(left, right, "k", "rk", "t", "rt",
+        Seq("v"), direction = "forward", tolerance = Some(lit(100L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.getString(2))).toMap
+    // nearest-then-tolerance: (1,205)'s nearest is 400, 195 away —
+    // nulled, NOT replaced by anything else
+    assert(tol((1L, 100L)).contains("exact"))
+    assert(tol((1L, 205L)).isEmpty)
+  }
+
   test("as-of join carries the latest right value at-or-before each " +
     "left time, null when none exists") {
     import spark.implicits._
