@@ -295,6 +295,45 @@ object Llm {
     lshVerifiedPairsFor(t(s, dir, "documents"))
       .orderBy(col("a_id"), col("b_id"))
 
+  // sketch accuracy for the minhash family (the q26/q52 pattern): on
+  // every verified near-dup pair, the MinHash-agreement estimate
+  // (matching components / 64) must sit within ±0.25 of exact Jaccard
+  // (64 components → σ ≈ 0.06; the band is >4σ, and the signatures
+  // are seed-fixed so the verdict is deterministic, not flaky).
+  // Output carries the exact score (hash-checked) + the verdict.
+  private val minhashEstimate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.Shingles.word_shingles(col("tk"), 3).as("sh"))
+    val mh = docs.select(col("doc_id"),
+      graft.functions.MinHash.minhash_signature(col("sh"), 64).as("mh"))
+    lshVerifiedPairsFor(t(s, dir, "documents"))
+      .join(mh.select(col("doc_id").as("a_id"), col("mh").as("ma")), "a_id")
+      .join(mh.select(col("doc_id").as("b_id"), col("mh").as("mb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("jaccard"), 4).as("jaccard"),
+        (abs(aggregate(zip_with(col("ma"), col("mb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast(DoubleType) / 64
+          - col("jaccard")) <= 0.25).as("est_within_band"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val minhashEstimateSql = {
+    val base = jaccardOracle
+      .replaceAll("\nORDER BY a_id, b_id$", "")
+      .replace("SELECT a_id, b_id,",
+        "SELECT a_id, b_id, TRUE AS est_within_band,")
+    // reshape: exact pairs + constant-TRUE verdict, same column order
+    s"""WITH j AS (
+       |$base
+       |)
+       |SELECT a_id, b_id, round(jaccard, 4) AS jaccard, est_within_band
+       |FROM j ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---- fuzzy dedup: embedding-cosine near-dup via SRP-LSH -------------
   // Signed-random-projection LSH (Charikar): fixed Rademacher (±1)
   // hyperplanes -> sign bits per vector -> `nBands` bands of
@@ -841,6 +880,7 @@ object Llm {
     "q30_neardup_pairs" -> q30,
     "llm_ngram_jaccard_dedup" -> ngramJaccard,
     "llm_minhash_lsh_dedup" -> minhashLsh,
+    "llm_minhash_estimate" -> minhashEstimate,
     "llm_cosine_lsh_neardup" -> cosineLsh,
     "llm_chunk" -> chunk,
     "llm_pack_sequences" -> pack,
@@ -866,6 +906,7 @@ object Llm {
     // minhash-lsh: exact-verified output; equals the brute-force
     // Jaccard result when LSH recall is 1 (verified on the fixtures)
     "llm_minhash_lsh_dedup" -> jaccardOracle,
+    "llm_minhash_estimate" -> minhashEstimateSql,
     // cosine-lsh: exact-verified output; equals brute-force q30 when
     // SRP band recall is 1 (verified on the fixtures)
     "llm_cosine_lsh_neardup" -> q30Sql,
