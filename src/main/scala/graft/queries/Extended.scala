@@ -103,6 +103,34 @@ object Extended {
       |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // q54: UNPIVOT (melt) — the inverse of q32's pivot: wide per-status
+  // totals back to (priority, status, total) rows via stack; oracle
+  // uses DuckDB's native UNPIVOT over the same CASE-sum wide form.
+  private val q54: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(d(sum(dec2(col("o_totalprice")))))
+      .selectExpr("o_orderpriority",
+        "stack(3, 'F', F, 'O', O, 'P', P) AS (o_orderstatus, total)")
+      .filter(col("total").isNotNull)
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  private val q54Sql =
+    """WITH wide AS (
+      |  SELECT o_orderpriority,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+      |    CAST(sum(CASE WHEN o_orderstatus = 'O'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+      |    CAST(sum(CASE WHEN o_orderstatus = 'P'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, o_orderstatus, total
+      |FROM wide UNPIVOT (total FOR o_orderstatus IN ("F", "O", "P"))
+      |WHERE total IS NOT NULL
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
   // q33: statistical aggregates with exact arithmetic — mean/variance/
   // stddev derived from exact decimal sums (sum, sum of squares), so
   // both engines evaluate the identical double expression tree.
@@ -407,6 +435,7 @@ object Extended {
     "q44_lateral_topn" -> q44,
     "q31_asof_join" -> q31,
     "q53_asof_forward" -> q53,
+    "q54_unpivot" -> q54,
     "q32_pivot" -> q32,
     "q33_stats_agg" -> q33,
     "q34_array_agg" -> q34,
@@ -424,6 +453,7 @@ object Extended {
     "q46_histogram" -> q46Sql,
     "q31_asof_join" -> q31Sql,
     "q53_asof_forward" -> q53Sql,
+    "q54_unpivot" -> q54Sql,
     "q32_pivot" -> q32Sql,
     "q33_stats_agg" -> q33Sql,
     "q34_array_agg" -> q34Sql,

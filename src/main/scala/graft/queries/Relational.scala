@@ -618,6 +618,72 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // q55: distribution ranking — percent_rank / cume_dist complete the
+  // ranking-function family (q14 covers row_number/rank/dense_rank/
+  // ntile). Both are rational functions of integer ranks, so the
+  // doubles are engine-identical without rounding.
+  private val q55: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q55Sql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders WHERE o_orderstatus = 'P'
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // q56: correlation + covariance from EXACT decimal sums — the q33
+  // discipline extended to bivariate stats: Σx, Σy, Σxy, Σx², Σy² in
+  // DECIMAL, then one identical double expression tree on both
+  // engines (native corr()/covar_samp() stream floats in partition
+  // order and would hash-mismatch).
+  private val q56: Q = (s, dir) => {
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_extendedprice"))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        d(sum(x)).as("sx"), d(sum(y)).as("sy"),
+        d(sum(x * y)).as("sxy"),
+        d(sum(x * x)).as("sxx"), d(sum(y * y)).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          .as("covar_samp"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q56Sql =
+    """WITH a AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+      |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+      |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+      |  (n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_scan_filter" -> q01,
     "q02_agg_tpch_q1" -> q02,
@@ -644,6 +710,8 @@ object Relational {
     "q38_range_frame" -> q38,
     "q39_percentiles" -> q39,
     "q52_approx_percentile" -> q52,
+    "q55_rank_dist" -> q55,
+    "q56_corr" -> q56,
   )
 
   val oracles: Map[String, String] = Map(
@@ -672,5 +740,7 @@ object Relational {
     "q38_range_frame" -> q38Sql,
     "q39_percentiles" -> q39Sql,
     "q52_approx_percentile" -> q52Sql,
+    "q55_rank_dist" -> q55Sql,
+    "q56_corr" -> q56Sql,
   )
 }

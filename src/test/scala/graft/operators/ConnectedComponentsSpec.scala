@@ -48,6 +48,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("both modes agree with a reference union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(3, 17, 99)) {
+      val rng = new scala.util.Random(seed)
+      val n = 120
+      val es = (1 to 150).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: plain scala union-find with min-id roots
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      val df = es.toDF("a_id", "b_id")
+      for (cap <- Seq(0L, 1000000L)) {
+        val got = ConnectedComponents.of(df, smallEdgeCap = cap)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"seed=$seed cap=$cap")
+      }
+    }
+  }
+
   test("hitting the round cap without convergence throws instead of " +
     "returning unconverged labels (ADVICE r3)") {
     import spark.implicits._
