@@ -257,7 +257,15 @@ object Llm {
     * unordered. minhash signatures are computed per-row over the
     * shingle array — zero shuffles until the band-bucket self-join,
     * which is the only O(candidates) stage; candidates are then
-    * exact-verified against the full shingle sets. */
+    * exact-verified against the full shingle sets.
+    *
+    * Candidate-generation A/B (r4): rewriting the band self-join as
+    * bucket posting lists + compiled flatMap (the formulation that
+    * won for [[jaccardPairsFor]]) measured a WASH-to-loss here
+    * (minhash 0.68 → 0.79-0.82 s at sf0.1) — band buckets are far
+    * sparser than shingle posting lists (32 exact-hash bands vs
+    * thousands of shared shingles), so the join side's win on pair
+    * expansion never materializes. Kept the join. */
   private[queries] def lshVerifiedPairsFor(documents: DataFrame): DataFrame = {
     // (A/B-measured: lazy-localCheckpointing this frame is a wash —
     // its three consumers otherwise compute in parallel plan
