@@ -141,12 +141,47 @@ object Events {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // q57: cohort retention — users grouped by first-seen day; retained
+  // = active again within 7 days. ONE user_id exchange end to end:
+  // the cohort day is a window min over the same partitioning the
+  // two-level aggregation reuses (no self-join of the event log).
+  private val q57: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+    events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(col("user_id"), col("cohort_day"))
+      .agg(max(when(col("day") > col("cohort_day") &&
+          datediff(col("day"), col("cohort_day")) <= 7, 1L).otherwise(0L))
+        .as("retained"))
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"), sum(col("retained")).as("n_retained"))
+      .orderBy(col("cohort_day"))
+  }
+
+  private val q57Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (
+      |  SELECT user_id, day,
+      |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+      |  FROM e),
+      |p AS (
+      |  SELECT user_id, cohort_day,
+      |    max(CASE WHEN day > cohort_day AND day - cohort_day <= 7
+      |        THEN 1 ELSE 0 END) AS retained
+      |  FROM c GROUP BY 1, 2)
+      |SELECT cohort_day, count(*) AS n_users,
+      |  CAST(sum(retained) AS BIGINT) AS n_retained
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q16_lag_lead" -> q16,
     "q22_tumbling_window" -> q22,
     "q23_sliding_window" -> q23,
     "q24_sessionization" -> q24,
     "q25_json_extract" -> q25,
+    "q57_retention" -> q57,
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,5 +190,6 @@ object Events {
     "q23_sliding_window" -> q23Sql,
     "q24_sessionization" -> q24Sql,
     "q25_json_extract" -> q25Sql,
+    "q57_retention" -> q57Sql,
   )
 }
