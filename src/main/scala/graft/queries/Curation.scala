@@ -295,7 +295,55 @@ object Curation {
       |UNION ALL SELECT 3, 'purchase', count(*) FROM p
       |ORDER BY stage_idx""".stripMargin
 
+  // ---- llm_mix_sources: temperature-weighted training mixture --------
+  // The data-mixing operator: draw a fixed-size corpus whose per-source
+  // share follows w_s = n_s^(1/T) (T = 2 here — the standard
+  // multilingual up-sampling trick: rare sources get boosted, dominant
+  // ones damped), selecting each source's quota DETERMINISTICALLY as
+  // the docs with the smallest md5(doc_id) — reproducible across runs
+  // and engines, no RNG. Quotas ride a broadcast (one row per source);
+  // selection is one rank-per-source window. At 100 TB: weights from a
+  // metadata aggregation, selection streams the corpus once.
+  private val MixTarget = 200
+  private val mix: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val quotas = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", sqrt(col("n").cast(DoubleType)))
+      .withColumn("wsum", sum(col("w")).over(Window.partitionBy()))
+      .withColumn("quota",
+        floor(lit(MixTarget) * col("w") / col("wsum")).cast(LongType))
+      .select(col("source"), col("quota"))
+    val ranked = docs
+      .select(col("doc_id"), col("source"),
+        md5(encode(col("doc_id").cast(StringType), "UTF-8")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))))
+    ranked.join(broadcast(quotas), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mixSql =
+    s"""WITH q AS (
+       |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+       |quotas AS (
+       |  SELECT source,
+       |    CAST(floor($MixTarget * sqrt(CAST(n AS DOUBLE)) /
+       |      sum(sqrt(CAST(n AS DOUBLE))) OVER ()) AS BIGINT) AS quota
+       |  FROM q),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, source FROM ranked JOIN quotas USING (source)
+       |WHERE rk <= quota ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_mix_sources" -> mix,
     "llm_vocab_topk" -> vocab,
     "llm_redact_terms" -> redact,
     "llm_tfidf" -> tfidf,
@@ -307,6 +355,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_mix_sources" -> mixSql,
     "llm_vocab_topk" -> vocabSql,
     "llm_redact_terms" -> redactSql,
     "llm_tfidf" -> tfidfSql,
