@@ -342,7 +342,34 @@ object Curation {
        |SELECT doc_id, source FROM ranked JOIN quotas USING (source)
        |WHERE rk <= quota ORDER BY doc_id""".stripMargin
 
+  // ---- llm_contamination: eval-set decontamination --------------------
+  // Flag every (doc, probe) pair where a benchmark probe phrase occurs
+  // verbatim in the doc — the decontamination pass a training corpus
+  // runs against its eval suites. Probes ride the plan as a broadcast
+  // literal array; the scan is one pass, per-row work only. At real
+  // scale (thousands of probes) the contains-per-probe explode becomes
+  // one Aho-Corasick automaton applied per row inside mapPartitions —
+  // same plan shape, same output contract.
+  private val Probes = Seq(
+    "hash join", "sort merge", "table scan", "key agg", "window table")
+
+  private val contamination: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(array(Probes.map(lit): _*)).as("probe"))
+      .filter(col("text").contains(col("probe")))
+      .select(col("doc_id"), col("probe"))
+      .orderBy(col("doc_id"), col("probe"))
+
+  private val contaminationSql =
+    s"""SELECT doc_id, probe
+       |FROM documents, unnest([${Probes.map(p => s"'$p'").mkString(", ")}])
+       |  AS t(probe)
+       |WHERE contains(text, probe)
+       |ORDER BY doc_id, probe""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_contamination" -> contamination,
     "llm_mix_sources" -> mix,
     "llm_vocab_topk" -> vocab,
     "llm_redact_terms" -> redact,
@@ -355,6 +382,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_contamination" -> contaminationSql,
     "llm_mix_sources" -> mixSql,
     "llm_vocab_topk" -> vocabSql,
     "llm_redact_terms" -> redactSql,
