@@ -157,6 +157,7 @@ final class Engine(
       notifyTerminal(FlowTerminal(run.id, terminalState, run.currentPhase,
         run.transitions))
       appendEventLog(run)
+      clearControls(run.id)
       flushing.remove(run.id)
     }
 
@@ -182,6 +183,108 @@ final class Engine(
         System.err.println(s"[engine] event-log append failed for " +
           s"${run.id}: $e"))
     }
+
+  // ---- cross-process flow control (O6-O8 across engine instances) ----
+  // The reference lets ANY process `Flow.find(id)` then
+  // `pause!/resume!/cancel!` it — control state lives in the shared
+  // Redis store (`flow.rb:20-24,54-60,70-101`). Here the shared store
+  // is `eventLogDir`: a control INTENT is a durable marker file under
+  // `$eventLogDir/controls/` (`<flowId>.cancel` / `<flowId>.pause`;
+  // resume = deleting the pause marker). The owning engine's FSM
+  // consults the markers at every phase boundary and while parked in
+  // the paused state, so a flow submitted by engine A stops/pauses/
+  // resumes on request from engine B sharing the directory. Markers
+  // are tiny FS metadata ops on the shared store — two exists() calls
+  // per phase boundary, nothing per task.
+
+  private def controlsDir: Option[org.apache.hadoop.fs.Path] =
+    config.eventLogDir.map(d => new org.apache.hadoop.fs.Path(s"$d/controls"))
+
+  private def controlFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMarker(flowId: String, action: String): Boolean =
+    controlsDir.exists { base =>
+      Try {
+        val fs = controlFs(base)
+        fs.mkdirs(base)
+        fs.create(new org.apache.hadoop.fs.Path(base, s"$flowId.$action"),
+          true).close()
+        true
+      }.getOrElse(false)
+    }
+
+  private def dropMarker(flowId: String, action: String): Boolean =
+    controlsDir.exists { base =>
+      Try(controlFs(base)
+        .delete(new org.apache.hadoop.fs.Path(base, s"$flowId.$action"),
+          false)).getOrElse(false)
+    }
+
+  /** Durable (cancelRequested, pauseRequested) intents for a flow —
+    * polled by the owning FlowRun's FSM. No event-log dir → no-op. */
+  private[flow] def durableControls(flowId: String): (Boolean, Boolean) =
+    controlsDir.fold((false, false)) { base =>
+      Try {
+        val fs = controlFs(base)
+        (fs.exists(new org.apache.hadoop.fs.Path(base, s"$flowId.cancel")),
+          fs.exists(new org.apache.hadoop.fs.Path(base, s"$flowId.pause")))
+      }.getOrElse((false, false))
+    }
+
+  /** Cancel a flow owned by this OR any other engine sharing
+    * `eventLogDir` (reference `flow.rb:70-80` `cancel!` from anywhere).
+    * Local flows cancel immediately; remote ones at their owner's next
+    * phase boundary (batch control is phase-granular, SURVEY §7.4).
+    * Returns true if the intent was delivered locally or durably. */
+  def requestCancel(flowId: String): Boolean = {
+    val local = find(flowId).exists(_.cancel())
+    writeMarker(flowId, "cancel") || local
+  }
+
+  /** Durable pause intent (reference `flow.rb:82-91` `pause!`). */
+  def requestPause(flowId: String): Boolean = {
+    val local = find(flowId).exists(_.pause())
+    writeMarker(flowId, "pause") || local
+  }
+
+  /** Durable resume: drops the pause marker; a flow paused BY MARKER
+    * resumes at its next poll (reference `flow.rb:93-101` `resume!`).
+    * Also resumes a locally-paused flow on this engine directly. */
+  def requestResume(flowId: String): Boolean = {
+    val dropped = dropMarker(flowId, "pause")
+    val local = find(flowId).exists(_.resume())
+    dropped || local
+  }
+
+  /** Terminal flows clean their markers up (a cancel marker must not
+    * outlive the flow and confuse an id reuse — ids are UUIDs, this is
+    * pure hygiene). */
+  private[flow] def clearControls(flowId: String): Unit = {
+    dropMarker(flowId, "cancel")
+    dropMarker(flowId, "pause")
+    ()
+  }
+
+  /** Pending durable control intents — observability twin of
+    * `transitionLog()` for the control plane. */
+  def controlIntents(): DataFrame = {
+    import spark.implicits._
+    val rows = controlsDir.toSeq.flatMap { base =>
+      Try {
+        val fs = controlFs(base)
+        if (!fs.exists(base)) Seq.empty
+        else fs.listStatus(base).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          val i = n.lastIndexOf('.')
+          if (i <= 0) None
+          else Some((n.substring(0, i), n.substring(i + 1),
+            st.getModificationTime))
+        }
+      }.getOrElse(Seq.empty)
+    }
+    rows.toDF("flow_id", "action", "requested_at_ms")
+  }
 
   private def logTable(sub: String): Option[DataFrame] =
     config.eventLogDir.flatMap { dir =>
@@ -338,6 +441,33 @@ final class FlowRun private[flow] (
     }
   }
 
+  // set when a pause was triggered by a durable marker (cross-process
+  // requestPause): such a flow auto-resumes when the marker disappears,
+  // while a locally-paused flow only resumes via resume()
+  @volatile private var pausedByMarker = false
+
+  /** Apply durable cross-process control intents (engine.requestPause/
+    * requestCancel/requestResume from ANY engine sharing the event-log
+    * dir). Polled at every phase boundary and, for the resume path,
+    * while parked in the paused state. Cancel wins over pause. No
+    * event-log dir → two constant-false reads, zero I/O. */
+  private def pollDurableControls(): Unit = {
+    val (rCancel, rPause) = engine.durableControls(id)
+    if (rCancel) { cancel(); () }
+    else if (rPause) lock.synchronized {
+      if (state == Running && !pauseRequested) {
+        pausedByMarker = true
+        pause()
+        ()
+      }
+    }
+    else if (pausedByMarker) {
+      pausedByMarker = false
+      resume()
+      ()
+    }
+  }
+
   /** O28: live status snapshot. */
   def status(): FlowStatus = FlowStatus(
     flowId = id,
@@ -375,7 +505,9 @@ final class FlowRun private[flow] (
     // total error hops by the phase count
     var errorHops = 0
     while (!done) {
-      // control checks at the phase boundary
+      // control checks at the phase boundary; durable (cross-process)
+      // intents first so they land exactly like local calls
+      pollDurableControls()
       if (state == Canceled) {
         transitionTo(phase.name, "canceled")
         engine.deregister(this)
@@ -387,7 +519,12 @@ final class FlowRun private[flow] (
           state = Paused
           transitionTo(phase.name, "paused") // O6: pseudo-phase
         }
-        while (state == Paused) lock.wait()
+        // timed wait: a cross-process resume only deletes the durable
+        // marker (no monitor to notify in this JVM) — poll it
+        while (state == Paused) {
+          lock.wait(250)
+          if (state == Paused) pollDurableControls()
+        }
         if (state == Canceled) {
           transitionTo("paused", "canceled")
           engine.deregister(this)

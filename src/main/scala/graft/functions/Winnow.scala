@@ -16,9 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * h_i = Σ c_{i+j}·B^(k-1-j) mod M, computed in O(n) with the
   * Rabin-Karp rolling update (subtract the outgoing char's B^(k-1)
   * term, multiply by B, add the incoming char) — not O(n·k)
-  * recomputation. B = 257, M = 2^31−1; characters are UTF-16 code
-  * units (= code points for ASCII/BMP text, matching the oracle's
-  * per-codepoint recomputation).
+  * recomputation. B = 257, M = 2^31−1; characters are Unicode code
+  * points (matching the oracle's ord()/substring() recomputation even
+  * on supplementary-plane text; BMP-only strings take an
+  * allocation-free charAt fast path).
   *
   * Stage 2 — WINNOWING: over each window of `w` consecutive hashes,
   * keep the minimum (single-pass monotonic-deque sliding minimum,
@@ -76,9 +77,22 @@ object WinnowFingerprints {
 
   /** Sorted distinct winnowed fingerprints of `s` (k-gram hashes,
     * winnow window w). Empty when the text has fewer than w full
-    * k-windows — winnowing needs at least one full hash window. */
+    * k-windows — winnowing needs at least one full hash window.
+    *
+    * Windows are over Unicode CODE POINTS, not UTF-16 code units, so
+    * supplementary (non-BMP) characters count as one position and hash
+    * as their full code-point value — matching the DuckDB oracle's
+    * ord()/substring() semantics instead of silently diverging on
+    * astral text. For BMP-only strings (the common case) the cheap
+    * charAt path is taken with zero extra allocation.
+    */
   def compute(s: String, k: Int, w: Int): Array[Long] = {
-    val n = s.length
+    val cps: Array[Int] =
+      if (s.length == s.codePointCount(0, s.length)) null // BMP fast path
+      else s.codePoints().toArray
+    val n = if (cps == null) s.length else cps.length
+    @inline def cp(i: Int): Long =
+      (if (cps == null) s.charAt(i).toInt else cps(i)).toLong
     val nh = n - k + 1
     if (nh < w) return Array.emptyLongArray
     // B^(k-1) mod M for the rolling subtraction
@@ -89,12 +103,12 @@ object WinnowFingerprints {
     val h = new Array[Long](nh)
     var cur = 0L
     var i = 0
-    while (i < k) { cur = (cur * Base + s.charAt(i)) % Mod; i += 1 }
+    while (i < k) { cur = (cur * Base + cp(i)) % Mod; i += 1 }
     h(0) = cur
     i = 1
     while (i < nh) {
-      val out = s.charAt(i - 1) * bk % Mod
-      cur = ((cur - out + Mod) % Mod * Base + s.charAt(i + k - 1)) % Mod
+      val out = cp(i - 1) * bk % Mod
+      cur = ((cur - out + Mod) % Mod * Base + cp(i + k - 1)) % Mod
       h(i) = cur
       i += 1
     }

@@ -56,14 +56,11 @@ object SkewJoin {
       salts: Int = 16,
       sampleFraction: Double = 0.01,
       hotRowThreshold: Long = 1000000L,
-      maxHotKeys: Int = 1000): DataFrame = {
+      maxHotKeys: Int = 1000,
+      knownHotKeys: Option[Seq[Any]] = None): DataFrame = {
     require(salts > 0 && sampleFraction > 0 && sampleFraction <= 1)
-    val sampledCut = math.max(1L, (hotRowThreshold * sampleFraction).toLong)
-    val hotKeys = big.sample(withReplacement = false, sampleFraction, seed = 42)
-      .groupBy(col(bigKey)).count()
-      .filter(col("count") >= sampledCut)
-      .orderBy(col("count").desc).limit(maxHotKeys)
-      .select(col(bigKey)).collect().map(_.get(0))
+    val hotKeys = knownHotKeys.map(_.toArray).getOrElse(
+      probeHotKeys(big, bigKey, sampleFraction, hotRowThreshold, maxHotKeys))
     if (hotKeys.isEmpty) {
       big.join(small, big(bigKey) === small(smallKey))
     } else {
@@ -77,4 +74,45 @@ object SkewJoin {
       hot.union(cold)
     }
   }
+
+  /** Session-lifetime cache of probed hot keys, keyed by the big
+    * side's canonicalized plan + probe parameters: at 100 TB the
+    * detection pass is a second full scan of the fact table, and a
+    * pipeline that joins the same fact frame repeatedly (dedup →
+    * enrich → audit) must not pay it per join. Key stats for a given
+    * input are also exactly what AQE/catalog statistics would supply
+    * on a real cluster — callers holding them pass `knownHotKeys`
+    * and skip the probe entirely.
+    */
+  private val hotKeyCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Double, Long, Int), Array[Any]]()
+
+  /** Sample the big side once and collect keys estimated above
+    * `hotRowThreshold` rows (bounded at `maxHotKeys`); memoized per
+    * canonicalized plan so repeated joins reuse one scan. */
+  def probeHotKeys(
+      big: DataFrame,
+      bigKey: String,
+      sampleFraction: Double = 0.01,
+      hotRowThreshold: Long = 1000000L,
+      maxHotKeys: Int = 1000): Array[Any] = {
+    val cacheKey = (big.queryExecution.logical.canonicalized.hashCode(),
+      bigKey, sampleFraction, hotRowThreshold, maxHotKeys)
+    hotKeyCache.computeIfAbsent(cacheKey, { _ =>
+      val sampledCut = math.max(1L, (hotRowThreshold * sampleFraction).toLong)
+      // NULL keys must not reach hotKeys: a NULL element makes the cold
+      // branch's NOT-IN filter evaluate to NULL for every non-hot row
+      // (SQL three-valued logic), silently dropping the whole cold side.
+      // NULL-keyed rows match nothing under the inner equi-join anyway.
+      big.sample(withReplacement = false, sampleFraction, seed = 42)
+        .filter(col(bigKey).isNotNull)
+        .groupBy(col(bigKey)).count()
+        .filter(col("count") >= sampledCut)
+        .orderBy(col("count").desc).limit(maxHotKeys)
+        .select(col(bigKey)).collect().map(_.get(0))
+    })
+  }
+
+  /** Test/iteration hook: drop memoized probe results. */
+  def clearHotKeyCache(): Unit = hotKeyCache.clear()
 }

@@ -68,41 +68,60 @@ object Llm {
     */
   private[queries] def jaccardPairsFor(docs: DataFrame,
       maxDf: Int = JaccardMaxDf): DataFrame = {
+    // shingles live their whole pipeline life as 64-bit hashes
+    // (functions.ShingleHashes): the posting-list exchange is the
+    // pipeline's widest shuffle and its key never needs to be readable
+    // — 8-byte longs instead of ~30-byte strings, and no per-window
+    // string concat/allocation on the map side either. Distinct-count
+    // parity with string shingles holds modulo 64-bit collisions
+    // (P ≈ D²/2⁶⁵ — the budget the minhash seeds already ride).
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"),
-        graft.functions.Shingles.word_shingles(col("tk"), 3).as("sh"))
+        graft.functions.TokenOps.shingle_hashes(col("tk"), 3).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast(LongType).as("n"),
         explode(col("sh")).as("s"))
     // pair generation via posting lists: ONE aggregation shuffles the
-    // shingle rows to per-shingle (doc_id, n) lists (the df cap is a
-    // size filter on the list — no window sort), then a compiled
-    // flatMap emits the id-ordered pairs locally. Two exchanges total
-    // (posting groupBy + pair groupBy) vs the r1-r3 self-join's
-    // window sort + join + pair shuffle.
+    // shingle rows to per-shingle doc lists (the df cap is a size
+    // filter on the list — no window sort), then a compiled flatMap
+    // emits the id-ordered pairs locally. Two exchanges total (posting
+    // groupBy + pair groupBy) vs the r1-r3 self-join's window sort +
+    // join + pair shuffle. (doc_id, n) ride both exchanges PACKED into
+    // one long (doc_id·2²¹ | n — n is the doc's distinct-shingle
+    // count, bounded by its token count, so 2²¹ ≈ a 2M-token doc;
+    // doc_id keeps 42 bits): posting values are one word, and the
+    // pair groupBy keys two longs instead of four columns.
     val spark = docs.sparkSession
     import spark.implicits._
+    val PackBits = 21
+    val PackMask = (1L << PackBits) - 1L
     val posting = sh
+      .select(col("s"),
+        (shiftleft(col("doc_id"), PackBits).bitwiseOR(col("n"))).as("dn"))
       .groupBy(col("s"))
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .agg(collect_list(col("dn")).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
     val pairCounts = posting.select(col("ds"))
-      .as[Seq[(Long, Long)]]
+      .as[Seq[Long]]
       .flatMap { ds =>
-        val sorted = ds.sortBy(_._1)
+        // packed values sort like (doc_id, n): doc_id is the high bits
+        val sorted = ds.sorted
         for {
           i <- sorted.indices.iterator
           j <- (i + 1 until sorted.size).iterator
-        } yield (sorted(i)._1, sorted(j)._1, sorted(i)._2, sorted(j)._2)
+        } yield (sorted(i), sorted(j))
       }
-      .toDF("a_id", "b_id", "na", "nb")
-      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .toDF("a_dn", "b_dn")
+      .groupBy(col("a_dn"), col("b_dn"))
       .agg(count(lit(1)).as("inter"))
     pairCounts
-      .select(col("a_id"), col("b_id"),
+      .select(
+        shiftrightunsigned(col("a_dn"), PackBits).as("a_id"),
+        shiftrightunsigned(col("b_dn"), PackBits).as("b_id"),
         (col("inter").cast(DoubleType) /
-          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+          (col("a_dn").bitwiseAND(PackMask) +
+            col("b_dn").bitwiseAND(PackMask) - col("inter"))).as("jaccard"))
   }
 
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
@@ -270,11 +289,11 @@ object Llm {
     // (A/B-measured: lazy-localCheckpointing this frame is a wash —
     // its three consumers otherwise compute in parallel plan
     // branches, and the materialization barrier serializes them)
-    val docs = documents
+    val toks = documents
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"),
-        graft.functions.Shingles.word_shingles(col("tk"), 3).as("sh"))
+    val docs = toks.select(col("doc_id"),
+      graft.functions.Shingles.word_shingles(col("tk"), 3).as("sh"))
     val mh = docs.select(col("doc_id"),
       graft.functions.MinHash.minhash_signature(col("sh"), 64).as("mh"))
     val banded = mh.select(col("doc_id"),
@@ -288,10 +307,16 @@ object Llm {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // exact-verify candidates via per-doc shingle-array intersection
+    // exact-verify candidates via per-doc shingle-array intersection.
+    // The arrays ride the two verify joins as 64-bit shingle hashes,
+    // not 3-word strings — same intersection cardinality (distinct per
+    // doc; cross-collision odds as in jaccardPairsFor), ~4× fewer
+    // shuffle bytes and long-vs-string compares.
+    val docsH = toks.select(col("doc_id"),
+      graft.functions.TokenOps.shingle_hashes(col("tk"), 3).as("shh"))
     cand
-      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .join(docsH.select(col("doc_id").as("a_id"), col("shh").as("sa")), "a_id")
+      .join(docsH.select(col("doc_id").as("b_id"), col("shh").as("sb")), "b_id")
       .select(col("a_id"), col("b_id"),
         (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
           (size(col("sa")) + size(col("sb")) -
@@ -453,9 +478,17 @@ object Llm {
     // skip straight to it; the stats decide only where brute could
     // actually hurt
     val bruteCheapPairs = 100000000L
+    // NOTE: constructing this DataFrame is EAGER (count + possibly the
+    // banding-stats aggregation run as driver jobs) — an AQE-style
+    // planning-time stats pass. Callers that need a lazy plan should
+    // cache the input or pick a branch explicitly.
     if (allPairs <= bruteCheapPairs ||
         srpCandidateEstimate(emb, nBands, bandBits) >= allPairs / 2) {
-      e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      // broadcast pins BroadcastNestedLoopJoin: the brute branch fires
+      // for n up to ~14k vectors, where 256-dim rows can exceed the
+      // default autoBroadcast threshold and the non-equi condition
+      // would otherwise fall to CartesianProductExec (ADVICE r4)
+      e.as("x").join(broadcast(e.as("y")), col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
           round(dot(col("x.embedding"), col("y.embedding")) /
             (col("x.nrm") * col("y.nrm")), 4).as("score"))
@@ -772,8 +805,12 @@ object Llm {
     val losers = lshVerifiedPairsFor(t(s, dir, "documents"))
       .select(col("b_id").as("doc_id"))
       .distinct()
+    // losers ≪ corpus by construction (only verified near-dup ids):
+    // broadcast pins the anti-join to BroadcastHashJoin(LeftAnti) —
+    // without the hint the loser set's size is unknowable at plan time
+    // (it sits behind joins + distinct) and the corpus would shuffle
     t(s, dir, "documents")
-      .join(losers, Seq("doc_id"), "left_anti")
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))

@@ -484,6 +484,73 @@ class EngineSpec extends SparkSpec {
     eventually(engine.runningCount == 0, 30000)
   }
 
+  test("cross-process control: engine B cancels a flow submitted by " +
+    "engine A via the shared event-log dir (reference flow.rb:70-80)") {
+    processed.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("xctl").toString
+    val reg = new HandlerRegistry
+    reg.register(new GateHandler("Slow", "xctl.started", "xctl.gate"))
+    reg.register(new CountingHandler("Never", 1))
+    val cfg = EngineConfig(sfDir = "/root/testdata/sf0.001",
+      eventLogDir = Some(tmp))
+    val engineA = new Engine(spark, reg, cfg)
+    val engineB = new Engine(spark, new HandlerRegistry, cfg)
+    val run = engineA.submit(linearFlow(ListMap(
+      "p1" -> Seq("Slow"), "p2" -> Seq("Never"), "p3" -> Nil)))
+    assert(latch("xctl.started", 1).await(30, TimeUnit.SECONDS))
+    // B does not own the flow...
+    assert(engineB.find(run.id).isEmpty)
+    // ...but its durable cancel intent reaches A's FSM
+    assert(engineB.requestCancel(run.id))
+    assert(engineB.controlIntents().collect()
+      .exists(r => r.getString(0) == run.id && r.getString(1) == "cancel"))
+    latch("xctl.gate", 1).countDown() // let the phase finish its task
+    intercept[Exception](Await.result(run.future, 1.minute))
+    assert(run.isCanceled)
+    // the flow stopped at the phase boundary and LOGGED the transition
+    assert(run.transitions.map(_.to).endsWith(Seq("canceled")))
+    assert(!processed.toArray.exists(_.toString.startsWith("Never")),
+      "phase p2 must never start after a durable cancel")
+    // terminal cleanup: the marker is consumed
+    eventually(engineB.controlIntents()
+      .filter(org.apache.spark.sql.functions.col("flow_id") === run.id)
+      .count() == 0, 10000)
+    // and the durable event log has the canceled flow's history
+    assert(engineB.transitionLog()
+      .filter(org.apache.spark.sql.functions.col("flowId") === run.id)
+      .count() >= 2)
+  }
+
+  test("cross-process control: durable pause parks the flow at the " +
+    "boundary; durable resume continues it (flow.rb:82-101)") {
+    processed.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("xctl2").toString
+    val reg = new HandlerRegistry
+    reg.register(new GateHandler("Slow", "xctl2.started", "xctl2.gate"))
+    reg.register(new CountingHandler("After", 2))
+    val cfg = EngineConfig(sfDir = "/root/testdata/sf0.001",
+      eventLogDir = Some(tmp))
+    val engineA = new Engine(spark, reg, cfg)
+    val engineB = new Engine(spark, new HandlerRegistry, cfg)
+    val run = engineA.submit(linearFlow(ListMap(
+      "p1" -> Seq("Slow"), "p2" -> Seq("After"), "p3" -> Nil)))
+    assert(latch("xctl2.started", 1).await(30, TimeUnit.SECONDS))
+    assert(engineB.requestPause(run.id))
+    latch("xctl2.gate", 1).countDown()
+    // the flow parks as Paused at the p1/p2 boundary
+    eventually(run.isPaused, 30000)
+    assert(run.transitions.map(_.to).endsWith(Seq("paused")))
+    assert(!processed.toArray.exists(_.toString.startsWith("After")))
+    // durable resume from B: marker drops, A's poll continues the flow
+    assert(engineB.requestResume(run.id))
+    val result = Await.result(run.future, 1.minute)
+    assert(result.finalPhase == "p3")
+    assert(run.isFinished)
+    // resume re-entered the last real phase before moving on
+    val tos = run.transitions.map(_.to)
+    assert(tos.containsSlice(Seq("paused", "p2", "p3")))
+  }
+
   private def eventually(cond: => Boolean, timeoutMs: Long): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)

@@ -66,6 +66,36 @@ class WinnowSpec extends SparkSpec {
     assert(rows(2).getSeq[Long](0).nonEmpty)
   }
 
+  test("supplementary-plane text hashes per CODE POINT (one position " +
+    "per astral char), matching the oracle's ord()/substring()") {
+    // reference: explicit code-point polynomial hash + winnow-by-set
+    def ref(s: String, k: Int, w: Int): Set[Long] = {
+      val cps = s.codePoints().toArray
+      val M = WinnowFingerprints.Mod
+      val B = WinnowFingerprints.Base
+      val h = (0 to cps.length - k).map { i =>
+        (i until i + k).foldLeft(0L)((acc, j) => (acc * B + cps(j)) % M)
+      }.toArray
+      if (h.length < w) Set.empty
+      else (0 to h.length - w).map(i => h.slice(i, i + w).min).toSet
+    }
+    // 𝕊 (U+1D54A) and 😀 (U+1F600) are surrogate PAIRS in UTF-16: the
+    // old code-unit loop counted them as two positions and hashed the
+    // surrogate halves, silently diverging from the oracle (ADVICE r4)
+    val astral = "math 𝕊 symbols and emoji 😀 mixed " +
+      "into otherwise plain ascii text long enough to winnow properly"
+    val plain = "just plain ascii text long enough to winnow here too ok"
+    for (s <- Seq(astral, plain)) {
+      assert(WinnowFingerprints.compute(s, 8, 16).toSet == ref(s, 8, 16),
+        s"text='$s'")
+    }
+    // one astral char = ONE window position: a string of n astral chars
+    // has n-k+1 windows, not 2n-k+1
+    val allAstral = "😀" * 40 // 40 code points, 80 chars
+    assert(WinnowFingerprints.compute(allAstral, 8, 16).toSet ==
+      ref(allAstral, 8, 16))
+  }
+
   test("codegen path equals the compiled helper on fixture docs") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)

@@ -126,4 +126,49 @@ class OperatorsSpec extends SparkSpec {
       "e2" -> None, // the r@20 match's NULL, not the older r@5
       "e3" -> None)) // ASOF equality never matches a NULL key
   }
+
+  test("hot-key salted join: hot NULL keys never poison the cold " +
+    "branch's NOT-IN filter") {
+    import spark.implicits._
+    SkewJoin.clearHotKeyCache()
+    // NULL is the most frequent key — an unfiltered probe would
+    // collect it as hot, and `NOT k IN (..., NULL)` then evaluates
+    // NULL for every cold row, silently dropping the whole cold side
+    // (ADVICE r4). 999 is also hot; 0-49 are the cold tail.
+    val big = ((1 to 4000).map(_ => (Option.empty[Long], 0L)) ++
+      (1 to 3000).map(i => (Option(999L), i.toLong)) ++
+      (1 to 1000).map(i => (Option(i.toLong % 50), i.toLong)))
+      .toDF("k", "payload")
+    val small = (0L to 999L).map(k => (k, s"dim_$k")).toDF("sk", "attr")
+    val plain = big.join(small, big("k") === small("sk"))
+      .select(col("k"), col("payload"), col("attr"))
+    val adaptive = SkewJoin.saltedHotKeyJoin(big, small, "k", "sk",
+        salts = 4, sampleFraction = 0.5, hotRowThreshold = 1000)
+      .select(col("k"), col("payload"), col("attr"))
+    assert(plain.count() > 0)
+    assert(adaptive.count() == plain.count())
+    assert(adaptive.exceptAll(plain).isEmpty &&
+      plain.exceptAll(adaptive).isEmpty)
+  }
+
+  test("hot-key probe is memoized per plan: a repeated join reuses " +
+    "one detection scan") {
+    import spark.implicits._
+    SkewJoin.clearHotKeyCache()
+    val big = ((1 to 3000).map(_ => (999L, 1L)) ++
+      (1 to 500).map(i => (i.toLong % 50, i.toLong))).toDF("k", "payload")
+    val first = SkewJoin.probeHotKeys(big, "k",
+      sampleFraction = 0.5, hotRowThreshold = 1000)
+    val second = SkewJoin.probeHotKeys(big, "k",
+      sampleFraction = 0.5, hotRowThreshold = 1000)
+    // reference equality: the second call returned the memoized array
+    // without running the sample/groupBy/collect scan again
+    assert(first eq second)
+    assert(first.toSeq == Seq(999L))
+    // a semantically different plan gets its own probe
+    val other = SkewJoin.probeHotKeys(big.filter(col("payload") >= 0), "k",
+      sampleFraction = 0.5, hotRowThreshold = 1000)
+    assert(!(other eq first))
+    SkewJoin.clearHotKeyCache()
+  }
 }
