@@ -286,6 +286,82 @@ final class Engine(
     rows.toDF("flow_id", "action", "requested_at_ms")
   }
 
+  // ---- deployment-is-registration handler discovery (O20/O26 across
+  // processes). In the reference, a worker becomes routable by
+  // EXISTING: subscribing creates a versioned queue that
+  // `phase_started_handler.rb:45-67` later discovers over the broker's
+  // management API and semver-matches. The shared-store analogue:
+  // `announceHandlers()` drops one marker per registered (handler,
+  // version) under `$eventLogDir/registry/` tagged with this engine's
+  // id; any engine sharing the directory lists the fleet's union and
+  // semver-resolves against it — version DISCOVERY for multi-process
+  // deployments (execution still happens on the engine that owns the
+  // handler code, as in the reference, where the queue's consumer is
+  // the process that registered it).
+
+  /** This engine instance's fleet identity. */
+  val engineId: String = UUID.randomUUID().toString
+
+  private def registryDir: Option[org.apache.hadoop.fs.Path] =
+    config.eventLogDir.map(d => new org.apache.hadoop.fs.Path(s"$d/registry"))
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Announce every locally-registered handler version to the shared
+    * store; idempotent (marker overwrite). Returns markers written. */
+  def announceHandlers(): Int =
+    registryDir.fold(0) { base =>
+      Try {
+        val fs = controlFs(base)
+        fs.mkdirs(base)
+        val names = registry.names
+        val written = for {
+          n <- names
+          v <- registry.versions(n)
+        } yield {
+          fs.create(new org.apache.hadoop.fs.Path(base,
+            s"${enc(n)}@$v.$engineId"), true).close()
+          1
+        }
+        written.sum
+      }.getOrElse(0)
+    }
+
+  /** The fleet's advertised capability map: handler → announced
+    * versions (distinct, ascending) from every engine sharing the
+    * store — the reference's management-API queue listing. */
+  def fleetHandlers(): Map[String, Seq[SemVer]] =
+    registryDir.fold(Map.empty[String, Seq[SemVer]]) { base =>
+      Try {
+        val fs = controlFs(base)
+        if (!fs.exists(base)) Map.empty[String, Seq[SemVer]]
+        else fs.listStatus(base).toSeq
+          .flatMap { st =>
+            val n = st.getPath.getName
+            // <urlenc(name)>@<version>.<engineId(36 chars)>
+            val at = n.lastIndexOf('@')
+            if (at < 0 || n.length < at + 39) None
+            else {
+              val verPart = n.substring(at + 1, n.length - 37)
+              SemVer.parse(verPart).map(v => (dec(n.substring(0, at)), v))
+            }
+          }
+          .groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).distinct.sorted }
+      }.getOrElse(Map.empty)
+    }
+
+  /** Semver-resolve a handler ref against the FLEET's announcements
+    * (highest matching version, same rule as local resolution) —
+    * answers "can some deployed engine run this, and at what
+    * version?" without that engine's code being loaded here. */
+  def fleetResolve(ref: HandlerRef): Option[SemVer] =
+    fleetHandlers().get(ref.name).flatMap(vs =>
+      SemVer.bestMatch(ref.version.getOrElse(""), vs))
+
   private def logTable(sub: String): Option[DataFrame] =
     config.eventLogDir.flatMap { dir =>
       val path = new org.apache.hadoop.fs.Path(s"$dir/$sub")

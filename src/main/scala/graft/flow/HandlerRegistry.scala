@@ -24,6 +24,9 @@ final class HandlerRegistry {
   /** O26: queue-existence probe analogue. */
   def contains(name: String): Boolean = handlers.contains(name)
 
+  /** All registered handler names (fleet-announcement enumeration). */
+  def names: Seq[String] = handlers.keys.toSeq.sorted
+
   def versions(name: String): Seq[SemVer] =
     handlers.get(name).map(_.keys.toSeq.sorted).getOrElse(Nil)
 

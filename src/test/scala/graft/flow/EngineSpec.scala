@@ -551,6 +551,37 @@ class EngineSpec extends SparkSpec {
     assert(tos.containsSlice(Seq("paused", "p2", "p3")))
   }
 
+  test("deployment-is-registration: engine B discovers and " +
+    "semver-resolves handlers announced by engine A " +
+    "(phase_started_handler.rb:45-67 analogue)") {
+    val tmp = java.nio.file.Files.createTempDirectory("xreg").toString
+    val cfg = EngineConfig(sfDir = "/root/testdata/sf0.001",
+      eventLogDir = Some(tmp))
+    val regA = new HandlerRegistry
+    regA.register(new TaggedHandler("Worker", SemVer(1, 2, 0), "a"))
+    regA.register(new TaggedHandler("Worker", SemVer(1, 5, 3), "b"))
+    regA.register(new TaggedHandler("Worker", SemVer(2, 0, 0), "c"))
+    regA.register(new CountingHandler("Other", 1))
+    val engineA = new Engine(spark, regA, cfg)
+    assert(engineA.announceHandlers() == 4)
+    // B has NO local handlers, but sees the fleet's capability map
+    val engineB = new Engine(spark, new HandlerRegistry, cfg)
+    assert(engineB.registry.names.isEmpty)
+    val fleet = engineB.fleetHandlers()
+    assert(fleet.keySet == Set("Worker", "Other"))
+    assert(fleet("Worker") ==
+      Seq(SemVer(1, 2, 0), SemVer(1, 5, 3), SemVer(2, 0, 0)))
+    // gem-style pessimistic constraint resolves to the best 1.x
+    assert(engineB.fleetResolve(HandlerRef("Worker", Some("~> 1.0")))
+      .contains(SemVer(1, 5, 3)))
+    assert(engineB.fleetResolve(HandlerRef("Worker", None))
+      .contains(SemVer(2, 0, 0)))
+    assert(engineB.fleetResolve(HandlerRef("Missing", None)).isEmpty)
+    // re-announce is idempotent (marker overwrite, same fleet view)
+    assert(engineA.announceHandlers() == 4)
+    assert(engineB.fleetHandlers()("Worker").size == 3)
+  }
+
   private def eventually(cond: => Boolean, timeoutMs: Long): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)

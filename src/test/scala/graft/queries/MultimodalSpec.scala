@@ -85,7 +85,12 @@ class MultimodalSpec extends SparkSpec {
   test("trained IVF verdict query: Lloyd objective never degrades, " +
     "deterministic across runs, k scales with corpus size") {
     graft.operators.KMeans.clearCache()
+    Multimodal.clearTrainedCache()
     val a = Multimodal.annIvfTrainedWith(spark, dir, 2).collect().toSeq
+    // drop BOTH caches so b re-trains from scratch: the assertion is
+    // run-determinism of the training itself, not cache hygiene
+    graft.operators.KMeans.clearCache()
+    Multimodal.clearTrainedCache()
     val b = Multimodal.annIvfTrainedWith(spark, dir, 2).collect().toSeq
     assert(a == b, "trained verdict must be run-deterministic")
     assert(a.size == 1)
