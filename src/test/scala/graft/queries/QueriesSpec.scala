@@ -214,6 +214,32 @@ class QueriesSpec extends SparkSpec {
     assert(exact.exceptAll(prod).isEmpty && prod.exceptAll(exact).isEmpty)
   }
 
+  test("verified-pair index: LSH-served jaccard pairs are bit-identical " +
+    "to the exact posting-list formulation, and the index is built once " +
+    "per input plan") {
+    val fixture = spark.read.parquet(s"$dir/documents.parquet")
+    Llm.clearPairIndex()
+    // the LSH index's exact-verify output at J >= 0.6 equals the
+    // uncapped exact posting-list Jaccard on any corpus where band
+    // recall is 1 (all fixtures) — this pins llm_ngram_jaccard_dedup's
+    // reroute through the index (VERDICT r4 one-pipeline-two-outputs)
+    val viaIndex = Llm.lshVerifiedPairs(fixture)
+      .filter(col("jaccard") >= 0.6)
+    val viaPostings = Llm.jaccardPairsFor(fixture, maxDf = Int.MaxValue)
+      .filter(col("jaccard") >= 0.6)
+    assert(viaIndex.exceptAll(viaPostings).isEmpty &&
+      viaPostings.exceptAll(viaIndex).isEmpty)
+    // build-once: the same input plan returns the SAME persisted frame
+    // (reference equality = no recomputation), a different plan builds
+    // its own index
+    val again = Llm.lshVerifiedPairs(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    assert(again eq Llm.lshVerifiedPairs(fixture))
+    val other = Llm.lshVerifiedPairs(fixture.limit(50))
+    assert(!(other eq again))
+    Llm.clearPairIndex()
+  }
+
   test("minhash rejects non-array<string> input and out-of-range " +
     "numHashes at analysis time (ADVICE r1)") {
     import spark.implicits._
