@@ -76,12 +76,22 @@ object Bench {
       parts = cpus.toInt)
     note(f"tables warmed in ${(System.nanoTime() - tWarm) / 1e9}%.1f s")
 
+    // SPARK_GRAFT_REUSE_PLAN=true: build each query's DataFrame once
+    // and re-execute it across rounds, so (fresh − reused) isolates
+    // Catalyst analysis/optimization cost from execution — the floor
+    // experiment recorded in BASELINE.md (VERDICT r4 #8). Default off:
+    // the official number includes planning, as a real engine pays it.
+    val reusePlan = sys.env.get("SPARK_GRAFT_REUSE_PLAN").contains("true")
+    val planned = scala.collection.mutable.Map[
+      String, org.apache.spark.sql.DataFrame]()
+
     def timeOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        if (reusePlan) planned.getOrElseUpdate(name, fn(spark, sfDir)).count()
+        else fn(spark, sfDir).count()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>

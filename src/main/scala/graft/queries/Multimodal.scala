@@ -196,16 +196,22 @@ object Multimodal {
       .withColumn("cs",
         dot(col("embedding"), col("ce")) /
           (sqrt(col("n2")) * sqrt(col("cn2"))))
-    val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cs").desc, col("cid"))
-    val ranked = dists
-      .withColumn("rn", row_number().over(byDist))
-    val assign = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("n2"), col("cid"))
-    // multi-probe: the query searches its nProbe nearest cells
+    // argmax assignment via max_by (r5): the k centroid rows of a
+    // vector co-reside in its partition (crossJoin preserves the fact
+    // side's partitioning), so map-side combine collapses to one row
+    // per vector BEFORE the exchange — the r4 row_number window
+    // shuffled all n·k rows and sorted them. Tie-break identical to
+    // the window's (cs desc, cid asc): max (cs, -cid).
+    val assign = dists.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"),
+        first(col("embedding")).as("embedding"), first(col("n2")).as("n2"))
+    // multi-probe: the query searches its nProbe nearest cells — a
+    // top-k over the query row's k centroid scores (TakeOrdered on k
+    // rows, no window)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"), col("n2").as("qn2"))
-    val qcells = ranked.filter(col("vec_id") === 0 && col("rn") <= nProbe)
+    val qcells = dists.filter(col("vec_id") === 0)
+      .orderBy(col("cs").desc, col("cid")).limit(nProbe)
       .select(col("cid").as("qcid"))
     assign.join(broadcast(qcells), col("cid") === col("qcid"))
       .crossJoin(broadcast(q))
