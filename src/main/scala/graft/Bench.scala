@@ -35,10 +35,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // 4 interleaved rounds: this host shows 5-70x interference bursts
-    // lasting ~a round, so more best-of samples materially de-noise
-    // the per-query minima (slow-skip keeps the cost bounded)
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "4").toInt
+    // 5 interleaved rounds: this host shows 5-70x interference bursts
+    // lasting minutes (~a full round), so more best-of samples
+    // materially de-noise the per-query minima — with a whole round
+    // contended, 5 rounds still give every query 4 clean shots
+    // (slow-skip keeps the cost bounded; a full run is ~8 min)
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -505,12 +505,21 @@ object Llm {
     * the stat only picks the cheaper physical plan. Clustered
     * corpora at realistic thresholds (the 100 TB regime) keep the
     * LSH path: CosineLshSpec pins that the estimate prunes there. */
+  // planning-time stats are memoized per input plan (the r4 contract
+  // shared by KMeans quantizers / hot-key probes / the pair index):
+  // a repeated query re-plans from the cached cardinality instead of
+  // re-running the count job each construction (ADVICE r4 noted the
+  // eager jobs; the first construction still pays them)
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]()
+
   private[queries] def cosineLshPairsFor(emb: DataFrame,
       threshold: Double = 0.5, nBands: Int = 16, bandBits: Int = 2)
       : DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"),
       sqrt(norm2(col("embedding"))).as("nrm"))
-    val n = emb.count()
+    val n = statsCache.computeIfAbsent(
+      emb.queryExecution.logical.canonicalized, _ => emb.count())
     val allPairs = n * (n - 1) / 2
     // below ~1e8 pairs the codegen brute join is seconds of work on a
     // few cores — cheaper than even RUNNING the banding stats pass, so
@@ -521,8 +530,10 @@ object Llm {
     // banding-stats aggregation run as driver jobs) — an AQE-style
     // planning-time stats pass. Callers that need a lazy plan should
     // cache the input or pick a branch explicitly.
-    if (allPairs <= bruteCheapPairs ||
-        srpCandidateEstimate(emb, nBands, bandBits) >= allPairs / 2) {
+    def candEstimate: Long = statsCache.computeIfAbsent(
+      srpBandedFor(emb, nBands, bandBits).queryExecution.logical.canonicalized,
+      _ => srpCandidateEstimate(emb, nBands, bandBits))
+    if (allPairs <= bruteCheapPairs || candEstimate >= allPairs / 2) {
       // broadcast pins BroadcastNestedLoopJoin: the brute branch fires
       // for n up to ~14k vectors, where 256-dim rows can exceed the
       // default autoBroadcast threshold and the non-equi condition
