@@ -157,9 +157,25 @@ final class Engine(
       notifyTerminal(FlowTerminal(run.id, terminalState, run.currentPhase,
         run.transitions))
       appendEventLog(run)
+      rememberTerminal(run.id)
       clearControls(run.id)
       flushing.remove(run.id)
     }
+
+  // terminal ids this engine has seen (bounded): lets request* reject
+  // control intents for flows known to be finished instead of writing
+  // a marker no owner will ever consume (orphan-marker hygiene)
+  private val terminalIds =
+    java.util.Collections.newSetFromMap(
+      new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size() > 10000
+      })
+  private def rememberTerminal(id: String): Unit =
+    terminalIds.synchronized { terminalIds.add(id); () }
+  private def knownTerminal(id: String): Boolean =
+    terminalIds.synchronized(terminalIds.contains(id))
 
   /** O4 durability: append the finished flow's transitions and its
     * definition to `$eventLogDir/{transitions,flows}` parquet. Each
@@ -222,31 +238,47 @@ final class Engine(
     }
 
   /** Durable (cancelRequested, pauseRequested) intents for a flow —
-    * polled by the owning FlowRun's FSM. No event-log dir → no-op. */
-  private[flow] def durableControls(flowId: String): (Boolean, Boolean) =
-    controlsDir.fold((false, false)) { base =>
+    * polled by the owning FlowRun's FSM. No event-log dir → Some
+    * constant-false. A store READ FAILURE returns None: "cannot read
+    * the store" must not be conflated with "no marker", or one I/O
+    * blip would silently auto-resume a marker-paused flow (or skip a
+    * pending cancel for that boundary). */
+  private[flow] def durableControls(flowId: String)
+      : Option[(Boolean, Boolean)] =
+    controlsDir.fold(Option((false, false))) { base =>
       Try {
         val fs = controlFs(base)
         (fs.exists(new org.apache.hadoop.fs.Path(base, s"$flowId.cancel")),
           fs.exists(new org.apache.hadoop.fs.Path(base, s"$flowId.pause")))
-      }.getOrElse((false, false))
+      }.toOption
     }
 
   /** Cancel a flow owned by this OR any other engine sharing
     * `eventLogDir` (reference `flow.rb:70-80` `cancel!` from anywhere).
     * Local flows cancel immediately; remote ones at their owner's next
     * phase boundary (batch control is phase-granular, SURVEY §7.4).
-    * Returns true if the intent was delivered locally or durably. */
-  def requestCancel(flowId: String): Boolean = {
-    val local = find(flowId).exists(_.cancel())
-    writeMarker(flowId, "cancel") || local
-  }
+    * Flows this engine knows are terminal are rejected without writing
+    * a marker no owner would ever consume. Returns true if the intent
+    * was delivered locally or durably. */
+  def requestCancel(flowId: String): Boolean =
+    find(flowId) match {
+      case Some(run) => run.cancel()
+      case None if knownTerminal(flowId) => false
+      case None => writeMarker(flowId, "cancel")
+    }
 
-  /** Durable pause intent (reference `flow.rb:82-91` `pause!`). */
-  def requestPause(flowId: String): Boolean = {
-    val local = find(flowId).exists(_.pause())
-    writeMarker(flowId, "pause") || local
-  }
+  /** Durable pause intent (reference `flow.rb:82-91` `pause!`). When a
+    * shared store exists the intent ALWAYS travels as a marker — even
+    * for a locally-owned flow — so the pause is attributed to the
+    * marker and a later `requestResume` from ANY engine (which only
+    * drops the marker) resumes it; a direct local `pause()` would park
+    * the flow in a state only a local `resume()` can leave. Without a
+    * store, falls back to the local pause. */
+  def requestPause(flowId: String): Boolean =
+    if (controlsDir.isDefined) {
+      if (knownTerminal(flowId)) false
+      else writeMarker(flowId, "pause")
+    } else find(flowId).exists(_.pause())
 
   /** Durable resume: drops the pause marker; a flow paused BY MARKER
     * resumes at its next poll (reference `flow.rb:93-101` `resume!`).
@@ -265,6 +297,13 @@ final class Engine(
     dropMarker(flowId, "pause")
     ()
   }
+
+  /** Admin janitor: drop control markers for a flow id with no living
+    * owner (e.g. an intent written for a mistyped id, or for a flow
+    * whose owner engine died before its terminal flush consumed the
+    * marker). The owning engine cleans up automatically on terminal;
+    * this is the manual path for everything else. */
+  def clearControlIntents(flowId: String): Unit = clearControls(flowId)
 
   /** Pending durable control intents — observability twin of
     * `transitionLog()` for the control plane. */
@@ -527,22 +566,24 @@ final class FlowRun private[flow] (
     * dir). Polled at every phase boundary and, for the resume path,
     * while parked in the paused state. Cancel wins over pause. No
     * event-log dir → two constant-false reads, zero I/O. */
-  private def pollDurableControls(): Unit = {
-    val (rCancel, rPause) = engine.durableControls(id)
-    if (rCancel) { cancel(); () }
-    else if (rPause) lock.synchronized {
-      if (state == Running && !pauseRequested) {
-        pausedByMarker = true
-        pause()
+  private def pollDurableControls(): Unit =
+    // None = store unreadable this poll: take NO action (in particular
+    // do not auto-resume a marker-paused flow) — retry next poll
+    engine.durableControls(id).foreach { case (rCancel, rPause) =>
+      if (rCancel) { cancel(); () }
+      else if (rPause) lock.synchronized {
+        if (state == Running && !pauseRequested) {
+          pausedByMarker = true
+          pause()
+          ()
+        }
+      }
+      else if (pausedByMarker) {
+        pausedByMarker = false
+        resume()
         ()
       }
     }
-    else if (pausedByMarker) {
-      pausedByMarker = false
-      resume()
-      ()
-    }
-  }
 
   /** O28: live status snapshot. */
   def status(): FlowStatus = FlowStatus(

@@ -110,13 +110,15 @@ case class WordCounts(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val tk = input.asInstanceOf[ArrayData]
     val cnt = tk.numElements()
-    val m = new java.util.LinkedHashMap[UTF8String, Int](cnt * 2)
+    val m = new java.util.LinkedHashMap[UTF8String, Integer](cnt * 2)
+    val one = Integer.valueOf(1)
     var i = 0
     while (i < cnt) {
       val t0 = tk.getUTF8String(i)
       val t = if (t0 == null) UTF8String.EMPTY_UTF8 else t0
-      val prev = m.get(t)
-      m.put(t, if (m.containsKey(t)) prev + 1 else 1)
+      // single hash probe per token (this loop runs once per token of
+      // every document in the corpus-wide scan)
+      m.merge(t, one, WordCounts.SumInts)
       i += 1
     }
     val keys = new Array[Any](m.size)
@@ -134,6 +136,13 @@ case class WordCounts(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): WordCounts =
     copy(child = c)
+}
+
+object WordCounts {
+  // shared BiFunction instance: no per-row allocation in the hot loop
+  private[functions] val SumInts:
+      java.util.function.BiFunction[Integer, Integer, Integer] =
+    (a, b) => Integer.valueOf(a.intValue() + b.intValue())
 }
 
 object TokenOps {

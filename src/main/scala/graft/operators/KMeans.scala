@@ -14,11 +14,21 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   *    same "deterministic sample" used across the repo, no RNG state;
   *  - assignment: cosine argmax with an explicit (score desc, cid asc)
   *    tie-break via max_by on a (cs, -cid) struct — no window sort;
-  *  - update: centroid component sums as DECIMAL(30,10) — exact
-  *    integer-scaled arithmetic, so the mean is independent of Spark's
-  *    partial-aggregation order (a double sum would differ in ulps
-  *    between runs and flip assignments near cell boundaries);
-  *  - fixed iteration count (no data-dependent convergence test).
+  *  - update: the SPHERICAL mean — each member vector is first
+  *    normalized to unit length (the cosine objective's optimal
+  *    update direction is the normalized sum of unit vectors; summing
+  *    RAW vectors would let one large-norm member drag the centroid
+  *    off-direction and break Lloyd monotonicity on norm-
+  *    heterogeneous corpora) — with component sums as DECIMAL(30,10):
+  *    exact integer-scaled arithmetic, so the mean is independent of
+  *    Spark's partial-aggregation order (a double sum would differ in
+  *    ulps between runs and flip assignments near cell boundaries);
+  *  - fixed iteration count (no data-dependent convergence test);
+  *  - degenerate inputs handled loudly-or-safely: zero-norm vectors
+  *    carry no direction and are excluded from training; a NaN cosine
+  *    (zero-norm centroid) never wins an assignment (nanvl floor);
+  *    a cell whose unit-vector sum cancels to zero keeps its previous
+  *    centroid, like an empty cell.
   *
   * Scale shape: each iteration is one broadcast crossJoin (n·k cosine
   * rows, centroids always broadcast) + one (cid, dim) aggregation that
@@ -33,9 +43,12 @@ object KMeans {
   def fit(emb: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int): IndexedSeq[Array[Double]] = {
     require(k >= 1 && iters >= 0)
-    val spark = emb.sparkSession
     val dot = graft.functions.VectorOps.dot_product _
+    // zero-norm vectors carry no direction: excluded from training
+    // (they would make every cosine NaN and poison the spherical mean)
     val e = emb.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      .withColumn("__n2", dot(col("__v"), col("__v")))
+      .filter(col("__n2") > 0.0)
     // seeded init: smallest md5(id), order = centroid index
     var cents: IndexedSeq[Array[Double]] = e
       .withColumn("__hk", md5(col("__vid").cast("string")))
@@ -46,36 +59,44 @@ object KMeans {
     val dim = cents.headOption.map(_.length).getOrElse(0)
     var it = 0
     while (it < iters && cents.nonEmpty) {
-      val centsDF = spark.createDataFrame(
-        spark.sparkContext.parallelize(cents.zipWithIndex.map {
-          case (c, i) => org.apache.spark.sql.Row(i.toLong, c.toSeq)
-        }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__cid", LongType),
-          org.apache.spark.sql.types.StructField("__ce",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)))))
+      val centsDF = centroidsDF(emb.sparkSession, cents, "__cid", "__ce")
       // spherical assignment: cosine argmax (norm of __v cancels in
-      // argmax, so only the centroid norm is needed)
+      // argmax, so only the centroid norm is needed). nanvl floors a
+      // NaN score (zero-norm centroid) below every real cosine, so a
+      // degenerate centroid never wins an assignment
       val assigned = e.crossJoin(broadcast(centsDF))
-        .withColumn("__cs",
-          dot(col("__v"), col("__ce")) / sqrt(dot(col("__ce"), col("__ce"))))
+        .withColumn("__cs", nanvl(
+          dot(col("__v"), col("__ce")) / sqrt(dot(col("__ce"), col("__ce"))),
+          lit(-2.0)))
         .groupBy(col("__vid"))
         .agg(max_by(col("__cid"),
           struct(col("__cs"), -col("__cid"))).as("__cid"))
-      // exact-decimal component sums -> order-independent means
+      // spherical mean: exact-decimal sums of UNIT-vector components
+      // -> order-independent, and optimal for the cosine objective
       val sums = e.join(assigned, "__vid")
-        .select(col("__cid"), posexplode(col("__v")).as(Seq("__i", "__x")))
+        .select(col("__cid"), sqrt(col("__n2")).as("__nrm"),
+          posexplode(col("__v")).as(Seq("__i", "__x")))
         .groupBy(col("__cid"), col("__i"))
-        .agg(sum(col("__x").cast(DecimalType(30, 10))).as("__sx"),
+        .agg(sum((col("__x") / col("__nrm")).cast(DecimalType(30, 10)))
+          .as("__sx"),
           count(lit(1)).as("__c"))
         .collect()
       val next = Array.tabulate(cents.size)(i => cents(i).clone())
+      val touched = Array.fill(cents.size)(false)
       sums.foreach { r =>
         val cid = r.getLong(0).toInt
         val i = r.getInt(1)
-        if (cid < next.length && i < dim)
+        if (cid < next.length && i < dim) {
+          touched(cid) = true
           next(cid)(i) = (BigDecimal(r.getDecimal(2)) / r.getLong(3)).toDouble
+        }
+      }
+      // a cell whose unit vectors cancel to the zero vector has no
+      // mean direction: keep the previous centroid, like an empty cell
+      var c = 0
+      while (c < next.length) {
+        if (touched(c) && next(c).forall(_ == 0.0)) next(c) = cents(c).clone()
+        c += 1
       }
       cents = next.toIndexedSeq
       it += 1
@@ -83,16 +104,36 @@ object KMeans {
     cents
   }
 
+  /** Centroids as a 1-partition broadcastable frame (cid, vector) —
+    * the single construction shared by the training loop and serving
+    * paths (Multimodal), so schema/determinism tweaks happen once. */
+  def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+      cents: IndexedSeq[Array[Double]],
+      cidCol: String, vecCol: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.zipWithIndex.map {
+        case (c, i) => org.apache.spark.sql.Row(i.toLong, c.toSeq)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(cidCol, LongType),
+        org.apache.spark.sql.types.StructField(vecCol,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+
   // Trained quantizers are persisted per (input plan, params) for the
   // session — the index-build is the expensive phase of IVF and a real
   // deployment trains once, serves many queries (same memoization
   // contract as SkewJoin.probeHotKeys).
+  // keyed by the canonicalized PLAN itself (full structural equality),
+  // not its 32-bit hashCode — an Int collision between different input
+  // plans would silently serve another corpus's centroids
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Int, Int), IndexedSeq[Array[Double]]]()
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, Int, Int), IndexedSeq[Array[Double]]]()
 
   def fitCached(emb: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int): IndexedSeq[Array[Double]] = {
-    val key = (emb.queryExecution.logical.canonicalized.hashCode(),
+    val key = (emb.queryExecution.logical.canonicalized,
       s"$vecCol/$idCol", k, iters)
     cache.computeIfAbsent(key, _ => fit(emb, vecCol, idCol, k, iters))
   }

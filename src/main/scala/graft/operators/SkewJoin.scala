@@ -84,8 +84,12 @@ object SkewJoin {
     * on a real cluster — callers holding them pass `knownHotKeys`
     * and skip the probe entirely.
     */
+  // keyed by the canonicalized plan itself (structural equality), not
+  // its hashCode — an Int collision would serve another table's keys
   private val hotKeyCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Double, Long, Int), Array[Any]]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        String, Double, Long, Int), Array[Any]]()
 
   /** Sample the big side once and collect keys estimated above
     * `hotRowThreshold` rows (bounded at `maxHotKeys`); memoized per
@@ -96,7 +100,7 @@ object SkewJoin {
       sampleFraction: Double = 0.01,
       hotRowThreshold: Long = 1000000L,
       maxHotKeys: Int = 1000): Array[Any] = {
-    val cacheKey = (big.queryExecution.logical.canonicalized.hashCode(),
+    val cacheKey = (big.queryExecution.logical.canonicalized,
       bigKey, sampleFraction, hotRowThreshold, maxHotKeys)
     hotKeyCache.computeIfAbsent(cacheKey, { _ =>
       val sampledCut = math.max(1L, (hotRowThreshold * sampleFraction).toLong)

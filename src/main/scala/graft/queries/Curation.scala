@@ -399,7 +399,10 @@ object Curation {
         val pats = probesB.value
         val ac = new graft.functions.AhoCorasick(pats)
         it.flatMap { case (id, text) =>
-          ac.findDistinct(text).iterator.map(i => (id, pats(i)))
+          // null text matches nothing — same semantics as the explode
+          // form, where contains(NULL, probe) is NULL and filters out
+          if (text == null) Iterator.empty
+          else ac.findDistinct(text).iterator.map(i => (id, pats(i)))
         }
       }
       .toDF("doc_id", "probe")

@@ -96,9 +96,20 @@ object Llm {
     import spark.implicits._
     val PackBits = 21
     val PackMask = (1L << PackBits) - 1L
+    // pack bounds are a loud runtime guard, not a comment: a doc with
+    // ≥2²¹ distinct shingles (a ~2M-token document) or an id ≥2⁴² would
+    // silently corrupt both ids and denominators if packed unchecked
     val posting = sh
       .select(col("s"),
-        (shiftleft(col("doc_id"), PackBits).bitwiseOR(col("n"))).as("dn"))
+        when(col("n") < lit(1L << PackBits) &&
+            col("doc_id").between(0L, (1L << (63 - PackBits)) - 1L),
+          shiftleft(col("doc_id"), PackBits).bitwiseOR(col("n")))
+          .otherwise(raise_error(concat(
+            lit("jaccard pack overflow: doc_id="),
+            col("doc_id").cast(StringType),
+            lit(" n="), col("n").cast(StringType),
+            lit(" exceed the 42/21-bit pack"))))
+          .as("dn"))
       .groupBy(col("s"))
       .agg(collect_list(col("dn")).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))

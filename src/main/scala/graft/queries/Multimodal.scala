@@ -267,12 +267,7 @@ object Multimodal {
 
   private def centroidsDF(s: SparkSession,
       cents: IndexedSeq[Array[Double]]): DataFrame =
-    s.createDataFrame(
-      s.sparkContext.parallelize(cents.zipWithIndex.map { case (c, i) =>
-        org.apache.spark.sql.Row(i.toLong, c.toSeq)
-      }, 1),
-      StructType(Seq(StructField("cid", LongType),
-        StructField("ce", ArrayType(DoubleType)))))
+    graft.operators.KMeans.centroidsDF(s, cents, "cid", "ce")
       .withColumn("cn2", dot(col("ce"), col("ce")))
 
   /** IVF top-10 for query vec 0 over a trained quantizer + the brute
@@ -320,12 +315,14 @@ object Multimodal {
   // trained quantizer (train once, validate once, serve many) — a
   // repeated call must not re-run the two objective scans
   private val trainedVerdictCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), (Long, Boolean)]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+      (Long, Boolean)]()
 
   private[queries] def annIvfTrainedWith(s: SparkSession, dir: String,
       nProbe: Int): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val key = (emb.queryExecution.logical.canonicalized.hashCode(), nProbe)
+    val key = (emb.queryExecution.logical.canonicalized, nProbe)
     val (k, noWorse) = trainedVerdictCache.computeIfAbsent(key, { _ =>
       val e = emb.select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("n2"))

@@ -551,6 +551,62 @@ class EngineSpec extends SparkSpec {
     assert(tos.containsSlice(Seq("paused", "p2", "p3")))
   }
 
+  test("cross-process control: a pause requested on the OWNING engine " +
+    "is still resumable from engine B (the intent travels as a marker " +
+    "even locally, so remote resume works — r5 review fix)") {
+    processed.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("xctl3").toString
+    val reg = new HandlerRegistry
+    reg.register(new GateHandler("Slow", "xctl3.started", "xctl3.gate"))
+    reg.register(new CountingHandler("After", 2))
+    val cfg = EngineConfig(sfDir = "/root/testdata/sf0.001",
+      eventLogDir = Some(tmp))
+    val engineA = new Engine(spark, reg, cfg)
+    val engineB = new Engine(spark, new HandlerRegistry, cfg)
+    val run = engineA.submit(linearFlow(ListMap(
+      "p1" -> Seq("Slow"), "p2" -> Seq("After"), "p3" -> Nil)))
+    assert(latch("xctl3.started", 1).await(30, TimeUnit.SECONDS))
+    // the OWNER requests the pause (pre-fix this parked the flow in a
+    // state only a local resume() could leave)
+    assert(engineA.requestPause(run.id))
+    latch("xctl3.gate", 1).countDown()
+    eventually(run.isPaused, 30000)
+    // engine B's resume — which only drops the marker — must wake it
+    assert(engineB.requestResume(run.id))
+    val result = Await.result(run.future, 1.minute)
+    assert(result.finalPhase == "p3")
+    assert(run.isFinished)
+  }
+
+  test("cross-process control: intents for a known-terminal flow are " +
+    "rejected without writing an orphan marker; the janitor clears " +
+    "markers with no living owner") {
+    val tmp = java.nio.file.Files.createTempDirectory("xctl4").toString
+    val reg = new HandlerRegistry
+    reg.register(new CountingHandler("Quick", 1))
+    val cfg = EngineConfig(sfDir = "/root/testdata/sf0.001",
+      eventLogDir = Some(tmp))
+    val engineA = new Engine(spark, reg, cfg)
+    val run = engineA.submit(linearFlow(ListMap("p1" -> Seq("Quick"))))
+    Await.result(run.future, 1.minute)
+    eventually(engineA.find(run.id).isEmpty, 10000)
+    // terminal flow: no marker written, delivery reported false
+    assert(!engineA.requestCancel(run.id))
+    assert(!engineA.requestPause(run.id))
+    assert(engineA.controlIntents()
+      .filter(org.apache.spark.sql.functions.col("flow_id") === run.id)
+      .count() == 0)
+    // an intent for an id nobody owns (typo / dead owner) is durable,
+    // visible, and manually clearable
+    assert(engineA.requestCancel("no-such-flow"))
+    assert(engineA.controlIntents().collect()
+      .exists(_.getString(0) == "no-such-flow"))
+    engineA.clearControlIntents("no-such-flow")
+    assert(engineA.controlIntents()
+      .filter(org.apache.spark.sql.functions.col("flow_id") === "no-such-flow")
+      .count() == 0)
+  }
+
   test("deployment-is-registration: engine B discovers and " +
     "semver-resolves handlers announced by engine A " +
     "(phase_started_handler.rb:45-67 analogue)") {

@@ -59,6 +59,20 @@ class ContaminationSpec extends SparkSpec {
     assert(nScans == 1, s"expected a single corpus scan, got $nScans leaves")
   }
 
+  test("automaton scan handles NULL text like the explode form: " +
+    "matches nothing, job does not fail (r5 review fix)") {
+    import spark.implicits._
+    val docs = Seq((1L, "the hash join plan"), (2L, null), (3L, ""))
+      .toDF("doc_id", "text")
+    val probes = Seq("hash join", "scan")
+    val scan = Curation.contaminationScanFor(docs, probes).collect().toSeq
+    val explode0 = Curation.contaminationExplodeFor(docs, probes)
+      .collect().toSeq
+    assert(scan.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((1L, "hash join")))
+    assert(scan == explode0)
+  }
+
   test("llm_mix_sources draws EXACTLY the target corpus size " +
     "(largest-remainder quotas)") {
     // sf0.01: 500 docs across 5 sources — quotas must sum to 200 even

@@ -97,4 +97,30 @@ class MultimodalSpec extends SparkSpec {
     assert(a.head.getLong(0) == 23L, "k = ceil(sqrt(500)) = 23")
     assert(a.head.getBoolean(2), "training must not degrade the objective")
   }
+
+  test("KMeans spherical update: magnitude-invariant (unit-vector " +
+    "means), zero-norm vectors excluded, centroids always finite " +
+    "(r5 review fix)") {
+    import spark.implicits._
+    val base = Seq(
+      1L -> Array(1f, 0f, 0f), 2L -> Array(0.75f, 0.25f, 0f),
+      3L -> Array(0f, 1f, 0f), 4L -> Array(0.25f, 0.75f, 0f),
+      5L -> Array(0f, 0f, 1f), 6L -> Array(0f, 0.25f, 0.75f))
+    def fit(vs: Seq[(Long, Array[Float])]) =
+      graft.operators.KMeans
+        .fit(vs.toDF("vec_id", "embedding"), "embedding", "vec_id", 2, 3)
+        .map(_.toSeq)
+    val a = fit(base)
+    // power-of-two rescale of one member: exact in float AND in the
+    // per-row unit-normalization, so the spherical (unit-vector) mean
+    // is bit-identical — a raw-vector mean would move with the scale
+    val b = fit(base.map { case (id, v) =>
+      id -> (if (id == 2L) v.map(_ * 4f) else v) })
+    assert(a == b, "spherical update must ignore member magnitudes")
+    // a zero vector has no direction: excluded from init AND update,
+    // so training is unchanged by its presence and nothing goes NaN
+    val c = fit(base :+ (7L -> Array(0f, 0f, 0f)))
+    assert(a == c, "zero-norm vectors must not affect training")
+    assert(c.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
+  }
 }
