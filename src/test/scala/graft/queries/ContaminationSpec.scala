@@ -59,6 +59,31 @@ class ContaminationSpec extends SparkSpec {
     assert(nScans == 1, s"expected a single corpus scan, got $nScans leaves")
   }
 
+  test("property: automaton hit set ≡ naive contains over random " +
+    "small-alphabet probes and texts (overlap-dense regime)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny alphabet maximizes overlapping/nested/repeated patterns —
+    // the failure-link paths a fixed example set underexercises
+    val word = Gen.choose(1, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val cases = for {
+      np <- Gen.choose(1, 15)
+      probes <- Gen.listOfN(np, word)
+      tl <- Gen.choose(0, 60)
+      text <- Gen.listOfN(tl, Gen.oneOf('a', 'b')).map(_.mkString)
+    } yield (probes, text)
+    (0 until 300).foreach { i =>
+      cases.apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
+        case (probes, text) =>
+          val ac = new graft.functions.AhoCorasick(probes.toArray)
+          val naive = probes.indices.filter(j => text.contains(probes(j)))
+          assert(ac.findDistinct(text).toSet == naive.toSet,
+            s"probes=$probes text=$text")
+      }
+    }
+  }
+
   test("automaton scan handles NULL text like the explode form: " +
     "matches nothing, job does not fail (r5 review fix)") {
     import spark.implicits._
