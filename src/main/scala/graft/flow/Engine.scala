@@ -371,26 +371,52 @@ final class Engine(
 
   /** The fleet's advertised capability map: handler → announced
     * versions (distinct, ascending) from every engine sharing the
-    * store — the reference's management-API queue listing. */
-  def fleetHandlers(): Map[String, Seq[SemVer]] =
+    * store — the reference's management-API queue listing. In the
+    * reference a dead worker's queue eventually disappears with its
+    * connection; here announcements are files, so liveness is
+    * age-based: pass `maxAgeMs` to ignore markers older than the
+    * fleet's re-announce heartbeat (engines that stopped
+    * re-announcing drop out of the view), or leave it None for the
+    * full historical union. Graceful shutdown should call
+    * [[retractHandlers]]. */
+  def fleetHandlers(maxAgeMs: Option[Long] = None): Map[String, Seq[SemVer]] =
     registryDir.fold(Map.empty[String, Seq[SemVer]]) { base =>
       Try {
         val fs = controlFs(base)
         if (!fs.exists(base)) Map.empty[String, Seq[SemVer]]
-        else fs.listStatus(base).toSeq
-          .flatMap { st =>
-            val n = st.getPath.getName
-            // <urlenc(name)>@<version>.<engineId(36 chars)>
-            val at = n.lastIndexOf('@')
-            if (at < 0 || n.length < at + 39) None
-            else {
-              val verPart = n.substring(at + 1, n.length - 37)
-              SemVer.parse(verPart).map(v => (dec(n.substring(0, at)), v))
+        else {
+          val cutoff = maxAgeMs.map(System.currentTimeMillis() - _)
+          fs.listStatus(base).toSeq
+            .filter(st => cutoff.forall(st.getModificationTime >= _))
+            .flatMap { st =>
+              val n = st.getPath.getName
+              // <urlenc(name)>@<version>.<engineId(36 chars)>
+              val at = n.lastIndexOf('@')
+              if (at < 0 || n.length < at + 39) None
+              else {
+                val verPart = n.substring(at + 1, n.length - 37)
+                SemVer.parse(verPart).map(v => (dec(n.substring(0, at)), v))
+              }
             }
-          }
-          .groupBy(_._1)
-          .map { case (k, vs) => k -> vs.map(_._2).distinct.sorted }
+            .groupBy(_._1)
+            .map { case (k, vs) => k -> vs.map(_._2).distinct.sorted }
+        }
       }.getOrElse(Map.empty)
+    }
+
+  /** Graceful deregistration: drop every marker THIS engine announced
+    * (the reference worker's queues vanish when it disconnects).
+    * Other engines' markers are untouched. Returns markers removed. */
+  def retractHandlers(): Int =
+    registryDir.fold(0) { base =>
+      Try {
+        val fs = controlFs(base)
+        if (!fs.exists(base)) 0
+        else fs.listStatus(base).toSeq.count { st =>
+          st.getPath.getName.endsWith(s".$engineId") &&
+            Try(fs.delete(st.getPath, false)).getOrElse(false)
+        }
+      }.getOrElse(0)
     }
 
   /** Semver-resolve a handler ref against the FLEET's announcements

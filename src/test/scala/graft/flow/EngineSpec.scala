@@ -636,6 +636,24 @@ class EngineSpec extends SparkSpec {
     // re-announce is idempotent (marker overwrite, same fleet view)
     assert(engineA.announceHandlers() == 4)
     assert(engineB.fleetHandlers()("Worker").size == 3)
+    // age-based liveness: a cutoff in the future (negative maxAge)
+    // deterministically excludes every marker — the mechanism that
+    // drops engines which stopped re-announcing
+    assert(engineB.fleetHandlers(maxAgeMs = Some(-60000L)).isEmpty)
+    assert(engineB.fleetHandlers(maxAgeMs = Some(3600000L))
+      .keySet == Set("Worker", "Other"))
+    // a second engine's announcements coexist; graceful retraction
+    // removes ONLY the retracting engine's markers
+    val regC = new HandlerRegistry
+    regC.register(new TaggedHandler("Worker", SemVer(3, 0, 0), "d"))
+    val engineC = new Engine(spark, regC, cfg)
+    assert(engineC.announceHandlers() == 1)
+    assert(engineB.fleetHandlers()("Worker").size == 4)
+    assert(engineC.retractHandlers() == 1)
+    assert(engineB.fleetHandlers()("Worker") ==
+      Seq(SemVer(1, 2, 0), SemVer(1, 5, 3), SemVer(2, 0, 0)))
+    assert(engineA.retractHandlers() == 4)
+    assert(engineB.fleetHandlers().isEmpty)
   }
 
   private def eventually(cond: => Boolean, timeoutMs: Long): Unit = {
