@@ -114,7 +114,33 @@ object Bench {
     val best = scala.collection.mutable.Map[String, Double]()
     val slowRuns = scala.collection.mutable.Map[String, Int]()
     val errors = scala.collection.mutable.Map[String, String]()
-    for (r <- 1 to rounds; (name, fn) <- ordered) {
+    def renderFull(): String = {
+      val qs = ordered.map { case (k, _) =>
+        "\"" + k + "\":" + best.get(k).map(j).getOrElse("-1")
+      }.mkString("{", ",", "}")
+      val errJson =
+        if (errors.isEmpty) ""
+        else errors.toSeq.sorted
+          .map { case (k, v) =>
+            "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\""
+          }
+          .mkString(""","errors":{""", ",", "}")
+      val total = best.values.sum
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    }
+    // crash insurance: persist the best-so-far after every round, so a
+    // killed run (driver timeout, OOM) still leaves per-query data on
+    // disk; stdout stays clean until the final two lines
+    def persist(): Unit =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_last.json"),
+          renderFull().getBytes("UTF-8"))
+        ()
+      } catch { case e: Throwable => note(s"bench_last.json write failed: $e") }
+
+    for (r <- 1 to rounds) {
+      for ((name, fn) <- ordered) {
       // Skip a slow query only after THREE slow measurements: one or
       // two slow runs can be host interference (r2 postmortem: a
       // contention burst hit three consecutive queries once each and
@@ -123,46 +149,32 @@ object Bench {
       // query and skip-after-two locked in a 67 s number for a 1.5 s
       // query), while three confirm it is genuinely pathological and
       // re-running it would starve the rest of the round.
-      val skip = r > 1 && slowRuns.getOrElse(name, 0) >= 3
-      if (!skip) {
-        timeOnce(name, fn) match {
-          case Right(secs) =>
-            if (secs > SlowCutoffSec)
-              slowRuns(name) = slowRuns.getOrElse(name, 0) + 1
-            if (best.get(name).forall(secs < _)) best(name) = secs
-            note(f"round=$r $name ${secs}%.3f s (best ${best(name)}%.3f)")
-          case Left(msg) =>
-            errors(name) = msg
+        val skip = r > 1 && slowRuns.getOrElse(name, 0) >= 3
+        if (!skip) {
+          timeOnce(name, fn) match {
+            case Right(secs) =>
+              if (secs > SlowCutoffSec)
+                slowRuns(name) = slowRuns.getOrElse(name, 0) + 1
+              if (best.get(name).forall(secs < _)) best(name) = secs
+              note(f"round=$r $name ${secs}%.3f s (best ${best(name)}%.3f)")
+            case Left(msg) =>
+              errors(name) = msg
+          }
         }
       }
+      persist()
     }
 
-    def j(v: Double): String = f"$v%.4f"
-    val qs = ordered.map { case (k, _) =>
-      "\"" + k + "\":" + best.get(k).map(j).getOrElse("-1")
-    }.mkString("{", ",", "}")
-    val errJson =
-      if (errors.isEmpty) ""
-      else errors.toSeq.sorted
-        .map { case (k, v) =>
-          "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\""
-        }
-        .mkString(""","errors":{""", ",", "}")
-    val total = best.values.sum
-    val fullLine =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
-    println(fullLine)
-    // Also persist the full result and print a short total-only line
-    // LAST: the driver tail-captures a fixed window of stdout, and at
-    // 84 queries the full line's head (including "value") falls outside
-    // it (r1/r2/r4 recorded parsed:null). The short line is <120 bytes
+    // Print the full line, then a short total-only line LAST: the
+    // driver tail-captures a fixed window of stdout, and at 85 queries
+    // the full line's head (including "value") falls outside it
+    // (r1/r2/r4 recorded parsed:null). The short line is <120 bytes
     // and always lands inside any tail capture.
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_last.json"),
-        fullLine.getBytes("UTF-8"))
-    } catch { case e: Throwable => note(s"bench_last.json write failed: $e") }
+    val total = best.values.sum
+    println(renderFull())
     println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n":${ordered.size},"nerrors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  private def j(v: Double): String = f"$v%.4f"
 }
