@@ -46,13 +46,19 @@ case class ShingleHashes(child: Expression, n: Int)
     val cnt = tk.numElements()
     val m = cnt - n + 1
     if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
-    // hash every token once
+    // hash every token once. A null token hashes like the empty
+    // string — the same null→"" mapping WordShingles uses, preserving
+    // the string/hash Jaccard parity contract on arrays containing
+    // nulls (r5 review fix: a bare 0L here diverged from the twin)
+    val empty = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+    val emptyHash = XXH64.hashUnsafeBytes(
+      empty.getBaseObject, empty.getBaseOffset, empty.numBytes, 42L)
     val th = new Array[Long](cnt)
     var i = 0
     while (i < cnt) {
       val t = tk.getUTF8String(i)
       th(i) =
-        if (t == null) 0L
+        if (t == null) emptyHash
         else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
           t.numBytes, 42L)
       i += 1

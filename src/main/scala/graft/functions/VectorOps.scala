@@ -42,7 +42,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // dimension mismatch is data corruption (a mixed-dim embedding
+    // table): fail loudly — a truncated partial sum would silently
+    // poison every similarity/clustering result built on it
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product dimension mismatch: ${a.numElements()} vs " +
+          s"${b.numElements()}")
+    val n = a.numElements()
     val la = elemType(left) == FloatType
     val rb = elemType(right) == FloatType
     var sum = 0.0
@@ -67,7 +74,12 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product dimension mismatch: " + $a.numElements() +
+         |    " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $sum += ${get(a, i, elemType(left))} * ${get(b, i, elemType(right))};

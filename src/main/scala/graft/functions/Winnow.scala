@@ -38,13 +38,18 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
-  require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
-
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // parameter guards live here, not in a constructor require: through
+  // the SQL surface (GraftExtensions) a bad k/w should surface as an
+  // AnalysisException at resolution, like MinHashSignature's numHashes
+  // guard (ADVICE r1 convention)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
+    if (k < 2 || w < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprints needs k >= 2 and w >= 1, got k=$k w=$w")
+    else child.dataType match {
       case StringType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>

@@ -20,10 +20,13 @@ object Sources {
   /** Batch read of a table in any supported format. */
   def read(spark: SparkSession, path: String, format: String = "parquet",
       schema: Option[StructType] = None): DataFrame = {
-    val r = spark.read.format(format)
+    // header applies to CSV whether or not a schema is supplied — an
+    // explicit schema must not demote the header line to a data row
+    val r0 = spark.read.format(format)
+    val r = if (format == "csv") r0.option("header", "true") else r0
     val withSchema = schema.fold(
       if (format == "csv" || format == "json")
-        r.option("inferSchema", "true").option("header", "true")
+        r.option("inferSchema", "true")
       else r)(r.schema)
     withSchema.load(path)
   }
@@ -58,7 +61,11 @@ object Sources {
     * (`readRunningAgg`) resolve the highest committed version — a
     * half-written directory is never visible. State size is the key
     * cardinality, not the stream length; the per-batch merge is one
-    * key-partitioned outer join of (state, batch-delta). */
+    * key-partitioned outer join of (state, batch-delta). Retention:
+    * committed versions older than the previous one are pruned after
+    * each commit (a restart replays at most the last batch, whose
+    * predecessor is kept), so storage holds ≤2 snapshots, not the
+    * stream's history. */
   def foreachBatchRunningAgg(df: DataFrame, outDir: String,
       keys: Seq[String], sums: Seq[String]): DataStreamWriter[Row] =
     df.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -78,8 +85,12 @@ object Sources {
         sums.map(c => sum(col(c)).as(c)).tail: _*)
     val merged = latestState(spark, outDir) match {
       case Some(state) =>
+        // null-SAFE key equality: with === a NULL key never matches
+        // itself, so null-key rows would survive unmatched on both
+        // sides and duplicate every batch with totals that never
+        // consolidate (r5 review fix)
         val joined = state.as("s").join(delta.as("d"),
-          keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _),
+          keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _),
           "full_outer")
         joined.select(
           keys.map(k => coalesce(col(s"s.$k"), col(s"d.$k")).as(k)) ++
@@ -88,6 +99,32 @@ object Sources {
       case None => delta
     }
     merged.write.mode("overwrite").parquet(target.toString)
+    pruneStateVersions(fs, outDir, batchId)
+  }
+
+  /** Retention: after version N commits, delete committed versions
+    * < N-1 (one previous version is kept for crash safety while N's
+    * readers may still be resolving). Without pruning, state storage
+    * grows as batches × key-cardinality and every latestState listing
+    * pays for the stream's whole history. Best-effort: a failed delete
+    * is retried implicitly on the next batch's prune. */
+  private def pruneStateVersions(fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String, committed: Long): Unit = {
+    val base = new Path(outDir)
+    scala.util.Try {
+      fs.listStatus(base).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && n.startsWith("state_v")) {
+          val v = scala.util.Try(n.stripPrefix("state_v").toLong)
+          if (v.toOption.exists(_ < committed - 1) &&
+              fs.exists(new Path(s.getPath, "_SUCCESS"))) {
+            fs.delete(s.getPath, true)
+            ()
+          }
+        }
+      }
+    }
+    ()
   }
 
   /** The latest committed running-aggregate state, if any. */

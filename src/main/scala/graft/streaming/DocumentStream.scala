@@ -31,6 +31,7 @@ object DocumentStream {
       .withColumn("fp", md5(encode(lower(col("text")), "UTF-8")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+      .drop("fp") // internal fingerprint, not part of the output schema
 
   /** Stateless quality gate: the streaming twin of llm_quality_score's
     * thresholds — keeps docs with enough tokens and a sane

@@ -53,16 +53,21 @@ object FlowStateStream {
                   finishedTasks = 0, outstanding = 0, phaseComplete = false)
               case "tasks_enumerated" =>
                 cur.copy(totalTasks = cur.totalTasks + e.delta,
-                  outstanding = cur.outstanding + e.delta,
-                  phaseComplete = false)
+                  outstanding = cur.outstanding + e.delta)
               case "task_finished" =>
-                val out = cur.outstanding - e.delta
                 cur.copy(finishedTasks = cur.finishedTasks + e.delta,
-                  outstanding = out,
-                  // O14/O15 barrier: all enumerated tasks drained
-                  phaseComplete = cur.totalTasks > 0 && out <= 0)
+                  outstanding = cur.outstanding - e.delta)
               case _ => cur
             }
+            // O14/O15 barrier, derived from the counters after EVERY
+            // event: micro-batch boundaries don't preserve event order
+            // across batches, so a tasks_enumerated arriving after its
+            // tasks drained (outstanding already negative) must still
+            // satisfy the barrier once totals catch up — the old
+            // branch-local phaseComplete=false froze it (r5 review
+            // fix). A fresh phase has totalTasks=0 → false, as before.
+            cur = cur.copy(phaseComplete =
+              cur.totalTasks > 0 && cur.outstanding <= 0)
           }
           state.update(cur)
           cur

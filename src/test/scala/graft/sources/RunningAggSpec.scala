@@ -71,4 +71,29 @@ class RunningAggSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(after == Map("a" -> 7L))
   }
+
+  test("NULL keys consolidate across batches (null-safe merge join) " +
+    "and old committed versions are pruned (r5 review fixes)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("runagg3").toString
+    def d(src: Option[String], n: Long) =
+      Seq((src.orNull, n)).toDF("source", "n_tokens")
+    Sources.mergeBatch(d(None, 3), out,
+      Seq("source"), Seq("n_tokens"), batchId = 0)
+    Sources.mergeBatch(d(None, 4), out,
+      Seq("source"), Seq("n_tokens"), batchId = 1)
+    Sources.mergeBatch(d(Some("a"), 5), out,
+      Seq("source"), Seq("n_tokens"), batchId = 2)
+    val rows = Sources.readRunningAgg(spark, out).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // with === instead of <=> the null key never matched itself: two
+    // null rows surviving forever instead of one consolidated total
+    assert(rows == Map(None -> 7L, Some("a") -> 5L))
+    assert(Sources.readRunningAgg(spark, out).count() == 2)
+    // retention: after v2 committed, only v1 and v2 remain on disk
+    val dirs = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("state_v")).sorted.toSeq
+    assert(dirs == Seq("state_v1", "state_v2"),
+      s"expected pruned retention, got $dirs")
+  }
 }

@@ -186,6 +186,24 @@ class StreamingSpec extends SparkSpec {
       val reset = spark.table("flowstate").collect()
         .filter(_.getString(0) == "f1").last
       assert(reset.getString(1) == "next" && reset.getLong(2) == 0)
+
+      // cross-batch reorder (r5 review fix): task_finished events land
+      // in an earlier micro-batch than their tasks_enumerated — the
+      // barrier must still fire once totals catch up, not freeze on
+      // the enumeration branch's stale snapshot
+      mem.addData(
+        FlowEvent("f2", "phase_started", "work", 0, 1),
+        FlowEvent("f2", "task_finished", "work", 1, 10),
+        FlowEvent("f2", "task_finished", "work", 1, 11),
+        FlowEvent("f2", "task_finished", "work", 1, 12))
+      q.processAllAvailable()
+      mem.addData(FlowEvent("f2", "tasks_enumerated", "work", 3, 5))
+      q.processAllAvailable()
+      val late = spark.table("flowstate").collect()
+        .filter(_.getString(0) == "f2").last
+      assert(late.getLong(2) == 3 && late.getLong(4) == 0)
+      assert(late.getBoolean(5),
+        "barrier must fire after a late tasks_enumerated")
     } finally q.stop()
   }
 }
