@@ -53,6 +53,15 @@ object AsofJoin {
       s"direction must be backward|forward, got $direction")
     val backward = direction == "backward"
     val leftCols = left.columns.toSeq
+    // internal plumbing names must not silently overwrite user columns
+    // (withColumn replaces same-named columns and the window would key
+    // on corrupted data) — fail loudly instead
+    val reserved = Set("__key", "__t", "__side", "__rv", "__asof")
+    val clash = leftCols.filter(c =>
+      reserved.contains(c) || rightVals.exists(v => s"asof_$v" == c))
+    require(clash.isEmpty,
+      s"asofJoin reserved column names clash with left columns: " +
+        clash.mkString(", "))
     val (rSide, lSide) = if (backward) (0, 1) else (1, 0)
     val rTagged = right
       .filter(col(rightKey).isNotNull)
@@ -67,9 +76,12 @@ object AsofJoin {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(lSide))
       .withColumn("__rv", lit(null).cast(rvType))
-    // align schemas for the union
-    val rAll = leftCols.foldLeft(rTagged)((df, c) =>
-      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    // align schemas for the union — ONE projection, not a withColumn
+    // per left column (hundreds of nested Projects on a wide frame is
+    // quadratic analyzer cost)
+    val rAll = rTagged.select(
+      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__key"), col("__t"), col("__side"), col("__rv")): _*)
     val shape = leftCols.map(col) ++
       Seq(col("__key"), col("__t"), col("__side"), col("__rv"))
     val unioned = lTagged.select(shape: _*).unionByName(rAll.select(shape: _*))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.functions.{col, count, least, lit, min}
+import org.apache.spark.sql.functions.{col, count, least, lit, min, raise_error, when}
 
 /** Exact connected components over an undirected edge list, labeling
   * every node with the minimum node id reachable from it.
@@ -39,8 +39,16 @@ object ConnectedComponents {
       smallEdgeCap: Long = 10000000L, maxRounds: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // a NULL endpoint is a malformed edge: fail LOUDLY in-row (like
+    // the non-convergence path), not with the small path's opaque
+    // decode NPE or the large path's silently fabricated null node
+    def req(c: org.apache.spark.sql.Column, side: String) =
+      when(c.isNull, raise_error(lit(
+        s"ConnectedComponents: NULL $side endpoint in edges"))
+        .cast("long")).otherwise(c)
     val e = edges
-      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .select(req(col(aCol).cast("long"), aCol).as("a"),
+        req(col(bCol).cast("long"), bCol).as("b"))
       .localCheckpoint(false)
     if (e.count() <= smallEdgeCap) {
       // union-find with min-id roots: smaller root always becomes the

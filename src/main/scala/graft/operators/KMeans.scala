@@ -45,17 +45,28 @@ object KMeans {
     require(k >= 1 && iters >= 0)
     val dot = graft.functions.VectorOps.dot_product _
     // zero-norm vectors carry no direction: excluded from training
-    // (they would make every cosine NaN and poison the spherical mean)
+    // (they would make every cosine NaN and poison the spherical mean).
+    // Persisted for the loop: each Lloyd iteration consumes `e` twice
+    // (assignment crossJoin + sums join) — without this the index
+    // build re-scans the corpus ~2x per iteration.
     val e = emb.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
       .withColumn("__n2", dot(col("__v"), col("__v")))
       .filter(col("__n2") > 0.0)
-    // seeded init: smallest md5(id), order = centroid index
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seeded init: smallest md5(id), order = centroid index. Vectors
+    // arrive as array<float> OR array<double> (DotProduct accepts
+    // both) — unbox by runtime type, not a hardcoded getSeq[Float]
     var cents: IndexedSeq[Array[Double]] = e
       .withColumn("__hk", md5(col("__vid").cast("string")))
       .orderBy(col("__hk"))
       .limit(k)
       .select(col("__v")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toIndexedSeq
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"k-means vector element must be float|double, got $other")
+      }.toArray).toIndexedSeq
     val dim = cents.headOption.map(_.length).getOrElse(0)
     var it = 0
     while (it < iters && cents.nonEmpty) {
@@ -101,6 +112,7 @@ object KMeans {
       cents = next.toIndexedSeq
       it += 1
     }
+    e.unpersist()
     cents
   }
 

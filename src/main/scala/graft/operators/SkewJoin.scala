@@ -22,8 +22,21 @@ object SkewJoin {
       smallKey: String,
       salts: Int = 16): DataFrame = {
     require(salts > 0)
-    // deterministic per-row salt (hash of the whole row, not random():
-    // retries/recomputation must land rows in the same bucket)
+    // the plumbing column must not silently clobber user data (and in
+    // saltedHotKeyJoin it would desynchronize the hot branch's schema
+    // from the cold branch's positional union)
+    require(!big.columns.contains("__salt") &&
+      !small.columns.contains("__salt"),
+      "saltedEquiJoin reserves the column name __salt")
+    // deterministic per-row salt (hash of the whole row, not random()
+    // or a positional id): a map-task retry MUST re-salt each row into
+    // the same bucket, or partially-fetched shuffle output plus a
+    // recompute can duplicate/lose rows (the round-robin-repartition
+    // indeterminacy class). Known limit: EXACT-duplicate rows of a hot
+    // key all hash to one bucket and are not spread — if a caller's
+    // data has meaningful full-row duplicates they should carry a
+    // unique row id column (which joins the hash and spreads them)
+    // rather than have this operator inject a non-deterministic one.
     val bigSalted = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong))
         .cast("int"))
@@ -100,6 +113,12 @@ object SkewJoin {
       sampleFraction: Double = 0.01,
       hotRowThreshold: Long = 1000000L,
       maxHotKeys: Int = 1000): Array[Any] = {
+    // a cutoff below one sampled row cannot distinguish hot from cold
+    // (every sampled key would qualify and up to maxHotKeys cold keys
+    // would ride the replicated join) — reject the configuration
+    require(hotRowThreshold * sampleFraction >= 1.0,
+      s"hotRowThreshold ($hotRowThreshold) x sampleFraction " +
+        s"($sampleFraction) must be >= 1 sampled row")
     val cacheKey = (big.queryExecution.logical.canonicalized,
       bigKey, sampleFraction, hotRowThreshold, maxHotKeys)
     hotKeyCache.computeIfAbsent(cacheKey, { _ =>

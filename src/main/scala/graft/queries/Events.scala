@@ -94,9 +94,13 @@ object Events {
     val gapped = events(s, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
       .withColumn("new_session",
+        // gap arithmetic stays on timestamp_ntz (timestampdiff is
+        // wall-clock): casting ntz -> timestamp first would route
+        // through the SESSION timezone, making gaps DST-dependent in
+        // sessions that didn't set UTC — a 30-real-minute gap across
+        // spring-forward would read as 90 and split the session
         when(col("prev_ts").isNull ||
-          unix_micros(col("ts").cast("timestamp")) -
-            unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L,
+          expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800000000L,
           lit(1L)).otherwise(lit(0L)))
       .withColumn("session_id",
         sum(col("new_session")).over(

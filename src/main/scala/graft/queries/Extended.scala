@@ -82,12 +82,18 @@ object Extended {
       |  ON p.user_id = c.user_id AND p.ts <= c.c_ts
       |ORDER BY p.event_id""".stripMargin
 
-  // q32: pivot — order totals by priority x status
-  private val q32: Q = (s, dir) =>
+  // the wide (priority × status) decimal-sum pivot shared by q32 and
+  // its inverse q54 — ONE construction so the determinism discipline
+  // (dec2/d) can't silently diverge between the pair and their oracles
+  private def orderStatusPivot(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(d(sum(dec2(col("o_totalprice")))))
+
+  // q32: pivot — order totals by priority x status
+  private val q32: Q = (s, dir) =>
+    orderStatusPivot(s, dir)
       .select(col("o_orderpriority"),
         col("F").as("total_f"), col("O").as("total_o"),
         col("P").as("total_p"))
@@ -107,10 +113,7 @@ object Extended {
   // totals back to (priority, status, total) rows via stack; oracle
   // uses DuckDB's native UNPIVOT over the same CASE-sum wide form.
   private val q54: Q = (s, dir) =>
-    t(s, dir, "orders")
-      .groupBy(col("o_orderpriority"))
-      .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(d(sum(dec2(col("o_totalprice")))))
+    orderStatusPivot(s, dir)
       .selectExpr("o_orderpriority",
         "stack(3, 'F', F, 'O', O, 'P', P) AS (o_orderstatus, total)")
       .filter(col("total").isNotNull)
