@@ -14,10 +14,12 @@ import org.apache.spark.storage.StorageLevel
   * rounds (default 3) and the fastest run is reported, absorbing
   * JIT/codegen warm-up — the steady-state number a long-lived engine
   * would show. Build-once artifacts (the verified near-dup pair index,
-  * trained IVF quantizers, hot-key probes) are session-persisted by
-  * their operators, so the dedup/ANN families' best-of times reflect
-  * index-amortized serving — the first consumer's round-1 time carries
-  * the build, visible in the per-round STDERR notes.
+  * the winnow overlap index, the per-(source, term) stats frame, the
+  * IVF cell assignment, trained IVF quantizers, hot-key probes) are
+  * session-persisted by their operators, so those families' best-of
+  * times reflect index-amortized serving — the first consumer's
+  * round-1 time carries the build, visible in the per-round STDERR
+  * notes.
   *
   * Hardening (r1 postmortem — the driver's forked run died after 40
   * min with executor-heartbeat timeouts and recorded no number):

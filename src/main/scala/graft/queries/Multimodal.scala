@@ -169,12 +169,20 @@ object Multimodal {
 
   // ---- ANN-IVF similarity search ------------------------------------
 
-  /** IVF top-k with a pluggable probe width. `nProbe=2` is the shipped
-    * operator; MultimodalSpec sweeps it to quantify the recall/probe
-    * tradeoff against brute force. */
-  private[queries] def annIvfWith(s: SparkSession, dir: String,
-      nProbe: Int): DataFrame = {
-    val e = t(s, dir, "embeddings")
+  // the inverted-file ASSIGNMENT is the index (the "invlists" of a
+  // classical IVF build): quantizer selection + cell assignment happen
+  // once per corpus snapshot and every query serves from the persisted
+  // assignment — the same build-once/serve-many contract as the dedup
+  // pair index and the trained quantizer below. Bounded: centroids are
+  // k rows; the assignment adds one bigint cell id per vector.
+  private[queries] final case class IvfIndex(cents: DataFrame,
+    assign: DataFrame)
+
+  private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, IvfIndex]()
+
+  private def ivfIndexFor(emb: DataFrame): IvfIndex = {
+    val e = emb
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("n2"))
     // deterministic hash-sampled coarse quantizer: the 8 vectors with
@@ -205,15 +213,43 @@ object Multimodal {
     val assign = dists.groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"),
         first(col("embedding")).as("embedding"), first(col("n2")).as("n2"))
-    // multi-probe: the query searches its nProbe nearest cells — a
-    // top-k over the query row's k centroid scores (TakeOrdered on k
-    // rows, no window)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("n2").as("qn2"))
-    val qcells = dists.filter(col("vec_id") === 0)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    IvfIndex(cents.persist(lvl), assign.persist(lvl))
+  }
+
+  /** Session-persisted IVF index (quantizer + cell assignment) for
+    * `emb` (build-once; see cache note above). */
+  private[queries] def ivfIndex(emb: DataFrame): IvfIndex =
+    ivfIndexCache.computeIfAbsent(
+      emb.queryExecution.logical.canonicalized, _ => ivfIndexFor(emb))
+
+  /** Test hook: drop persisted IVF indexes. */
+  private[queries] def clearIvfIndex(): Unit = {
+    ivfIndexCache.values.forEach { ix =>
+      ix.cents.unpersist(); ix.assign.unpersist(); ()
+    }
+    ivfIndexCache.clear()
+  }
+
+  /** IVF top-k with a pluggable probe width. `nProbe=2` is the shipped
+    * operator; MultimodalSpec sweeps it to quantify the recall/probe
+    * tradeoff against brute force. */
+  private[queries] def annIvfWith(s: SparkSession, dir: String,
+      nProbe: Int): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val ix = ivfIndex(emb)
+    // the query vector rides a pushed-filter scan (one row), scored
+    // against the k broadcast centroids — TakeOrdered on k rows
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"),
+        dot(col("embedding"), col("embedding")).as("qn2"))
+    val qcells = q.crossJoin(broadcast(ix.cents))
+      .withColumn("cs",
+        dot(col("qe"), col("ce")) /
+          (sqrt(col("qn2")) * sqrt(col("cn2"))))
       .orderBy(col("cs").desc, col("cid")).limit(nProbe)
       .select(col("cid").as("qcid"))
-    assign.join(broadcast(qcells), col("cid") === col("qcid"))
+    ix.assign.join(broadcast(qcells), col("cid") === col("qcid"))
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"),

@@ -342,22 +342,24 @@ object Relational {
     //   EXCEPT         cb>0 and cr=0           (1 copy)
     //   INTERSECT ALL  min(cb, cr) copies
     //   EXCEPT ALL     max(cb-cr, 0) copies
-    // so all five branches ride ONE co-partitioned join of two
-    // pre-aggregated sides — one key shuffle instead of five separate
-    // hash set-ops (r3 plan: 5 ops × ~2 exchanges benched 2.0-2.5 s;
-    // this 0.7 s at sf0.1). Copies materialize via explode(sequence),
-    // all codegen. Parity with Spark's native union/intersect/except
-    // operators is pinned in QueriesSpec.
-    val cb = t(s, dir, "orders").select(col("o_custkey").as("key"))
-      .distinct() // buyers leg is DISTINCT keys by definition
-      .groupBy(col("key")).agg(count(lit(1)).as("cb"))
-    val cr = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
-      .select(col("c_custkey").as("key"))
-      .groupBy(col("key")).agg(count(lit(1)).as("cr"))
-    val m = cb.join(cr, Seq("key"), "full_outer")
-      .select(col("key"),
-        coalesce(col("cb"), lit(0L)).as("cb"),
-        coalesce(col("cr"), lit(0L)).as("cr"))
+    // so all five branches ride ONE aggregation over the tag-unioned
+    // legs — both scans feed a single key exchange (r3 plan: 5 ops ×
+    // ~2 exchanges benched 2.0-2.5 s; the r4 plan pre-aggregated each
+    // leg and full-outer-joined them: one extra exchange chain + a
+    // sort-merge join this single groupBy avoids). The buyers leg is
+    // DISTINCT keys by definition, so cb = max(is_buyer) ∈ {0,1};
+    // the rich leg keeps multiplicity, cr = Σ is_rich. Copies
+    // materialize via explode(sequence), all codegen. Parity with
+    // Spark's native union/intersect/except operators is pinned in
+    // QueriesSpec.
+    val buyers = t(s, dir, "orders").select(col("o_custkey").as("key"),
+      lit(1L).as("isb"), lit(0L).as("isr"))
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("key"), lit(0L).as("isb"),
+        lit(1L).as("isr"))
+    val m = buyers.unionAll(rich)
+      .groupBy(col("key"))
+      .agg(max(col("isb")).as("cb"), sum(col("isr")).as("cr"))
     m.select(col("key"), explode(array(
         struct(lit("union").as("tag"),
           when(col("cb") > 0 || col("cr") > 0, 1L).otherwise(0L).as("n")),
@@ -658,11 +660,15 @@ object Relational {
         d(sum(x * y)).as("sxy"),
         d(sum(x * x)).as("sxx"), d(sum(y * y)).as("syy"))
       .select(col("l_returnflag"), col("n"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
-          .as("covar_samp"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        // sums are exact decimals; the FINAL double ops can still
+        // differ by 1 ulp across engines (association/FMA), so both
+        // outputs are rounded to 6 decimals on both sides — the same
+        // determinism recipe as the ratio/cosine queries
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("n") - 1), 6).as("covar_samp"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
           sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -679,9 +685,9 @@ object Relational {
       |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
-      |  (sxy - sx * sy / n) / (n - 1) AS covar_samp,
-      |  (n * sxy - sx * sy) /
-      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+      |  round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+      |  round((n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
       |FROM a ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, Q] = Map(

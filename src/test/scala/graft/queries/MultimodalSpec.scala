@@ -44,9 +44,27 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("hash-sampled quantizer is deterministic across runs") {
+    // clear the IVF index between runs so the second call re-BUILDS —
+    // the assertion is determinism of the build, not cache hygiene
+    Multimodal.clearIvfIndex()
     val a = Multimodal.annIvfWith(spark, dir, 2).collect().toSeq
+    Multimodal.clearIvfIndex()
     val b = Multimodal.annIvfWith(spark, dir, 2).collect().toSeq
     assert(a == b)
+  }
+
+  test("IVF index is built once per input plan (build-once cache)") {
+    Multimodal.clearIvfIndex()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val first = Multimodal.ivfIndex(emb)
+    val again = Multimodal.ivfIndex(
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+    assert(again.assign eq first.assign,
+      "same input plan must return the same persisted assignment")
+    val other = Multimodal.ivfIndex(emb.limit(50))
+    assert(!(other.assign eq first.assign),
+      "a different input plan must build its own index")
+    Multimodal.clearIvfIndex()
   }
 
   test("trained IVF (k-means, k=ceil(sqrt(n))): recall@10 >= 0.9 at " +

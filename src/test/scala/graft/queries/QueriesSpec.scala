@@ -240,6 +240,36 @@ class QueriesSpec extends SparkSpec {
     Llm.clearPairIndex()
   }
 
+  test("winnow overlap index and term-stats artifact: served views are " +
+    "bit-identical to the direct formulations, built once per plan") {
+    val fixture = spark.read.parquet(s"$dir/documents.parquet")
+    Llm.clearWinnowIndex()
+    Curation.clearTermStats()
+    // winnow pair index == the direct posting-list pair query
+    val viaIndex = Llm.winnowPairs(fixture)
+    val direct = Llm.winnowPairsFor(fixture)
+    assert(viaIndex.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaIndex).isEmpty)
+    assert(Llm.winnowPairs(
+      spark.read.parquet(s"$dir/documents.parquet")) eq viaIndex)
+    // the vocab view of the term-stats artifact == direct tokenization
+    val viaStats = Curation.termStats(fixture)
+      .groupBy(col("w"))
+      .agg(sum(col("tf")).as("n"), sum(col("sdf")).as("df"))
+    val directVocab = fixture
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("doc_id")).as("df"))
+    assert(viaStats.exceptAll(directVocab).isEmpty &&
+      directVocab.exceptAll(viaStats).isEmpty)
+    assert(Curation.termStats(
+      spark.read.parquet(s"$dir/documents.parquet")) eq
+      Curation.termStats(fixture))
+    Llm.clearWinnowIndex()
+    Curation.clearTermStats()
+  }
+
   test("minhash rejects non-array<string> input and out-of-range " +
     "numHashes at analysis time (ADVICE r1)") {
     import spark.implicits._
