@@ -362,9 +362,26 @@ object Curation {
       .withColumn("quota",
         col("base") + when(col("rrk") <= col("short"), 1L).otherwise(0L))
       .select(col("source"), col("quota"))
-    val ranked = docs
+    // per-group top-K in two phases: a source's global smallest-md5
+    // quota set is a subset of every partitioning's partition-local
+    // top-MixTarget for that source, so phase 1 ranks within
+    // (input-partition, source) — parallelism = partitions × sources,
+    // never a one-task-per-source sort of the whole corpus (the
+    // single-window form is the 100 TB scale-killer: each source's
+    // entire slice lands in ONE task) — and phase 2 computes exact
+    // global ranks over the ≤ partitions × sources × MixTarget
+    // survivors. Input partitioning is a deterministic table scan, so
+    // the survivor superset is retry-stable; the final filter is
+    // partitioning-independent either way.
+    val hashed = docs
       .select(col("doc_id"), col("source"),
         md5(encode(col("doc_id").cast(StringType), "UTF-8")).as("h"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("pid"), col("source"))
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("prk") <= MixTarget)
+    val ranked = hashed
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("source"))
           .orderBy(col("h"), col("doc_id"))))
