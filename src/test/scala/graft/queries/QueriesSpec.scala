@@ -68,6 +68,17 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q18 rides ONE key exchange: both legs union into a single " +
+    "aggregation, no join") {
+    val plan = SparkEntry.queries("q18_set_ops")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val keyExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(keyExchanges == 1,
+      s"expected exactly one key exchange, got $keyExchanges:\n$plan")
+    assert(!plan.contains("Join"), s"q18 must not plan a join:\n$plan")
+  }
+
   test("q48 broadcasts the fixed dimension for the edit-distance " +
     "self-join") {
     val plan = SparkEntry.queries("q48_edit_distance")(spark, dir)
