@@ -93,4 +93,32 @@ object DocumentStream {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .select(col("window.start").as("window_start"), col("source"),
         col("n_docs"), col("total_tokens"))
+
+  /** Per-batch (source, word) deltas for the term-stats artifact:
+    * tf = the word's count inside the doc (word_counts emits one row
+    * per distinct word per doc, so summing the constant 1 per row IS
+    * document frequency). Factored out so batch/streaming parity is
+    * testable on the exact frame the sink merges. */
+  def termStatsDeltas(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(graft.functions.TokenOps.word_counts(
+          split(col("text"), " "))).as(Seq("w", "tf")))
+      .withColumn("sdf", lit(1L))
+
+  /** INCREMENTAL maintenance of the term-stats artifact
+    * (`Curation.termStats`'s streaming twin): each micro-batch's
+    * per-(source, word) {tf, sdf} deltas MERGE into the exactly-once
+    * versioned running state (`Sources.foreachBatchRunningAgg` — sums
+    * are associative, so replayed batches are idempotent and the
+    * state after any prefix of batches equals the batch-built
+    * artifact over the documents streamed so far; parity pinned in
+    * RunningAggSpec). This is how a 100 TB deployment keeps the
+    * vocabulary/TF-IDF artifact current on corpus appends without
+    * re-tokenizing the corpus. */
+  def termStatsStream(docs: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    graft.sources.Sources.foreachBatchRunningAgg(
+      termStatsDeltas(docs), outDir,
+      keys = Seq("source", "w"), sums = Seq("tf", "sdf"))
 }

@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object RunningAggSpec {
   case class Doc(source: String, n_tokens: Long)
+  case class TextDoc(doc_id: Long, source: String, text: String)
 }
 
 class RunningAggSpec extends SparkSpec {
@@ -49,6 +50,45 @@ class RunningAggSpec extends SparkSpec {
     val next = Sources.readRunningAgg(spark, out)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(next == Map("a" -> 17L, "b" -> 7L, "c" -> 1L))
+  }
+
+  test("incremental term-stats maintenance: the streamed running state " +
+    "equals an independent batch build over the documents seen so far") {
+    import RunningAggSpec.TextDoc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("termstats").toString
+    val batch1 = Seq(
+      TextDoc(1, "web", "the cat sat"),
+      TextDoc(2, "web", "the dog sat sat"),
+      TextDoc(3, "book", "cat and dog"))
+    val batch2 = Seq(
+      TextDoc(4, "web", "the the the"),
+      TextDoc(5, "book", "sat"))
+    val mem = MemoryStream[TextDoc]
+    val q = graft.streaming.DocumentStream
+      .termStatsStream(mem.toDF(), out)
+      .option("checkpointLocation", s"$out/_ckpt").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // independent batch truth: raw tokenization, count/count_distinct
+    val truth = (batch1 ++ batch2).toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("sdf"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val state = Sources.readRunningAgg(spark, out).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(state == truth,
+      s"streamed artifact diverges from batch build: $state vs $truth")
   }
 
   test("an uncommitted version is invisible to readers and safely " +
