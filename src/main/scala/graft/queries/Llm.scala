@@ -307,35 +307,38 @@ object Llm {
     * sparser than shingle posting lists (32 exact-hash bands vs
     * thousands of shared shingles), so the join side's win on pair
     * expansion never materializes. Kept the join. */
-  private[queries] def lshVerifiedPairsFor(documents: DataFrame): DataFrame = {
-    // (A/B-measured: lazy-localCheckpointing this frame is a wash —
-    // its three consumers otherwise compute in parallel plan
-    // branches, and the materialization barrier serializes them)
-    val toks = documents
+  private def tokenized(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
-    val docs = toks.select(col("doc_id"),
+
+  /** (doc_id, band_idx, band_hash): the 32×2 LSH banding of each
+    * doc's 64-component MinHash signature. Shared by the batch index
+    * build and the streaming incremental maintenance
+    * ([[graft.streaming.DedupIndexStream]]) so both discover the same
+    * candidates by construction. */
+  private[graft] def bandedSignatures(documents: DataFrame): DataFrame = {
+    val docs = tokenized(documents).select(col("doc_id"),
       graft.functions.Shingles.word_shingles(col("tk"), 3).as("sh"))
     val mh = docs.select(col("doc_id"),
       graft.functions.MinHash.minhash_signature(col("sh"), 64).as("mh"))
-    val banded = mh.select(col("doc_id"),
+    mh.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 31), b -> xxhash64(mh[2*b], mh[2*b+1], b))"))
         .as(Seq("band_idx", "band_hash")))
-    val cand = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    // exact-verify candidates via per-doc shingle-array intersection.
-    // The arrays ride the two verify joins as 64-bit shingle hashes,
-    // not 3-word strings — same intersection cardinality (distinct per
-    // doc; cross-collision odds as in jaccardPairsFor), ~4× fewer
-    // shuffle bytes and long-vs-string compares.
-    val docsH = toks.select(col("doc_id"),
+  }
+
+  /** (doc_id, shh): per-doc distinct shingle arrays as 64-bit hashes —
+    * the verify-side feature frame (same cardinality as the string
+    * shingles; ~4× fewer shuffle bytes and long-vs-string compares). */
+  private[graft] def shingleArrays(documents: DataFrame): DataFrame =
+    tokenized(documents).select(col("doc_id"),
       graft.functions.TokenOps.shingle_hashes(col("tk"), 3).as("shh"))
+
+  /** Exact-verify candidate pairs against the shingle-array frame:
+    * jaccard from per-doc array intersection, kept at >= 0.6. */
+  private[graft] def verifiedFromCandidates(cand: DataFrame,
+      docsH: DataFrame): DataFrame =
     cand
       .join(docsH.select(col("doc_id").as("a_id"), col("shh").as("sa")), "a_id")
       .join(docsH.select(col("doc_id").as("b_id"), col("shh").as("sb")), "b_id")
@@ -344,6 +347,20 @@ object Llm {
           (size(col("sa")) + size(col("sb")) -
             size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
+
+  private[graft] def lshVerifiedPairsFor(documents: DataFrame): DataFrame = {
+    // (A/B-measured: lazy-localCheckpointing the tokenized frame is a
+    // wash — its consumers otherwise compute in parallel plan
+    // branches, and the materialization barrier serializes them)
+    val banded = bandedSignatures(documents)
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    verifiedFromCandidates(cand, shingleArrays(documents))
   }
 
   // ---- the verified near-dup pair INDEX ------------------------------
