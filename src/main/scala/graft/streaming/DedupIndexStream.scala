@@ -66,24 +66,29 @@ object DedupIndexStream {
       .map(_.getPath.getName.stripPrefix("state_v").toLong)
   }
 
-  /** Latest state committed strictly before `before` — retries of a
-    * half-committed batch must not read their own partial output. */
+  /** Latest (version, frame) committed strictly before `before` —
+    * retries of a half-committed batch must not read their own
+    * partial output. */
   private def latestBefore(spark: SparkSession, store: String,
-      before: Long): Option[DataFrame] =
+      before: Long): Option[(Long, DataFrame)] =
     committedVersions(spark, store).filter(_ < before) match {
       case Seq() => None
-      case vs => Some(spark.read.parquet(s"$store/state_v${vs.max}"))
+      case vs => Some((vs.max,
+        spark.read.parquet(s"$store/state_v${vs.max}")))
     }
 
+  /** Write version `batchId`, then prune committed versions older
+    * than `keepFloor` — the version this batch actually READ (still
+    * lazily referenced by in-flight plans until every store of the
+    * batch is written, so it must survive the whole batch even when
+    * batch ids are not consecutive). */
   private def writeState(df: DataFrame, store: String,
-      batchId: Long): Unit = {
+      batchId: Long, keepFloor: Long): Unit = {
     df.write.mode("overwrite").parquet(s"$store/state_v$batchId")
-    // retention: keep the committed predecessor, prune older (the
-    // mergeBatch policy — state is cumulative, history is redundant)
     val f = fs(df.sparkSession, store)
     scala.util.Try {
       committedVersions(df.sparkSession, store)
-        .filter(_ < batchId - 1)
+        .filter(v => v < keepFloor && v != batchId)
         .foreach(v => f.delete(new Path(s"$store/state_v$v"), true))
     }
     ()
@@ -96,9 +101,12 @@ object DedupIndexStream {
     if (fs(spark, dir).exists(
         new Path(s"$dir/pairs/state_v$batchId/_SUCCESS")))
       return // replay of a committed batch: done
-    val prevBands = latestBefore(spark, s"$dir/bands", batchId)
-    val prevDocs = latestBefore(spark, s"$dir/docs", batchId)
-    val prevPairs = latestBefore(spark, s"$dir/pairs", batchId)
+    val prevBandsV = latestBefore(spark, s"$dir/bands", batchId)
+    val prevDocsV = latestBefore(spark, s"$dir/docs", batchId)
+    val prevPairsV = latestBefore(spark, s"$dir/pairs", batchId)
+    val prevBands = prevBandsV.map(_._2)
+    val prevDocs = prevDocsV.map(_._2)
+    val prevPairs = prevPairsV.map(_._2)
 
     val incoming = batch.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id")
@@ -137,12 +145,18 @@ object DedupIndexStream {
       }
       val newPairs = Llm.verifiedFromCandidates(cand, allFeats)
 
-      // cumulative state; pairs LAST = commit point
+      // cumulative state; pairs LAST = commit point. Each store keeps
+      // the version this batch read (later stores' plans still
+      // reference it) — with consecutive streaming batch ids this is
+      // exactly the mergeBatch keep-one-predecessor policy.
       writeState(prevBands.fold(newBands)(_ unionAll newBands),
-        s"$dir/bands", batchId)
-      writeState(allFeats, s"$dir/docs", batchId)
+        s"$dir/bands", batchId,
+        keepFloor = prevBandsV.fold(batchId)(_._1))
+      writeState(allFeats, s"$dir/docs", batchId,
+        keepFloor = prevDocsV.fold(batchId)(_._1))
       writeState(prevPairs.fold(newPairs)(_ unionAll newPairs),
-        s"$dir/pairs", batchId)
+        s"$dir/pairs", batchId,
+        keepFloor = prevPairsV.fold(batchId)(_._1))
     } finally {
       newBands.unpersist(); newFeats.unpersist(); ()
     }
@@ -158,6 +172,8 @@ object DedupIndexStream {
 
   /** The current verified pair set (latest committed pairs version). */
   def currentPairs(spark: SparkSession, dir: String): DataFrame =
-    latestBefore(spark, s"$dir/pairs", Long.MaxValue).getOrElse(
-      throw new IllegalStateException(s"no committed index under $dir"))
+    latestBefore(spark, s"$dir/pairs", Long.MaxValue)
+      .map(_._2)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed index under $dir"))
 }

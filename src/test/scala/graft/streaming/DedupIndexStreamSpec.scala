@@ -57,6 +57,28 @@ class DedupIndexStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("non-consecutive batch ids: the version a batch reads survives " +
+    "its own pruning and the final index is still exact") {
+    import spark.implicits._
+    val a = Seq(
+      DedupIndexStreamSpec.Doc(1, "alpha beta gamma delta epsilon"),
+      DedupIndexStreamSpec.Doc(2, "alpha beta gamma delta zeta"))
+    val b = Seq(
+      DedupIndexStreamSpec.Doc(3, "alpha beta gamma delta epsilon"))
+    val c = Seq(
+      DedupIndexStreamSpec.Doc(4, "alpha beta gamma delta zeta"))
+    val out = Files.createTempDirectory("dedupidx3").toString
+    DedupIndexStream.updateBatch(a.toDF("doc_id", "text"), out, batchId = 0)
+    DedupIndexStream.updateBatch(b.toDF("doc_id", "text"), out, batchId = 5)
+    DedupIndexStream.updateBatch(c.toDF("doc_id", "text"), out, batchId = 7)
+    val want = graft.queries.Llm.lshVerifiedPairsFor(
+      (a ++ b ++ c).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = DedupIndexStream.currentPairs(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"$got vs $want")
+  }
+
   test("replayed batches and re-delivered documents are no-ops") {
     import spark.implicits._
     val docs = Seq(
