@@ -756,6 +756,107 @@ object Llm {
       |    len(string_split(text, ' ')) AS stopword_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- text analysis: within-document repetition (Gopher-style) -------
+  // The repetition quality filter from published web-corpus pipelines
+  // (Gopher's "repetitious text" signals — fraction of the document
+  // taken by its most common 2-gram, fraction of duplicated 3-grams;
+  // MassiveText applies thresholds on exactly these): both fractions
+  // come from one per-row pass over the token array — bigram counts
+  // via the WordCounts map expression, distinct trigrams via the
+  // WordShingles set expression (string-exact, no hash domain) — so
+  // the plan is a pure scan+project with ZERO exchanges: at 100 TB
+  // this is embarrassingly parallel, the ideal shape for a corpus-wide
+  // quality sweep. Thresholds (0.20 / 0.30) are fixed constants of the
+  // operator; fractions ride the round-to-4-decimals recipe and the
+  // flag is 0/1 BIGINT on both engines.
+  /** Repetition signals over any (doc_id, text) frame — the table
+    * query below plus a unit-test surface for the tiny hand-computed
+    * fixtures in QueriesSpec. */
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("bi", transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => concat_ws(" ",
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+      .withColumn("top_bigram_frac", round(
+        array_max(map_values(
+          graft.functions.TokenOps.word_counts(col("bi"))))
+          .cast(DoubleType) / (size(col("tk")) - 1).cast(DoubleType), 4))
+      .withColumn("dup_trigram_frac", round(
+        lit(1.0) - size(graft.functions.Shingles.word_shingles(col("tk"), 3))
+          .cast(DoubleType) / (size(col("tk")) - 2).cast(DoubleType), 4))
+      .select(col("doc_id"), col("top_bigram_frac"), col("dup_trigram_frac"),
+        when(col("top_bigram_frac") > 0.2 || col("dup_trigram_frac") > 0.3,
+          1L).otherwise(0L).as("repetitive"))
+      .orderBy(col("doc_id"))
+
+  private val repetition: Q = (s, dir) => repetitionOf(t(s, dir, "documents"))
+
+  private val repetitionSql =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |    i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM tk),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_id,
+      |    round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac
+      |  FROM bc GROUP BY doc_id),
+      |tg AS (
+      |  SELECT doc_id,
+      |    round(1.0 - CAST(len(list_distinct(list_transform(
+      |        range(1, len(w) - 1),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
+      |      / (len(w) - 2), 4) AS dup_trigram_frac
+      |  FROM tk)
+      |SELECT doc_id, top_bigram_frac, dup_trigram_frac,
+      |  CAST(CASE WHEN top_bigram_frac > 0.2 OR dup_trigram_frac > 0.3
+      |    THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+      |FROM top JOIN tg USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---- text analysis: token entropy (lexical diversity) ---------------
+  // Shannon entropy of the document's unigram distribution — the
+  // standard lexical-diversity quality signal (low entropy = generated
+  // / boilerplate text). H = ln(n) − Σ c·ln(c) / n from the same
+  // per-row WordCounts map, folded sequentially (deterministic FP
+  // order); again a zero-exchange scan. The DuckDB twin groups
+  // per (doc, token) — its sum order differs, so the output rides the
+  // round-to-4-decimals recipe (term-count ≤ 100 on fixtures keeps the
+  // accumulated ulp error ~1e-13, far under the rounding grain).
+  private val entropy: Q = (s, dir) => {
+    val tk = split(col("text"), " ")
+    val cnts = map_values(graft.functions.TokenOps.word_counts(tk))
+    val n = size(tk).cast(DoubleType)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(tk).cast(LongType).as("n_tokens"),
+        size(cnts).cast(LongType).as("n_types"),
+        round(log(n) - aggregate(cnts, lit(0.0),
+          (acc, c) => acc + c.cast(DoubleType) * log(c.cast(DoubleType)))
+          / n, 4).as("token_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val entropySql =
+    """WITH n AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+      |w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(any_value(n) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  round(ln(any_value(n)) - sum(c * ln(c)) / any_value(n), 4)
+      |    AS token_entropy
+      |FROM c JOIN n USING (doc_id)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- text analysis: token counts per source -------------------------
   private val tokenCount: Q = (s, dir) =>
     t(s, dir, "documents")
@@ -1036,6 +1137,8 @@ object Llm {
     "llm_simhash" -> simhash,
     "llm_langid" -> langid,
     "llm_quality_score" -> quality,
+    "llm_repetition" -> repetition,
+    "llm_token_entropy" -> entropy,
     "llm_token_count" -> tokenCount,
     "llm_fingerprint" -> fingerprint,
     "llm_winnow_fingerprint" -> winnowFp,
@@ -1067,6 +1170,8 @@ object Llm {
     "llm_simhash" -> simhashSql,
     "llm_langid" -> langidSql,
     "llm_quality_score" -> qualitySql,
+    "llm_repetition" -> repetitionSql,
+    "llm_token_entropy" -> entropySql,
     "llm_token_count" -> tokenCountSql,
     "llm_fingerprint" -> fingerprintSql,
     "llm_winnow_fingerprint" -> winnowFpSql,

@@ -38,6 +38,35 @@ class QueriesSpec extends SparkSpec {
       !plan.contains("l_extendedprice"), "projection not pruned")
   }
 
+  test("llm_repetition and llm_token_entropy are exchange-free scans " +
+    "(the 100 TB shape: per-row signals, no shuffle before the sort)") {
+    for (name <- Seq("llm_repetition", "llm_token_entropy")) {
+      // drop the presentation orderBy — the operator itself is the
+      // per-row signal computation; only the global sort exchanges
+      val df = SparkEntry.queries(name)(spark, dir).sortWithinPartitions()
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, // the rangepartitioning of the final sort
+        s"$name plans $exchanges exchanges:\n$plan")
+    }
+  }
+
+  test("llm_repetition fractions match hand-computed values") {
+    import spark.implicits._
+    // "a b a b a": bigrams [a b, b a, a b, b a] -> top 2/4 = 0.5;
+    // trigrams [a b a, b a b, a b a] -> 2 distinct of 3 -> dup 1/3
+    val df = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val r = SparkEntry.queries("llm_repetition")(spark, dir)
+    assert(r.columns.toSeq ==
+      Seq("doc_id", "top_bigram_frac", "dup_trigram_frac", "repetitive"))
+    // direct unit check of the expressions on the tiny frame
+    val tiny = graft.queries.Llm.repetitionOf(df).collect().head
+    assert(tiny.getDouble(1) == 0.5, s"top_bigram_frac ${tiny.getDouble(1)}")
+    assert(math.abs(tiny.getDouble(2) - 0.3333) < 1e-9,
+      s"dup_trigram_frac ${tiny.getDouble(2)}")
+    assert(tiny.getLong(3) == 1L, "flag should fire at 0.5/0.33")
+  }
+
   test("q04 plans a broadcast join for the small dimension") {
     val plan = SparkEntry.queries("q04_broadcast_join")(spark, dir)
       .queryExecution.executedPlan.toString
