@@ -134,21 +134,15 @@ object KMeans {
 
   // Trained quantizers are persisted per (input plan, params) for the
   // session — the index-build is the expensive phase of IVF and a real
-  // deployment trains once, serves many queries (same memoization
-  // contract as SkewJoin.probeHotKeys).
-  // keyed by the canonicalized PLAN itself (full structural equality),
-  // not its 32-bit hashCode — an Int collision between different input
-  // plans would silently serve another corpus's centroids
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      String, Int, Int), IndexedSeq[Array[Double]]]()
+  // deployment trains once, serves many queries (snapshot semantics
+  // documented on PlanCache).
+  private val cache =
+    new PlanCache[(String, Int, Int), IndexedSeq[Array[Double]]]()
 
   def fitCached(emb: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int): IndexedSeq[Array[Double]] = {
-    val key = (emb.queryExecution.logical.canonicalized,
-      s"$vecCol/$idCol", k, iters)
-    cache.computeIfAbsent(key, _ => fit(emb, vecCol, idCol, k, iters))
-  }
+      k: Int, iters: Int): IndexedSeq[Array[Double]] =
+    cache.get(emb, (s"$vecCol/$idCol", k, iters))(
+      fit(emb, vecCol, idCol, k, iters))
 
   /** Test hook: drop persisted quantizers. */
   def clearCache(): Unit = cache.clear()

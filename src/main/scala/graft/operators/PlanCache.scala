@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Session-lifetime memoization of expensive per-corpus artifacts —
+  * dedup pair indexes, trained quantizers, term statistics, probe
+  * stats — keyed by the CANONICALIZED LOGICAL PLAN of the input frame
+  * plus operator parameters. One shared implementation for every
+  * build-once/serve-many artifact in the library (they were eight
+  * near-identical ConcurrentHashMap blocks before r5's review).
+  *
+  * Why the plan, not a hash: structural `LogicalPlan` equality cannot
+  * collide; a 32-bit hashCode collision between two different corpora
+  * would silently serve one corpus's artifact for the other.
+  *
+  * SNAPSHOT SEMANTICS (read before adding a cache): a canonicalized
+  * file-scan plan compares by its root paths, so a cached artifact
+  * reflects the table AS OF ITS BUILD. Files appended under the same
+  * path in-session are NOT picked up — exactly the catalog-statistics
+  * model: artifacts refresh with the table lifecycle, not per query.
+  * The supported refresh paths are (a) the streaming maintainers
+  * (`DocumentStream.termStatsStream`, `streaming.DedupIndexStream`),
+  * which merge append deltas into versioned durable state, and
+  * (b) `clear()` after a manual table rewrite. Queries that must see
+  * raw-latest data should not go through a PlanCache.
+  *
+  * Capacity: entries are per (corpus plan, params) — a session touches
+  * a handful — and every artifact cached here is bounded by
+  * construction (pair lists ≪ corpus, k centroids, per-(source, word)
+  * stats). `clear()` is the test/iteration hook; it runs `onEvict`
+  * (e.g. `unpersist`) on every value.
+  */
+final class PlanCache[P, V](onEvict: V => Unit = (_: V) => ()) {
+  private val m =
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, P), V]()
+
+  /** The cached value for (df's canonicalized plan, params), computing
+    * and caching it on first use. `compute` may run Spark jobs. */
+  def get(df: DataFrame, params: P)(compute: => V): V =
+    m.computeIfAbsent(
+      (df.queryExecution.logical.canonicalized, params), _ => compute)
+
+  /** Evict everything (runs `onEvict` per value). */
+  def clear(): Unit = {
+    m.values.forEach(v => onEvict(v))
+    m.clear()
+  }
+}

@@ -72,7 +72,12 @@ object SkewJoin {
       maxHotKeys: Int = 1000,
       knownHotKeys: Option[Seq[Any]] = None): DataFrame = {
     require(salts > 0 && sampleFraction > 0 && sampleFraction <= 1)
-    val hotKeys = knownHotKeys.map(_.toArray).getOrElse(
+    // strip NULL from caller-supplied hot keys too, not just probed
+    // ones: one NULL element turns the cold branch's NOT-IN filter
+    // into NULL for every non-hot row (three-valued logic), silently
+    // dropping the entire cold side. NULL-keyed rows match nothing
+    // under the inner equi-join, so dropping the element is lossless.
+    val hotKeys = knownHotKeys.map(_.filter(_ != null).toArray).getOrElse(
       probeHotKeys(big, bigKey, sampleFraction, hotRowThreshold, maxHotKeys))
     if (hotKeys.isEmpty) {
       big.join(small, big(bigKey) === small(smallKey))
@@ -97,12 +102,9 @@ object SkewJoin {
     * on a real cluster — callers holding them pass `knownHotKeys`
     * and skip the probe entirely.
     */
-  // keyed by the canonicalized plan itself (structural equality), not
-  // its hashCode — an Int collision would serve another table's keys
+  // snapshot semantics documented on PlanCache
   private val hotKeyCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        String, Double, Long, Int), Array[Any]]()
+    new PlanCache[(String, Double, Long, Int), Array[Any]]()
 
   /** Sample the big side once and collect keys estimated above
     * `hotRowThreshold` rows (bounded at `maxHotKeys`); memoized per
@@ -119,9 +121,8 @@ object SkewJoin {
     require(hotRowThreshold * sampleFraction >= 1.0,
       s"hotRowThreshold ($hotRowThreshold) x sampleFraction " +
         s"($sampleFraction) must be >= 1 sampled row")
-    val cacheKey = (big.queryExecution.logical.canonicalized,
-      bigKey, sampleFraction, hotRowThreshold, maxHotKeys)
-    hotKeyCache.computeIfAbsent(cacheKey, { _ =>
+    hotKeyCache.get(
+      big, (bigKey, sampleFraction, hotRowThreshold, maxHotKeys)) {
       val sampledCut = math.max(1L, (hotRowThreshold * sampleFraction).toLong)
       // NULL keys must not reach hotKeys: a NULL element makes the cold
       // branch's NOT-IN filter evaluate to NULL for every non-hot row
@@ -133,7 +134,7 @@ object SkewJoin {
         .filter(col("count") >= sampledCut)
         .orderBy(col("count").desc).limit(maxHotKeys)
         .select(col(bigKey)).collect().map(_.get(0))
-    })
+    }
   }
 
   /** Test/iteration hook: drop memoized probe results. */

@@ -43,22 +43,19 @@ object Curation {
       .groupBy(col("source"), col("w"))
       .agg(sum(col("c")).as("tf"), count(lit(1)).as("sdf"))
 
-  private val termStatsCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+  // snapshot semantics documented on graft.operators.PlanCache
+  private val termStatsCache =
+    new graft.operators.PlanCache[Unit, DataFrame](df => { df.unpersist(); () })
 
   /** Session-persisted per-(source, word) term statistics for
     * `documents` (build-once artifact; see note above). */
   private[queries] def termStats(documents: DataFrame): DataFrame =
-    termStatsCache.computeIfAbsent(
-      documents.queryExecution.logical.canonicalized,
-      _ => termStatsFor(documents)
+    termStatsCache.get(documents, ())(
+      termStatsFor(documents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Test hook: drop persisted term-stats frames. */
-  private[queries] def clearTermStats(): Unit = {
-    termStatsCache.values.forEach(df => { df.unpersist(); () })
-    termStatsCache.clear()
-  }
+  private[queries] def clearTermStats(): Unit = termStatsCache.clear()
 
   // ---- llm_vocab_topk: corpus vocabulary, top-k by frequency --------
   // Served from the term-stats artifact: one tiny (word-keyed) re-agg

@@ -374,22 +374,19 @@ object Llm {
   // "one pipeline, two outputs" for the jaccard/dedup_apply family).
   // The output is small by construction (verified near-dup pairs only,
   // ≪ corpus), so MEMORY_AND_DISK persistence is bounded.
-  private val pairIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+  // snapshot semantics documented on graft.operators.PlanCache
+  private val pairIndexCache =
+    new graft.operators.PlanCache[Unit, DataFrame](df => { df.unpersist(); () })
 
   /** Session-persisted verified near-dup pairs for `documents`
     * (build-once dedup index; see cache note above). */
   private[queries] def lshVerifiedPairs(documents: DataFrame): DataFrame =
-    pairIndexCache.computeIfAbsent(
-      documents.queryExecution.logical.canonicalized,
-      _ => lshVerifiedPairsFor(documents)
+    pairIndexCache.get(documents, ())(
+      lshVerifiedPairsFor(documents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Test hook: drop persisted pair indexes. */
-  private[queries] def clearPairIndex(): Unit = {
-    pairIndexCache.values.forEach(df => { df.unpersist(); () })
-    pairIndexCache.clear()
-  }
+  private[queries] def clearPairIndex(): Unit = pairIndexCache.clear()
 
   private val minhashLsh: Q = (s, dir) =>
     lshVerifiedPairs(t(s, dir, "documents"))
@@ -538,16 +535,14 @@ object Llm {
   // a repeated query re-plans from the cached cardinality instead of
   // re-running the count job each construction (ADVICE r4 noted the
   // eager jobs; the first construction still pays them)
-  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]()
+  private val statsCache = new graft.operators.PlanCache[Unit, Long]()
 
   private[queries] def cosineLshPairsFor(emb: DataFrame,
       threshold: Double = 0.5, nBands: Int = 16, bandBits: Int = 2)
       : DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"),
       sqrt(norm2(col("embedding"))).as("nrm"))
-    val n = statsCache.computeIfAbsent(
-      emb.queryExecution.logical.canonicalized, _ => emb.count())
+    val n = statsCache.get(emb, ())(emb.count())
     val allPairs = n * (n - 1) / 2
     // below ~1e8 pairs the codegen brute join is seconds of work on a
     // few cores — cheaper than even RUNNING the banding stats pass, so
@@ -558,9 +553,9 @@ object Llm {
     // banding-stats aggregation run as driver jobs) — an AQE-style
     // planning-time stats pass. Callers that need a lazy plan should
     // cache the input or pick a branch explicitly.
-    def candEstimate: Long = statsCache.computeIfAbsent(
-      srpBandedFor(emb, nBands, bandBits).queryExecution.logical.canonicalized,
-      _ => srpCandidateEstimate(emb, nBands, bandBits))
+    def candEstimate: Long = statsCache.get(
+      srpBandedFor(emb, nBands, bandBits), ())(
+      srpCandidateEstimate(emb, nBands, bandBits))
     if (allPairs <= bruteCheapPairs || candEstimate >= allPairs / 2) {
       // broadcast pins BroadcastNestedLoopJoin: the brute branch fires
       // for n up to ~14k vectors, where 256-dim rows can exceed the
@@ -833,6 +828,9 @@ object Llm {
     val cnts = map_values(graft.functions.TokenOps.word_counts(tk))
     val n = size(tk).cast(DoubleType)
     t(s, dir, "documents")
+      // NULL text: the oracle's unnest+join drops the doc; match it
+      // (instead of emitting a row of NULL metrics)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         size(tk).cast(LongType).as("n_tokens"),
         size(cnts).cast(LongType).as("n_types"),
@@ -958,22 +956,18 @@ object Llm {
   // once per corpus snapshot and serves many views from — same
   // build-once/serve-many memoization contract (output bounded:
   // df-capped pairs sharing ≥5 prints, ≪ corpus)
-  private val winnowIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+  private val winnowIndexCache =
+    new graft.operators.PlanCache[Unit, DataFrame](df => { df.unpersist(); () })
 
   /** Session-persisted winnow-fingerprint overlap pairs for
     * `documents` (build-once overlap index; see cache note above). */
   private[queries] def winnowPairs(documents: DataFrame): DataFrame =
-    winnowIndexCache.computeIfAbsent(
-      documents.queryExecution.logical.canonicalized,
-      _ => winnowPairsFor(documents)
+    winnowIndexCache.get(documents, ())(
+      winnowPairsFor(documents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Test hook: drop persisted winnow overlap indexes. */
-  private[queries] def clearWinnowIndex(): Unit = {
-    winnowIndexCache.values.forEach(df => { df.unpersist(); () })
-    winnowIndexCache.clear()
-  }
+  private[queries] def clearWinnowIndex(): Unit = winnowIndexCache.clear()
 
   private val winnowNeardup: Q = (s, dir) =>
     winnowPairs(t(s, dir, "documents"))

@@ -178,8 +178,11 @@ object Multimodal {
   private[queries] final case class IvfIndex(cents: DataFrame,
     assign: DataFrame)
 
-  private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, IvfIndex]()
+  // snapshot semantics documented on graft.operators.PlanCache
+  private val ivfIndexCache =
+    new graft.operators.PlanCache[Unit, IvfIndex](ix => {
+      ix.cents.unpersist(); ix.assign.unpersist(); ()
+    })
 
   private def ivfIndexFor(emb: DataFrame): IvfIndex = {
     val e = emb
@@ -220,16 +223,10 @@ object Multimodal {
   /** Session-persisted IVF index (quantizer + cell assignment) for
     * `emb` (build-once; see cache note above). */
   private[queries] def ivfIndex(emb: DataFrame): IvfIndex =
-    ivfIndexCache.computeIfAbsent(
-      emb.queryExecution.logical.canonicalized, _ => ivfIndexFor(emb))
+    ivfIndexCache.get(emb, ())(ivfIndexFor(emb))
 
   /** Test hook: drop persisted IVF indexes. */
-  private[queries] def clearIvfIndex(): Unit = {
-    ivfIndexCache.values.forEach { ix =>
-      ix.cents.unpersist(); ix.assign.unpersist(); ()
-    }
-    ivfIndexCache.clear()
-  }
+  private[queries] def clearIvfIndex(): Unit = ivfIndexCache.clear()
 
   /** IVF top-k with a pluggable probe width. `nProbe=2` is the shipped
     * operator; MultimodalSpec sweeps it to quantify the recall/probe
@@ -351,25 +348,28 @@ object Multimodal {
   // trained quantizer (train once, validate once, serve many) — a
   // repeated call must not re-run the two objective scans
   private val trainedVerdictCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-      (Long, Boolean)]()
+    new graft.operators.PlanCache[Int, (Long, Boolean)]()
 
   private[queries] def annIvfTrainedWith(s: SparkSession, dir: String,
       nProbe: Int): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val key = (emb.queryExecution.logical.canonicalized, nProbe)
-    val (k, noWorse) = trainedVerdictCache.computeIfAbsent(key, { _ =>
+    val (k, noWorse) = trainedVerdictCache.get(emb, nProbe) {
       val e = emb.select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("n2"))
       val n = e.count()
       val kk = math.ceil(math.sqrt(n.toDouble)).toInt
-      val init = graft.operators.KMeans.fitCached(
-        emb, "embedding", "vec_id", kk, iters = 0)
-      val trained = graft.operators.KMeans.fitCached(
-        emb, "embedding", "vec_id", kk, iters = 3)
-      (kk.toLong, meanMaxCos(e, trained) >= meanMaxCos(e, init))
-    })
+      // empty corpus: k = 0, nothing to train — the guarantee holds
+      // vacuously (KMeans.fit requires k >= 1, and the oracle's
+      // ceil(sqrt(0)) row must still come back)
+      if (kk == 0) (0L, true)
+      else {
+        val init = graft.operators.KMeans.fitCached(
+          emb, "embedding", "vec_id", kk, iters = 0)
+        val trained = graft.operators.KMeans.fitCached(
+          emb, "embedding", "vec_id", kk, iters = 3)
+        (kk.toLong, meanMaxCos(e, trained) >= meanMaxCos(e, init))
+      }
+    }
     import s.implicits._
     Seq((k, nProbe.toLong, noWorse))
       .toDF("k", "n_probe", "trained_no_worse")

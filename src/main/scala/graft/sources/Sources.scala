@@ -19,11 +19,15 @@ object Sources {
 
   /** Batch read of a table in any supported format. */
   def read(spark: SparkSession, path: String, format: String = "parquet",
-      schema: Option[StructType] = None): DataFrame = {
+      schema: Option[StructType] = None,
+      csvHeader: Boolean = true): DataFrame = {
     // header applies to CSV whether or not a schema is supplied — an
-    // explicit schema must not demote the header line to a data row
+    // explicit schema must not demote the header line to a data row.
+    // Headerless CSV + explicit schema: pass csvHeader = false, or
+    // the first data line of every file is consumed as a header.
     val r0 = spark.read.format(format)
-    val r = if (format == "csv") r0.option("header", "true") else r0
+    val r = if (format == "csv")
+      r0.option("header", csvHeader.toString) else r0
     val withSchema = schema.fold(
       if (format == "csv" || format == "json")
         r.option("inferSchema", "true")

@@ -29,20 +29,30 @@ import graft.queries.Llm
   * any prefix of batches equals `lshVerifiedPairsFor` over the
   * documents streamed so far.
   *
-  * State layout under `dir` (the `foreachBatchRunningAgg` versioned
-  * convention, one store per frame):
+  * State layout under `dir` — base + append-only deltas (the LSM
+  * shape), one store per frame:
   * {{{
-  *   dir/bands/state_vN   (doc_id, band_idx, band_hash)
-  *   dir/docs/state_vN    (doc_id, shh)        — verify features
-  *   dir/pairs/state_vN   (a_id, b_id, jaccard)
+  *   dir/bands/delta_vN   (doc_id, band_idx, band_hash)  batch N only
+  *   dir/docs/delta_vN    (doc_id, shh)                  batch N only
+  *   dir/pairs/delta_vN   (a_id, b_id, jaccard)          batch N only
+  *   dir/&lt;store&gt;/base_vM  all state through batch M (compaction)
   * }}}
-  * Each store's `state_vN` carries Spark's `_SUCCESS`; `pairs` is
-  * written LAST and is the batch's commit point — a replayed batch
-  * whose pairs version is committed is a no-op, and a crash between
-  * stores is healed on retry because every read resolves the latest
-  * version committed BEFORE the current batch id. Old committed
-  * versions are pruned to the previous one, as in
-  * `Sources.mergeBatch`.
+  * Each batch WRITES ONLY ITS OWN DELTA — per-trigger I/O is O(new
+  * docs), not O(index) (a cumulative-rewrite layout degenerates to
+  * rewriting the whole index every trigger at corpus scale). The
+  * stored view of a store is `base_vM ∪ {delta_vN : N > M, N
+  * committed}`. A batch is committed iff `pairs/delta_vN/_SUCCESS`
+  * exists — pairs is written LAST and is the commit point; bands/docs
+  * deltas of a crashed batch are invisible (their batch id is not
+  * committed) and are simply overwritten on retry. A replayed batch
+  * whose pairs delta is committed is a no-op.
+  *
+  * `compact()` folds every committed delta (and the prior base) into a
+  * new `base_vM`, committed by the pairs base, then deletes what it
+  * covered — run it on whatever cadence bounds the delta count (the
+  * read path unions one frame per uncompacted batch; at 100 TB the
+  * base would additionally be bucketed by doc_id so the per-batch
+  * verify join prunes to colliding buckets).
   *
   * Idempotent ingest: a doc_id already in the stored feature frame is
   * anti-joined away, so re-delivered documents are no-ops (docs
@@ -54,44 +64,43 @@ object DedupIndexStream {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def committedVersions(spark: SparkSession,
-      store: String): Seq[Long] = {
+  /** Version ids of `prefix` dirs under `store` carrying _SUCCESS. */
+  private def committedDirs(spark: SparkSession, store: String,
+      prefix: String): Seq[Long] = {
     val base = new Path(store)
     val f = fs(spark, store)
     if (!f.exists(base)) Seq.empty
     else f.listStatus(base).toSeq
       .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("state_v") &&
+        s.getPath.getName.startsWith(prefix) &&
         f.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("state_v").toLong)
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
   }
 
-  /** Latest (version, frame) committed strictly before `before` —
-    * retries of a half-committed batch must not read their own
-    * partial output. */
-  private def latestBefore(spark: SparkSession, store: String,
-      before: Long): Option[(Long, DataFrame)] =
-    committedVersions(spark, store).filter(_ < before) match {
-      case Seq() => None
-      case vs => Some((vs.max,
-        spark.read.parquet(s"$store/state_v${vs.max}")))
-    }
+  /** Batch ids committed strictly before `before` (commit point =
+    * the pairs delta) — retries of a half-committed batch must not
+    * read their own partial output. */
+  private def committedBatches(spark: SparkSession, dir: String,
+      before: Long): Seq[Long] =
+    committedDirs(spark, s"$dir/pairs", "delta_v").filter(_ < before)
 
-  /** Write version `batchId`, then prune committed versions older
-    * than `keepFloor` — the version this batch actually READ (still
-    * lazily referenced by in-flight plans until every store of the
-    * batch is written, so it must survive the whole batch even when
-    * batch ids are not consecutive). */
-  private def writeState(df: DataFrame, store: String,
-      batchId: Long, keepFloor: Long): Unit = {
-    df.write.mode("overwrite").parquet(s"$store/state_v$batchId")
-    val f = fs(df.sparkSession, store)
-    scala.util.Try {
-      committedVersions(df.sparkSession, store)
-        .filter(v => v < keepFloor && v != batchId)
-        .foreach(v => f.delete(new Path(s"$store/state_v$v"), true))
-    }
-    ()
+  /** Latest committed compaction base before `before` (commit point =
+    * the pairs base). */
+  private def committedBase(spark: SparkSession, dir: String,
+      before: Long): Option[Long] =
+    committedDirs(spark, s"$dir/pairs", "base_v").filter(_ < before)
+      .maxOption
+
+  /** The stored view of one store as of (strictly before) `before`:
+    * base_vM plus committed deltas above it. */
+  private def stored(spark: SparkSession, dir: String, sub: String,
+      before: Long): Option[DataFrame] = {
+    val baseM = committedBase(spark, dir, before)
+    val deltas = committedBatches(spark, dir, before)
+      .filter(n => baseM.forall(n > _))
+    val paths = baseM.map(m => s"$dir/$sub/base_v$m").toSeq ++
+      deltas.sorted.map(n => s"$dir/$sub/delta_v$n")
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
   /** One incremental index update (factored out so replay/crash
@@ -99,14 +108,10 @@ object DedupIndexStream {
   def updateBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (fs(spark, dir).exists(
-        new Path(s"$dir/pairs/state_v$batchId/_SUCCESS")))
+        new Path(s"$dir/pairs/delta_v$batchId/_SUCCESS")))
       return // replay of a committed batch: done
-    val prevBandsV = latestBefore(spark, s"$dir/bands", batchId)
-    val prevDocsV = latestBefore(spark, s"$dir/docs", batchId)
-    val prevPairsV = latestBefore(spark, s"$dir/pairs", batchId)
-    val prevBands = prevBandsV.map(_._2)
-    val prevDocs = prevDocsV.map(_._2)
-    val prevPairs = prevPairsV.map(_._2)
+    val prevBands = stored(spark, dir, "bands", batchId)
+    val prevDocs = stored(spark, dir, "docs", batchId)
 
     val incoming = batch.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id")
@@ -145,21 +150,57 @@ object DedupIndexStream {
       }
       val newPairs = Llm.verifiedFromCandidates(cand, allFeats)
 
-      // cumulative state; pairs LAST = commit point. Each store keeps
-      // the version this batch read (later stores' plans still
-      // reference it) — with consecutive streaming batch ids this is
-      // exactly the mergeBatch keep-one-predecessor policy.
-      writeState(prevBands.fold(newBands)(_ unionAll newBands),
-        s"$dir/bands", batchId,
-        keepFloor = prevBandsV.fold(batchId)(_._1))
-      writeState(allFeats, s"$dir/docs", batchId,
-        keepFloor = prevDocsV.fold(batchId)(_._1))
-      writeState(prevPairs.fold(newPairs)(_ unionAll newPairs),
-        s"$dir/pairs", batchId,
-        keepFloor = prevPairsV.fold(batchId)(_._1))
+      // deltas only — O(new docs) written; pairs LAST = commit point
+      newBands.write.mode("overwrite")
+        .parquet(s"$dir/bands/delta_v$batchId")
+      newFeats.write.mode("overwrite")
+        .parquet(s"$dir/docs/delta_v$batchId")
+      newPairs.write.mode("overwrite")
+        .parquet(s"$dir/pairs/delta_v$batchId")
     } finally {
       newBands.unpersist(); newFeats.unpersist(); ()
     }
+  }
+
+  /** Fold the committed base + deltas of every store into one new
+    * `base_vM` (M = newest committed batch) and delete what it
+    * covered. Crash-safe by the same convention as the batch path:
+    * the pairs base commits the compaction; a crash before it leaves
+    * the delta view authoritative, and the covered-dir cleanup is
+    * best-effort (re-running compact() finishes it). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val batches = committedBatches(spark, dir, Long.MaxValue)
+    if (batches.isEmpty) return
+    val m = batches.max
+    val oldBase = committedBase(spark, dir, Long.MaxValue)
+    if (oldBase.exists(_ >= m)) {
+      // every delta is already covered by the base — only an
+      // interrupted cleanup can leave this state; finish it (building
+      // a base at an id ≤ the current base would let covered deltas
+      // double-count against it)
+      val f = fs(spark, dir)
+      scala.util.Try {
+        for (sub <- Seq("bands", "docs", "pairs");
+             n <- batches if n <= oldBase.get)
+          f.delete(new Path(s"$dir/$sub/delta_v$n"), true)
+      }
+      return
+    }
+    for (sub <- Seq("bands", "docs", "pairs")) {
+      stored(spark, dir, sub, Long.MaxValue).get
+        .write.mode("overwrite").parquet(s"$dir/$sub/base_v$m")
+    }
+    // cleanup of covered dirs (read path already ignores them)
+    val f = fs(spark, dir)
+    scala.util.Try {
+      for (sub <- Seq("bands", "docs", "pairs")) {
+        oldBase.foreach(b =>
+          f.delete(new Path(s"$dir/$sub/base_v$b"), true))
+        batches.filter(_ <= m).foreach(n =>
+          f.delete(new Path(s"$dir/$sub/delta_v$n"), true))
+      }
+    }
+    ()
   }
 
   /** The streaming entry point: maintain the index under `dir` from a
@@ -170,10 +211,9 @@ object DedupIndexStream {
         updateBatch(batch.toDF(), dir, batchId)
     }
 
-  /** The current verified pair set (latest committed pairs version). */
+  /** The current verified pair set (base + committed deltas). */
   def currentPairs(spark: SparkSession, dir: String): DataFrame =
-    latestBefore(spark, s"$dir/pairs", Long.MaxValue)
-      .map(_._2)
+    stored(spark, dir, "pairs", Long.MaxValue)
       .getOrElse(throw new IllegalStateException(
         s"no committed index under $dir"))
 }

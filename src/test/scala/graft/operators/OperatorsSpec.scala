@@ -42,6 +42,20 @@ class OperatorsSpec extends SparkSpec {
       plain.exceptAll(adaptive).isEmpty)
   }
 
+  test("hot-key salted join: a NULL in caller-supplied hot keys must " +
+    "not drop the cold side (NOT-IN three-valued logic)") {
+    import spark.implicits._
+    val big = ((1 to 100).map(i => (999L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 10, i.toLong)))
+      .toDF("k", "payload")
+    val small = (0L to 999L).map(k => (k, s"dim_$k")).toDF("sk", "attr")
+    val plain = big.join(small, big("k") === small("sk"))
+    val adaptive = SkewJoin.saltedHotKeyJoin(big, small, "k", "sk",
+      salts = 4, knownHotKeys = Some(Seq(null, 999L)))
+    assert(adaptive.count() == plain.count(),
+      "cold rows were silently dropped by a NULL hot key")
+  }
+
   test("hot-key salted join degrades to the plain join when nothing " +
     "is hot") {
     import spark.implicits._

@@ -57,8 +57,8 @@ class DedupIndexStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("non-consecutive batch ids: the version a batch reads survives " +
-    "its own pruning and the final index is still exact") {
+  test("non-consecutive batch ids: the index is exact over committed " +
+    "deltas regardless of id gaps") {
     import spark.implicits._
     val a = Seq(
       DedupIndexStreamSpec.Doc(1, "alpha beta gamma delta epsilon"),
@@ -71,6 +71,42 @@ class DedupIndexStreamSpec extends SparkSpec {
     DedupIndexStream.updateBatch(a.toDF("doc_id", "text"), out, batchId = 0)
     DedupIndexStream.updateBatch(b.toDF("doc_id", "text"), out, batchId = 5)
     DedupIndexStream.updateBatch(c.toDF("doc_id", "text"), out, batchId = 7)
+    val want = graft.queries.Llm.lshVerifiedPairsFor(
+      (a ++ b ++ c).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = DedupIndexStream.currentPairs(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("compaction folds deltas into a base, preserves the index " +
+    "exactly, and later batches keep appending on top of it") {
+    import spark.implicits._
+    val a = Seq(
+      DedupIndexStreamSpec.Doc(1, "alpha beta gamma delta epsilon"),
+      DedupIndexStreamSpec.Doc(2, "alpha beta gamma delta zeta"))
+    val b = Seq(
+      DedupIndexStreamSpec.Doc(3, "alpha beta gamma delta epsilon"))
+    val c = Seq(
+      DedupIndexStreamSpec.Doc(4, "alpha beta gamma delta zeta"))
+    val out = Files.createTempDirectory("dedupidx4").toString
+    DedupIndexStream.updateBatch(a.toDF("doc_id", "text"), out, batchId = 0)
+    DedupIndexStream.updateBatch(b.toDF("doc_id", "text"), out, batchId = 1)
+    val before = DedupIndexStream.currentPairs(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    DedupIndexStream.compact(spark, out)
+    val after = DedupIndexStream.currentPairs(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, s"compaction changed the index: $after")
+    // covered deltas are gone; the base carries the state
+    val pairsDir = new java.io.File(s"$out/pairs")
+    val names = pairsDir.listFiles().map(_.getName).toSet
+    assert(names.contains("base_v1") && !names.exists(_.startsWith("delta_")),
+      s"unexpected layout after compaction: $names")
+    // idempotent re-run
+    DedupIndexStream.compact(spark, out)
+    // appends after compaction verify against the base
+    DedupIndexStream.updateBatch(c.toDF("doc_id", "text"), out, batchId = 2)
     val want = graft.queries.Llm.lshVerifiedPairsFor(
       (a ++ b ++ c).toDF("doc_id", "text")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
