@@ -92,6 +92,80 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Per-row windowHash→count map of the POSITIONAL word-n-gram windows
+  * of a token array — the non-distinct twin of [[ShingleHashes]] for
+  * span-level duplicate detection (every window position counts, so a
+  * window repeated inside one document keeps its multiplicity). The
+  * within-document collapse happens map-side, like [[WordCounts]]:
+  * the first exchange a substring-dedup pipeline pays is already
+  * per-(doc, window) counts, one row per DISTINCT window per doc.
+  * Token and window hashing are identical to [[ShingleHashes]] (same
+  * order-sensitive multiply-mix, same null→"" mapping), so count
+  * parity with string windows holds modulo 64-bit collisions.
+  */
+case class WindowHashCounts(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    MapType(LongType, IntegerType, valueContainsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"window width must be >= 1, got $n")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"window_hash_counts needs array<string>, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tk = input.asInstanceOf[ArrayData]
+    val cnt = tk.numElements()
+    val m = cnt - n + 1
+    if (m <= 0) return ArrayBasedMapData(Array.empty[Any], Array.empty[Any])
+    val empty = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+    val emptyHash = XXH64.hashUnsafeBytes(
+      empty.getBaseObject, empty.getBaseOffset, empty.numBytes, 42L)
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      val t = tk.getUTF8String(i)
+      th(i) =
+        if (t == null) emptyHash
+        else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+          t.numBytes, 42L)
+      i += 1
+    }
+    val counts = new java.util.LinkedHashMap[java.lang.Long, Integer](m * 2)
+    val one = Integer.valueOf(1)
+    i = 0
+    while (i < m) {
+      var h = -7046029254386353131L // same mix as ShingleHashes
+      var j = 0
+      while (j < n) {
+        h = h * -4417276706812531889L ^ th(i + j)
+        j += 1
+      }
+      counts.merge(java.lang.Long.valueOf(h), one, WordCounts.SumInts)
+      i += 1
+    }
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = e.getKey.longValue()
+      vals(k) = e.getValue
+      k += 1
+    }
+    ArrayBasedMapData(keys, vals)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WindowHashCounts =
+    copy(child = c)
+}
+
 /** Per-row word→count map of a token array: the map-side collapse of
   * `explode(tokens)` + `groupBy(doc, word)`. A document's term counts
   * are a ROW-LOCAL fact; aggregating them through a cluster-wide
@@ -159,4 +233,8 @@ object TokenOps {
   /** Per-row word→count map: map<string,int>. */
   def word_counts(tokens: Column): Column =
     GraftBridge.column(WordCounts(GraftBridge.expression(tokens)))
+
+  /** Per-row positional window-hash→count map: map<long,int>. */
+  def window_hash_counts(tokens: Column, n: Int): Column =
+    GraftBridge.column(WindowHashCounts(GraftBridge.expression(tokens), n))
 }

@@ -1113,7 +1113,84 @@ object Llm {
       |  unnest([x / nrm for x in ed]) AS u
       |FROM e ORDER BY vec_id, idx""".stripMargin
 
+  // ---- llm_substring_dedup: span-level exact-duplicate detection ------
+  // The "dedup repeated substrings" curation step (cf. Lee et al.,
+  // "Deduplicating Training Data Makes Language Models Better"): a
+  // token WINDOW (width 8, positional — multiplicity kept) is
+  // duplicated when it occurs in >= 2 distinct documents; each doc
+  // reports how much of it is cross-doc duplicated span. Distinct
+  // from the Jaccard/MinHash family: those score whole-document
+  // similarity, this localizes shared spans regardless of overall
+  // similarity (boilerplate, quotes, templated text).
+  //
+  // Scale shape: WindowHashCounts collapses within-doc duplicates
+  // map-side, so the wide exchange ships one 8-byte hash + count per
+  // DISTINCT window per doc. The corpus's window rows shuffle on the
+  // hash exactly once (the doc-frequency aggregation); the dup-window
+  // set is small by construction (duplicated hashes only) and comes
+  // back as a broadcast probe — AQE picks BroadcastHashJoin, and if
+  // the dup set ever outgrew broadcast the join keys on the same hash
+  // the aggregation exchange already produced (exchange reuse). Both
+  // pinned in QueriesSpec. No df cap needed: there is no pair
+  // expansion, cost is linear in windows with per-key fan-in bounded
+  // by the aggregation's partial combine.
+  private[queries] val SubstringW = 8
+
+  private[queries] def substringDedupFor(documents: DataFrame,
+      w: Int = SubstringW): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= w)
+      .select(col("doc_id"), size(col("tk")).as("ntk"),
+        graft.functions.TokenOps.window_hash_counts(col("tk"), w).as("wc"))
+    val wins = docs.select(col("doc_id"),
+      explode(col("wc")).as(Seq("wh", "cnt")))
+    // windows present in >= 2 distinct docs; wc keys are distinct per
+    // doc, so count(*) counts documents
+    val dups = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+    val per = wins.join(dups, "wh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast(LongType).as("nd_win"))
+    docs.select(col("doc_id"),
+        (col("ntk") - w + 1).cast(LongType).as("n_windows"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("nd_win"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("nd_win"), lit(0L)).cast(DoubleType) /
+          col("n_windows"), 4).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val substringDedup: Q = (s, dir) =>
+    substringDedupFor(t(s, dir, "documents"))
+
+  private val substringDedupSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SubstringW),
+       |win AS (
+       |  SELECT doc_id,
+       |    unnest([array_to_string(tk[i:i+${SubstringW - 1}], ' ')
+       |            for i in generate_series(1, len(tk)-${SubstringW - 1})])
+       |      AS w
+       |  FROM tok),
+       |dups AS (
+       |  SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+       |per AS (
+       |  SELECT doc_id, count(*) AS nd_win
+       |  FROM win JOIN dups USING (w) GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(tk) - ${SubstringW - 1} AS BIGINT) AS n_windows,
+       |  CAST(coalesce(nd_win, 0) AS BIGINT) AS n_dup_windows,
+       |  round(CAST(coalesce(nd_win, 0) AS DOUBLE)
+       |    / (len(tk) - ${SubstringW - 1}), 4) AS dup_ratio
+       |FROM tok t LEFT JOIN per ON t.doc_id = per.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_substring_dedup" -> substringDedup,
     "llm_dedup_apply" -> dedupApply,
     "llm_normalize_embeddings" -> normalize,
     "q27_dedup_exact" -> q27,
@@ -1140,6 +1217,9 @@ object Llm {
   )
 
   val oracles: Map[String, String] = Map(
+    // window hashing parity modulo 64-bit collisions (the
+    // ShingleHashes contract)
+    "llm_substring_dedup" -> substringDedupSql,
     "llm_dedup_apply" -> dedupApplySql,
     "llm_normalize_embeddings" -> normalizeSql,
     "q27_dedup_exact" -> q27Sql,

@@ -51,6 +51,40 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("llm_substring_dedup counts cross-doc window positions, keeps " +
+    "within-doc multiplicity, and ignores within-doc-only repeats") {
+    import spark.implicits._
+    // w=3 windows: doc 1 "a b c d" -> [a b c, b c d]; doc 2 shares
+    // "a b c" TWICE (multiplicity kept) plus unshared windows; doc 3
+    // repeats "x y z x y z x" within itself only -> its windows occur
+    // in one doc, so nothing is cross-doc duplicated
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c a b c"),
+      (3L, "x y z x y z x")).toDF("doc_id", "text")
+    val got = Llm.substringDedupFor(docs, w = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 2 windows: [a b c, b c a, c a b, a b c] -> "a b c" x2 shared
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 4L, 2L, 0.5),
+      (3L, 5L, 0L, 0.0)), got.mkString(", "))
+  }
+
+  test("llm_substring_dedup shuffles the corpus's window rows on the " +
+    "window hash exactly once (dup probe joins without a re-shuffle)") {
+    val df = SparkEntry.queries("llm_substring_dedup")(spark, dir)
+    df.collect() // inspect the final adaptive plan, not the initial
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val winExchanges = "hashpartitioning\\(wh".r.findAllIn(plan).length
+    assert(winExchanges == 1,
+      s"expected ONE window-hash exchange, got $winExchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin [wh") ||
+      plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"dup probe re-shuffles the corpus:\n$plan")
+  }
+
   test("llm_repetition fractions match hand-computed values") {
     import spark.implicits._
     // "a b a b a": bigrams [a b, b a, a b, b a] -> top 2/4 = 0.5;
