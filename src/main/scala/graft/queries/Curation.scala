@@ -467,7 +467,87 @@ object Curation {
        |WHERE contains(text, probe)
        |ORDER BY doc_id, probe""".stripMargin
 
+  // ---- llm_bigram_lm: corpus bigram LM, per-doc mean log-prob --------
+  // The perplexity-style quality filter: train an add-one-smoothed
+  // bigram language model ON the corpus itself, then score every
+  // document by the mean natural-log probability of its bigrams.
+  // Low-scoring docs are surprising under the corpus distribution
+  // (gibberish, wrong language, boilerplate-free noise) — the classic
+  // "KenLM filter" shape with the LM expressible in pure dataflow.
+  //
+  //   P(w2 | w1) = (B(w1 w2) + 1) / (U(w1) + V)
+  //
+  // with B = corpus bigram count, U = corpus occurrences of w1 (all
+  // positions), V = corpus vocabulary size (add-one mass).
+  //
+  // The model is trained on the FULL corpus (unigram mass includes
+  // every document); only documents with >= 2 tokens receive a score
+  // (a 1-token doc has no bigrams).
+  //
+  // Scale shape: the unigram table U and the add-one mass V are EXACT
+  // re-aggregations of the session's term-stats artifact (U(w) = Σ_src
+  // tf(src, w)) — the corpus is tokenized once for bigram rows, not
+  // three times. Bigram counts are one corpus-wide aggregation; the
+  // doc-side bigram rows shuffle on the bigram key once — the count
+  // aggregation's exchange is reused for the join probe (identical
+  // subtree) or the count side broadcasts when small. V rides a
+  // broadcast of a 1-row frame. Nothing is quadratic; the widest key
+  // domain is the corpus bigram vocabulary, the same cardinality
+  // class the term-stats artifact already shuffles.
+  private[queries] def bigramLmFor(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    // positional bigram rows (multiplicity kept): arrays_zip of the
+    // token array against itself shifted by one
+    val bi = docs
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("z"))
+      .select(col("doc_id"), col("z").getField("0").as("w1"),
+        col("z").getField("1").as("w2"))
+    val uni = termStats(documents)
+      .groupBy(col("w")).agg(sum(col("tf")).as("u"))
+    val vdf = uni.agg(count(lit(1)).as("v"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
+    bi.join(bc, Seq("w1", "w2"))
+      .join(uni, col("w1") === col("w"))
+      .crossJoin(broadcast(vdf))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("b") + 1).cast(DoubleType) /
+          (col("u") + col("v")))), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bigramLm: Q = (s, dir) =>
+    bigramLmFor(t(s, dir, "documents"))
+
+  private val bigramLmSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |uni AS (
+      |  SELECT w, count(*) AS u
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM documents) GROUP BY w),
+      |v AS (SELECT count(*) AS v FROM uni),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest([tk[i] for i in generate_series(1, len(tk)-1)]) AS w1,
+      |    unnest([tk[i+1] for i in generate_series(1, len(tk)-1)]) AS w2
+      |  FROM tok),
+      |bc AS (SELECT w1, w2, count(*) AS b FROM bi GROUP BY 1, 2)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(avg(ln((b + 1.0) / (u + v))), 4) AS avg_logp
+      |FROM bi
+      |JOIN bc USING (w1, w2)
+      |JOIN uni ON bi.w1 = uni.w
+      |CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_bigram_lm" -> bigramLm,
     "llm_contamination" -> contamination,
     "llm_mix_sources" -> mix,
     "llm_vocab_topk" -> vocab,
@@ -481,6 +561,9 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // avg of identical per-bigram doubles; rounded to 4 decimals to
+    // absorb summation-order differences between engines
+    "llm_bigram_lm" -> bigramLmSql,
     "llm_contamination" -> contaminationSql,
     "llm_mix_sources" -> mixSql,
     "llm_vocab_topk" -> vocabSql,

@@ -85,6 +85,22 @@ class QueriesSpec extends SparkSpec {
       s"dup probe re-shuffles the corpus:\n$plan")
   }
 
+  test("llm_bigram_lm scores match a hand-computed add-one bigram LM") {
+    import spark.implicits._
+    // corpus: U(a)=3 U(b)=2 V=2; B(a b)=2 B(b a)=1
+    // P(b|a)=(2+1)/(3+2)=0.6  P(a|b)=(1+1)/(2+2)=0.5
+    val docs = Seq((1L, "a b", "web"), (2L, "a b a", "web"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.bigramLmFor(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val d1 = BigDecimal(math.log(0.6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d2 = BigDecimal((math.log(0.6) + math.log(0.5)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((1L, 1L, d1), (2L, 2L, d2)),
+      got.mkString(", "))
+  }
+
   test("llm_repetition fractions match hand-computed values") {
     import spark.implicits._
     // "a b a b a": bigrams [a b, b a, a b, b a] -> top 2/4 = 0.5;
