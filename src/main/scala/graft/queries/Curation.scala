@@ -546,8 +546,34 @@ object Curation {
       |CROSS JOIN v
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- q58_bloom_join: bloom semi-join reduction under oracle check --
+  // operators.BloomJoin.bloomPrunedJoin — the fact table probes a
+  // bloom sketch of the filtered dimension's keys map-side, so only
+  // possibly-matching rows reach the join. Result identical to the
+  // plain join (no false negatives); the oracle IS the plain join.
+  // OperatorsSpec pins the pruning effect and null-key behavior.
+  private val q58: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    graft.operators.BloomJoin
+      .bloomPrunedJoin(t(s, dir, "orders"), cust, "o_custkey", "c_custkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        d(sum(dec2(col("o_totalprice")))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q58Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "llm_bigram_lm" -> bigramLm,
+    "q58_bloom_join" -> q58,
     "llm_contamination" -> contamination,
     "llm_mix_sources" -> mix,
     "llm_vocab_topk" -> vocab,
@@ -564,6 +590,7 @@ object Curation {
     // avg of identical per-bigram doubles; rounded to 4 decimals to
     // absorb summation-order differences between engines
     "llm_bigram_lm" -> bigramLmSql,
+    "q58_bloom_join" -> q58Sql,
     "llm_contamination" -> contaminationSql,
     "llm_mix_sources" -> mixSql,
     "llm_vocab_topk" -> vocabSql,

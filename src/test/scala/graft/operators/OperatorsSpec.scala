@@ -56,6 +56,46 @@ class OperatorsSpec extends SparkSpec {
       "cold rows were silently dropped by a NULL hot key")
   }
 
+  test("bloom-pruned join returns exactly the plain join's rows and " +
+    "prunes non-matching big-side rows before the join") {
+    import spark.implicits._
+    BloomJoin.clearCache()
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val plain = o.join(cust, o("o_custkey") === cust("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"))
+    val bloomed = BloomJoin
+      .bloomPrunedJoin(o, cust, "o_custkey", "c_custkey")
+      .select(col("o_orderkey"), col("c_custkey"))
+    assert(bloomed.exceptAll(plain).isEmpty &&
+      plain.exceptAll(bloomed).isEmpty, "bloom join changed the result")
+    // the probe itself prunes: most orders belong to other segments
+    val bytes = BloomJoin.bloomBytesFor(cust, "c_custkey", 0.01)
+    val surviving = o.filter(graft.functions.BloomOps
+      .might_contain(col("o_custkey"), bytes)).count()
+    val total = o.count()
+    val matched = plain.count()
+    assert(surviving < total, s"no pruning: $surviving of $total")
+    assert(surviving >= matched, "bloom dropped matching rows")
+  }
+
+  test("bloom probe: null keys are dropped, matching the inner join; " +
+    "string keys probe by utf8 bytes") {
+    import spark.implicits._
+    BloomJoin.clearCache()
+    val big = Seq((Some(1L), "m"), (None, "n"), (Some(9L), "x"))
+      .toDF("k", "tag")
+    val small = Seq((1L, "dim1")).toDF("sk", "attr")
+    val joined = BloomJoin.bloomPrunedJoin(big, small, "k", "sk").collect()
+    assert(joined.map(_.getString(1)).toSeq == Seq("m"), joined.toSeq)
+    val sSmall = Seq(("alpha", 1)).toDF("sk", "v")
+    val sBig = Seq(("alpha", 10), ("beta", 20)).toDF("k", "v2")
+    val sJoined = BloomJoin.bloomPrunedJoin(sBig, sSmall, "k", "sk")
+      .select(col("k")).as[String].collect().toSeq
+    assert(sJoined == Seq("alpha"), sJoined)
+  }
+
   test("hot-key salted join degrades to the plain join when nothing " +
     "is hot") {
     import spark.implicits._
