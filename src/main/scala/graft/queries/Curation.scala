@@ -571,9 +571,45 @@ object Curation {
       |WHERE c_mktsegment = 'BUILDING'
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q59_heavy_hitters: one-pass frequent items (Misra-Gries) ------
+  // The frequent-items complement to the q26/q52 sketches:
+  // operators.HeavyHitters summarizes the corpus's token stream in
+  // one pass with 64 counters per partition. Estimates are
+  // merge-order-dependent, but the MG bound (est in
+  // [true - n/65, true]) is deterministic — so the query reports the
+  // EXACT top-10 (served from the term-stats artifact) with a
+  // bound verdict per row, and the oracle is the exact top-10 with a
+  // constant-TRUE verdict (the q26/q52 tolerance pattern).
+  private val q59: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+    val (est, n) =
+      graft.operators.HeavyHitters.sketch(toks, "w", k = 64)
+    val bound = n.toDouble / 65
+    import s.implicits._
+    val estDf = est.toSeq.toDF("w", "est")
+    termStats(docs)
+      .groupBy(col("w")).agg(sum(col("tf")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("w")).limit(10)
+      .join(broadcast(estDf), Seq("w"), "left")
+      .select(col("w"), col("n_occurrences"),
+        (coalesce(col("est"), lit(0L)) <= col("n_occurrences") &&
+          coalesce(col("est"), lit(0L)).cast(DoubleType) >=
+            col("n_occurrences").cast(DoubleType) - bound)
+          .as("est_in_bound"))
+      .orderBy(col("n_occurrences").desc, col("w"))
+  }
+
+  private val q59Sql =
+    """SELECT w, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |  TRUE AS est_in_bound
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w ORDER BY n_occurrences DESC, w LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "llm_bigram_lm" -> bigramLm,
     "q58_bloom_join" -> q58,
+    "q59_heavy_hitters" -> q59,
     "llm_contamination" -> contamination,
     "llm_mix_sources" -> mix,
     "llm_vocab_topk" -> vocab,
@@ -591,6 +627,9 @@ object Curation {
     // absorb summation-order differences between engines
     "llm_bigram_lm" -> bigramLmSql,
     "q58_bloom_join" -> q58Sql,
+    // sketch estimates are merge-order-dependent; the BOUND is
+    // deterministic, so the verdict column is the oracle surface
+    "q59_heavy_hitters" -> q59Sql,
     "llm_contamination" -> contaminationSql,
     "llm_mix_sources" -> mixSql,
     "llm_vocab_topk" -> vocabSql,

@@ -56,6 +56,40 @@ class OperatorsSpec extends SparkSpec {
       "cold rows were silently dropped by a NULL hot key")
   }
 
+  test("heavy hitters: exact when distinct values fit the counters") {
+    import spark.implicits._
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(7)("c"))
+      .toDF("w").repartition(5)
+    val (est, n) = HeavyHitters.sketch(df, "w", k = 8)
+    assert(n == 87L)
+    assert(est == Map("a" -> 50L, "b" -> 30L, "c" -> 7L), est)
+  }
+
+  test("heavy hitters: the MG bound holds on an adversarial stream " +
+    "under every partition layout, and true heavies are present") {
+    import spark.implicits._
+    // 4 heavy values + a long tail of singletons that forces constant
+    // decrements at k=8
+    val heavy = Seq("h1" -> 400, "h2" -> 300, "h3" -> 200, "h4" -> 100)
+    val data = heavy.flatMap { case (w, c) => Seq.fill(c)(w) } ++
+      (1 to 500).map(i => s"tail_$i")
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 3, 16)) {
+      val df = data.toDF("w").repartition(parts)
+      val (est, n) = HeavyHitters.sketch(df, "w", k = 8)
+      assert(n == data.size.toLong)
+      val bound = n.toDouble / 9
+      for ((w, c) <- truth) {
+        val e = est.getOrElse(w, 0L)
+        assert(e <= c && e >= c - bound,
+          s"parts=$parts: est($w)=$e outside [${c - bound}, $c]")
+      }
+      for ((w, c) <- truth if c > bound)
+        assert(est.contains(w),
+          s"parts=$parts: heavy $w (count $c > $bound) missing")
+    }
+  }
+
   test("bloom-pruned join returns exactly the plain join's rows and " +
     "prunes non-matching big-side rows before the join") {
     import spark.implicits._
