@@ -510,13 +510,21 @@ object Curation {
       .groupBy(col("w")).agg(sum(col("tf")).as("u"))
     val vdf = uni.agg(count(lit(1)).as("v"))
     val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
-    bi.join(bc, Seq("w1", "w2"))
-      .join(uni, col("w1") === col("w"))
+    // fold U and V into a per-bigram WEIGHT table first: the unigram
+    // join runs over the bigram vocabulary (≪ corpus bigram rows),
+    // and the corpus rows then join the weights on the same (w1, w2)
+    // key the count aggregation already exchanged on (exchange
+    // reuse / broadcast weight probe) — the doc-side rows never
+    // shuffle on the unigram key
+    val weights = bc.join(uni, col("w1") === col("w"))
       .crossJoin(broadcast(vdf))
+      .select(col("w1"), col("w2"),
+        log((col("b") + 1).cast(DoubleType) / (col("u") + col("v")))
+          .as("lp"))
+    bi.join(weights, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log((col("b") + 1).cast(DoubleType) /
-          (col("u") + col("v")))), 4).as("avg_logp"))
+        round(avg(col("lp")), 4).as("avg_logp"))
       .orderBy(col("doc_id"))
   }
 
