@@ -614,8 +614,48 @@ object Curation {
       |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |GROUP BY w ORDER BY n_occurrences DESC, w LIMIT 10""".stripMargin
 
+  // ---- llm_stratified_sample: per-stratum deterministic sampling -----
+  // Source re-balancing by RATE (the complement of llm_mix_sources'
+  // exact top-K quotas): each source keeps a deterministic hash
+  // fraction of its documents — no RNG, no seed, identical on any
+  // engine/partitioning/rerun, and any row's membership is decidable
+  // in isolation (the property that matters for incremental corpus
+  // appends: a re-delivered doc samples identically). Rates ride the
+  // md5 hex prefix like q42, but per-stratum: trailing digit 0-4 →
+  // keep 4/16, else 8/16. ZERO corpus-wide shuffle: scan + per-row
+  // filter + a per-source aggregation.
+  private val stratified: Q = (s, dir) => {
+    val lastCh = substring(col("source"), -1, 1)
+    val thr = when(lastCh.isin("0", "1", "2", "3", "4"), lit("4"))
+      .otherwise(lit("8"))
+    t(s, dir, "documents")
+      .filter(substring(md5(col("doc_id").cast(StringType)), 1, 1) < thr)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("sampled_chars"))
+      .withColumn("rate_sixteenths",
+        when(lastCh.isin("0", "1", "2", "3", "4"), lit(4L))
+          .otherwise(lit(8L)))
+      .select(col("source"), col("rate_sixteenths"),
+        col("n_sampled"), col("sampled_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val stratifiedSql =
+    """SELECT source,
+      |  CAST(CASE WHEN substr(source, -1, 1) IN ('0','1','2','3','4')
+      |    THEN 4 ELSE 8 END AS BIGINT) AS rate_sixteenths,
+      |  count(*) AS n_sampled,
+      |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+      |  CASE WHEN substr(source, -1, 1) IN ('0','1','2','3','4')
+      |    THEN '4' ELSE '8' END
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "llm_bigram_lm" -> bigramLm,
+    "llm_stratified_sample" -> stratified,
     "q58_bloom_join" -> q58,
     "q59_heavy_hitters" -> q59,
     "llm_contamination" -> contamination,
@@ -634,6 +674,7 @@ object Curation {
     // avg of identical per-bigram doubles; rounded to 4 decimals to
     // absorb summation-order differences between engines
     "llm_bigram_lm" -> bigramLmSql,
+    "llm_stratified_sample" -> stratifiedSql,
     "q58_bloom_join" -> q58Sql,
     // sketch estimates are merge-order-dependent; the BOUND is
     // deterministic, so the verdict column is the oracle surface

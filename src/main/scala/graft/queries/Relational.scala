@@ -490,6 +490,47 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // q60: HLL sketch ROLLUP — the re-aggregatable form of q26. At
+  // 100 TB, "distinct users per region" can't re-scan the fact table
+  // per rollup level: the scale pattern is a CUBE OF SKETCHES — build
+  // per-fine-group HLL sketches once (hll_sketch_agg, DataSketches),
+  // then UNION them upward (hll_union_agg), which plain
+  // approx_count_distinct output cannot do. Register insertion is a
+  // max — order-independent, so the estimate is deterministic across
+  // partitionings. Tolerance oracle as q26: exact distinct per region
+  // + a within-5% verdict on the unioned estimate (lgConfigK=14 ⇒
+  // RSE ≈ 0.8%, the 5% band holds with ~6σ margin).
+  private val q60: Q = (s, dir) => {
+    val perNation = t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(hll_sketch_agg(col("c_custkey"), lit(14)).as("sk"),
+        count_distinct(col("c_custkey")).as("exact_n"))
+    val nr = t(s, dir, "nation")
+      .join(t(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    perNation
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name"))
+      .agg(sum(col("exact_n")).as("exact_customers"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .select(col("r_name"), col("exact_customers"),
+        (abs(col("est") - col("exact_customers")).cast(DoubleType) /
+          col("exact_customers") <= 0.05).as("est_within_5pct"))
+      .orderBy(col("r_name"))
+  }
+
+  // exact_customers = Σ per-nation distincts (a customer belongs to
+  // exactly one nation, so the sum IS the regional distinct count)
+  private val q60Sql =
+    """SELECT r_name,
+      |  count(DISTINCT c_custkey) AS exact_customers,
+      |  TRUE AS est_within_5pct
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   // q37: FULL OUTER join — completes the join family (inner/left/
   // semi/anti/range are q03-q10). Customers with no orders and order
   // keys with no customer row both survive with NULL fill; COALESCE
@@ -712,6 +753,7 @@ object Relational {
     "q20_having_subquery" -> q20,
     "q21_correlated_subquery" -> q21,
     "q26_approx_distinct" -> q26,
+    "q60_hll_rollup" -> q60,
     "q37_full_outer_join" -> q37,
     "q38_range_frame" -> q38,
     "q39_percentiles" -> q39,
@@ -742,6 +784,9 @@ object Relational {
     "q20_having_subquery" -> q20Sql,
     "q21_correlated_subquery" -> q21Sql,
     "q26_approx_distinct" -> q26Sql,
+    // union-of-sketches estimate is order-independent (register max);
+    // the deterministic verdict column is the oracle surface
+    "q60_hll_rollup" -> q60Sql,
     "q37_full_outer_join" -> q37Sql,
     "q38_range_frame" -> q38Sql,
     "q39_percentiles" -> q39Sql,

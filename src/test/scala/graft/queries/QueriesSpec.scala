@@ -85,6 +85,27 @@ class QueriesSpec extends SparkSpec {
       s"dup probe re-shuffles the corpus:\n$plan")
   }
 
+  test("q60: the union of per-nation HLL sketches estimates exactly " +
+    "like a sketch built directly per region (re-aggregation is " +
+    "lossless)") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val nr = spark.read.parquet(s"$dir/nation.parquet")
+      .join(spark.read.parquet(s"$dir/region.parquet"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val joined = cust.join(nr, col("c_nationkey") === col("n_nationkey"))
+    val direct = joined.groupBy(col("r_name"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("c_custkey"), lit(14))).as("est"))
+    val unioned = joined.groupBy(col("r_name"), col("c_nationkey"))
+      .agg(hll_sketch_agg(col("c_custkey"), lit(14)).as("sk"))
+      .groupBy(col("r_name"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val d = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val u = unioned.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == u, s"direct $d vs unioned $u")
+  }
+
   test("llm_bigram_lm scores match a hand-computed add-one bigram LM") {
     import spark.implicits._
     // corpus: U(a)=3 U(b)=2 V=2; B(a b)=2 B(b a)=1
