@@ -531,6 +531,64 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  // q61: theta-sketch SET ALGEBRA — intersection/difference of
+  // distinct sets, which neither HLL (q60) nor approx_count_distinct
+  // can express: theta sketches keep a hash-threshold SAMPLE of the
+  // keys, so A∩B and A\B are computable sketch-to-sketch. The
+  // audience-overlap primitive at 100 TB: "users active in both
+  // periods" without shuffling either period's key set to one place
+  // twice. DataSketches theta is deterministic for a given input SET
+  // (fixed hash seed, threshold sampling — no RNG), and at
+  // lgNomEntries=14 it is EXACT below ~16k distinct keys (all
+  // fixtures), degrading to ±5%-bounded estimates beyond; the
+  // tolerance oracle asserts the exact counts + the verdict.
+  private val q61: Q = (s, dir) => {
+    val h1 = col("o_orderdate") < ts("1997-01-01")
+    val o = t(s, dir, "orders").select(col("o_custkey"), h1.as("a"))
+    val exact = o.groupBy(col("o_custkey"))
+      .agg(max(col("a")).as("ia"), max(!col("a")).as("ib"))
+      .agg(sum(when(col("ia") && col("ib"), 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("ia") && !col("ib"), 1L).otherwise(0L))
+          .as("n_only_first"),
+        count(lit(1)).as("n_union"))
+    val sk = o.agg(
+      theta_sketch_agg(when(col("a"), col("o_custkey")), 14).as("ska"),
+      theta_sketch_agg(when(!col("a"), col("o_custkey")), 14).as("skb"))
+    exact.crossJoin(broadcast(sk))
+      .select(col("n_both"), col("n_only_first"), col("n_union"),
+        (within5(theta_sketch_estimate(
+            theta_intersection(col("ska"), col("skb"))), col("n_both")) &&
+          within5(theta_sketch_estimate(
+            theta_difference(col("ska"), col("skb"))),
+            col("n_only_first")) &&
+          within5(theta_sketch_estimate(
+            theta_union(col("ska"), col("skb"), lit(14))), col("n_union")))
+          .as("est_within_5pct"))
+  }
+
+  // empty set: the sketch of nothing estimates 0 — avoid the 0/0
+  private def within5(est: Column, exact: Column): Column =
+    when(exact === 0, est === 0.0)
+      .otherwise(abs(est - exact).cast(DoubleType) / exact <= 0.05)
+
+  private val q61Sql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    max(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+      |        THEN 1 ELSE 0 END) AS ia,
+      |    max(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+      |        THEN 1 ELSE 0 END) AS ib
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT
+      |  CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_both,
+      |  CAST(sum(CASE WHEN ia = 1 AND ib = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_only_first,
+      |  CAST(count(*) AS BIGINT) AS n_union,
+      |  TRUE AS est_within_5pct
+      |FROM per""".stripMargin
+
   // q37: FULL OUTER join — completes the join family (inner/left/
   // semi/anti/range are q03-q10). Customers with no orders and order
   // keys with no customer row both survive with NULL fill; COALESCE
@@ -754,6 +812,7 @@ object Relational {
     "q21_correlated_subquery" -> q21,
     "q26_approx_distinct" -> q26,
     "q60_hll_rollup" -> q60,
+    "q61_theta_set_ops" -> q61,
     "q37_full_outer_join" -> q37,
     "q38_range_frame" -> q38,
     "q39_percentiles" -> q39,
@@ -787,6 +846,9 @@ object Relational {
     // union-of-sketches estimate is order-independent (register max);
     // the deterministic verdict column is the oracle surface
     "q60_hll_rollup" -> q60Sql,
+    // theta estimates are deterministic (fixed-seed hash threshold);
+    // the verdict column is the oracle surface
+    "q61_theta_set_ops" -> q61Sql,
     "q37_full_outer_join" -> q37Sql,
     "q38_range_frame" -> q38Sql,
     "q39_percentiles" -> q39Sql,

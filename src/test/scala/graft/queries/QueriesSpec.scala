@@ -106,6 +106,26 @@ class QueriesSpec extends SparkSpec {
     assert(d == u, s"direct $d vs unioned $u")
   }
 
+  test("q61: theta set algebra is exact below the sketch's nominal " +
+    "entry count (intersection = inner semantics, not an estimate)") {
+    import spark.implicits._
+    val a = (1L to 300L).toDF("k")
+    val b = (200L to 500L).toDF("k")
+    val ska = a.agg(theta_sketch_agg(col("k"), 14).as("s"))
+    val skb = b.agg(theta_sketch_agg(col("k"), 14).as("s"))
+    val r = ska.crossJoin(skb.withColumnRenamed("s", "s2"))
+      .select(
+        theta_sketch_estimate(theta_intersection(col("s"), col("s2")))
+          .as("inter"),
+        theta_sketch_estimate(theta_difference(col("s"), col("s2")))
+          .as("diff"),
+        theta_sketch_estimate(theta_union(col("s"), col("s2"), lit(14)))
+          .as("uni"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (101L, 199L, 500L),
+      r.toSeq)
+  }
+
   test("llm_bigram_lm scores match a hand-computed add-one bigram LM") {
     import spark.implicits._
     // corpus: U(a)=3 U(b)=2 V=2; B(a b)=2 B(b a)=1
