@@ -589,6 +589,42 @@ object Relational {
       |  TRUE AS est_within_5pct
       |FROM per""".stripMargin
 
+  // q62: KLL quantile-sketch ROLLUP — the re-aggregatable form of
+  // q52's percentile sketch: per-group KLL sketches merge upward
+  // (kll_merge_agg), so a global percentile needs no global sort and
+  // no re-scan — the quantile twin of q60's cube-of-HLL-sketches.
+  // KLL compaction is randomized (estimates are not bit-stable), so
+  // the oracle surface is a deterministic-with-overwhelming-margin
+  // verdict: the EXACT rank of each estimated quantile must sit
+  // within ±0.03 of its target (k=400 ⇒ ~0.9 % rank error at high
+  // confidence; the band is >3× that).
+  private val q62: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_totalprice").cast(DoubleType).as("p"))
+    val merged = o
+      .groupBy(spark_partition_id()) // any grouping: per-group sketches
+      .agg(kll_sketch_agg_double(col("p"), 400).as("sk"))
+      .agg(kll_merge_agg_double(col("sk"), 400).as("msk"))
+      .select(
+        kll_sketch_get_quantile_double(col("msk"), lit(0.5)).as("e50"),
+        kll_sketch_get_quantile_double(col("msk"), lit(0.9)).as("e90"))
+    o.crossJoin(broadcast(merged))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(when(col("p") <= col("e50"), 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1))).as("r50"),
+        (sum(when(col("p") <= col("e90"), 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1))).as("r90"))
+      .select(col("n_rows"),
+        (abs(col("r50") - 0.5) <= 0.03).as("p50_rank_in_band"),
+        (abs(col("r90") - 0.9) <= 0.03).as("p90_rank_in_band"))
+  }
+
+  private val q62Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  TRUE AS p50_rank_in_band,
+      |  TRUE AS p90_rank_in_band
+      |FROM orders""".stripMargin
+
   // q37: FULL OUTER join — completes the join family (inner/left/
   // semi/anti/range are q03-q10). Customers with no orders and order
   // keys with no customer row both survive with NULL fill; COALESCE
@@ -813,6 +849,7 @@ object Relational {
     "q26_approx_distinct" -> q26,
     "q60_hll_rollup" -> q60,
     "q61_theta_set_ops" -> q61,
+    "q62_kll_rollup" -> q62,
     "q37_full_outer_join" -> q37,
     "q38_range_frame" -> q38,
     "q39_percentiles" -> q39,
@@ -849,6 +886,9 @@ object Relational {
     // theta estimates are deterministic (fixed-seed hash threshold);
     // the verdict column is the oracle surface
     "q61_theta_set_ops" -> q61Sql,
+    // KLL estimates are randomized; the rank-band verdict (3x the
+    // sketch's rank-error bound) is the oracle surface
+    "q62_kll_rollup" -> q62Sql,
     "q37_full_outer_join" -> q37Sql,
     "q38_range_frame" -> q38Sql,
     "q39_percentiles" -> q39Sql,
