@@ -31,7 +31,7 @@ object HeavyHitters {
   /** One MG summary: value → counter, size bounded by k. */
   type Summary = mutable.HashMap[String, Long]
 
-  private[operators] def add(m: Summary, w: String, k: Int): Summary = {
+  private[graft] def add(m: Summary, w: String, k: Int): Summary = {
     m.get(w) match {
       case Some(c) => m.update(w, c + 1)
       case None if m.size < k => m.update(w, 1L)
@@ -49,7 +49,7 @@ object HeavyHitters {
   /** Merge two summaries back under k counters: sum matching
     * counters, then subtract the (k+1)-th largest count from all and
     * drop non-positive ones (the mergeable-summaries offset step). */
-  private[operators] def merge(a: Summary, b: Summary, k: Int): Summary = {
+  private[graft] def merge(a: Summary, b: Summary, k: Int): Summary = {
     for ((w, c) <- b) a.update(w, a.getOrElse(w, 0L) + c)
     if (a.size > k) {
       val counts = a.values.toArray
