@@ -614,6 +614,72 @@ object Curation {
       |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |GROUP BY w ORDER BY n_occurrences DESC, w LIMIT 10""".stripMargin
 
+  // ---- q63_count_min: point-frequency estimation (count-min) --------
+  // The point-lookup complement to q59: Misra-Gries answers "which
+  // items are frequent" with an order-dependent summary (only its
+  // BOUND is deterministic); the count-min sketch answers "how often
+  // does item x occur" with counters that are plain sums — so the
+  // merged sketch, and every estimate, is bit-identical under any
+  // partitioning/merge order/engine. The query therefore puts the
+  // ESTIMATE itself under the oracle hash, not just a verdict: the
+  // DuckDB twin rebuilds the identical 4x4096 counter matrix in SQL
+  // (the simhash md5-hex trick: bucket = first 3 hex digits of
+  // md5("j:w")) and must reproduce every cms_est exactly.
+  // Serving is SQL-side too: the driver array becomes a 16k-row
+  // broadcast frame, probes compute buckets with md5/conv in codegen
+  // and min-join — estimating ANY probe list never shuffles the
+  // corpus (the sketch pass is one treeAggregate).
+  private val CmsDepth = 4
+  private val q63: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+    val (m, _) = graft.operators.CountMin.sketch(toks, "w", CmsDepth)
+    import s.implicits._
+    val width = graft.operators.CountMin.Width
+    val counters = m.toSeq.zipWithIndex.collect { case (c, i) if c > 0L =>
+      (i / width, i % width, c)
+    }.toDF("j", "b", "c")
+    val bucket = conv(substring(
+      md5(concat(col("j").cast(StringType), lit(":"), col("w"))),
+      1, 3), 16, 10).cast(IntegerType)
+    termStats(docs)
+      .groupBy(col("w")).agg(sum(col("tf")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("w")).limit(10)
+      .select(col("w"), col("n_occurrences"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+      .withColumn("b", bucket)
+      .join(broadcast(counters), Seq("j", "b"))
+      .groupBy(col("w"), col("n_occurrences"))
+      .agg(min(col("c")).as("cms_est"))
+      .orderBy(col("n_occurrences").desc, col("w"))
+  }
+
+  private val q63Sql = {
+    // value of the first 3 hex digits of md5(expr) — the cross-engine
+    // bucket function (must match operators.CountMin.bucket exactly)
+    def hex3(expr: String): String = (1 to 3).map { d =>
+      val mult = math.pow(16, 3 - d).toInt
+      s"(instr('0123456789abcdef', substr(md5($expr), $d, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    val key = "CAST(j AS VARCHAR) || ':' || w"
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |counters AS (
+       |  SELECT j, ${hex3(key)} AS b, count(*) AS c
+       |  FROM toks CROSS JOIN range($CmsDepth) t(j)
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT w, count(*) AS n_occurrences FROM toks
+       |  GROUP BY w ORDER BY n_occurrences DESC, w LIMIT 10),
+       |probe AS (
+       |  SELECT w, n_occurrences, j, ${hex3(key)} AS b
+       |  FROM top CROSS JOIN range($CmsDepth) t(j))
+       |SELECT p.w, p.n_occurrences, min(c.c) AS cms_est
+       |FROM probe p JOIN counters c ON c.j = p.j AND c.b = p.b
+       |GROUP BY p.w, p.n_occurrences
+       |ORDER BY n_occurrences DESC, w""".stripMargin
+  }
+
   // ---- llm_stratified_sample: per-stratum deterministic sampling -----
   // Source re-balancing by RATE (the complement of llm_mix_sources'
   // exact top-K quotas): each source keeps a deterministic hash
@@ -658,6 +724,7 @@ object Curation {
     "llm_stratified_sample" -> stratified,
     "q58_bloom_join" -> q58,
     "q59_heavy_hitters" -> q59,
+    "q63_count_min" -> q63,
     "llm_contamination" -> contamination,
     "llm_mix_sources" -> mix,
     "llm_vocab_topk" -> vocab,
@@ -679,6 +746,9 @@ object Curation {
     // sketch estimates are merge-order-dependent; the BOUND is
     // deterministic, so the verdict column is the oracle surface
     "q59_heavy_hitters" -> q59Sql,
+    // CMS counters are order-independent SUMS: the estimate itself is
+    // deterministic and sits under the exact oracle hash
+    "q63_count_min" -> q63Sql,
     "llm_contamination" -> contaminationSql,
     "llm_mix_sources" -> mixSql,
     "llm_vocab_topk" -> vocabSql,
