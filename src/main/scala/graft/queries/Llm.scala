@@ -1189,7 +1189,83 @@ object Llm {
        |FROM tok t LEFT JOIN per ON t.doc_id = per.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // ---- llm_semdedup: semantic dedup over quantizer cells -------------
+  // SemDeDup (Abbas et al. '23): embedding-space near-duplicates are
+  // found WITHIN coarse-quantizer cells only — the pair join is
+  // bounded by cell size, never corpus². This reuses the
+  // session-persisted IVF cell assignment (Multimodal.ivfIndex: one
+  // index serves ANN search and dedup), so the whole query is one
+  // within-cell self-join + aggregation. Drop rule, deterministic:
+  // a vector is dropped iff an EARLIER (smaller vec_id) vector of the
+  // SAME cell has cosine >= tau; the reported witness is the smallest
+  // such neighbor. Exact duplicates are always caught: an identical
+  // vector has identical cosines, so the deterministic argmax puts it
+  // in the same cell (pinned in MultimodalSpec, trained path).
+  //
+  // 100 TB: cells come from the trained k=sqrt(n) quantizer
+  // (semdedupDrops is the serving path for ANY assignment — the spec
+  // drives it with KMeans-trained cells); the fixture query keeps the
+  // hash-seeded assignment so the DuckDB twin can rebuild the exact
+  // cells in SQL (the annIvfSql CTE chain) — the q26/q52 pattern of
+  // making even the approximate operator's OUTPUT exactly checkable.
+  private val SemDedupTau = 0.3
+
+  /** Dropped rows for a cell `assign`ment (vec_id, cid, embedding,
+    * n2): (vec_id, cid, near_vec_id, n_earlier). */
+  private[queries] def semdedupDrops(assign: DataFrame, tau: Double)
+      : DataFrame = {
+    val a = assign.select(col("cid"), col("vec_id").as("a_id"),
+      col("embedding").as("ae"), col("n2").as("an2"))
+    val b = assign.select(col("cid"), col("vec_id"),
+      col("embedding").as("be"), col("n2").as("bn2"))
+    a.join(b, "cid")
+      .filter(col("a_id") < col("vec_id"))
+      .filter(dot(col("ae"), col("be")) /
+        (sqrt(col("an2")) * sqrt(col("bn2"))) >= tau)
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(min(col("a_id")).as("near_vec_id"),
+        count(lit(1)).as("n_earlier"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semdedup: Q = (s, dir) =>
+    semdedupDrops(Multimodal.ivfIndex(t(s, dir, "embeddings")).assign,
+      SemDedupTau)
+
+  private val semdedupSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ed,
+       |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |              for x in embedding]) AS n2
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id AS cid, ed AS ce, n2 AS cn2 FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+       |dists AS (
+       |  SELECT e.vec_id, e.ed, e.n2, c.cid,
+       |    list_sum([e.ed[i] * c.ce[i]
+       |      for i in generate_series(1, len(e.ed))]) /
+       |      (sqrt(e.n2) * sqrt(c.cn2)) AS cs
+       |  FROM e, c),
+       |assign AS (
+       |  SELECT vec_id, ed, n2, cid FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS vec_id, a.cid,
+       |    list_sum([a.ed[i] * b.ed[i]
+       |      for i in generate_series(1, len(a.ed))]) /
+       |      (sqrt(a.n2) * sqrt(b.n2)) AS cs
+       |  FROM assign a JOIN assign b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |SELECT vec_id, cid, min(a_id) AS near_vec_id,
+       |  CAST(count(*) AS BIGINT) AS n_earlier
+       |FROM pairs WHERE cs >= $SemDedupTau
+       |GROUP BY vec_id, cid ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_semdedup" -> semdedup,
     "llm_substring_dedup" -> substringDedup,
     "llm_dedup_apply" -> dedupApply,
     "llm_normalize_embeddings" -> normalize,
@@ -1217,6 +1293,9 @@ object Llm {
   )
 
   val oracles: Map[String, String] = Map(
+    // hash-seeded cells rebuilt in SQL (annIvfSql CTE chain) — the
+    // approximate operator's output is exactly checkable
+    "llm_semdedup" -> semdedupSql,
     // window hashing parity modulo 64-bit collisions (the
     // ShingleHashes contract)
     "llm_substring_dedup" -> substringDedupSql,
