@@ -554,6 +554,83 @@ object Curation {
       |CROSS JOIN v
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- llm_pmi_bigrams: collocation extraction (pointwise MI) --------
+  // The tokenizer-curation companion of the bigram LM: which word
+  // pairs co-occur far MORE than chance — merge candidates for BPE-
+  // style vocabularies and multiword-expression detection.
+  //
+  //   PMI(w1,w2) = ln( P(w1w2) / (P(w1)·P(w2)) )
+  //              = ln( (B·NU·NU) / (NB·U(w1)·U(w2)) )
+  //
+  // with B = corpus bigram count (min-count 5 to kill noise), NB =
+  // total bigrams, U = corpus unigram counts, NU = total tokens.
+  //
+  // Scale shape: everything re-aggregates from frames the corpus
+  // already paid for — U and NU from the term-stats artifact, bigram
+  // rows tokenized once (the bigramLm recipe); the unigram joins run
+  // over the min-count-filtered bigram VOCABULARY (≪ corpus rows),
+  // NU/NB ride broadcasts of 1-row frames, and top-20 is a
+  // TakeOrdered, never a global sort. Both engines build the PMI
+  // value with the identical expression tree, so the rounded output
+  // hashes exactly (the bigramLm double discipline).
+  private val PmiMinCount = 5
+  private val pmi: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val d = docs.select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bi = d.select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("z"))
+      .select(col("z").getField("0").as("w1"),
+        col("z").getField("1").as("w2"))
+      // vacuous (split never yields null tokens) but load-bearing for
+      // the plan: the unigram joins push isnotnull(w1/w2) into the
+      // SURVIVORS branch only — without the same filter in the NB
+      // branch the two aggregation subtrees differ and ReuseExchange
+      // can't collapse them into one corpus pass
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+    val uni = termStats(docs).groupBy(col("w")).agg(sum(col("tf")).as("u"))
+    val nu = uni.agg(sum(col("u")).as("nu"))
+    // NB = Σ b over the UNFILTERED pair counts: both NB and the
+    // min-count survivors hang off the same aggregation exchange
+    // (ReuseExchange), so the corpus bigram rows are exploded and
+    // shuffled ONCE — a direct bi.count() would pay a second pass
+    val bcAll = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
+    val nb = bcAll.agg(sum(col("b")).as("nb"))
+    val bc = bcAll.filter(col("b") >= PmiMinCount)
+    bc.join(uni.select(col("w").as("w1"), col("u").as("u1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("u").as("u2")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("b"),
+        round(log((col("b").cast(DoubleType) * col("nu") * col("nu")) /
+          (col("nb").cast(DoubleType) * col("u1") * col("u2"))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+  }
+
+  private val pmiSql =
+    s"""WITH tok AS (
+       |  SELECT string_split(text, ' ') AS tk FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |uni AS (
+       |  SELECT w, count(*) AS u FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |nu AS (SELECT CAST(sum(u) AS BIGINT) AS nu FROM uni),
+       |bi AS (
+       |  SELECT unnest([tk[i] for i in generate_series(1, len(tk)-1)]) AS w1,
+       |    unnest([tk[i+1] for i in generate_series(1, len(tk)-1)]) AS w2
+       |  FROM tok),
+       |nb AS (SELECT count(*) AS nb FROM bi),
+       |bc AS (SELECT w1, w2, count(*) AS b FROM bi
+       |       GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount)
+       |SELECT bc.w1, bc.w2, bc.b,
+       |  round(ln((CAST(b AS DOUBLE) * nu * nu) /
+       |    (CAST(nb AS DOUBLE) * u1.u * u2.u)), 4) AS pmi
+       |FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w
+       |CROSS JOIN nu CROSS JOIN nb
+       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   // ---- q58_bloom_join: bloom semi-join reduction under oracle check --
   // operators.BloomJoin.bloomPrunedJoin — the fact table probes a
   // bloom sketch of the filtered dimension's keys map-side, so only
@@ -721,6 +798,7 @@ object Curation {
 
   val queries: Map[String, Q] = Map(
     "llm_bigram_lm" -> bigramLm,
+    "llm_pmi_bigrams" -> pmi,
     "llm_stratified_sample" -> stratified,
     "q58_bloom_join" -> q58,
     "q59_heavy_hitters" -> q59,
@@ -741,6 +819,7 @@ object Curation {
     // avg of identical per-bigram doubles; rounded to 4 decimals to
     // absorb summation-order differences between engines
     "llm_bigram_lm" -> bigramLmSql,
+    "llm_pmi_bigrams" -> pmiSql,
     "llm_stratified_sample" -> stratifiedSql,
     "q58_bloom_join" -> q58Sql,
     // sketch estimates are merge-order-dependent; the BOUND is
