@@ -35,15 +35,23 @@ object CountMin {
 
   val Width = 4096 // 16^3: bucket = value of the first 3 md5 hex digits
 
-  private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  // one digest instance per executor thread: bucket() runs
+  // depth-times per token over the whole corpus, so no per-call
+  // getInstance/boxing/hex-string work in the hot loop
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Bucket of item `w` in sketch row `j`: first 3 hex digits of
-    * md5("j:w") as an integer in [0, 4096). */
-  private[graft] def bucket(j: Int, w: String): Int =
-    Integer.parseInt(md5hex(s"$j:$w").substring(0, 3), 16)
+  /** Bucket of item `w` in sketch row `j`: the value of the first 3
+    * hex digits of md5("j:w") — i.e. the digest's first 12 bits —
+    * in [0, 4096). Computed from the raw digest bytes; equality with
+    * the hex-string formulation (the q63 DuckDB twin) is pinned in
+    * CountMinSpec. */
+  private[graft] def bucket(j: Int, w: String): Int = {
+    val d = md.get().digest(s"$j:$w".getBytes("UTF-8"))
+    ((d(0) & 0xff) << 4) | ((d(1) & 0xff) >>> 4)
+  }
 
   /** One pass over `df`'s `column` (strings, nulls dropped): the
     * merged depth x Width counter matrix, flattened row-major

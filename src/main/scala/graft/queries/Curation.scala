@@ -494,20 +494,28 @@ object Curation {
   // broadcast of a 1-row frame. Nothing is quadratic; the widest key
   // domain is the corpus bigram vocabulary, the same cardinality
   // class the term-stats artifact already shuffles.
-  private[queries] def bigramLmFor(documents: DataFrame): DataFrame = {
-    val docs = documents
+  /** Positional bigram rows (doc_id, w1, w2), multiplicity kept:
+    * arrays_zip of the token array against itself shifted by one —
+    * the ONE tokenization contract shared by the bigram LM and PMI
+    * (both DuckDB twins assume exactly this derivation). */
+  private[queries] def bigramRows(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2)
-    // positional bigram rows (multiplicity kept): arrays_zip of the
-    // token array against itself shifted by one
-    val bi = docs
       .select(col("doc_id"), explode(arrays_zip(
         slice(col("tk"), lit(1), size(col("tk")) - 1),
         slice(col("tk"), lit(2), size(col("tk")) - 1))).as("z"))
       .select(col("doc_id"), col("z").getField("0").as("w1"),
         col("z").getField("1").as("w2"))
-    val uni = termStats(documents)
-      .groupBy(col("w")).agg(sum(col("tf")).as("u"))
+
+  /** Corpus unigram counts (w, u) — an exact re-aggregation of the
+    * term-stats artifact, shared by the bigram LM and PMI. */
+  private[queries] def unigramCounts(documents: DataFrame): DataFrame =
+    termStats(documents).groupBy(col("w")).agg(sum(col("tf")).as("u"))
+
+  private[queries] def bigramLmFor(documents: DataFrame): DataFrame = {
+    val bi = bigramRows(documents)
+    val uni = unigramCounts(documents)
     val vdf = uni.agg(count(lit(1)).as("v"))
     val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
     // fold U and V into a per-bigram WEIGHT table first: the unigram
@@ -576,20 +584,14 @@ object Curation {
   private val PmiMinCount = 5
   private val pmi: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val d = docs.select(split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 2)
-    val bi = d.select(explode(arrays_zip(
-        slice(col("tk"), lit(1), size(col("tk")) - 1),
-        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("z"))
-      .select(col("z").getField("0").as("w1"),
-        col("z").getField("1").as("w2"))
+    val bi = bigramRows(docs).select(col("w1"), col("w2"))
       // vacuous (split never yields null tokens) but load-bearing for
       // the plan: the unigram joins push isnotnull(w1/w2) into the
       // SURVIVORS branch only — without the same filter in the NB
       // branch the two aggregation subtrees differ and ReuseExchange
       // can't collapse them into one corpus pass
       .filter(col("w1").isNotNull && col("w2").isNotNull)
-    val uni = termStats(docs).groupBy(col("w")).agg(sum(col("tf")).as("u"))
+    val uni = unigramCounts(docs)
     val nu = uni.agg(sum(col("u")).as("nu"))
     // NB = Σ b over the UNFILTERED pair counts: both NB and the
     // min-count survivors hang off the same aggregation exchange

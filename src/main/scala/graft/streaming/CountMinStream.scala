@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -27,62 +26,40 @@ import graft.operators.CountMin
   */
 object CountMinStream {
 
-  private def fs(spark: SparkSession, dir: String) =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def committed(spark: SparkSession, store: String): Seq[Long] = {
-    val base = new Path(store)
-    val f = fs(spark, store)
-    if (!f.exists(base)) Seq.empty
-    else f.listStatus(base).toSeq
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("state_v") &&
-        f.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("state_v").toLong)
+  /** Latest committed (sketch, n) at version `v` (None = empty). */
+  private def stored(spark: SparkSession, dir: String,
+      v: Option[Long], depth: Int): (Array[Long], Long) = v match {
+    case None => (new Array[Long](depth * CountMin.Width), 0L)
+    case Some(v) =>
+      val meta = spark.read
+        .parquet(VersionedState.path(dir, "meta", v)).collect()(0)
+      require(meta.getInt(0) == depth,
+        s"stored sketch depth ${meta.getInt(0)} != requested $depth")
+      val m = new Array[Long](depth * CountMin.Width)
+      spark.read.parquet(VersionedState.path(dir, "sketch", v))
+        .collect().foreach(r => m(r.getInt(0)) = r.getLong(1))
+      (m, meta.getLong(1))
   }
-
-  /** Latest committed (sketch, depth, n) strictly before `before`. */
-  private def storedBefore(spark: SparkSession, dir: String,
-      before: Long, depth: Int): (Array[Long], Long) =
-    committed(spark, s"$dir/meta").filter(_ < before).maxOption match {
-      case None => (new Array[Long](depth * CountMin.Width), 0L)
-      case Some(v) =>
-        val meta = spark.read.parquet(s"$dir/meta/state_v$v").collect()(0)
-        require(meta.getInt(0) == depth,
-          s"stored sketch depth ${meta.getInt(0)} != requested $depth")
-        val m = new Array[Long](depth * CountMin.Width)
-        spark.read.parquet(s"$dir/sketch/state_v$v").collect()
-          .foreach(r => m(r.getInt(0)) = r.getLong(1))
-        (m, meta.getLong(1))
-    }
 
   /** One incremental sketch update over `batch`'s `column`. */
   def updateBatch(batch: DataFrame, column: String, dir: String,
       batchId: Long, depth: Int): Unit = {
     val spark = batch.sparkSession
-    if (fs(spark, dir).exists(
-        new Path(s"$dir/meta/state_v$batchId/_SUCCESS")))
+    if (VersionedState.isCommitted(spark, dir, batchId))
       return // replay of a committed batch
-    val (prev, prevN) = storedBefore(spark, dir, batchId, depth)
-    val prevV = committed(spark, s"$dir/meta").filter(_ < batchId)
-      .maxOption
+    val prevV = VersionedState.latestBefore(spark, dir, batchId)
+    val (prev, prevN) = stored(spark, dir, prevV, depth)
     val (batchSketch, batchN) = CountMin.sketch(batch, column, depth)
     val merged = CountMin.merge(prev, batchSketch)
     import spark.implicits._
     merged.toSeq.zipWithIndex.collect { case (c, i) if c > 0L => (i, c) }
-      .toDF("i", "c").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/sketch/state_v$batchId")
+      .toDF("i", "c").coalesce(1).write.mode("overwrite")
+      .parquet(VersionedState.path(dir, "sketch", batchId))
     Seq((depth, prevN + batchN)).toDF("depth", "n").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/meta/state_v$batchId")
-    // prune committed versions older than the one this batch read
-    val f = fs(spark, dir)
-    scala.util.Try {
-      for (store <- Seq("sketch", "meta");
-           v <- committed(spark, s"$dir/$store")
-           if v != batchId && prevV.exists(v < _))
-        f.delete(new Path(s"$dir/$store/state_v$v"), true)
-    }
-    ()
+      .write.mode("overwrite") // meta LAST = the commit point
+      .parquet(VersionedState.path(dir, "meta", batchId))
+    VersionedState.prune(spark, dir, Seq("sketch", "meta"),
+      batchId, prevV)
   }
 
   /** The streaming entry point: maintain the sketch under `dir` from
@@ -97,8 +74,9 @@ object CountMinStream {
   /** The current (sketch, n). Throws if nothing is committed. */
   def current(spark: SparkSession, dir: String, depth: Int)
       : (Array[Long], Long) = {
-    if (committed(spark, s"$dir/meta").isEmpty)
+    val v = VersionedState.latestBefore(spark, dir, Long.MaxValue)
+    if (v.isEmpty)
       throw new IllegalStateException(s"no committed sketch under $dir")
-    storedBefore(spark, dir, Long.MaxValue, depth)
+    stored(spark, dir, v, depth)
   }
 }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -41,62 +40,42 @@ import graft.operators.HeavyHitters
   */
 object HeavyHittersStream {
 
-  private def fs(spark: SparkSession, dir: String) =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def committed(spark: SparkSession, store: String): Seq[Long] = {
-    val base = new Path(store)
-    val f = fs(spark, store)
-    if (!f.exists(base)) Seq.empty
-    else f.listStatus(base).toSeq
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("state_v") &&
-        f.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("state_v").toLong)
+  /** Latest committed (summary, n_total) at version `v` (None =
+    * empty; commit point = meta, via VersionedState). */
+  private def stored(spark: SparkSession, dir: String,
+      v: Option[Long]): (Map[String, Long], Long) = v match {
+    case None => (Map.empty, 0L)
+    case Some(v) =>
+      val m = spark.read
+        .parquet(VersionedState.path(dir, "summary", v))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = spark.read
+        .parquet(VersionedState.path(dir, "meta", v))
+        .collect()(0).getLong(0)
+      (m, n)
   }
-
-  /** Latest committed (summary, n_total) strictly before `before`
-    * (commit point = meta). */
-  private def storedBefore(spark: SparkSession, dir: String,
-      before: Long): (Map[String, Long], Long) =
-    committed(spark, s"$dir/meta").filter(_ < before).maxOption match {
-      case None => (Map.empty, 0L)
-      case Some(v) =>
-        val m = spark.read.parquet(s"$dir/summary/state_v$v")
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val n = spark.read.parquet(s"$dir/meta/state_v$v")
-          .collect()(0).getLong(0)
-        (m, n)
-    }
 
   /** One incremental summary update over `batch`'s `column`. */
   def updateBatch(batch: DataFrame, column: String, dir: String,
       batchId: Long, k: Int): Unit = {
     val spark = batch.sparkSession
-    if (fs(spark, dir).exists(
-        new Path(s"$dir/meta/state_v$batchId/_SUCCESS")))
+    if (VersionedState.isCommitted(spark, dir, batchId))
       return // replay of a committed batch
-    val (prev, prevN) = storedBefore(spark, dir, batchId)
-    val prevV = committed(spark, s"$dir/meta").filter(_ < batchId)
-      .maxOption
+    val prevV = VersionedState.latestBefore(spark, dir, batchId)
+    val (prev, prevN) = stored(spark, dir, prevV)
     val (batchSummary, batchN) = HeavyHitters.sketch(batch, column, k)
     val merged = HeavyHitters.merge(
       scala.collection.mutable.HashMap.from(prev),
       scala.collection.mutable.HashMap.from(batchSummary), k)
     import spark.implicits._
     merged.toSeq.sorted.toDF("w", "c").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/summary/state_v$batchId")
+      .write.mode("overwrite")
+      .parquet(VersionedState.path(dir, "summary", batchId))
     Seq(prevN + batchN).toDF("n_total").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/meta/state_v$batchId")
-    // prune committed versions older than the one this batch read
-    val f = fs(spark, dir)
-    scala.util.Try {
-      for (store <- Seq("summary", "meta");
-           v <- committed(spark, s"$dir/$store")
-           if v != batchId && prevV.exists(v < _))
-        f.delete(new Path(s"$dir/$store/state_v$v"), true)
-    }
-    ()
+      .write.mode("overwrite") // meta LAST = the commit point
+      .parquet(VersionedState.path(dir, "meta", batchId))
+    VersionedState.prune(spark, dir, Seq("summary", "meta"),
+      batchId, prevV)
   }
 
   /** The streaming entry point: maintain the summary under `dir`
@@ -110,10 +89,9 @@ object HeavyHittersStream {
 
   /** The current (summary, n_total). */
   def current(spark: SparkSession, dir: String): (Map[String, Long], Long) = {
-    val s = storedBefore(spark, dir, Long.MaxValue)
-    if (s._2 == 0L && s._1.isEmpty &&
-        committed(spark, s"$dir/meta").isEmpty)
+    val v = VersionedState.latestBefore(spark, dir, Long.MaxValue)
+    if (v.isEmpty)
       throw new IllegalStateException(s"no committed summary under $dir")
-    s
+    stored(spark, dir, v)
   }
 }

@@ -71,13 +71,26 @@ class SemDedupSpec extends SparkSpec {
         s"drop ${r.getLong(0)} witness ${r.getLong(2)}: cos $c < $Tau")
       assert(r.getLong(3) >= 1L)
     }
-    // the drop rule keeps exactly the earliest member of each
-    // duplicate pair: no original 0..19 may be dropped FOR its clone
-    // (the clone has the larger id), though tight same-cone neighbors
-    // may legitimately drop some originals too — only check witnesses
-    drops.filter(r => r.getLong(0) < 1000L).foreach { r =>
-      assert(r.getLong(2) < r.getLong(0), "witness must be earlier")
-    }
+    // full parity with a brute-force re-derivation of the drop rule
+    // from the materialized cell assignment: exactly the vectors with
+    // an earlier same-cell neighbor over tau are dropped, with the
+    // smallest such neighbor as witness and the exact earlier-count —
+    // this is the check that fails if the rule ever regressed to
+    // dropping originals in favor of their later clones
+    val cells = assign.select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = cells.keys.toSeq.sorted.flatMap { v =>
+      val earlier = cells.keys.toSeq
+        .filter(a => a < v && cells(a) == cells(v) &&
+          cos(vecs(a), vecs(v)) >= Tau)
+      if (earlier.isEmpty) None
+      else Some((v, cells(v), earlier.min, earlier.size.toLong))
+    }.toSet
+    val got = drops.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"drop set diverges from brute re-derivation: " +
+        s"missing=${expected -- got}, extra=${got -- expected}")
     graft.operators.KMeans.clearCache()
   }
 }
