@@ -146,4 +146,49 @@ object KMeans {
 
   /** Test hook: drop persisted quantizers. */
   def clearCache(): Unit = cache.clear()
+
+  // ---- durable persistence: train once, serve from ANY process -----
+  // The session PlanCache covers serve-many within one driver; a real
+  // 100 TB deployment trains the quantizer in an index-build job and
+  // SERVES it from query/dedup jobs in other processes. save/load use
+  // the repo's _SUCCESS-committed convention (the parquet committer
+  // writes _SUCCESS last), so a crashed save is never loadable, and
+  // exact-decimal-trained centroids round-trip bit-identically
+  // (doubles survive parquet exactly).
+
+  /** Persist trained centroids under `dir` (overwrite). */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      cents: IndexedSeq[Array[Double]], dir: String): Unit =
+    centroidsDF(spark, cents, "cid", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Load centroids saved by `save`; throws if `dir` holds no
+    * committed quantizer. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : IndexedSeq[Array[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalStateException(s"no committed quantizer under $dir")
+    spark.read.parquet(dir).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toIndexedSeq
+  }
+
+  /** The serve-side entry: load from `dir` if a committed quantizer
+    * exists there, else train and persist it — the cross-process twin
+    * of `fitCached` (first process pays the build, every later
+    * process, or session restart, loads). */
+  def fitOrLoad(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, dir: String): IndexedSeq[Array[Double]] = {
+    val spark = emb.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) load(spark, dir)
+    else {
+      val cents = fitCached(emb, vecCol, idCol, k, iters)
+      save(spark, cents, dir)
+      cents
+    }
+  }
 }

@@ -141,4 +141,32 @@ class MultimodalSpec extends SparkSpec {
     assert(a == c, "zero-norm vectors must not affect training")
     assert(c.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
   }
+
+  test("trained quantizer persists durably: save/load round-trips " +
+    "bit-identically, fitOrLoad serves from disk across sessions, " +
+    "uncommitted dirs fail loudly") {
+    import spark.implicits._
+    graft.operators.KMeans.clearCache()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val trained = graft.operators.KMeans.fit(
+      emb, "embedding", "vec_id", k = 5, iters = 2)
+    val out = java.nio.file.Files.createTempDirectory("quant").toString
+    val store = s"$out/ivf_k5"
+    graft.operators.KMeans.save(spark, trained, store)
+    val loaded = graft.operators.KMeans.load(spark, store)
+    assert(loaded.map(_.toSeq) == trained.map(_.toSeq),
+      "doubles must survive the parquet round-trip exactly")
+    // fitOrLoad with an EMPTY cache and a different (wrong) k must
+    // still return the stored quantizer: disk wins — proof it served
+    // from the store rather than retraining
+    graft.operators.KMeans.clearCache()
+    val served = graft.operators.KMeans.fitOrLoad(
+      emb, "embedding", "vec_id", k = 3, iters = 0, store)
+    assert(served.map(_.toSeq) == trained.map(_.toSeq),
+      "fitOrLoad must serve the committed quantizer, not retrain")
+    intercept[IllegalStateException] {
+      graft.operators.KMeans.load(spark, s"$out/nothing_here")
+    }
+    graft.operators.KMeans.clearCache()
+  }
 }

@@ -199,6 +199,29 @@ class QueriesSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"q18 must not plan a join:\n$plan")
   }
 
+  test("q63 serves CMS estimates via a broadcast of the counter " +
+    "frame and a TakeOrdered top-10 — probing never shuffles") {
+    val plan = SparkEntry.queries("q63_count_min")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"counter probe must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must be a TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("llm_semdedup plans an equi-join on the cell id (cell-bounded " +
+    "pairs), and llm_pmi_bigrams takes its top-20 without a global " +
+    "sort") {
+    val sd = SparkEntry.queries("llm_semdedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(sd.contains("Join") && !sd.contains("CartesianProduct"),
+      s"semdedup pair join must be cell-keyed:\n$sd")
+    val pm = SparkEntry.queries("llm_pmi_bigrams")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(pm.contains("TakeOrderedAndProject") &&
+      !pm.contains("CartesianProduct"), s"pmi plan:\n$pm")
+  }
+
   test("q48 broadcasts the fixed dimension for the edit-distance " +
     "self-join") {
     val plan = SparkEntry.queries("q48_edit_distance")(spark, dir)
