@@ -1232,6 +1232,50 @@ object Llm {
     semdedupDrops(Multimodal.ivfIndex(t(s, dir, "embeddings")).assign,
       SemDedupTau)
 
+  // the apply form (detect + apply symmetry, like llm_dedup_apply for
+  // MinHash-LSH): the kept corpus = embeddings anti-joined against
+  // the drop set — at scale the drops ride the same shared IVF index,
+  // so detect and apply are one pipeline with two outputs
+  private val semdedupApply: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val drops = semdedupDrops(Multimodal.ivfIndex(emb).assign, SemDedupTau)
+    emb.join(drops.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semdedupApplySql =
+    s"""WITH e AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ed,
+       |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |              for x in embedding]) AS n2
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id AS cid, ed AS ce, n2 AS cn2 FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+       |dists AS (
+       |  SELECT e.vec_id, e.ed, e.n2, c.cid,
+       |    list_sum([e.ed[i] * c.ce[i]
+       |      for i in generate_series(1, len(e.ed))]) /
+       |      (sqrt(e.n2) * sqrt(c.cn2)) AS cs
+       |  FROM e, c),
+       |assign AS (
+       |  SELECT vec_id, ed, n2, cid FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE list_sum([a.ed[i] * b.ed[i]
+       |      for i in generate_series(1, len(a.ed))]) /
+       |      (sqrt(a.n2) * sqrt(b.n2)) >= $SemDedupTau)
+       |SELECT emb.vec_id, emb.label FROM embeddings emb
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM dropped d WHERE d.vec_id = emb.vec_id)
+       |ORDER BY emb.vec_id""".stripMargin
+
   private val semdedupSql =
     s"""WITH e AS (
        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ed,
@@ -1266,6 +1310,7 @@ object Llm {
 
   val queries: Map[String, Q] = Map(
     "llm_semdedup" -> semdedup,
+    "llm_semdedup_apply" -> semdedupApply,
     "llm_substring_dedup" -> substringDedup,
     "llm_dedup_apply" -> dedupApply,
     "llm_normalize_embeddings" -> normalize,
@@ -1296,6 +1341,7 @@ object Llm {
     // hash-seeded cells rebuilt in SQL (annIvfSql CTE chain) — the
     // approximate operator's output is exactly checkable
     "llm_semdedup" -> semdedupSql,
+    "llm_semdedup_apply" -> semdedupApplySql,
     // window hashing parity modulo 64-bit collisions (the
     // ShingleHashes contract)
     "llm_substring_dedup" -> substringDedupSql,
