@@ -467,6 +467,33 @@ object Curation {
        |WHERE contains(text, probe)
        |ORDER BY doc_id, probe""".stripMargin
 
+  // the apply form (detect + apply symmetry, like the dedup
+  // families): the decontaminated training corpus = documents
+  // anti-joined against the flagged set. Same one-pass automaton
+  // scan; the anti-join key is doc_id, so the corpus never carries
+  // probe rows — one pipeline, two outputs.
+  private val contaminationApply: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    docs.join(
+        contaminationScanFor(docs, Probes).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_clean"), sum(col("n_chars")).as("clean_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val contaminationApplySql =
+    s"""WITH flagged AS (
+       |  SELECT DISTINCT doc_id
+       |  FROM documents,
+       |    unnest([${Probes.map(p => s"'$p'").mkString(", ")}]) AS t(probe)
+       |  WHERE contains(text, probe))
+       |SELECT source, count(*) AS n_clean,
+       |  CAST(sum(n_chars) AS BIGINT) AS clean_chars
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- llm_bigram_lm: corpus bigram LM, per-doc mean log-prob --------
   // The perplexity-style quality filter: train an add-one-smoothed
   // bigram language model ON the corpus itself, then score every
@@ -806,6 +833,7 @@ object Curation {
     "q59_heavy_hitters" -> q59,
     "q63_count_min" -> q63,
     "llm_contamination" -> contamination,
+    "llm_contamination_apply" -> contaminationApply,
     "llm_mix_sources" -> mix,
     "llm_vocab_topk" -> vocab,
     "llm_redact_terms" -> redact,
@@ -831,6 +859,7 @@ object Curation {
     // deterministic and sits under the exact oracle hash
     "q63_count_min" -> q63Sql,
     "llm_contamination" -> contaminationSql,
+    "llm_contamination_apply" -> contaminationApplySql,
     "llm_mix_sources" -> mixSql,
     "llm_vocab_topk" -> vocabSql,
     "llm_redact_terms" -> redactSql,
