@@ -150,45 +150,83 @@ object KMeans {
   // ---- durable persistence: train once, serve from ANY process -----
   // The session PlanCache covers serve-many within one driver; a real
   // 100 TB deployment trains the quantizer in an index-build job and
-  // SERVES it from query/dedup jobs in other processes. save/load use
-  // the repo's _SUCCESS-committed convention (the parquet committer
-  // writes _SUCCESS last), so a crashed save is never loadable, and
-  // exact-decimal-trained centroids round-trip bit-identically
-  // (doubles survive parquet exactly).
+  // SERVES it from query/dedup jobs in other processes. The store
+  // rides graft.streaming.VersionedState (the same protocol as the
+  // stream maintainers): each save writes a NEW version — centroids
+  // first, a (k, dim) meta row LAST as the commit point — so a
+  // crashed or in-flight save can never destroy or shadow the
+  // previously committed quantizer, and readers only ever resolve
+  // fully-committed versions. Exact-decimal-trained centroids
+  // round-trip parquet bit-identically (doubles are stored exactly).
+  // Single WRITER per store assumed (one index-build job), any number
+  // of concurrent readers.
+  import graft.streaming.VersionedState
 
-  /** Persist trained centroids under `dir` (overwrite). */
+  /** Persist trained centroids under `dir` as a new committed
+    * version. Refuses an empty quantizer — committing one would make
+    * every later `fitOrLoad` silently serve zero cells forever. */
   def save(spark: org.apache.spark.sql.SparkSession,
-      cents: IndexedSeq[Array[Double]], dir: String): Unit =
+      cents: IndexedSeq[Array[Double]], dir: String): Unit = {
+    require(cents.nonEmpty, "refusing to persist an EMPTY quantizer " +
+      "(trained on an empty/zero-norm corpus?)")
+    val prevV = VersionedState.latestBefore(spark, dir, Long.MaxValue)
+    val v = prevV.map(_ + 1).getOrElse(0L)
     centroidsDF(spark, cents, "cid", "vec").coalesce(1)
-      .write.mode("overwrite").parquet(dir)
-
-  /** Load centroids saved by `save`; throws if `dir` holds no
-    * committed quantizer. */
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String)
-      : IndexedSeq[Array[Double]] = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      throw new IllegalStateException(s"no committed quantizer under $dir")
-    spark.read.parquet(dir).collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toArray).toIndexedSeq
+      .write.mode("overwrite")
+      .parquet(VersionedState.path(dir, "cents", v))
+    import spark.implicits._
+    Seq((cents.size, cents.head.length)).toDF("k", "dim").coalesce(1)
+      .write.mode("overwrite") // meta LAST = the commit point
+      .parquet(VersionedState.path(dir, "meta", v))
+    VersionedState.prune(spark, dir, Seq("cents", "meta"), v, prevV)
   }
 
-  /** The serve-side entry: load from `dir` if a committed quantizer
-    * exists there, else train and persist it — the cross-process twin
-    * of `fitCached` (first process pays the build, every later
-    * process, or session restart, loads). */
+  /** Latest committed quantizer under `dir`, if any. */
+  private def loadIfCommitted(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[IndexedSeq[Array[Double]]] =
+    VersionedState.latestBefore(spark, dir, Long.MaxValue).map { v =>
+      val cents = spark.read
+        .parquet(VersionedState.path(dir, "cents", v)).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray).toIndexedSeq
+      val meta = spark.read
+        .parquet(VersionedState.path(dir, "meta", v)).collect()(0)
+      require(cents.size == meta.getInt(0),
+        s"corrupt quantizer store $dir: ${cents.size} centroids, " +
+          s"meta says k=${meta.getInt(0)}")
+      cents
+    }
+
+  /** Load the latest committed quantizer; throws if `dir` holds no
+    * committed version. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : IndexedSeq[Array[Double]] =
+    loadIfCommitted(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed quantizer under $dir"))
+
+  /** The serve-side entry: serve the committed quantizer under `dir`
+    * if one exists — FAILING LOUDLY if its k differs from the
+    * requested k (a silently-wrong cell granularity degrades ANN
+    * recall and dedup bounding with no signal; delete or rebuild the
+    * store to change k) — else train (via the session cache) and
+    * persist. The cross-process twin of `fitCached`: the first
+    * process pays the build, every later process or session restart
+    * loads. */
   def fitOrLoad(emb: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int, dir: String): IndexedSeq[Array[Double]] = {
     val spark = emb.sparkSession
-    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) load(spark, dir)
-    else {
-      val cents = fitCached(emb, vecCol, idCol, k, iters)
-      save(spark, cents, dir)
-      cents
+    loadIfCommitted(spark, dir) match {
+      case Some(cents) =>
+        if (cents.size != k)
+          throw new IllegalStateException(
+            s"quantizer store $dir has k=${cents.size}, requested " +
+              s"k=$k — rebuild the store to change cell granularity")
+        cents
+      case None =>
+        val cents = fitCached(emb, vecCol, idCol, k, iters)
+        save(spark, cents, dir)
+        cents
     }
   }
 }

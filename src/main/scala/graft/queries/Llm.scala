@@ -1245,38 +1245,21 @@ object Llm {
   }
 
   private val semdedupApplySql =
-    s"""WITH e AS (
-       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ed,
-       |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-       |              for x in embedding]) AS n2
-       |  FROM embeddings),
-       |c AS (
-       |  SELECT vec_id AS cid, ed AS ce, n2 AS cn2 FROM e
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
-       |dists AS (
-       |  SELECT e.vec_id, e.ed, e.n2, c.cid,
-       |    list_sum([e.ed[i] * c.ce[i]
-       |      for i in generate_series(1, len(e.ed))]) /
-       |      (sqrt(e.n2) * sqrt(c.cn2)) AS cs
-       |  FROM e, c),
-       |assign AS (
-       |  SELECT vec_id, ed, n2, cid FROM (
-       |    SELECT *, row_number() OVER (
-       |      PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-       |    FROM dists) WHERE rn = 1),
+    s"""$semdedupCellsSql,
        |dropped AS (
-       |  SELECT DISTINCT b.vec_id
-       |  FROM assign a JOIN assign b
-       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
-       |  WHERE list_sum([a.ed[i] * b.ed[i]
-       |      for i in generate_series(1, len(a.ed))]) /
-       |      (sqrt(a.n2) * sqrt(b.n2)) >= $SemDedupTau)
+       |  SELECT DISTINCT vec_id FROM pairs WHERE cs >= $SemDedupTau)
        |SELECT emb.vec_id, emb.label FROM embeddings emb
        |WHERE NOT EXISTS (
        |  SELECT 1 FROM dropped d WHERE d.vec_id = emb.vec_id)
        |ORDER BY emb.vec_id""".stripMargin
 
-  private val semdedupSql =
+  // the hash-seeded cell-assignment + within-cell pair CTE chain,
+  // shared VERBATIM by the detect and apply oracles (one SQL twin of
+  // semdedupDrops, like the engine side shares the one helper — a
+  // one-sided edit could otherwise make detect and apply disagree)
+  // a def, not a val: semdedupApplySql is declared earlier in the
+  // object and a forward VAL reference would interpolate null
+  private def semdedupCellsSql =
     s"""WITH e AS (
        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ed,
        |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
@@ -1302,7 +1285,10 @@ object Llm {
        |      for i in generate_series(1, len(a.ed))]) /
        |      (sqrt(a.n2) * sqrt(b.n2)) AS cs
        |  FROM assign a JOIN assign b
-       |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id)""".stripMargin
+
+  private val semdedupSql =
+    s"""$semdedupCellsSql
        |SELECT vec_id, cid, min(a_id) AS near_vec_id,
        |  CAST(count(*) AS BIGINT) AS n_earlier
        |FROM pairs WHERE cs >= $SemDedupTau

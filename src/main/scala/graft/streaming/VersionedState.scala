@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSession
 
 /** The `_SUCCESS`-committed versioned-state protocol shared by the
   * small-artifact stream maintainers (HeavyHittersStream,
-  * CountMinStream) — ONE implementation of the listing / commit-point
-  * / replay-guard / prune mechanics so a protocol fix can never be
-  * applied to one maintainer and silently missed in another.
+  * CountMinStream) and the durable quantizer store (KMeans.save) —
+  * ONE implementation of the listing / commit-point / replay-guard /
+  * prune mechanics so a protocol fix can never be applied to one
+  * maintainer and silently missed in another.
   *
   * Layout: each maintainer keeps one or more stores under `dir`
   * (`dir/<store>/state_vN` parquet directories, N = streaming batch
@@ -19,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   * committed is a no-op. Committed versions older than the one a
   * batch read are pruned after the new commit.
   */
-private[streaming] object VersionedState {
+private[graft] object VersionedState {
 
   val CommitStore = "meta"
 

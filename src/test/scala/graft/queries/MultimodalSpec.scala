@@ -156,14 +156,29 @@ class MultimodalSpec extends SparkSpec {
     val loaded = graft.operators.KMeans.load(spark, store)
     assert(loaded.map(_.toSeq) == trained.map(_.toSeq),
       "doubles must survive the parquet round-trip exactly")
-    // fitOrLoad with an EMPTY cache and a different (wrong) k must
-    // still return the stored quantizer: disk wins — proof it served
-    // from the store rather than retraining
+    // fitOrLoad with an EMPTY session cache and matching k but
+    // iters=0 must return the iters=2-trained centroids: retraining
+    // would reproduce the seeded init, so equality proves it served
+    // from the store
     graft.operators.KMeans.clearCache()
     val served = graft.operators.KMeans.fitOrLoad(
-      emb, "embedding", "vec_id", k = 3, iters = 0, store)
+      emb, "embedding", "vec_id", k = 5, iters = 0, store)
     assert(served.map(_.toSeq) == trained.map(_.toSeq),
       "fitOrLoad must serve the committed quantizer, not retrain")
+    // a k mismatch against the committed store must fail loudly, not
+    // silently serve the wrong cell granularity
+    intercept[IllegalStateException] {
+      graft.operators.KMeans.fitOrLoad(
+        emb, "embedding", "vec_id", k = 3, iters = 0, store)
+    }
+    // a second save never destroys the committed version mid-write:
+    // it commits a NEW version, and load resolves to it
+    graft.operators.KMeans.save(spark, trained.take(4), store)
+    assert(graft.operators.KMeans.load(spark, store).size == 4,
+      "a re-save must commit a new readable version")
+    intercept[IllegalArgumentException] {
+      graft.operators.KMeans.save(spark, IndexedSeq.empty, store)
+    }
     intercept[IllegalStateException] {
       graft.operators.KMeans.load(spark, s"$out/nothing_here")
     }

@@ -214,8 +214,13 @@ class QueriesSpec extends SparkSpec {
     "sort") {
     val sd = SparkEntry.queries("llm_semdedup")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(sd.contains("Join") && !sd.contains("CartesianProduct"),
-      s"semdedup pair join must be cell-keyed:\n$sd")
+    // an EQUI-join whose key list starts with cid — a regression to a
+    // filtered cross join would plan BroadcastNestedLoopJoin (no key
+    // list) at fixture scale and corpus-squared pairs at 100 TB
+    assert(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid#".r
+        .findFirstIn(sd).isDefined && !sd.contains("CartesianProduct"),
+      s"semdedup pair join must be keyed on the cell id:\n$sd")
     val pm = SparkEntry.queries("llm_pmi_bigrams")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(pm.contains("TakeOrderedAndProject") &&
