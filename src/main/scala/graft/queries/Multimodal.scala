@@ -284,7 +284,7 @@ object Multimodal {
 
   /** Mean max-cosine of every vector to its nearest centroid — the
     * spherical k-means objective, as an exact-decimal mean. */
-  private def meanMaxCos(e: DataFrame,
+  private[queries] def meanMaxCos(e: DataFrame,
       cents: IndexedSeq[Array[Double]]): BigDecimal = {
     val s = e.sparkSession
     val centsDF = centroidsDF(s, cents)

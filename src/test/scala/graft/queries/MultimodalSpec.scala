@@ -142,6 +142,93 @@ class MultimodalSpec extends SparkSpec {
     assert(c.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
   }
 
+  test("sample-trained quantizer (r6 verdict #1): hash-sample " +
+    "training is deterministic, sample size tracks the cap, and the " +
+    "objective matches full-corpus training on clustered data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dot = graft.functions.VectorOps.dot_product _
+    // clustered corpus — the regime the quantizer exists for; big
+    // enough (800 > cap 80) that the hash-sample path actually engages
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(8)(rng.nextGaussian()))
+    val rows = (0 until 800).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.05 * rng.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val sampled = graft.operators.KMeans.fitStats(
+      emb, "embedding", "vec_id", k = 10, iters = 3, sampleCap = 80)
+    // the sample path engaged, and the threshold sample landed near
+    // the cap (binomial around 80, not 800 and not a handful)
+    assert(sampled.corpusN == 800L)
+    assert(sampled.sampleN >= 40 && sampled.sampleN <= 160,
+      s"hash-threshold sample of cap 80 over 800 rows came back " +
+        s"${sampled.sampleN}")
+    // data-deterministic: same corpus, same cap -> same sample, same
+    // centroids (fixed-point Long sums are partition-order-free)
+    val again = graft.operators.KMeans.fitStats(
+      emb, "embedding", "vec_id", k = 10, iters = 3, sampleCap = 80)
+    assert(sampled.cents.map(_.toSeq) == again.cents.map(_.toSeq),
+      "sample training must be run-deterministic")
+    assert(sampled.corpusFp == again.corpusFp)
+    // quality: on clustered data a 256-per-centroid-style sample sees
+    // every cluster, so the full-corpus objective of sample-trained
+    // centroids matches full-corpus training within noise, and beats
+    // the seeded init (training on a sample still trains)
+    val e = emb.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("n2"))
+    val full = graft.operators.KMeans.fit(
+      emb, "embedding", "vec_id", k = 10, iters = 3,
+      sampleCap = Int.MaxValue)
+    val init = graft.operators.KMeans.fit(
+      emb, "embedding", "vec_id", k = 10, iters = 0, sampleCap = 80)
+    val objSample = Multimodal.meanMaxCos(e, sampled.cents)
+    val objFull = Multimodal.meanMaxCos(e, full)
+    val objInit = Multimodal.meanMaxCos(e, init)
+    info(f"objective init=${objInit}%.4f sample=${objSample}%.4f " +
+      f"full=${objFull}%.4f")
+    assert(objSample >= objInit,
+      "sample training must not degrade the seeded init")
+    assert(objSample >= objFull - BigDecimal("0.02"),
+      s"sample-trained objective $objSample too far below " +
+        s"full-trained $objFull")
+  }
+
+  test("quantizer store provenance + dim guard (r5 ADVICE): meta " +
+    "records what the store was trained with; serving a store against " +
+    "a different-dimension corpus fails loudly") {
+    import spark.implicits._
+    graft.operators.KMeans.clearCache()
+    val out = java.nio.file.Files.createTempDirectory("quantp").toString
+    val emb3 = Seq(
+      1L -> Seq(1f, 0f, 0f), 2L -> Seq(0f, 1f, 0f),
+      3L -> Seq(0f, 0f, 1f), 4L -> Seq(1f, 1f, 0f))
+      .toDF("vec_id", "embedding")
+    val store = s"$out/ivf3"
+    // cold fitOrLoad trains and persists WITH provenance
+    graft.operators.KMeans.fitOrLoad(
+      emb3, "embedding", "vec_id", k = 2, iters = 1, store)
+    val meta = spark.read.parquet(s"$store/meta/state_v0").collect()(0)
+    assert(meta.getAs[Int]("k") == 2)
+    assert(meta.getAs[Int]("dim") == 3)
+    assert(meta.getAs[Int]("iters") == 1)
+    assert(meta.getAs[Long]("corpus_n") == 4L)
+    assert(meta.getAs[Long]("sample_n") == 4L)
+    assert(meta.getAs[Long]("corpus_fp") != 0L,
+      "corpus fingerprint must be recorded")
+    // the SAME store served against a dim-4 corpus must refuse: it was
+    // trained on a different embedding table
+    val emb4 = Seq(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalStateException] {
+      graft.operators.KMeans.fitOrLoad(
+        emb4, "embedding", "vec_id", k = 2, iters = 1, store)
+    }
+    assert(ex.getMessage.contains("different embedding table"))
+    graft.operators.KMeans.clearCache()
+  }
+
   test("trained quantizer persists durably: save/load round-trips " +
     "bit-identically, fitOrLoad serves from disk across sessions, " +
     "uncommitted dirs fail loudly") {
