@@ -140,6 +140,27 @@ class QueriesSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.toSeq == Seq((1L, 1L, d1), (2L, 2L, d2)),
       got.mkString(", "))
+    // the SHIPPED broadcast-model scan must equal the dataflow twin
+    // bit-for-bit — on the hand-computed corpus and on the fixture
+    val scan = Curation.bigramLmScanFor(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scan.toSeq == got.toSeq,
+      "broadcast-model scoring must equal the dataflow form")
+    val fixDocs = graft.Tables(spark, dir, "documents")
+    val a = Curation.bigramLmFor(fixDocs).collect().map(_.toSeq).toSeq
+    val b = Curation.bigramLmScanFor(fixDocs).collect().map(_.toSeq).toSeq
+    assert(a == b,
+      "fixture corpus: scan and dataflow LM scores must be identical")
+    // model size = corpus bigram vocabulary; null-text and 1-token
+    // docs emit no score row (they have no bigrams), matching the
+    // dataflow twin's filter + inner-join semantics
+    assert(Curation.bigramLmModel(docs).value.size == 2)
+    val edge = Seq((9L, null.asInstanceOf[String], "web"),
+      (10L, "solo", "web"), (11L, "x y", "web"))
+      .toDF("doc_id", "text", "source")
+    val e = Curation.bigramLmScanFor(edge).collect()
+    assert(e.map(_.getLong(0)).toSeq == Seq(11L),
+      "null/1-token docs must emit no score row")
   }
 
   test("llm_repetition fractions match hand-computed values") {
