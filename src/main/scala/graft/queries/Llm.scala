@@ -926,7 +926,12 @@ object Llm {
   // fingerprints (per-row compute) → posting lists per fingerprint
   // (one aggregation; hot prints df-capped at 64 like hot shingles) →
   // compiled flatMap pair expansion → pair count. Never corpus².
-  private[queries] def winnowPairsFor(documents: DataFrame): DataFrame = {
+  // shared with streaming.WinnowIndexStream (the incremental
+  // maintainer must apply the identical cap/threshold or parity breaks)
+  private[graft] val WinnowDfCap = 64
+  private[graft] val WinnowMinShared = 5
+
+  private[graft] def winnowPairsFor(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val fps = documents
@@ -936,7 +941,7 @@ object Llm {
     val posting = fps
       .groupBy(col("fp"))
       .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")).between(2, 64))
+      .filter(size(col("ds")).between(2, WinnowDfCap))
     posting.select(col("ds")).as[Seq[Long]]
       .flatMap { ds =>
         val sorted = ds.sorted
@@ -948,7 +953,7 @@ object Llm {
       .toDF("a_id", "b_id")
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 5)
+      .filter(col("shared") >= WinnowMinShared)
   }
 
   // like the MinHash verified-pair set above, the fingerprint-overlap

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -61,54 +60,20 @@ import graft.queries.Llm
   */
 object DedupIndexStream {
 
-  private def fs(spark: SparkSession, dir: String) =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // the LSM listing/commit/compaction mechanics live in DeltaStore
+  // (shared with WinnowIndexStream); "pairs" is the commit store
+  private val Commit = "pairs"
+  private val Subs = Seq("bands", "docs", "pairs")
 
-  /** Version ids of `prefix` dirs under `store` carrying _SUCCESS. */
-  private def committedDirs(spark: SparkSession, store: String,
-      prefix: String): Seq[Long] = {
-    val base = new Path(store)
-    val f = fs(spark, store)
-    if (!f.exists(base)) Seq.empty
-    else f.listStatus(base).toSeq
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith(prefix) &&
-        f.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix(prefix).toLong)
-  }
-
-  /** Batch ids committed strictly before `before` (commit point =
-    * the pairs delta) — retries of a half-committed batch must not
-    * read their own partial output. */
-  private def committedBatches(spark: SparkSession, dir: String,
-      before: Long): Seq[Long] =
-    committedDirs(spark, s"$dir/pairs", "delta_v").filter(_ < before)
-
-  /** Latest committed compaction base before `before` (commit point =
-    * the pairs base). */
-  private def committedBase(spark: SparkSession, dir: String,
-      before: Long): Option[Long] =
-    committedDirs(spark, s"$dir/pairs", "base_v").filter(_ < before)
-      .maxOption
-
-  /** The stored view of one store as of (strictly before) `before`:
-    * base_vM plus committed deltas above it. */
   private def stored(spark: SparkSession, dir: String, sub: String,
-      before: Long): Option[DataFrame] = {
-    val baseM = committedBase(spark, dir, before)
-    val deltas = committedBatches(spark, dir, before)
-      .filter(n => baseM.forall(n > _))
-    val paths = baseM.map(m => s"$dir/$sub/base_v$m").toSeq ++
-      deltas.sorted.map(n => s"$dir/$sub/delta_v$n")
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
-  }
+      before: Long): Option[DataFrame] =
+    DeltaStore.stored(spark, dir, sub, Commit, before)
 
   /** One incremental index update (factored out so replay/crash
     * semantics are unit-testable without a streaming query). */
   def updateBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (fs(spark, dir).exists(
-        new Path(s"$dir/pairs/delta_v$batchId/_SUCCESS")))
+    if (DeltaStore.isCommitted(spark, dir, Commit, batchId))
       return // replay of a committed batch: done
     val prevBands = stored(spark, dir, "bands", batchId)
     val prevDocs = stored(spark, dir, "docs", batchId)
@@ -168,40 +133,8 @@ object DedupIndexStream {
     * the pairs base commits the compaction; a crash before it leaves
     * the delta view authoritative, and the covered-dir cleanup is
     * best-effort (re-running compact() finishes it). */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val batches = committedBatches(spark, dir, Long.MaxValue)
-    if (batches.isEmpty) return
-    val m = batches.max
-    val oldBase = committedBase(spark, dir, Long.MaxValue)
-    if (oldBase.exists(_ >= m)) {
-      // every delta is already covered by the base — only an
-      // interrupted cleanup can leave this state; finish it (building
-      // a base at an id ≤ the current base would let covered deltas
-      // double-count against it)
-      val f = fs(spark, dir)
-      scala.util.Try {
-        for (sub <- Seq("bands", "docs", "pairs");
-             n <- batches if n <= oldBase.get)
-          f.delete(new Path(s"$dir/$sub/delta_v$n"), true)
-      }
-      return
-    }
-    for (sub <- Seq("bands", "docs", "pairs")) {
-      stored(spark, dir, sub, Long.MaxValue).get
-        .write.mode("overwrite").parquet(s"$dir/$sub/base_v$m")
-    }
-    // cleanup of covered dirs (read path already ignores them)
-    val f = fs(spark, dir)
-    scala.util.Try {
-      for (sub <- Seq("bands", "docs", "pairs")) {
-        oldBase.foreach(b =>
-          f.delete(new Path(s"$dir/$sub/base_v$b"), true))
-        batches.filter(_ <= m).foreach(n =>
-          f.delete(new Path(s"$dir/$sub/delta_v$n"), true))
-      }
-    }
-    ()
-  }
+  def compact(spark: SparkSession, dir: String): Unit =
+    DeltaStore.compact(spark, dir, Subs, Commit)
 
   /** The streaming entry point: maintain the index under `dir` from a
     * streaming `documents` frame. */
