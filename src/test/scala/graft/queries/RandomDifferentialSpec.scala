@@ -1,0 +1,324 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Randomized differential testing over the TPC-H-ish schema
+  * (VERDICT r5 #5): the 100 fixed oracle queries are green, so the
+  * remaining correctness risk is the UNTESTED input space. Each seed
+  * generates a random query — predicates, group keys, aggregates,
+  * join type, join order — and builds it TWICE through independent
+  * front-ends: once compositionally with the DataFrame API (Column
+  * operators, never `expr(...)`) and once as an ANSI SQL string
+  * through `spark.sql` over temp views. The two go through different
+  * parsing/analysis paths; results must match row-for-row.
+  *
+  * The SQL strings are deliberately DuckDB-compatible (plain ANSI,
+  * decimal-cast aggregates, EXISTS/NOT EXISTS for semi/anti), so any
+  * failing seed's query can be replayed against the external oracle
+  * with tools/check.py's machinery. Aggregates follow the Canon
+  * discipline — sums/avgs over DECIMAL casts — so both paths are
+  * exact and order-independent (a double sum would differ in ulps
+  * between physical plans and flag phantom diffs).
+  *
+  * 120 seeds ≥ the verdict's 100-comparison bar; failures print the
+  * seed and the full SQL for replay.
+  */
+class RandomDifferentialSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private val tableNames =
+    Seq("lineitem", "orders", "customer", "part", "supplier", "nation")
+
+  private lazy val frames: Map[String, DataFrame] = tableNames.map { n =>
+    val df = spark.read.parquet(s"$dir/$n.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.createOrReplaceTempView(s"fuzz_$n")
+    n -> df
+  }.toMap
+
+  // ---- schema metadata the generator draws from ----------------------
+  private case class TblMeta(numeric: Seq[String], cats: Seq[String],
+    dates: Seq[String])
+  private val meta = Map(
+    "lineitem" -> TblMeta(
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      Seq("l_returnflag", "l_linestatus"), Seq("l_shipdate")),
+    "orders" -> TblMeta(Seq("o_totalprice"),
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_orderdate")),
+    "customer" -> TblMeta(Seq("c_acctbal"), Seq("c_mktsegment"), Nil),
+    "part" -> TblMeta(Seq("p_retailprice", "p_size"), Seq("p_brand"), Nil),
+    "supplier" -> TblMeta(Seq("s_acctbal"), Nil, Nil),
+    "nation" -> TblMeta(Nil, Seq("n_name"), Nil))
+
+  // data-driven constants: numeric ranges and categorical domains are
+  // sampled from the fixture once, so predicates are never vacuous
+  private lazy val numRange: Map[(String, String), (Double, Double)] =
+    (for {
+      (t, m) <- meta.toSeq; c <- m.numeric
+    } yield {
+      val r = frames(t).agg(min(col(c).cast("double")),
+        max(col(c).cast("double"))).collect()(0)
+      (t, c) -> (r.getDouble(0), r.getDouble(1))
+    }).toMap
+  private lazy val catDomain: Map[(String, String), Seq[String]] =
+    (for {
+      (t, m) <- meta.toSeq; c <- m.cats
+    } yield (t, c) -> frames(t).select(col(c)).distinct()
+      .collect().map(_.getString(0)).sorted.take(25).toSeq).toMap
+  private lazy val dateRange: Map[(String, String), (String, String)] =
+    (for {
+      (t, m) <- meta.toSeq; c <- m.dates
+    } yield {
+      val r = frames(t)
+        .agg(min(col(c).cast("date")), max(col(c).cast("date")))
+        .collect()(0)
+      (t, c) -> (r.getDate(0).toString, r.getDate(1).toString)
+    }).toMap
+
+  // ---- predicates: (SQL fragment, independently-built Column) --------
+  private def numPred(t: String): Gen[(String, Column)] = for {
+    c <- Gen.oneOf(meta(t).numeric)
+    op <- Gen.oneOf("<", "<=", ">", ">=")
+    f <- Gen.choose(0.05, 0.95)
+  } yield {
+    val (lo, hi) = numRange((t, c))
+    val v = BigDecimal(lo + f * (hi - lo))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val cc = op match {
+      case "<" => col(c) < v.toDouble
+      case "<=" => col(c) <= v.toDouble
+      case ">" => col(c) > v.toDouble
+      case ">=" => col(c) >= v.toDouble
+    }
+    (s"$c $op $v", cc)
+  }
+
+  private def catPred(t: String): Gen[(String, Column)] = for {
+    c <- Gen.oneOf(meta(t).cats)
+    dom = catDomain((t, c))
+    k <- Gen.choose(1, math.min(3, dom.size))
+    vs <- Gen.pick(k, dom)
+  } yield {
+    val sorted = vs.toSeq.sorted
+    val sql =
+      if (sorted.size == 1) s"$c = '${sorted.head}'"
+      else s"$c IN (${sorted.map(v => s"'$v'").mkString(", ")})"
+    val cc =
+      if (sorted.size == 1) col(c) === sorted.head
+      else col(c).isin(sorted: _*)
+    (sql, cc)
+  }
+
+  private def datePred(t: String): Gen[(String, Column)] = for {
+    c <- Gen.oneOf(meta(t).dates)
+    op <- Gen.oneOf("<=", ">=")
+    f <- Gen.choose(0.1, 0.9)
+  } yield {
+    val (lo, hi) = dateRange((t, c))
+    val loD = java.time.LocalDate.parse(lo)
+    val span = java.time.temporal.ChronoUnit.DAYS
+      .between(loD, java.time.LocalDate.parse(hi))
+    val d = loD.plusDays((span * f).toLong).toString
+    val cc =
+      if (op == "<=") col(c).cast("date") <= to_date(lit(d))
+      else col(c).cast("date") >= to_date(lit(d))
+    (s"CAST($c AS DATE) $op DATE '$d'", cc)
+  }
+
+  private def predGen(t: String): Gen[(String, Column)] = {
+    val m = meta(t)
+    val gens = Seq(
+      if (m.numeric.nonEmpty) Some(numPred(t)) else None,
+      if (m.cats.nonEmpty) Some(catPred(t)) else None,
+      if (m.dates.nonEmpty) Some(datePred(t)) else None).flatten
+    Gen.oneOf(gens.head, gens.tail.headOption.getOrElse(gens.head),
+      gens.drop(2): _*)
+  }
+
+  private def predsGen(t: String, max: Int): Gen[Seq[(String, Column)]] =
+    for {
+      n <- Gen.choose(0, max)
+      ps <- Gen.listOfN(n, predGen(t))
+    } yield ps
+
+  // ---- aggregates (Canon discipline: decimal casts, exact) -----------
+  private def aggGen(numCols: Seq[String]): Gen[Seq[(String, Column)]] =
+    for {
+      n <- Gen.choose(0, math.min(2, numCols.size))
+      cols0 <- Gen.pick(n, numCols)
+      fns <- Gen.listOfN(n, Gen.oneOf("sum", "avg", "min", "max"))
+    } yield cols0.toSeq.zip(fns).zipWithIndex.map { case ((c, fn), i) =>
+      val alias = s"a$i"
+      fn match {
+        case "sum" =>
+          (s"sum(CAST($c AS DECIMAL(18,2))) AS $alias",
+            sum(col(c).cast(DecimalType(18, 2))).as(alias))
+        case "avg" =>
+          (s"avg(CAST($c AS DECIMAL(18,2))) AS $alias",
+            avg(col(c).cast(DecimalType(18, 2))).as(alias))
+        case "min" =>
+          (s"min(CAST($c AS DECIMAL(18,2))) AS $alias",
+            min(col(c).cast(DecimalType(18, 2))).as(alias))
+        case "max" =>
+          (s"max(CAST($c AS DECIMAL(18,2))) AS $alias",
+            max(col(c).cast(DecimalType(18, 2))).as(alias))
+      }
+    }
+
+  // ---- query shapes ---------------------------------------------------
+  private case class TestQuery(label: String, sql: String,
+    df: () => DataFrame)
+
+  /** Aggregation tail shared by every shape: group keys + count(*) +
+    * decimal aggregates, ordered by every output column. */
+  private def withTail(label: String, fromSql: String,
+      baseDf: () => DataFrame, groupPool: Seq[String],
+      numPool: Seq[String], whereSql: Seq[String],
+      whereCols: Seq[Column]): Gen[TestQuery] = for {
+    nk <- Gen.choose(0, math.min(2, groupPool.size))
+    keys0 <- Gen.pick(nk, groupPool)
+    aggs <- aggGen(numPool)
+    limited <- Gen.oneOf(true, false)
+  } yield {
+    val keys = keys0.toSeq.sorted
+    val where =
+      if (whereSql.isEmpty) "" else s" WHERE ${whereSql.mkString(" AND ")}"
+    val selectItems =
+      keys ++ Seq("CAST(count(*) AS BIGINT) AS cnt") ++ aggs.map(_._1)
+    val groupBy =
+      if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
+    val outCols = keys ++ Seq("cnt") ++ aggs.zipWithIndex.map {
+      case (_, i) => s"a$i"
+    }
+    val orderBy = s" ORDER BY ${outCols.mkString(", ")}"
+    val lim = if (limited) " LIMIT 20" else ""
+    val sql = s"SELECT ${selectItems.mkString(", ")} FROM $fromSql" +
+      where + groupBy + orderBy + lim
+    val build = () => {
+      var d = baseDf()
+      whereCols.foreach(c => d = d.filter(c))
+      val aggCols = (count(lit(1)).cast("long").as("cnt") +:
+        aggs.map(_._2)).toList
+      var out =
+        if (keys.isEmpty) d.agg(aggCols.head, aggCols.tail: _*)
+        else d.groupBy(keys.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      out = out.orderBy(outCols.map(col): _*)
+      if (limited) out.limit(20) else out
+    }
+    TestQuery(label, sql, build)
+  }
+
+  private def singleGen: Gen[TestQuery] = for {
+    t <- Gen.oneOf("lineitem", "orders", "customer", "part")
+    ps <- predsGen(t, 2)
+    q <- withTail(s"single:$t", s"fuzz_$t", () => frames(t),
+      meta(t).cats, meta(t).numeric, ps.map(_._1), ps.map(_._2))
+  } yield q
+
+  private val joinPairs = Seq(
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"))
+
+  private def join2Gen: Gen[TestQuery] = for {
+    (l, r, lk, rk) <- Gen.oneOf(joinPairs)
+    jt <- Gen.oneOf("inner", "left_outer", "left_semi", "left_anti")
+    lps <- predsGen(l, 1)
+    rps <- predsGen(r, 1)
+    q <- {
+      val semiAnti = jt == "left_semi" || jt == "left_anti"
+      val (fromSql, whereSql, whereCols, buildBase) =
+        if (semiAnti) {
+          val ex = if (jt == "left_semi") "EXISTS" else "NOT EXISTS"
+          val rWhere = (s"$rk = $lk" +: rps.map(_._1)).mkString(" AND ")
+          (s"fuzz_$l",
+            lps.map(_._1) :+ s"$ex (SELECT 1 FROM fuzz_$r WHERE $rWhere)",
+            lps.map(_._2),
+            () => {
+              var rr = frames(r)
+              rps.foreach { case (_, c) => rr = rr.filter(c) }
+              frames(l).join(rr, col(lk) === col(rk), jt)
+            })
+        } else {
+          val kw = if (jt == "inner") "JOIN" else "LEFT JOIN"
+          (s"fuzz_$l $kw fuzz_$r ON $lk = $rk",
+            lps.map(_._1) ++ rps.map(_._1),
+            lps.map(_._2) ++ rps.map(_._2),
+            () => frames(l).join(frames(r), col(lk) === col(rk), jt))
+        }
+      val groupPool =
+        if (semiAnti) meta(l).cats else meta(l).cats ++ meta(r).cats
+      val numPool =
+        if (semiAnti) meta(l).numeric else meta(l).numeric ++ meta(r).numeric
+      withTail(s"join2:$l-$r:$jt", fromSql, buildBase, groupPool,
+        numPool, whereSql, whereCols)
+    }
+  } yield q
+
+  /** 3-table chain with a RANDOM DataFrame join order — Catalyst must
+    * produce identical results for (l⋈o)⋈c and l⋈(o⋈c). */
+  private def join3Gen: Gen[TestQuery] = for {
+    leftFirst <- Gen.oneOf(true, false)
+    lps <- predsGen("lineitem", 1)
+    ops <- predsGen("orders", 1)
+    q <- withTail(s"join3:${if (leftFirst) "lo-c" else "l-oc"}",
+      "fuzz_lineitem JOIN fuzz_orders ON l_orderkey = o_orderkey " +
+        "JOIN fuzz_customer ON o_custkey = c_custkey",
+      () => {
+        if (leftFirst)
+          frames("lineitem")
+            .join(frames("orders"), col("l_orderkey") === col("o_orderkey"))
+            .join(frames("customer"), col("o_custkey") === col("c_custkey"))
+        else
+          frames("lineitem").join(
+            frames("orders").join(frames("customer"),
+              col("o_custkey") === col("c_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      },
+      meta("lineitem").cats ++ meta("orders").cats ++
+        meta("customer").cats,
+      meta("lineitem").numeric ++ meta("orders").numeric,
+      lps.map(_._1) ++ ops.map(_._1),
+      lps.map(_._2) ++ ops.map(_._2))
+  } yield q
+
+  private def queryGen: Gen[TestQuery] =
+    Gen.frequency((4, singleGen), (5, join2Gen), (2, join3Gen))
+
+  // ---- the differential check ----------------------------------------
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map {
+      case null => "NULL"
+      case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+      case x => x.toString
+    }.mkString("|")).toSeq
+
+  test("120 seeded random queries: DataFrame-API and SQL-text " +
+    "formulations agree row-for-row (predicates, group keys, " +
+    "aggregates, join types, join orders)") {
+    frames // force view registration
+    var ran = 0
+    (0 until 120).foreach { i =>
+      queryGen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { q =>
+        val viaSql = canon(spark.sql(q.sql))
+        val viaDf = canon(q.df())
+        assert(viaDf == viaSql,
+          s"seed=$i ${q.label}: DataFrame and SQL results differ\n" +
+            s"SQL: ${q.sql}\n" +
+            s"df=${viaDf.take(5)}... sql=${viaSql.take(5)}...")
+        ran += 1
+      }
+    }
+    info(s"$ran seeded comparisons ran")
+    assert(ran >= 100, s"only $ran of 120 seeds produced a query")
+  }
+}
