@@ -61,12 +61,18 @@ private[graft] object VersionedState {
 
   /** Drop committed versions in `stores` older than the one the
     * just-committed batch read (`readV`), keeping `batchId` itself.
-    * Best-effort: a failed delete leaves garbage, never corruption. */
+    * Best-effort: a failed delete leaves garbage, never corruption.
+    * The COMMIT store's version is deleted FIRST — un-committing a
+    * version before removing its data (ADVICE r5) — so a crash
+    * mid-prune can never leave a committed meta whose data stores are
+    * gone: every version that still reads as committed is fully
+    * readable. */
   def prune(spark: SparkSession, dir: String, stores: Seq[String],
       batchId: Long, readV: Option[Long]): Unit = {
     val f = fs(spark, dir)
+    val ordered = stores.sortBy(s => if (s == CommitStore) 0 else 1)
     scala.util.Try {
-      for (store <- stores;
+      for (store <- ordered;
            v <- committed(spark, dir, store)
            if v != batchId && readV.exists(v < _))
         f.delete(new Path(path(dir, store, v)), true)

@@ -41,6 +41,16 @@ class RandomDifferentialSpec extends SparkSpec {
     n -> df
   }.toMap
 
+  // the shared session outlives this suite: drop the cached fixture
+  // frames so the cache manager can't substitute InMemoryRelation
+  // into OTHER suites' plans (q01's pushed-filter pin reads the same
+  // parquet paths)
+  override def afterAll(): Unit = {
+    frames.values.foreach(_.unpersist())
+    tableNames.foreach(n => spark.catalog.dropTempView(s"fuzz_$n"))
+    super.afterAll()
+  }
+
   // ---- schema metadata the generator draws from ----------------------
   private case class TblMeta(numeric: Seq[String], cats: Seq[String],
     dates: Seq[String])
