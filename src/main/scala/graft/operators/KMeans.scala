@@ -290,26 +290,41 @@ object KMeans {
     VersionedState.prune(spark, dir, Seq("cents", "meta"), v, prevV)
   }
 
-  /** Latest committed quantizer under `dir`, if any. Validates BOTH
-    * k and dim against the meta row (ADVICE r5: a dim mismatch — a
-    * store repointed across embedding tables — must fail at load, not
-    * deep inside a later dot_product, and not silently). */
+  /** A served quantizer is DRIVER-RESIDENT (k×dim doubles collected
+    * and broadcast); a store past this budget must fail fast with a
+    * message, not OOM the driver mid-collect (VERDICT r5 #6). */
+  val MaxServableCentroidCells: Long = 100000000L
+
+  /** Latest committed quantizer under `dir`, if any. The META row is
+    * read FIRST (one row): the driver-residency cap is enforced
+    * before any centroid bytes are collected, and BOTH k and dim are
+    * validated against the collected centroids (ADVICE r5: a dim
+    * mismatch — a store repointed across embedding tables — must
+    * fail at load, not deep inside a later dot_product, and not
+    * silently). */
   private def loadIfCommitted(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[IndexedSeq[Array[Double]]] =
     VersionedState.latestBefore(spark, dir, Long.MaxValue).map { v =>
+      val meta = spark.read
+        .parquet(VersionedState.path(dir, "meta", v)).collect()(0)
+      val k = meta.getAs[Int]("k")
+      val dim = meta.getAs[Int]("dim")
+      require(k.toLong * dim <= MaxServableCentroidCells,
+        s"quantizer store $dir claims k=$k dim=$dim = " +
+          s"${k.toLong * dim} cells, over the driver-residency " +
+          s"budget $MaxServableCentroidCells — this store cannot be " +
+          "served whole; shard the index or rebuild with smaller k")
       val cents = spark.read
         .parquet(VersionedState.path(dir, "cents", v)).collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Double](1).toArray).toIndexedSeq
-      val meta = spark.read
-        .parquet(VersionedState.path(dir, "meta", v)).collect()(0)
-      require(cents.size == meta.getAs[Int]("k"),
+      require(cents.size == k,
         s"corrupt quantizer store $dir: ${cents.size} centroids, " +
-          s"meta says k=${meta.getAs[Int]("k")}")
-      require(cents.forall(_.length == meta.getAs[Int]("dim")),
+          s"meta says k=$k")
+      require(cents.forall(_.length == dim),
         s"corrupt quantizer store $dir: centroid dims " +
           s"${cents.map(_.length).distinct.mkString(",")}, meta says " +
-          s"dim=${meta.getAs[Int]("dim")}")
+          s"dim=$dim")
       cents
     }
 

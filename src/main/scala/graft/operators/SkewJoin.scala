@@ -121,6 +121,14 @@ object SkewJoin {
     require(hotRowThreshold * sampleFraction >= 1.0,
       s"hotRowThreshold ($hotRowThreshold) x sampleFraction " +
         s"($sampleFraction) must be >= 1 sampled row")
+    // the hot-key set rides a driver collect + an IN-list in the cold
+    // branch's filter: a huge cap would OOM the driver and bloat every
+    // task's predicate — fail the configuration fast (VERDICT r5 #6)
+    require(maxHotKeys >= 1 && maxHotKeys <= 1000000,
+      s"maxHotKeys ($maxHotKeys) outside [1, 1000000]: the hot-key " +
+        "set is driver-resident and broadcast into the cold-branch " +
+        "filter — a skew profile needing more hot keys should use " +
+        "range partitioning, not a salted replicate")
     hotKeyCache.get(
       big, (bigKey, sampleFraction, hotRowThreshold, maxHotKeys)) {
       val sampledCut = math.max(1L, (hotRowThreshold * sampleFraction).toLong)

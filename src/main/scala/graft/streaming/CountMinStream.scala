@@ -36,8 +36,24 @@ object CountMinStream {
       require(meta.getInt(0) == depth,
         s"stored sketch depth ${meta.getInt(0)} != requested $depth")
       val m = new Array[Long](depth * CountMin.Width)
-      spark.read.parquet(VersionedState.path(dir, "sketch", v))
-        .collect().foreach(r => m(r.getInt(0)) = r.getLong(1))
+      val sdf = spark.read.parquet(VersionedState.path(dir, "sketch", v))
+      // bound check BEFORE the collect: a store with more nonzero
+      // counters than the d×w matrix has cells is corrupt or foreign
+      // and must fail fast with a message, not OOM the driver
+      // (VERDICT r5 #6)
+      val cnt = sdf.count()
+      require(cnt <= m.length,
+        s"count-min store $dir holds $cnt counters, over the " +
+          s"$depth x ${CountMin.Width} = ${m.length} matrix — " +
+          "corrupt or foreign store; rebuild it")
+      sdf.collect().foreach { r =>
+        val i = r.getInt(0)
+        require(i >= 0 && i < m.length,
+          s"count-min store $dir counter index $i outside the " +
+            s"$depth x ${CountMin.Width} matrix — corrupt or foreign " +
+            "store; rebuild it")
+        m(i) = r.getLong(1)
+      }
       (m, meta.getLong(1))
   }
 

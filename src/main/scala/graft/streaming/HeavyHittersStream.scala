@@ -40,20 +40,35 @@ import graft.operators.HeavyHitters
   */
 object HeavyHittersStream {
 
+  /** The summary is driver-resident by design (k counters); a store
+    * past this bound is corrupt or foreign and must fail fast with a
+    * message, not OOM the driver mid-collect (VERDICT r5 #6). */
+  val MaxSummaryRows: Long = 1L << 20
+
   /** Latest committed (summary, n_total) at version `v` (None =
-    * empty; commit point = meta, via VersionedState). */
+    * empty; commit point = meta, via VersionedState). `k` is the
+    * caller's summary bound when known (updateBatch) — the MG
+    * invariant says the store never exceeds it. */
   private def stored(spark: SparkSession, dir: String,
-      v: Option[Long]): (Map[String, Long], Long) = v match {
-    case None => (Map.empty, 0L)
-    case Some(v) =>
-      val m = spark.read
-        .parquet(VersionedState.path(dir, "summary", v))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val n = spark.read
-        .parquet(VersionedState.path(dir, "meta", v))
-        .collect()(0).getLong(0)
-      (m, n)
-  }
+      v: Option[Long], k: Option[Int]): (Map[String, Long], Long) =
+    v match {
+      case None => (Map.empty, 0L)
+      case Some(v) =>
+        val sdf = spark.read
+          .parquet(VersionedState.path(dir, "summary", v))
+        val cnt = sdf.count() // bound check BEFORE the collect
+        val bound = k.map(_.toLong).getOrElse(MaxSummaryRows)
+        require(cnt <= bound,
+          s"heavy-hitters store $dir holds $cnt summary rows, over " +
+            s"the ${k.fold("driver-residency")(_ => "Misra-Gries k")} " +
+            s"bound $bound — corrupt or foreign store; rebuild it")
+        val m = sdf.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val n = spark.read
+          .parquet(VersionedState.path(dir, "meta", v))
+          .collect()(0).getLong(0)
+        (m, n)
+    }
 
   /** One incremental summary update over `batch`'s `column`. */
   def updateBatch(batch: DataFrame, column: String, dir: String,
@@ -62,7 +77,7 @@ object HeavyHittersStream {
     if (VersionedState.isCommitted(spark, dir, batchId))
       return // replay of a committed batch
     val prevV = VersionedState.latestBefore(spark, dir, batchId)
-    val (prev, prevN) = stored(spark, dir, prevV)
+    val (prev, prevN) = stored(spark, dir, prevV, Some(k))
     val (batchSummary, batchN) = HeavyHitters.sketch(batch, column, k)
     val merged = HeavyHitters.merge(
       scala.collection.mutable.HashMap.from(prev),
@@ -92,6 +107,6 @@ object HeavyHittersStream {
     val v = VersionedState.latestBefore(spark, dir, Long.MaxValue)
     if (v.isEmpty)
       throw new IllegalStateException(s"no committed summary under $dir")
-    stored(spark, dir, v)
+    stored(spark, dir, v, None)
   }
 }

@@ -1,0 +1,93 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.streaming.VersionedState
+
+/** Every documented driver-side bound is a loud `require`, not a
+  * comment (VERDICT r5 #6): a 100× misuse or a corrupt/foreign store
+  * must fail fast with an actionable message BEFORE the driver
+  * collects anything unbounded. One failure-path test per cap.
+  */
+class DriverBoundsSpec extends SparkSpec {
+
+  test("quantizer load refuses a store past the driver-residency " +
+    "budget from the META row, before collecting centroids") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("qbound").toString
+    val store = s"$out/ivf"
+    val emb = Seq(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f))
+      .toDF("vec_id", "embedding")
+    graft.operators.KMeans.clearCache()
+    graft.operators.KMeans.fitOrLoad(
+      emb, "embedding", "vec_id", k = 2, iters = 0, store)
+    // forge the committed meta to claim a giant quantizer: the cap
+    // must fire off the one-row meta, not after a centroid collect
+    Seq((20000, 10000, 0, -1L, 0L, -1L))
+      .toDF("k", "dim", "iters", "corpus_n", "corpus_fp", "sample_n")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(VersionedState.path(store, "meta", 0))
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.KMeans.load(spark, store)
+    }
+    assert(ex.getMessage.contains("driver-residency"), ex.getMessage)
+    graft.operators.KMeans.clearCache()
+  }
+
+  test("heavy-hitters maintainer refuses a stored summary larger " +
+    "than the Misra-Gries bound k") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hhbound").toString
+    // forge a committed store whose summary outgrew its k
+    (1 to 10).map(i => (s"w$i", i.toLong)).toDF("w", "c")
+      .coalesce(1).write.parquet(VersionedState.path(dir, "summary", 0))
+    Seq(55L).toDF("n_total").coalesce(1).write
+      .parquet(VersionedState.path(dir, "meta", 0))
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.HeavyHittersStream.updateBatch(
+        Seq("x").toDF("w"), "w", dir, batchId = 1, k = 4)
+    }
+    assert(ex.getMessage.contains("Misra-Gries k"), ex.getMessage)
+  }
+
+  test("count-min maintainer refuses counter indexes outside the " +
+    "d x w matrix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cmsbound").toString
+    val depth = 2
+    val bad = depth * graft.operators.CountMin.Width + 5
+    Seq((bad, 7L)).toDF("i", "c")
+      .coalesce(1).write.parquet(VersionedState.path(dir, "sketch", 0))
+    Seq((depth, 7L)).toDF("depth", "n").coalesce(1).write
+      .parquet(VersionedState.path(dir, "meta", 0))
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.CountMinStream.current(spark, dir, depth)
+    }
+    assert(ex.getMessage.contains("outside the"), ex.getMessage)
+  }
+
+  test("skew-join hot-key probe rejects a cap past the driver/IN-list " +
+    "budget") {
+    import spark.implicits._
+    val df = Seq(1L -> "a").toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.probeHotKeys(
+        df, "k", maxHotKeys = 2000000)
+    }
+    assert(ex.getMessage.contains("driver-resident"), ex.getMessage)
+  }
+
+  test("bigram LM model build refuses an over-cap vocabulary before " +
+    "collecting it") {
+    import spark.implicits._
+    Curation.clearTermStats()
+    val docs = Seq((1L, "a b c d e", "web"), (2L, "b c d e f", "web"))
+      .toDF("doc_id", "text", "source")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.bigramLmModel(docs, maxEntries = 1L)
+    }
+    assert(ex.getMessage.contains("broadcast model"), ex.getMessage)
+    Curation.clearTermStats()
+  }
+}
