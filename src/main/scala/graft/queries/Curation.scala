@@ -971,7 +971,93 @@ object Curation {
       |    THEN '4' ELSE '8' END
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- llm_bm25: retrieval scoring (Robertson/Sparck Jones BM25) -----
+  // The ranking operator a curation pipeline uses to score documents
+  // against a reference query/corpus (quality classifiers, targeted
+  // subset mining, eval-set retrieval). Classic BM25 with k1=1.2,
+  // b=0.75 over a fixed query-term set spanning the idf range (one
+  // rare term, two common).
+  //
+  // Scale shape: df comes from the session term-stats artifact (tiny
+  // re-agg, broadcast); per-doc tf only materializes rows for QUERY
+  // terms (the isin filter rides the explode — |terms| rows per doc
+  // max, not |vocab|); doc length + the (N, avgdl) normalizer are one
+  // scan + a 1-row broadcast; top-10 is a TakeOrdered. Per-term
+  // contributions are cast to DECIMAL before the per-doc sum so the
+  // score is independent of Spark's partial-aggregation order, and
+  // both engines build the contribution from the IDENTICAL
+  // double-expression tree (explicit casts everywhere a BIGINT would
+  // meet DuckDB's decimal literals) — so the rounded output hashes
+  // exactly (the PMI discipline).
+  private val Bm25Terms = Seq("join", "scan", "dup")
+
+  private[queries] def bm25For(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val dl = toks.select(col("doc_id"),
+      size(col("tk")).cast(LongType).as("dl"))
+    val statsDf = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val dfT = termStats(documents)
+      .filter(col("w").isin(Bm25Terms: _*))
+      .groupBy(col("w")).agg(sum(col("sdf")).as("df"))
+    val tf = toks.select(col("doc_id"), explode(col("tk")).as("w"))
+      .filter(col("w").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfD = col("df").cast(DoubleType)
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val tfD = col("tf").cast(DoubleType)
+    val dlD = col("dl").cast(DoubleType)
+    val contrib = tf.join(dl, "doc_id")
+      .join(broadcast(dfT), "w")
+      .crossJoin(broadcast(statsDf))
+      .select(col("doc_id"),
+        (idf * (tfD * lit(2.2)) /
+          (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * dlD / col("avgdl"))))
+          .cast(DecimalType(20, 10)).as("c"))
+    contrib.groupBy(col("doc_id"))
+      .agg(round(sum(col("c")).cast(DoubleType), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+  }
+
+  private val bm25: Q = (s, dir) => bm25For(t(s, dir, "documents"))
+
+  private val bm25Sql = {
+    val terms = Bm25Terms.map(t0 => s"'$t0'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+       |  FROM dl),
+       |dft AS (
+       |  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  WHERE w IN ($terms) GROUP BY w),
+       |tf AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  WHERE w IN ($terms) GROUP BY 1, 2),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+       |        + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |      (CAST(tf AS DOUBLE) * 2.2) /
+       |      (CAST(tf AS DOUBLE) + 1.2 *
+       |        (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+       |      AS DECIMAL(20,10)) AS c
+       |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN dft ON tf.w = dft.w CROSS JOIN stats)
+       |SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_bm25" -> bm25,
     "llm_bigram_lm" -> bigramLm,
     "llm_pmi_bigrams" -> pmi,
     "llm_stratified_sample" -> stratified,
@@ -995,6 +1081,9 @@ object Curation {
     // avg of identical per-bigram doubles; rounded to 4 decimals to
     // absorb summation-order differences between engines
     "llm_bigram_lm" -> bigramLmSql,
+    // identical double-expression tree + decimal per-doc sum -> the
+    // rounded BM25 hashes exactly (the PMI discipline)
+    "llm_bm25" -> bm25Sql,
     "llm_pmi_bigrams" -> pmiSql,
     "llm_stratified_sample" -> stratifiedSql,
     "q58_bloom_join" -> q58Sql,

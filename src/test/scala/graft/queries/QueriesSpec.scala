@@ -163,6 +163,33 @@ class QueriesSpec extends SparkSpec {
       "null/1-token docs must emit no score row")
   }
 
+  test("llm_bm25 matches a hand-computed score (k1=1.2, b=0.75)") {
+    import spark.implicits._
+    Curation.clearTermStats()
+    // N=3, dl = 3/2/2, avgdl = 7/3; df: join=1 scan=2 dup=1
+    val docs = Seq(
+      (1L, "join join scan", "web"), (2L, "scan dup", "web"),
+      (3L, "filter sort", "web")).toDF("doc_id", "text", "source")
+    def idf(df: Int) = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def w(tf: Int, dl: Int) = {
+      val avgdl = 7.0 / 3.0
+      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    }
+    def dec(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    def r4(x: BigDecimal) = x
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Map(
+      1L -> r4(dec(idf(1) * w(2, 3)) + dec(idf(2) * w(1, 3))),
+      2L -> r4(dec(idf(2) * w(1, 2)) + dec(idf(1) * w(1, 2))))
+    val got = Curation.bm25For(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"got $got want $want")
+    // a doc with no query term never scores
+    assert(!got.contains(3L), "doc without query terms must not appear")
+    Curation.clearTermStats()
+  }
+
   test("llm_repetition fractions match hand-computed values") {
     import spark.implicits._
     // "a b a b a": bigrams [a b, b a, a b, b a] -> top 2/4 = 0.5;
