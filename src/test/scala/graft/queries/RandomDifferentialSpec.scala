@@ -25,7 +25,8 @@ import org.scalacheck.rng.Seed
   * exact and order-independent (a double sum would differ in ulps
   * between physical plans and flag phantom diffs).
   *
-  * 120 seeds ≥ the verdict's 100-comparison bar; failures print the
+  * 160 seeds ≥ the verdict's 100-comparison bar (window-rank shapes
+  * joined the pool after the first 120-seed run); failures print the
   * seed and the full SQL for replay.
   */
 class RandomDifferentialSpec extends SparkSpec {
@@ -301,8 +302,56 @@ class RandomDifferentialSpec extends SparkSpec {
       lps.map(_._2) ++ ops.map(_._2))
   } yield q
 
+  /** Window functions: rank/row_number/dense_rank (and a top-K filter
+    * over them) with a total order inside each partition — the unique
+    * key rides the ORDER BY so every rank is deterministic. */
+  private val windowTables = Seq(
+    ("customer", "c_mktsegment", "c_acctbal", Seq("c_custkey")),
+    ("orders", "o_orderstatus", "o_totalprice", Seq("o_orderkey")),
+    ("lineitem", "l_returnflag", "l_extendedprice",
+      Seq("l_orderkey", "l_linenumber")))
+
+  private def windowGen: Gen[TestQuery] = for {
+    (t, part, ord, uniq) <- Gen.oneOf(windowTables)
+    fn <- Gen.oneOf("row_number", "rank", "dense_rank")
+    desc <- Gen.oneOf(true, false)
+    topK <- Gen.choose(2, 5)
+    ps <- predsGen(t, 1)
+  } yield {
+    val dir0 = if (desc) "DESC" else "ASC"
+    val orderSql = (s"$ord $dir0" +: uniq).mkString(", ")
+    val where =
+      if (ps.isEmpty) "" else s" WHERE ${ps.map(_._1).mkString(" AND ")}"
+    val outCols = Seq(part, ord) ++ uniq ++ Seq("rk")
+    val sql =
+      s"SELECT ${outCols.mkString(", ")} FROM (" +
+        s"SELECT $part, $ord, ${uniq.mkString(", ")}, " +
+        s"CAST($fn() OVER (PARTITION BY $part ORDER BY $orderSql) " +
+        s"AS BIGINT) AS rk FROM fuzz_$t$where) " +
+        s"WHERE rk <= $topK ORDER BY ${outCols.mkString(", ")}"
+    val build = () => {
+      import org.apache.spark.sql.expressions.Window
+      var d = frames(t)
+      ps.foreach { case (_, c) => d = d.filter(c) }
+      val ordCols = (if (desc) col(ord).desc else col(ord).asc) +:
+        uniq.map(col)
+      val w = Window.partitionBy(col(part)).orderBy(ordCols: _*)
+      val f = fn match {
+        case "row_number" => row_number()
+        case "rank" => rank()
+        case "dense_rank" => dense_rank()
+      }
+      d.select((Seq(part, ord) ++ uniq).map(col) :+
+          f.over(w).cast("long").as("rk"): _*)
+        .filter(col("rk") <= topK)
+        .orderBy(outCols.map(col): _*)
+    }
+    TestQuery(s"window:$t:$fn", sql, build)
+  }
+
   private def queryGen: Gen[TestQuery] =
-    Gen.frequency((4, singleGen), (5, join2Gen), (2, join3Gen))
+    Gen.frequency((4, singleGen), (5, join2Gen), (2, join3Gen),
+      (3, windowGen))
 
   // ---- the differential check ----------------------------------------
   private def canon(df: DataFrame): Seq[String] =
@@ -312,12 +361,12 @@ class RandomDifferentialSpec extends SparkSpec {
       case x => x.toString
     }.mkString("|")).toSeq
 
-  test("120 seeded random queries: DataFrame-API and SQL-text " +
+  test("160 seeded random queries: DataFrame-API and SQL-text " +
     "formulations agree row-for-row (predicates, group keys, " +
-    "aggregates, join types, join orders)") {
+    "aggregates, join types, join orders, window ranks)") {
     frames // force view registration
     var ran = 0
-    (0 until 120).foreach { i =>
+    (0 until 160).foreach { i =>
       queryGen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { q =>
         val viaSql = canon(spark.sql(q.sql))
         val viaDf = canon(q.df())
@@ -329,6 +378,6 @@ class RandomDifferentialSpec extends SparkSpec {
       }
     }
     info(s"$ran seeded comparisons ran")
-    assert(ran >= 100, s"only $ran of 120 seeds produced a query")
+    assert(ran >= 140, s"only $ran of 160 seeds produced a query")
   }
 }

@@ -122,6 +122,43 @@ class WinnowIndexStreamSpec extends SparkSpec {
     assert(streamedPairs(out).nonEmpty)
   }
 
+  test("seeded random corpora + random batch splits: streamed index " +
+    "== batch build after every prefix (the retraction algebra under " +
+    "arbitrary split points, cap crossings included)") {
+    import spark.implicits._
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+      "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen",
+      "red orange yellow green blue indigo violet crimson amber " +
+        "teal maroon navy olive coral silver golden bronze copper")
+    for (seed <- 0 until 6) {
+      val rng = new scala.util.Random(seed)
+      // copy counts straddle the cap=64 boundary so some seeds cross
+      // it mid-stream and exercise retraction, others stay under
+      val counts = texts.map(_ => 20 + rng.nextInt(70))
+      val docs = rng.shuffle(
+        counts.zip(texts).zipWithIndex.flatMap { case ((n, tx), g) =>
+          (0 until n).map(i => Doc((g * 1000 + i).toLong, tx))
+        })
+      val nBatches = 2 + rng.nextInt(3)
+      val splits = docs.grouped(
+        math.max(1, docs.size / nBatches + 1)).toSeq
+      val out = Files.createTempDirectory(s"winrand$seed").toString
+      var seen = Seq.empty[Doc]
+      splits.zipWithIndex.foreach { case (b, i) =>
+        WinnowIndexStream.updateBatch(b.toDF("doc_id", "text"), out, i)
+        seen = seen ++ b
+        val want = batchPairs(seen)
+        val got = streamedPairs(out)
+        assert(got == want,
+          s"seed=$seed prefix=${seen.size} counts=$counts: " +
+            s"${got.size} streamed vs ${want.size} batch pairs")
+      }
+    }
+  }
+
   test("replayed batches and re-delivered documents are no-ops") {
     import spark.implicits._
     val text = "how vexingly quick daft zebras jump over the idle " +
