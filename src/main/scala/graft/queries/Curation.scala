@@ -978,11 +978,16 @@ object Curation {
   // b=0.75 over a fixed query-term set spanning the idf range (one
   // rare term, two common).
   //
-  // Scale shape: df comes from the session term-stats artifact (tiny
-  // re-agg, broadcast); per-doc tf only materializes rows for QUERY
-  // terms (the isin filter rides the explode — |terms| rows per doc
-  // max, not |vocab|); doc length + the (N, avgdl) normalizer are one
-  // scan + a 1-row broadcast; top-10 is a TakeOrdered. Per-term
+  // Scale shape: ONE tokenization pass per query — the doc length
+  // rides the tf explode (size(tk) is computed before the explode and
+  // grouped with it), and only QUERY-term rows materialize (the isin
+  // filter rides the explode — |terms| rows per doc max, not
+  // |vocab|). df AND the avgdl normalizer come from the session
+  // artifacts: df = Σ sdf over term-stats, avgdl = ΣNU / N with NU
+  // from the persisted unigram counts (Σ token counts ≡ Σ doc
+  // lengths, and integer sums below 2^53 are EXACT in double, so this
+  // equals the oracle's avg(dl) bit-for-bit). The remaining corpus
+  // touch beyond the tf pass is a metadata-served count(*). Per-term
   // contributions are cast to DECIMAL before the per-doc sum so the
   // score is independent of Spark's partial-aggregation order, and
   // both engines build the contribution from the IDENTICAL
@@ -994,22 +999,29 @@ object Curation {
   private[queries] def bm25For(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val dl = toks.select(col("doc_id"),
-      size(col("tk")).cast(LongType).as("dl"))
-    val statsDf = dl.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+    val nDf = documents.agg(count(lit(1)).as("n_docs"))
+    val nuDf = unigramCounts(documents).agg(sum(col("u")).as("nu"))
+    val statsDf = nDf.crossJoin(nuDf)
+      .select(col("n_docs"),
+        (col("nu").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("avgdl"))
     val dfT = termStats(documents)
       .filter(col("w").isin(Bm25Terms: _*))
       .groupBy(col("w")).agg(sum(col("sdf")).as("df"))
-    val tf = toks.select(col("doc_id"), explode(col("tk")).as("w"))
-      .filter(col("w").isin(Bm25Terms: _*))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    // the term filter rides INSIDE the array before the explode:
+    // Generate emits |query terms ∩ doc| rows per doc, not |tokens|
+    val tf = toks.select(col("doc_id"),
+        size(col("tk")).cast(LongType).as("dl"),
+        explode(filter(col("tk"),
+          w => w.isin(Bm25Terms.map(x => x: Any): _*))).as("w"))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
     val dfD = col("df").cast(DoubleType)
     val idf = log(lit(1.0) +
       (col("n_docs").cast(DoubleType) - dfD + lit(0.5)) / (dfD + lit(0.5)))
     val tfD = col("tf").cast(DoubleType)
     val dlD = col("dl").cast(DoubleType)
-    val contrib = tf.join(dl, "doc_id")
+    val contrib = tf
       .join(broadcast(dfT), "w")
       .crossJoin(broadcast(statsDf))
       .select(col("doc_id"),
