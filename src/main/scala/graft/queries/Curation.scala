@@ -1068,7 +1068,70 @@ object Curation {
        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // ---- llm_quality_buckets: CCNet-style perplexity tiers -------------
+  // The head/middle/tail split a curation pipeline applies before
+  // mixing (CCNet, Wenzek et al. '20): documents bucketed by their
+  // corpus-LM score quartiles — head = most fluent quarter
+  // (avg_logp ≥ q75), tail = most surprising quarter (< q25), middle
+  // between — counted per source (the mixing table).
+  //
+  // Scale shape: scores come from the broadcast-model LM scan (one
+  // per-row pass over the corpus, artifacts session-persisted); the
+  // two quartile cutoffs are one aggregate broadcast back as a 1-row
+  // frame; tier assignment is per-row. No global sort, no window —
+  // the ntile formulation would single-partition the corpus.
+  //
+  // Cross-engine determinism: both engines interpolate exact
+  // percentiles linearly between adjacent ranks (Spark `percentile` ≡
+  // DuckDB `quantile_cont`), and a ≥/- comparison against the cutoff
+  // cannot flip on interpolation ulps — no score lies strictly
+  // between the adjacent ranks the cutoff interpolates, and a cutoff
+  // interpolated between equal values is exact. p = 0.25/0.75 are
+  // exactly-representable doubles.
+  private val qualityBuckets: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val scored = bigramLmScanFor(docs)
+      .select(col("doc_id"), col("avg_logp"))
+    val cuts = scored.agg(
+      percentile(col("avg_logp"), array(lit(0.25), lit(0.75))).as("q"))
+      .select(col("q")(0).as("q25"), col("q")(1).as("q75"))
+    scored
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .crossJoin(broadcast(cuts))
+      .select(col("source"),
+        when(col("avg_logp") >= col("q75"), lit("head"))
+          .when(col("avg_logp") < col("q25"), lit("tail"))
+          .otherwise(lit("middle")).as("tier"))
+      .groupBy(col("source"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("tier"))
+  }
+
+  private val qualityBucketsSql = {
+    // reuse the bigram-LM CTE chain (tok/uni/v/bi/bc) as the score
+    // source — identical derivation => identical rounded avg_logp,
+    // already hash-pinned by the llm_bigram_lm oracle
+    val cte = bigramLmSql
+      .substring(0, bigramLmSql.lastIndexOf("SELECT doc_id")).trim
+      .stripPrefix("WITH ")
+    s"""WITH $cte,
+       |scores AS (
+       |  SELECT doc_id, round(avg(ln((b + 1.0) / (u + v))), 4) AS avg_logp
+       |  FROM bi JOIN bc USING (w1, w2) JOIN uni ON bi.w1 = uni.w
+       |  CROSS JOIN v GROUP BY doc_id),
+       |cuts AS (SELECT quantile_cont(avg_logp, 0.25) AS q25,
+       |  quantile_cont(avg_logp, 0.75) AS q75 FROM scores)
+       |SELECT d.source,
+       |  CASE WHEN s.avg_logp >= q75 THEN 'head'
+       |       WHEN s.avg_logp < q25 THEN 'tail'
+       |       ELSE 'middle' END AS tier,
+       |  count(*) AS n_docs
+       |FROM scores s JOIN documents d USING (doc_id) CROSS JOIN cuts
+       |GROUP BY 1, 2 ORDER BY source, tier""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_quality_buckets" -> qualityBuckets,
     "llm_bm25" -> bm25,
     "llm_bigram_lm" -> bigramLm,
     "llm_pmi_bigrams" -> pmi,
@@ -1096,6 +1159,7 @@ object Curation {
     // identical double-expression tree + decimal per-doc sum -> the
     // rounded BM25 hashes exactly (the PMI discipline)
     "llm_bm25" -> bm25Sql,
+    "llm_quality_buckets" -> qualityBucketsSql,
     "llm_pmi_bigrams" -> pmiSql,
     "llm_stratified_sample" -> stratifiedSql,
     "q58_bloom_join" -> q58Sql,

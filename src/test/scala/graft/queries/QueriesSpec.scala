@@ -190,6 +190,25 @@ class QueriesSpec extends SparkSpec {
     Curation.clearTermStats()
   }
 
+  test("llm_quality_buckets tiers partition the scored corpus by the " +
+    "LM-score quartiles") {
+    val docs = graft.Tables(spark, dir, "documents")
+    val buckets = SparkEntry.queries("llm_quality_buckets")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val scored = Curation.bigramLmScanFor(docs).count()
+    assert(buckets.map(_._3).sum == scored,
+      "tiers must partition exactly the scored documents")
+    assert(buckets.map(_._2).toSet.subsetOf(Set("head", "middle", "tail")))
+    val byTier = buckets.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    // quartile cutoffs: head and tail each hold ~a quarter (rounding
+    // ties at the 4-decimal score granularity can shift the split,
+    // but never past the neighboring tier's mass)
+    assert(byTier("head") > 0 && byTier("tail") > 0)
+    assert(byTier("head") <= byTier("middle") &&
+      byTier("tail") <= byTier("middle"),
+      s"quartile tiers out of shape: $byTier")
+  }
+
   test("llm_repetition fractions match hand-computed values") {
     import spark.implicits._
     // "a b a b a": bigrams [a b, b a, a b, b a] -> top 2/4 = 0.5;
