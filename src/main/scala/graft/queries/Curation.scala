@@ -56,7 +56,7 @@ object Curation {
 
   /** Test hook: drop persisted term-stats frames (and the unigram /
     * bigram artifacts derived from the same corpus snapshot). */
-  private[queries] def clearTermStats(): Unit = {
+  private[graft] def clearTermStats(): Unit = {
     termStatsCache.clear()
     unigramCache.clear()
     bigramStatsCache.clear()
@@ -533,7 +533,7 @@ object Curation {
     * arrays_zip of the token array against itself shifted by one —
     * the ONE tokenization contract shared by the bigram LM and PMI
     * (both DuckDB twins assume exactly this derivation). */
-  private[queries] def bigramRows(documents: DataFrame): DataFrame =
+  private[graft] def bigramRows(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2)
@@ -568,7 +568,7 @@ object Curation {
   // (split never yields nulls) but keep the artifact's plan identical
   // to what the PMI join would push down, so both consumers share one
   // cached subtree.
-  private[queries] def bigramStatsFor(documents: DataFrame): DataFrame =
+  private[graft] def bigramStatsFor(documents: DataFrame): DataFrame =
     bigramRows(documents)
       .filter(col("w1").isNotNull && col("w2").isNotNull)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))

@@ -121,4 +121,28 @@ object DocumentStream {
     graft.sources.Sources.foreachBatchRunningAgg(
       termStatsDeltas(docs), outDir,
       keys = Seq("source", "w"), sums = Seq("tf", "sdf"))
+
+  /** Per-batch (w1, w2) count deltas for the bigram-stats artifact —
+    * the SAME `Curation.bigramRows` tokenization contract as the
+    * batch build, so streamed state matches it exactly. */
+  def bigramStatsDeltas(docs: DataFrame): DataFrame =
+    graft.queries.Curation.bigramRows(docs)
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+      .select(col("w1"), col("w2"), lit(1L).as("b"))
+
+  /** INCREMENTAL maintenance of the bigram-stats artifact
+    * (`Curation.bigramStats`'s streaming twin, completing the r6
+    * artifact set): bigram counts are plain associative SUMS — no
+    * retraction case, unlike the winnow index — so each batch's
+    * (w1, w2) deltas merge through the same exactly-once running-agg
+    * sink as term-stats, and the state after any batch prefix equals
+    * the batch-built artifact over the documents streamed so far
+    * (parity pinned in RunningAggSpec). The LM weights and PMI
+    * re-derive from this frame without re-tokenizing the corpus. */
+  def bigramStatsStream(docs: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    graft.sources.Sources.foreachBatchRunningAgg(
+      bigramStatsDeltas(docs), outDir,
+      keys = Seq("w1", "w2"), sums = Seq("b"))
 }

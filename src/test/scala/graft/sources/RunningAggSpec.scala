@@ -91,6 +91,43 @@ class RunningAggSpec extends SparkSpec {
       s"streamed artifact diverges from batch build: $state vs $truth")
   }
 
+  test("incremental bigram-stats maintenance: the streamed running " +
+    "state equals the batch-built artifact over the documents seen " +
+    "so far") {
+    import RunningAggSpec.TextDoc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("bigramstats").toString
+    val batch1 = Seq(
+      TextDoc(1, "web", "a b a b a"),
+      TextDoc(2, "web", "b c"),
+      TextDoc(3, "book", "solo"))
+    val batch2 = Seq(
+      TextDoc(4, "web", "a b c"),
+      TextDoc(5, "book", "c c c"))
+    val mem = MemoryStream[TextDoc]
+    val q = graft.streaming.DocumentStream
+      .bigramStatsStream(mem.toDF(), out)
+      .option("checkpointLocation", s"$out/_ckpt").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.queries.Curation.clearTermStats()
+    val truth = graft.queries.Curation.bigramStatsFor(
+      (batch1 ++ batch2).toDF("doc_id", "source", "text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val state = Sources.readRunningAgg(spark, out).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(state == truth,
+      s"streamed bigram artifact diverges from batch build: " +
+        s"$state vs $truth")
+    graft.queries.Curation.clearTermStats()
+  }
+
   test("an uncommitted version is invisible to readers and safely " +
     "retried") {
     import spark.implicits._
