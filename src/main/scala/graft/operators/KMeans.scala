@@ -89,8 +89,10 @@ object KMeans {
       .withColumn("__h60",
         conv(substring(md5(col("__vid").cast("string")), 1, 15), 16, 10)
           .cast(LongType))
-    // one stats pass over the corpus: size + fingerprint (the only
-    // full-corpus touch in here; serving-side assignment is the other)
+    // TWO corpus passes total: this stats agg (size + fingerprint) and
+    // the sample materialization below; init and the Lloyd loop read
+    // only the persisted cap-bounded sample (r6 review: the previous
+    // shape re-scanned the corpus for init AND the unit conversion)
     val statsRow = base.agg(
       count(lit(1)).as("n"), bit_xor(col("__h60")).as("fp")).collect()(0)
     val n = statsRow.getLong(0)
@@ -98,12 +100,13 @@ object KMeans {
     // deterministic hash-threshold sample: E[size] = cap, membership
     // decidable per row in isolation (no sort, no TakeOrdered of the
     // corpus — a top-cap over 10^10 rows would be its own bottleneck)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sampled =
-      if (n <= cap) base
-      else {
-        val threshold = ((cap.toDouble / n) * (1L << 60).toDouble).toLong
-        base.filter(col("__h60") < threshold)
-      }
+      (if (n <= cap) base
+       else {
+         val threshold = ((cap.toDouble / n) * (1L << 60).toDouble).toLong
+         base.filter(col("__h60") < threshold)
+       }).persist(lvl)
     // seeded init: smallest md5(id) within the sample, order = centroid
     // index. Vectors arrive as array<float> OR array<double>
     // (DotProduct accepts both) — unbox by runtime type.
@@ -131,6 +134,7 @@ object KMeans {
       v
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sampleN = if (iters > 0 && cents.nonEmpty) unit.count() else -1L
+    sampled.unpersist()
     require(sampleN <= MaxTrainingSample,
       s"training sample of $sampleN rows exceeds $MaxTrainingSample: " +
         "fixed-point Long centroid sums would overflow — lower " +
@@ -245,8 +249,12 @@ object KMeans {
       k: Int, iters: Int): IndexedSeq[Array[Double]] =
     fitStatsCached(emb, vecCol, idCol, k, iters).cents
 
-  /** Test hook: drop persisted quantizers. */
-  def clearCache(): Unit = cache.clear()
+  /** Test hook: drop persisted quantizers (both the training cache
+    * and the per-(dir, version) load cache). */
+  def clearCache(): Unit = {
+    cache.clear()
+    loadedCache.clear()
+  }
 
   // ---- durable persistence: train once, serve from ANY process -----
   // The session PlanCache covers serve-many within one driver; a real
@@ -304,7 +312,26 @@ object KMeans {
     * silently). */
   private def loadIfCommitted(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[IndexedSeq[Array[Double]]] =
+    VersionedState.latestBefore(spark, dir, Long.MaxValue)
+      .map(v => loadAt(spark, dir, v))
+
+  /** Hot-loop serving (r6 review): a quantizer store is immutable per
+    * version, so repeated loads — every micro-batch of an
+    * IvfAssignStream, every query of a serving job — must not re-pay
+    * the k×dim centroid collect. Memoized per (dir, version): the
+    * version listing is one cheap FS call; a re-saved store gets a
+    * new version and misses the cache naturally. */
+  def loadCached(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Option[IndexedSeq[Array[Double]]] =
     VersionedState.latestBefore(spark, dir, Long.MaxValue).map { v =>
+      loadedCache.computeIfAbsent((dir, v), _ => loadAt(spark, dir, v))
+    }
+
+  private val loadedCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), IndexedSeq[Array[Double]]]()
+
+  private def loadAt(spark: org.apache.spark.sql.SparkSession,
+      dir: String, v: Long): IndexedSeq[Array[Double]] = {
       val meta = spark.read
         .parquet(VersionedState.path(dir, "meta", v)).collect()(0)
       val k = meta.getAs[Int]("k")

@@ -639,8 +639,8 @@ object Curation {
   private[queries] def bigramLmModel(documents: DataFrame,
       maxEntries: Long = MaxLmModelEntries.toLong)
       : org.apache.spark.broadcast.Broadcast[
-        scala.collection.Map[(String, String), Double]] =
-    lmModelCache.get(documents, ()) {
+        scala.collection.Map[(String, String), Double]] = {
+    val b = lmModelCache.get(documents, ()) {
       val uni = unigramCounts(documents)
       val vdf = uni.agg(count(lit(1)).as("v"))
       val weights = bigramStats(documents)
@@ -664,6 +664,16 @@ object Curation {
       documents.sparkSession.sparkContext.broadcast(
         m: scala.collection.Map[(String, String), Double])
     }
+    // the cap must hold on cache HITS too (r6 review): the cache key
+    // ignores maxEntries, so a stricter budget probed after a larger
+    // build must still refuse, not silently serve the oversized model
+    require(b.value.size <= maxEntries,
+      s"bigram LM model has ${b.value.size} entries (cap $maxEntries): " +
+        "an un-pruned vocabulary this large cannot ship as a broadcast " +
+        "model — raise the min-count prune or score with the dataflow " +
+        "form (bigramLmFor)")
+    b
+  }
 
   /** One-pass broadcast-model LM scoring (the 100 TB path). Inner-join
     * semantics kept exactly: bigrams absent from the model contribute
@@ -999,7 +1009,10 @@ object Curation {
   private[queries] def bm25For(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val nDf = documents.agg(count(lit(1)).as("n_docs"))
+    // count docs WITH text: the oracle's avg(dl) skips null-text rows
+    // (string_split(NULL) is NULL), so N must skip them too or avgdl
+    // and every idf diverge on corpora with null documents
+    val nDf = documents.agg(count(col("text")).as("n_docs"))
     val nuDf = unigramCounts(documents).agg(sum(col("u")).as("nu"))
     val statsDf = nDf.crossJoin(nuDf)
       .select(col("n_docs"),
@@ -1041,7 +1054,7 @@ object Curation {
        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok),
        |stats AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+       |  SELECT CAST(count(dl) AS BIGINT) AS n_docs, avg(dl) AS avgdl
        |  FROM dl),
        |dft AS (
        |  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df

@@ -46,22 +46,24 @@ object HeavyHittersStream {
   val MaxSummaryRows: Long = 1L << 20
 
   /** Latest committed (summary, n_total) at version `v` (None =
-    * empty; commit point = meta, via VersionedState). `k` is the
-    * caller's summary bound when known (updateBatch) — the MG
-    * invariant says the store never exceeds it. */
+    * empty; commit point = meta, via VersionedState). The bound is
+    * the ABSOLUTE driver-residency cap, deliberately not the caller's
+    * k: restarting with a smaller k than the store was built with is
+    * a legitimate re-bounding (`HeavyHitters.merge` trims to the new
+    * k), so only a store no sane MG summary could produce is refused
+    * (r6 review fix of the r5 #6 guard). */
   private def stored(spark: SparkSession, dir: String,
-      v: Option[Long], k: Option[Int]): (Map[String, Long], Long) =
+      v: Option[Long]): (Map[String, Long], Long) =
     v match {
       case None => (Map.empty, 0L)
       case Some(v) =>
         val sdf = spark.read
           .parquet(VersionedState.path(dir, "summary", v))
         val cnt = sdf.count() // bound check BEFORE the collect
-        val bound = k.map(_.toLong).getOrElse(MaxSummaryRows)
-        require(cnt <= bound,
+        require(cnt <= MaxSummaryRows,
           s"heavy-hitters store $dir holds $cnt summary rows, over " +
-            s"the ${k.fold("driver-residency")(_ => "Misra-Gries k")} " +
-            s"bound $bound — corrupt or foreign store; rebuild it")
+            s"the driver-residency bound $MaxSummaryRows — corrupt " +
+            "or foreign store; rebuild it")
         val m = sdf.collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val n = spark.read
@@ -77,7 +79,7 @@ object HeavyHittersStream {
     if (VersionedState.isCommitted(spark, dir, batchId))
       return // replay of a committed batch
     val prevV = VersionedState.latestBefore(spark, dir, batchId)
-    val (prev, prevN) = stored(spark, dir, prevV, Some(k))
+    val (prev, prevN) = stored(spark, dir, prevV)
     val (batchSummary, batchN) = HeavyHitters.sketch(batch, column, k)
     val merged = HeavyHitters.merge(
       scala.collection.mutable.HashMap.from(prev),
@@ -107,6 +109,6 @@ object HeavyHittersStream {
     val v = VersionedState.latestBefore(spark, dir, Long.MaxValue)
     if (v.isEmpty)
       throw new IllegalStateException(s"no committed summary under $dir")
-    stored(spark, dir, v, None)
+    stored(spark, dir, v)
   }
 }

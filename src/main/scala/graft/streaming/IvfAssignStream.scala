@@ -13,14 +13,17 @@ import graft.operators.KMeans
   * per corpus snapshot; SemDeDup serves from the same assignment, so
   * it runs incrementally for free).
   *
-  * Lifecycle: the FIRST batch trains the coarse quantizer (sample-
-  * trained `KMeans.fitOrLoad`) and commits it durably under
-  * `dir/quantizer`; every batch — including the first — assigns only
-  * its NEW vectors against the committed quantizer (one broadcast
-  * crossJoin + map-side argmax over the batch, never the corpus) and
-  * appends them to the assignment store. The quantizer is FIXED
-  * across appends: cell ids must stay comparable, so the trainer
-  * never silently re-fits.
+  * Lifecycle: the FIRST non-empty batch trains the coarse quantizer
+  * (sample-trained, k clamped to the batch's usable vectors so a
+  * small first trigger cannot wedge the stream) and commits it
+  * durably under `dir/quantizer`; every batch — including the first —
+  * assigns only its NEW vectors against the committed quantizer (one
+  * broadcast crossJoin + map-side argmax over the batch, never the
+  * corpus) and appends them to the assignment store. The quantizer is
+  * FIXED across appends — the store's k is authoritative and served
+  * through `KMeans.loadCached` (one k×dim collect per store version,
+  * not per micro-batch): cell ids must stay comparable, so the
+  * trainer never silently re-fits.
   *
   * Drift is measured instead: each batch's meta delta records the
   * batch's mean max-cosine objective under the committed quantizer
@@ -78,9 +81,14 @@ object IvfAssignStream {
   }
 
   /** One incremental index update. `k`/`iters` only matter for the
-    * FIRST committed batch (they train the quantizer); later batches
-    * serve the committed store and fail loudly on a k or dimension
-    * mismatch (the KMeans.fitOrLoad contract). */
+    * FIRST committed batch (they train the quantizer — with k clamped
+    * to the batch's usable-vector count, so a small first trigger
+    * commits a working quantizer instead of wedging every later batch
+    * on a k mismatch; r6 review). From then on the STORE's k is
+    * authoritative — appends serve the committed centroids via the
+    * memoized load path (no per-batch k×dim collect) and never
+    * retrain. A first batch with rows but zero usable (non-zero-norm)
+    * vectors fails loudly rather than silently dropping them. */
   def updateBatch(batch: DataFrame, dir: String, batchId: Long,
       k: Int, iters: Int): Unit = {
     val spark = batch.sparkSession
@@ -98,28 +106,48 @@ object IvfAssignStream {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pinned = newVecs.persist(lvl)
     try {
-      // train-on-first / serve-thereafter; also validates k and the
-      // embedding dimension against a pre-existing store
-      val cents = KMeans.fitOrLoad(pinned, "embedding", "vec_id",
-        k, iters, s"$dir/quantizer")
-      val assigned = assignAgainst(pinned, cents).persist(lvl)
-      try {
-        // drift row: the batch's Lloyd objective under the FIXED
-        // quantizer (mean best cosine over this batch's real vectors)
-        val objRow = assigned.filter(col("best_cs") > -2.0)
-          .agg(count(lit(1)).as("n"), avg(col("best_cs")).as("obj"))
-          .collect()(0)
-        import spark.implicits._
-        Seq((batchId,
-            if (objRow.isNullAt(0)) 0L else objRow.getLong(0),
-            if (objRow.isNullAt(1)) Double.NaN else objRow.getDouble(1)))
-          .toDF("batch_id", "n_new", "objective").coalesce(1)
-          .write.mode("overwrite").parquet(s"$dir/meta/delta_v$batchId")
-        assigned.select(col("vec_id"), col("cid"), col("embedding"),
-            col("n2"))
-          .write.mode("overwrite") // assign LAST = commit point
-          .parquet(s"$dir/assign/delta_v$batchId")
-      } finally { assigned.unpersist(); () }
+      val quantDir = s"$dir/quantizer"
+      val centsOpt = KMeans.loadCached(spark, quantDir).orElse {
+        // no committed quantizer: this is the creation batch
+        val nRows = pinned.count()
+        if (nRows == 0L) None // empty creation batch: nothing to commit
+        else {
+          val dot = graft.functions.VectorOps.dot_product _
+          val usable = pinned
+            .filter(dot(col("embedding"), col("embedding")) > 0.0).count()
+          require(usable > 0L,
+            s"IVF index $dir: the creation batch has $nRows vectors " +
+              "but none with a nonzero norm — a quantizer cannot be " +
+              "trained; fix the source or seed the store with " +
+              "KMeans.save")
+          val kEff = math.min(k.toLong, usable).toInt
+          val t = KMeans.fitStatsCached(
+            pinned, "embedding", "vec_id", kEff, iters)
+          KMeans.save(spark, t.cents, quantDir, iters, t.corpusN,
+            t.corpusFp, t.sampleN)
+          Some(t.cents)
+        }
+      }
+      centsOpt.foreach { cents =>
+        val assigned = assignAgainst(pinned, cents).persist(lvl)
+        try {
+          // drift row: the batch's Lloyd objective under the FIXED
+          // quantizer (mean best cosine over this batch's real vectors)
+          val objRow = assigned.filter(col("best_cs") > -2.0)
+            .agg(count(lit(1)).as("n"), avg(col("best_cs")).as("obj"))
+            .collect()(0)
+          import spark.implicits._
+          Seq((batchId,
+              if (objRow.isNullAt(0)) 0L else objRow.getLong(0),
+              if (objRow.isNullAt(1)) Double.NaN else objRow.getDouble(1)))
+            .toDF("batch_id", "n_new", "objective").coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/meta/delta_v$batchId")
+          assigned.select(col("vec_id"), col("cid"), col("embedding"),
+              col("n2"))
+            .write.mode("overwrite") // assign LAST = commit point
+            .parquet(s"$dir/assign/delta_v$batchId")
+        } finally { assigned.unpersist(); () }
+      }
     } finally { pinned.unpersist(); () }
   }
 

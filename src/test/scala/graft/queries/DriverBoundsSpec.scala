@@ -35,20 +35,34 @@ class DriverBoundsSpec extends SparkSpec {
     graft.operators.KMeans.clearCache()
   }
 
-  test("heavy-hitters maintainer refuses a stored summary larger " +
-    "than the Misra-Gries bound k") {
+  test("heavy-hitters maintainer refuses a stored summary past the " +
+    "driver-residency cap, while a legitimate k decrease re-bounds") {
     import spark.implicits._
     val dir = Files.createTempDirectory("hhbound").toString
-    // forge a committed store whose summary outgrew its k
-    (1 to 10).map(i => (s"w$i", i.toLong)).toDF("w", "c")
-      .coalesce(1).write.parquet(VersionedState.path(dir, "summary", 0))
+    // forge a committed store no sane MG summary could produce
+    spark.range(graft.streaming.HeavyHittersStream.MaxSummaryRows + 1)
+      .selectExpr("CAST(id AS STRING) AS w", "id AS c")
+      .write.parquet(VersionedState.path(dir, "summary", 0))
     Seq(55L).toDF("n_total").coalesce(1).write
       .parquet(VersionedState.path(dir, "meta", 0))
     val ex = intercept[IllegalArgumentException] {
       graft.streaming.HeavyHittersStream.updateBatch(
         Seq("x").toDF("w"), "w", dir, batchId = 1, k = 4)
     }
-    assert(ex.getMessage.contains("Misra-Gries k"), ex.getMessage)
+    assert(ex.getMessage.contains("driver-residency"), ex.getMessage)
+    // restarting with a SMALLER k than the store was built with is a
+    // legitimate re-bounding, not corruption (r6 review): the merge
+    // trims to the new k
+    val dir2 = Files.createTempDirectory("hhrebound").toString
+    val words = (1 to 10).flatMap(i => Seq.fill(i)(s"w$i"))
+    graft.streaming.HeavyHittersStream.updateBatch(
+      words.toDF("w"), "w", dir2, batchId = 0, k = 8)
+    graft.streaming.HeavyHittersStream.updateBatch(
+      Seq("w10").toDF("w"), "w", dir2, batchId = 1, k = 3)
+    val (summary, n) =
+      graft.streaming.HeavyHittersStream.current(spark, dir2)
+    assert(summary.size <= 3, s"k decrease must re-bound: $summary")
+    assert(n == words.size + 1L)
   }
 
   test("count-min maintainer refuses counter indexes outside the " +

@@ -98,6 +98,35 @@ class IvfAssignStreamSpec extends SparkSpec {
       s"shifted append must score visibly lower: $objs")
   }
 
+  test("a creation batch smaller than k clamps k instead of wedging " +
+    "the stream; an all-zero-norm creation batch fails loudly " +
+    "(r6 review)") {
+    import spark.implicits._
+    graft.operators.KMeans.clearCache()
+    val out = Files.createTempDirectory("ivfsmall").toString
+    // 3 usable vectors, k=8: the quantizer must commit with k=3 and
+    // every later batch must keep appending against it
+    val tiny = clustered(0 until 3)
+    IvfAssignStream.updateBatch(
+      tiny.toDF("vec_id", "embedding"), out, 0, k = 8, iters = 1)
+    assert(graft.operators.KMeans.load(spark, s"$out/quantizer").size == 3)
+    val more = clustered(3 until 43)
+    IvfAssignStream.updateBatch(
+      more.toDF("vec_id", "embedding"), out, 1, k = 8, iters = 1)
+    assert(assignMap(out).size == 43,
+      "appends after a clamped creation batch must keep working")
+    // a creation batch with rows but no usable vectors cannot train —
+    // loud failure, nothing committed
+    val out2 = Files.createTempDirectory("ivfzero").toString
+    val zeros = Seq(IvfAssignStreamSpec.Vec(1L, Seq.fill(12)(0f)))
+    val ex = intercept[IllegalArgumentException] {
+      IvfAssignStream.updateBatch(
+        zeros.toDF("vec_id", "embedding"), out2, 0, k = 4, iters = 1)
+    }
+    assert(ex.getMessage.contains("nonzero norm"), ex.getMessage)
+    graft.operators.KMeans.clearCache()
+  }
+
   test("compaction preserves the assignment and the drift rows; " +
     "replays and re-delivered vec_ids are no-ops; zero-norm vectors " +
     "assign deterministically") {
