@@ -70,8 +70,13 @@ object DedupIndexStream {
     DeltaStore.stored(spark, dir, sub, Commit, before)
 
   /** One incremental index update (factored out so replay/crash
-    * semantics are unit-testable without a streaming query). */
-  def updateBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    * semantics are unit-testable without a streaming query).
+    * `autoCompactEvery` > 0 folds the delta chain into a base once
+    * that many uncompacted batches accumulate — the streaming entry
+    * defaults it on so a long-lived stream's read fan-in stays
+    * bounded. */
+  def updateBatch(batch: DataFrame, dir: String, batchId: Long,
+      autoCompactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     if (DeltaStore.isCommitted(spark, dir, Commit, batchId))
       return // replay of a committed batch: done
@@ -125,6 +130,7 @@ object DedupIndexStream {
     } finally {
       newBands.unpersist(); newFeats.unpersist(); ()
     }
+    DeltaStore.autoCompact(spark, dir, Subs, Commit, autoCompactEvery)
   }
 
   /** Fold the committed base + deltas of every store into one new
@@ -137,11 +143,13 @@ object DedupIndexStream {
     DeltaStore.compact(spark, dir, Subs, Commit)
 
   /** The streaming entry point: maintain the index under `dir` from a
-    * streaming `documents` frame. */
-  def indexStream(docs: DataFrame, dir: String): DataStreamWriter[Row] =
+    * streaming `documents` frame, auto-compacting every
+    * `autoCompactEvery` batches. */
+  def indexStream(docs: DataFrame, dir: String,
+      autoCompactEvery: Int = 64): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        updateBatch(batch.toDF(), dir, batchId)
+        updateBatch(batch.toDF(), dir, batchId, autoCompactEvery)
     }
 
   /** The current verified pair set (base + committed deltas). */

@@ -73,6 +73,21 @@ private[graft] object DeltaStore {
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
+  /** Compact when the uncompacted-delta count reaches `every`
+    * (no-op for `every` <= 0). The stored view unions one frame per
+    * uncompacted batch, so an un-compacted long-lived stream pays an
+    * ever-growing read fan-in and FS listing — maintainers call this
+    * after each commit to keep the delta chain bounded. */
+  def autoCompact(spark: SparkSession, dir: String, subs: Seq[String],
+      commit: String, every: Int,
+      fold: Map[String, DataFrame => DataFrame] = Map.empty): Unit =
+    if (every > 0) {
+      val base = committedBase(spark, dir, commit, Long.MaxValue)
+      val pending = committedBatches(spark, dir, commit, Long.MaxValue)
+        .count(n => base.forall(n > _))
+      if (pending >= every) compact(spark, dir, subs, commit, fold)
+    }
+
   /** Fold the committed base + deltas of every store in `subs` into
     * one new `base_vM` (M = newest committed batch) and delete what it
     * covered. `subs` must end with the commit store so the commit base

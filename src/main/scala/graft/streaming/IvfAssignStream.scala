@@ -90,7 +90,7 @@ object IvfAssignStream {
     * retrain. A first batch with rows but zero usable (non-zero-norm)
     * vectors fails loudly rather than silently dropping them. */
   def updateBatch(batch: DataFrame, dir: String, batchId: Long,
-      k: Int, iters: Int): Unit = {
+      k: Int, iters: Int, autoCompactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     if (DeltaStore.isCommitted(spark, dir, Commit, batchId))
       return // replay of a committed batch: done
@@ -149,6 +149,7 @@ object IvfAssignStream {
         } finally { assigned.unpersist(); () }
       }
     } finally { pinned.unpersist(); () }
+    DeltaStore.autoCompact(spark, dir, Subs, Commit, autoCompactEvery)
   }
 
   /** Fold committed deltas into a new base (pure appends — no fold
@@ -157,12 +158,14 @@ object IvfAssignStream {
     DeltaStore.compact(spark, dir, Subs, Commit)
 
   /** The streaming entry point: maintain the index under `dir` from a
-    * streaming `embeddings` frame. */
-  def indexStream(emb: DataFrame, dir: String, k: Int, iters: Int)
-      : DataStreamWriter[Row] =
+    * streaming `embeddings` frame, auto-compacting every
+    * `autoCompactEvery` batches. */
+  def indexStream(emb: DataFrame, dir: String, k: Int, iters: Int,
+      autoCompactEvery: Int = 64): DataStreamWriter[Row] =
     emb.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        updateBatch(batch.toDF(), dir, batchId, k, iters)
+        updateBatch(batch.toDF(), dir, batchId, k, iters,
+          autoCompactEvery)
     }
 
   /** The current assignment store (vec_id, cid, embedding, n2) —

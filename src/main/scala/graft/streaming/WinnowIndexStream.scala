@@ -63,8 +63,11 @@ object WinnowIndexStream {
   private val Subs = Seq("docs", "fps", "pairdelta")
 
   /** One incremental index update (factored out so replay/crash
-    * semantics are unit-testable without a streaming query). */
-  def updateBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    * semantics are unit-testable without a streaming query).
+    * `autoCompactEvery` > 0 folds the delta chain into a base once
+    * that many uncompacted batches accumulate. */
+  def updateBatch(batch: DataFrame, dir: String, batchId: Long,
+      autoCompactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (DeltaStore.isCommitted(spark, dir, Commit, batchId))
@@ -166,22 +169,28 @@ object WinnowIndexStream {
     } finally {
       newFps.unpersist(); ()
     }
+    DeltaStore.autoCompact(spark, dir, Subs, Commit, autoCompactEvery,
+      PairFold)
   }
+
+  private val PairFold: Map[String, DataFrame => DataFrame] = Map(
+    "pairdelta" -> ((df: DataFrame) =>
+      df.groupBy(col("a_id"), col("b_id")).agg(sum(col("d")).as("d"))
+        .filter(col("d") =!= 0L)))
 
   /** Fold committed deltas into a new base; pair deltas group-sum and
     * fully-retracted (net-zero) pairs drop out of the base. */
   def compact(spark: SparkSession, dir: String): Unit =
-    DeltaStore.compact(spark, dir, Subs, Commit, Map(
-      "pairdelta" -> ((df: DataFrame) =>
-        df.groupBy(col("a_id"), col("b_id")).agg(sum(col("d")).as("d"))
-          .filter(col("d") =!= 0L))))
+    DeltaStore.compact(spark, dir, Subs, Commit, PairFold)
 
   /** The streaming entry point: maintain the index under `dir` from a
-    * streaming `documents` frame. */
-  def indexStream(docs: DataFrame, dir: String): DataStreamWriter[Row] =
+    * streaming `documents` frame, auto-compacting every
+    * `autoCompactEvery` batches. */
+  def indexStream(docs: DataFrame, dir: String,
+      autoCompactEvery: Int = 64): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        updateBatch(batch.toDF(), dir, batchId)
+        updateBatch(batch.toDF(), dir, batchId, autoCompactEvery)
     }
 
   /** The current overlap index (a_id, b_id, shared) — group-summed

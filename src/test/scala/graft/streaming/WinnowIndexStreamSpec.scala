@@ -159,6 +159,29 @@ class WinnowIndexStreamSpec extends SparkSpec {
     }
   }
 
+  test("auto-compaction: once the configured batch count accumulates " +
+    "the delta chain folds into a base, preserving the view") {
+    import spark.implicits._
+    val text = "sphinx of black quartz judge my vow while the jaded " +
+      "zombies acted quaintly but kept driving their oxen forward"
+    val out = Files.createTempDirectory("winauto").toString
+    val all = (1L to 6L).map(Doc(_, text))
+    all.grouped(2).zipWithIndex.foreach { case (b, i) =>
+      WinnowIndexStream.updateBatch(
+        b.toDF("doc_id", "text"), out, i, autoCompactEvery = 2)
+    }
+    // 3 batches with every=2: at least one fold ran — the pairdelta
+    // chain is bounded by a base + fewer-than-every deltas
+    val names = new java.io.File(s"$out/pairdelta")
+      .listFiles().map(_.getName).toSet
+    assert(names.exists(_.startsWith("base_v")),
+      s"auto-compaction never folded: $names")
+    assert(names.count(_.startsWith("delta_")) < 2,
+      s"delta chain not bounded: $names")
+    assert(streamedPairs(out) == batchPairs(all),
+      "auto-compaction must preserve the view")
+  }
+
   test("replayed batches and re-delivered documents are no-ops") {
     import spark.implicits._
     val text = "how vexingly quick daft zebras jump over the idle " +
