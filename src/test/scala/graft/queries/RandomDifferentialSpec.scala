@@ -195,6 +195,7 @@ class RandomDifferentialSpec extends SparkSpec {
     keys0 <- Gen.pick(nk, groupPool)
     aggs <- aggGen(numPool)
     limited <- Gen.oneOf(true, false)
+    havingAt <- Gen.frequency((2, 0), (1, 2), (1, 5))
   } yield {
     val keys = keys0.toSeq.sorted
     val where =
@@ -203,13 +204,16 @@ class RandomDifferentialSpec extends SparkSpec {
       keys ++ Seq("CAST(count(*) AS BIGINT) AS cnt") ++ aggs.map(_._1)
     val groupBy =
       if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
+    val having =
+      if (keys.isEmpty || havingAt == 0) ""
+      else s" HAVING count(*) >= $havingAt"
     val outCols = keys ++ Seq("cnt") ++ aggs.zipWithIndex.map {
       case (_, i) => s"a$i"
     }
     val orderBy = s" ORDER BY ${outCols.mkString(", ")}"
     val lim = if (limited) " LIMIT 20" else ""
     val sql = s"SELECT ${selectItems.mkString(", ")} FROM $fromSql" +
-      where + groupBy + orderBy + lim
+      where + groupBy + having + orderBy + lim
     val build = () => {
       var d = baseDf()
       whereCols.foreach(c => d = d.filter(c))
@@ -219,6 +223,8 @@ class RandomDifferentialSpec extends SparkSpec {
         if (keys.isEmpty) d.agg(aggCols.head, aggCols.tail: _*)
         else d.groupBy(keys.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
+      if (keys.nonEmpty && havingAt > 0)
+        out = out.filter(col("cnt") >= havingAt)
       out = out.orderBy(outCols.map(col): _*)
       if (limited) out.limit(20) else out
     }
@@ -363,7 +369,7 @@ class RandomDifferentialSpec extends SparkSpec {
 
   test("160 seeded random queries: DataFrame-API and SQL-text " +
     "formulations agree row-for-row (predicates, group keys, " +
-    "aggregates, join types, join orders, window ranks)") {
+    "aggregates, HAVING, join types, join orders, window ranks)") {
     frames // force view registration
     var ran = 0
     (0 until 160).foreach { i =>
