@@ -247,6 +247,97 @@ object Curation {
       |SELECT source, term, tf, df, score FROM rk
       |WHERE rk <= 5 ORDER BY source, score DESC, term""".stripMargin
 
+  // ---- llm_rarity: rare-token density scoring -------------------------
+  // The document-level companion of TF-IDF: a doc's rarity is the
+  // idf-weighted mean over its token occurrences — high = the doc is
+  // made of corpus-rare words (specialist/long-tail content), low =
+  // boilerplate. A standard curation signal for mixing (upweight rare
+  // content) and a cheap proxy for memorization risk.
+  //
+  // Scale shape: the idf table is a |vocabulary|-row re-aggregation of
+  // the session term-stats artifact, shipped broadcast as the MODEL
+  // (the bigram-LM deployment shape); doc tokens collapse ROW-LOCALLY
+  // to (word, count) via word_counts before the join, so the scoring
+  // join fan-out is doc×distinct-words, never doc×tokens, and the
+  // only exchange carries per-doc partial aggregates. Both engines
+  // compute the identical c·idf product per (doc, word) and round the
+  // weighted mean to 4 decimals (the avg_logp discipline: rounding
+  // absorbs summation-order ulps).
+  private val rarity: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = termStats(docs)
+      .groupBy(col("w")).agg(sum(col("sdf")).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("w"),
+        log(col("n_docs").cast(DoubleType) / col("df")).as("idf"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.TokenOps.word_counts(
+          split(col("text"), " "))).as(Seq("w", "c")))
+      .join(broadcast(idf), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+        round(sum(col("c") * col("idf")) / sum(col("c")), 4).as("rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val raritySql =
+    """WITH words AS (
+      |  SELECT doc_id, w, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df
+      |          FROM words GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |idf AS (SELECT w, ln(CAST(n_docs AS DOUBLE) / df) AS idf
+      |        FROM dfreq CROSS JOIN n)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  round(sum(c * idf) / sum(c), 4) AS rarity
+      |FROM words JOIN idf USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- llm_ngram_novelty: per-doc corpus-unique bigram fraction ------
+  // The third consumer of the bigram-stats artifact: what fraction of
+  // a document's bigrams appear NOWHERE else in the corpus. High
+  // novelty = genuinely original phrasing (keep for diversity); near-
+  // zero = the doc is assembled from corpus-common n-grams (template/
+  // boilerplate suspect). The complement of the dedup family: dedup
+  // finds documents that SHARE n-grams, novelty scores how much a doc
+  // DOESN'T.
+  //
+  // Scale shape: doc bigram rows join the artifact on (w1, w2) —
+  // broadcast here (bigram vocabulary ≪ corpus; a 100 TB corpus
+  // min-count-prunes to "b = 1 or not" which is 1 bit per bigram), and
+  // the only exchange carries per-doc partials. The 0/1 fraction is a
+  // ratio of exact integer sums — bit-identical across engines, so
+  // round(4) is belt-and-braces only.
+  private val novelty: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    bigramRows(docs)
+      .join(broadcast(bigramStats(docs)), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(when(col("b") === 1L, 1.0).otherwise(0.0)), 4)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val noveltySql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest([tk[i] for i in generate_series(1, len(tk)-1)]) AS w1,
+      |    unnest([tk[i+1] for i in generate_series(1, len(tk)-1)]) AS w2
+      |  FROM tok),
+      |bc AS (SELECT w1, w2, count(*) AS b FROM bi GROUP BY 1, 2)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(avg(CASE WHEN b = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
+      |FROM bi JOIN bc USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- q50_interval_overlap: concurrency curve via interval binning --
   // How many user sessions are active in each hour. Intervals
   // (per-user-day [min ts, max ts]) explode into their hour buckets
@@ -1158,6 +1249,8 @@ object Curation {
     "llm_vocab_topk" -> vocab,
     "llm_redact_terms" -> redact,
     "llm_tfidf" -> tfidf,
+    "llm_rarity" -> rarity,
+    "llm_ngram_novelty" -> novelty,
     "q47_date_funcs" -> q47,
     "q48_edit_distance" -> q48,
     "q49_salted_join" -> q49,
@@ -1188,6 +1281,10 @@ object Curation {
     "llm_vocab_topk" -> vocabSql,
     "llm_redact_terms" -> redactSql,
     "llm_tfidf" -> tfidfSql,
+    // c·idf / 0-1 fractions: identical per-(doc,word) products, round
+    // absorbs summation order (the avg_logp discipline)
+    "llm_rarity" -> raritySql,
+    "llm_ngram_novelty" -> noveltySql,
     "q47_date_funcs" -> q47Sql,
     "q48_edit_distance" -> q48Sql,
     "q49_salted_join" -> q49Sql,

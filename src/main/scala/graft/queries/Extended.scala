@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Canon, Tables}
 import graft.operators.AsofJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -427,8 +428,118 @@ object Extended {
       |  count(*) AS n
       |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // q64: quartile assignment via ntile. The window partitions on the
+  // grouping key (o_orderpriority), so parallelism = #groups — fine
+  // when groups are many/balanced (the usual percentile-report shape);
+  // for a GLOBAL quantile split over one giant partition the scale
+  // path is q52's approx_percentile cutoffs or llm_quality_buckets'
+  // broadcast-cutoff join, both already in the inventory. Ordering
+  // includes o_orderkey so tile assignment is total and deterministic;
+  // both engines implement SQL-standard ntile (first n%4 tiles take
+  // the extra row).
+  private val q64: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("tile", ntile(4).over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey")))
+        .cast(LongType))
+      .groupBy(col("o_orderpriority"), col("tile"))
+      .agg(count(lit(1)).as("n_orders"),
+        d(min(dec2(col("o_totalprice")))).as("min_price"),
+        d(max(dec2(col("o_totalprice")))).as("max_price"))
+      .orderBy(col("o_orderpriority"), col("tile"))
+
+  private val q64Sql =
+    """SELECT o_orderpriority, tile, count(*) AS n_orders,
+      |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS min_price,
+      |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS max_price
+      |FROM (SELECT o_orderpriority, o_totalprice,
+      |        ntile(4) OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice, o_orderkey) AS tile
+      |      FROM orders)
+      |GROUP BY 1, 2 ORDER BY o_orderpriority, tile""".stripMargin
+
+  // q65: median + mode per group. Median: both engines interpolate
+  // exact percentiles linearly between adjacent ranks (Spark `median`
+  // ≡ DuckDB `quantile_cont(0.5)`) — the identical (a+b)/2 on the
+  // identical two doubles, so no rounding is needed; we round(4)
+  // anyway to keep the hash discipline uniform. Mode: both engines'
+  // built-in `mode` is tie-ambiguous, so the deterministic derivation
+  // (max count, smallest value wins ties) is spelled out in BOTH
+  // engines — a groupBy + one row_number over the tiny (priority,
+  // month) count frame, never a corpus-wide window.
+  private val q65: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    val med = orders.groupBy(col("o_orderpriority"))
+      .agg(round(median(col("o_totalprice")), 4).as("median_price"),
+        count(lit(1)).as("n_orders"))
+    val mode = orders
+      .groupBy(col("o_orderpriority"),
+        month(col("o_orderdate")).cast(LongType).as("m"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("c").desc, col("m"))))
+      .filter(col("rk") === 1)
+      .select(col("o_orderpriority"), col("m").as("mode_month"))
+    med.join(mode, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("median_price"), col("mode_month"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q65Sql =
+    """WITH med AS (
+      |  SELECT o_orderpriority,
+      |    round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |mc AS (
+      |  SELECT o_orderpriority,
+      |    CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |md AS (
+      |  SELECT o_orderpriority, m AS mode_month,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY c DESC, m) AS rk
+      |  FROM mc)
+      |SELECT o_orderpriority, n_orders, median_price, mode_month
+      |FROM med JOIN md USING (o_orderpriority)
+      |WHERE rk = 1 ORDER BY o_orderpriority""".stripMargin
+
+  // q66: conditional aggregation — the FILTER-clause family in one
+  // grouped pass (count/sum/count-distinct each under a different
+  // predicate). Spark expresses FILTER as when(cond, x) inside the
+  // aggregate (nulls don't count); one map-side-combinable exchange,
+  // no per-predicate scans.
+  private val q66: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_totalprice") > 200000.0, lit(1))).as("n_big"),
+        d(coalesce(sum(when(col("o_orderstatus") === "F",
+          dec2(col("o_totalprice")))), lit(0.0))).as("rev_f"),
+        count_distinct(when(col("o_totalprice") > 200000.0,
+          col("o_custkey"))).as("n_big_cust"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q66Sql =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+      |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS rev_f,
+      |  count(DISTINCT o_custkey)
+      |    FILTER (WHERE o_totalprice > 200000.0) AS n_big_cust
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q45_string_agg" -> q45,
+    "q64_ntile" -> q64,
+    "q65_median_mode" -> q65,
+    "q66_conditional_agg" -> q66,
     "q46_histogram" -> q46,
     "q36_grouping_sets" -> q36,
     "q40_map_funcs" -> q40,
@@ -446,6 +557,9 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q64_ntile" -> q64Sql,
+    "q65_median_mode" -> q65Sql,
+    "q66_conditional_agg" -> q66Sql,
     "q36_grouping_sets" -> q36Sql,
     "q40_map_funcs" -> q40Sql,
     "q41_merge_upsert" -> q41Sql,

@@ -751,6 +751,67 @@ object Llm {
       |    len(string_split(text, ' ')) AS stopword_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- text analysis: Gopher-style rule filter ------------------------
+  // The MassiveText/Gopher document-quality RULE SET (Rae et al. 2021,
+  // App. A): hard thresholds on word count, mean word length, stopword
+  // presence and alphabetic-word fraction, each surfaced as a named
+  // boolean column plus the conjunctive keep verdict — the audit shape
+  // a curation pipeline wants (per-rule pass rates, not just a filter).
+  // Thresholds are the published ones except the word-count floor
+  // (Gopher's 50 → 20 here; the fixture docs are short). Pure per-row
+  // scan+project: zero exchanges, embarrassingly parallel at any
+  // scale, and the verdict columns compress to almost nothing in a
+  // columnar sink. mean_word_len is a ratio of two exact ints rounded
+  // to 4 decimals — the division is the identical double op in both
+  // engines, so the hash is stable.
+  private val gopher: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tk")).cast(LongType))
+      .withColumn("mwl",
+        round(length(regexp_replace(col("text"), " ", ""))
+          .cast(DoubleType) / col("n_tokens"), 4))
+      .withColumn("n_stop_kinds",
+        size(array_intersect(col("tk"), array(stop.map(lit): _*)))
+          .cast(LongType))
+      .withColumn("alpha_frac",
+        round(size(filter(col("tk"), x => x.rlike("[a-z]")))
+          .cast(DoubleType) / col("n_tokens"), 4))
+      .withColumn("r_wordcount",
+        col("n_tokens") >= 20 && col("n_tokens") <= 100000)
+      .withColumn("r_meanlen", col("mwl") >= 3.0 && col("mwl") <= 10.0)
+      .withColumn("r_stopwords", col("n_stop_kinds") >= 2L)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .select(col("doc_id"), col("n_tokens"),
+        col("mwl").as("mean_word_len"), col("n_stop_kinds"),
+        col("r_wordcount"), col("r_meanlen"), col("r_stopwords"),
+        col("r_alpha"),
+        (col("r_wordcount") && col("r_meanlen") && col("r_stopwords") &&
+          col("r_alpha")).as("keep"))
+      .orderBy(col("doc_id"))
+
+  private val gopherSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    round(CAST(strlen(replace(text, ' ', '')) AS DOUBLE) /
+      |      len(string_split(text, ' ')), 4) AS mean_word_len,
+      |    CAST(len(list_intersect(string_split(text, ' '),
+      |      ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS n_stop_kinds,
+      |    round(CAST(len(list_filter(string_split(text, ' '),
+      |      x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) /
+      |      len(string_split(text, ' ')), 4) AS alpha_frac
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, mean_word_len, n_stop_kinds,
+      |  (n_tokens >= 20 AND n_tokens <= 100000) AS r_wordcount,
+      |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_meanlen,
+      |  (n_stop_kinds >= 2) AS r_stopwords,
+      |  (alpha_frac >= 0.8) AS r_alpha,
+      |  (n_tokens >= 20 AND n_tokens <= 100000
+      |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |    AND n_stop_kinds >= 2 AND alpha_frac >= 0.8) AS keep
+      |FROM base ORDER BY doc_id""".stripMargin
+
   // ---- text analysis: within-document repetition (Gopher-style) -------
   // The repetition quality filter from published web-corpus pipelines
   // (Gopher's "repetitious text" signals — fraction of the document
@@ -1320,6 +1381,7 @@ object Llm {
     "llm_simhash" -> simhash,
     "llm_langid" -> langid,
     "llm_quality_score" -> quality,
+    "llm_gopher_rules" -> gopher,
     "llm_repetition" -> repetition,
     "llm_token_entropy" -> entropy,
     "llm_token_count" -> tokenCount,
@@ -1360,6 +1422,7 @@ object Llm {
     "llm_simhash" -> simhashSql,
     "llm_langid" -> langidSql,
     "llm_quality_score" -> qualitySql,
+    "llm_gopher_rules" -> gopherSql,
     "llm_repetition" -> repetitionSql,
     "llm_token_entropy" -> entropySql,
     "llm_token_count" -> tokenCountSql,

@@ -38,9 +38,11 @@ class QueriesSpec extends SparkSpec {
       !plan.contains("l_extendedprice"), "projection not pruned")
   }
 
-  test("llm_repetition and llm_token_entropy are exchange-free scans " +
+  test("llm_repetition, llm_token_entropy and llm_gopher_rules are " +
+    "exchange-free scans " +
     "(the 100 TB shape: per-row signals, no shuffle before the sort)") {
-    for (name <- Seq("llm_repetition", "llm_token_entropy")) {
+    for (name <- Seq("llm_repetition", "llm_token_entropy",
+        "llm_gopher_rules")) {
       // drop the presentation orderBy — the operator itself is the
       // per-row signal computation; only the global sort exchanges
       val df = SparkEntry.queries(name)(spark, dir).sortWithinPartitions()
@@ -48,6 +50,19 @@ class QueriesSpec extends SparkSpec {
       val exchanges = "Exchange".r.findAllIn(plan).length
       assert(exchanges <= 1, // the rangepartitioning of the final sort
         s"$name plans $exchanges exchanges:\n$plan")
+    }
+  }
+
+  test("llm_rarity and llm_ngram_novelty score with a broadcast model " +
+    "(the corpus never shuffles on the token/bigram key)") {
+    for (name <- Seq("llm_rarity", "llm_ngram_novelty")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name does not broadcast the model:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name shuffles the corpus into a sort-merge join:\n$plan")
     }
   }
 
