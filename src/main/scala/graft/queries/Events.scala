@@ -179,8 +179,82 @@ object Events {
       |  CAST(sum(retained) AS BIGINT) AS n_retained
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q67: exact rolling median over a bounded trailing frame (5 rows).
+  // The windowed-quantile family member q38/q39 don't cover: a moving
+  // robust signal per entity. Both engines spell out the SAME explicit
+  // derivation — sort the frame's values, take the middle (odd) or the
+  // (a+b)/2 midpoint (even) — instead of their built-in windowed
+  // quantiles, whose interpolation arithmetic differs in ulps
+  // (a+(b-a)·q vs (a+b)/2); the explicit form is the identical fp op
+  // on both sides. Scale: the frame is O(1) (5 rows), the window
+  // partitions on user_id — no global sort, parallelism = #users.
+  private val q67: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    val n = size(col("win"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        array_sort(collect_list(col("value")).over(w)).as("win"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        round(when(n % 2 === 1,
+            element_at(col("win"), ((n + 1) / 2).cast(IntegerType)))
+          .otherwise((element_at(col("win"), (n / 2).cast(IntegerType)) +
+            element_at(col("win"), (n / 2).cast(IntegerType) + 1)) / 2.0),
+          4).as("rolling_median"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  private val q67Sql =
+    """WITH b AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    list_sort(list(value) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win
+      |  FROM events)
+      |SELECT user_id, event_id, ts, value,
+      |  round(CASE WHEN len(win) % 2 = 1 THEN win[(len(win)+1)//2]
+      |        ELSE (win[len(win)//2] + win[len(win)//2 + 1]) / 2.0
+      |        END, 4) AS rolling_median
+      |FROM b ORDER BY user_id, ts, event_id""".stripMargin
+
+  // q68: first-order Markov transition matrix over per-user event
+  // sequences — P(next event type | current). The sequence-mining
+  // complement of q51's funnel: lead() pairs consecutive events inside
+  // each user's timeline (one hash exchange on user_id), the matrix is
+  // |types|² rows, and the row-normalizing window sum runs over that
+  // tiny frame, never the corpus. p is a ratio of exact integer counts
+  // — deterministic across engines.
+  private val q68: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast(DoubleType) /
+        sum(col("n")).over(Window.partitionBy(col("cur"))), 4))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  private val q68Sql =
+    """WITH t AS (
+      |  SELECT user_id, event_type AS cur,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |c AS (SELECT cur, nxt, count(*) AS n
+      |      FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2)
+      |SELECT cur, nxt, n,
+      |  round(CAST(n AS DOUBLE) /
+      |    CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 4) AS p
+      |FROM c ORDER BY cur, nxt""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q16_lag_lead" -> q16,
+    "q67_rolling_median" -> q67,
+    "q68_event_transitions" -> q68,
     "q22_tumbling_window" -> q22,
     "q23_sliding_window" -> q23,
     "q24_sessionization" -> q24,
@@ -190,6 +264,10 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q16_lag_lead" -> q16Sql,
+    // explicit midpoint derivation on both sides (not built-in
+    // windowed quantiles): identical fp ops, stable hash
+    "q67_rolling_median" -> q67Sql,
+    "q68_event_transitions" -> q68Sql,
     "q22_tumbling_window" -> q22Sql,
     "q23_sliding_window" -> q23Sql,
     "q24_sessionization" -> q24Sql,

@@ -392,6 +392,60 @@ object Llm {
     lshVerifiedPairs(t(s, dir, "documents"))
       .orderBy(col("a_id"), col("b_id"))
 
+  // ---- llm_source_overlap: cross-source near-dup matrix --------------
+  // The sixth consumer of the verified-pair index: which SOURCES share
+  // near-duplicate content, and how much. This is the
+  // contamination-audit view a mixing pipeline reads before setting
+  // source weights (a source that is 30 % near-dup against another
+  // contributes less novel data than its row count suggests). Pair
+  // endpoints join back to doc→source (the pair index ≪ corpus, so
+  // AQE broadcasts the pair side against the corpus scan); the
+  // unordered (source, source) key is canonicalized with
+  // least/greatest so A×B and B×A collapse into one cell.
+  private val sourceOverlap: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    lshVerifiedPairs(docs)
+      .join(src.select(col("doc_id").as("a_id"),
+        col("source").as("src_a")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"),
+        col("source").as("src_b")), "b_id")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // same exact-Jaccard pair derivation as jaccardOracle (LSH recall is
+  // 1 on the fixtures, pinned by llm_minhash_lsh_dedup), folded to the
+  // per-source-pair matrix
+  private val sourceOverlapSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |            for i in generate_series(1, len(tk)-2)]) AS s
+      |  FROM tok),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |vp AS (
+      |  SELECT a_id, b_id
+      |  FROM pr JOIN sz sa ON sa.doc_id = a_id
+      |          JOIN sz sb ON sb.doc_id = b_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6)
+      |SELECT least(da.source, db.source) AS source_a,
+      |  greatest(da.source, db.source) AS source_b,
+      |  count(*) AS n_pairs
+      |FROM vp JOIN documents da ON da.doc_id = a_id
+      |        JOIN documents db ON db.doc_id = b_id
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   // sketch accuracy for the minhash family (the q26/q52 pattern): on
   // every verified near-dup pair, the MinHash-agreement estimate
   // (matching components / 64) must sit within ±0.25 of exact Jaccard
@@ -1382,6 +1436,7 @@ object Llm {
     "llm_langid" -> langid,
     "llm_quality_score" -> quality,
     "llm_gopher_rules" -> gopher,
+    "llm_source_overlap" -> sourceOverlap,
     "llm_repetition" -> repetition,
     "llm_token_entropy" -> entropy,
     "llm_token_count" -> tokenCount,
@@ -1423,6 +1478,7 @@ object Llm {
     "llm_langid" -> langidSql,
     "llm_quality_score" -> qualitySql,
     "llm_gopher_rules" -> gopherSql,
+    "llm_source_overlap" -> sourceOverlapSql,
     "llm_repetition" -> repetitionSql,
     "llm_token_entropy" -> entropySql,
     "llm_token_count" -> tokenCountSql,
