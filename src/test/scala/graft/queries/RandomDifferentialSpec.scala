@@ -355,9 +355,51 @@ class RandomDifferentialSpec extends SparkSpec {
     TestQuery(s"window:$t:$fn", sql, build)
   }
 
+  // ---- set operations: two predicate selections over one table ------
+  // UNION/UNION ALL/INTERSECT/EXCEPT each have their own dedup rules;
+  // the axis checks the DataFrame methods (union/distinct, intersect,
+  // except — Spark's are the DISTINCT forms, matching the SQL
+  // defaults) against the SQL operators on categorical projections,
+  // folded through the usual count tail so row multiplicities are
+  // observable.
+  private def setOpGen: Gen[TestQuery] = for {
+    t <- Gen.oneOf("lineitem", "orders", "customer", "part")
+    psA <- predsGen(t, 2)
+    psB <- predsGen(t, 2)
+    op <- Gen.oneOf("UNION ALL", "UNION", "INTERSECT", "EXCEPT")
+    nc <- Gen.choose(1, math.min(2, meta(t).cats.size))
+    cols0 <- Gen.pick(nc, meta(t).cats)
+  } yield {
+    val cols = cols0.toSeq.sorted
+    val sel = cols.mkString(", ")
+    def whereOf(ps: Seq[(String, Column)]) =
+      if (ps.isEmpty) "" else s" WHERE ${ps.map(_._1).mkString(" AND ")}"
+    val sql = s"SELECT $sel, CAST(count(*) AS BIGINT) AS cnt FROM (" +
+      s"SELECT $sel FROM fuzz_$t${whereOf(psA)} $op " +
+      s"SELECT $sel FROM fuzz_$t${whereOf(psB)}) u " +
+      s"GROUP BY $sel ORDER BY ${(cols :+ "cnt").mkString(", ")}"
+    val build = () => {
+      def side(ps: Seq[(String, Column)]) = {
+        var d = frames(t)
+        ps.foreach(p => d = d.filter(p._2))
+        d.select(cols.map(col): _*)
+      }
+      val combined = op match {
+        case "UNION ALL" => side(psA).union(side(psB))
+        case "UNION" => side(psA).union(side(psB)).distinct()
+        case "INTERSECT" => side(psA).intersect(side(psB))
+        case "EXCEPT" => side(psA).except(side(psB))
+      }
+      combined.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy((cols :+ "cnt").map(col): _*)
+    }
+    TestQuery(s"setop:$op:$t", sql, build)
+  }
+
   private def queryGen: Gen[TestQuery] =
     Gen.frequency((4, singleGen), (5, join2Gen), (2, join3Gen),
-      (3, windowGen))
+      (3, windowGen), (2, setOpGen))
 
   // ---- the differential check ----------------------------------------
   private def canon(df: DataFrame): Seq[String] =
@@ -367,12 +409,13 @@ class RandomDifferentialSpec extends SparkSpec {
       case x => x.toString
     }.mkString("|")).toSeq
 
-  test("160 seeded random queries: DataFrame-API and SQL-text " +
+  test("200 seeded random queries: DataFrame-API and SQL-text " +
     "formulations agree row-for-row (predicates, group keys, " +
-    "aggregates, HAVING, join types, join orders, window ranks)") {
+    "aggregates, HAVING, join types, join orders, window ranks, " +
+    "set operations)") {
     frames // force view registration
     var ran = 0
-    (0 until 160).foreach { i =>
+    (0 until 200).foreach { i =>
       queryGen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { q =>
         val viaSql = canon(spark.sql(q.sql))
         val viaDf = canon(q.df())
@@ -384,6 +427,6 @@ class RandomDifferentialSpec extends SparkSpec {
       }
     }
     info(s"$ran seeded comparisons ran")
-    assert(ran >= 140, s"only $ran of 160 seeds produced a query")
+    assert(ran >= 175, s"only $ran of 200 seeds produced a query")
   }
 }
