@@ -251,10 +251,42 @@ object Events {
       |    CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 4) AS p
       |FROM c ORDER BY cur, nxt""".stripMargin
 
+  // q69: the window VALUE-function family (first_value / last_value /
+  // nth_value) q16's lag/lead doesn't cover. The frame matters:
+  // first_value runs on the default growing frame (unbounded
+  // preceding → current), last/nth on the explicit full-partition
+  // frame — without it last_value degenerates to the current row.
+  // Values pass through untouched (no arithmetic) → exact equality
+  // cross-engine; ordering is total via (ts, event_id).
+  private val q69: Q = (s, dir) => {
+    val base = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val full = base.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        first(col("value")).over(base).as("first_v"),
+        last(col("value")).over(full).as("last_v"),
+        nth_value(col("value"), 2).over(full).as("second_v"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  private val q69Sql =
+    """SELECT user_id, event_id, ts, value,
+      |  first_value(value) OVER w AS first_v,
+      |  last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND UNBOUNDED FOLLOWING) AS last_v,
+      |  nth_value(value, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND UNBOUNDED FOLLOWING) AS second_v
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q16_lag_lead" -> q16,
     "q67_rolling_median" -> q67,
     "q68_event_transitions" -> q68,
+    "q69_first_last" -> q69,
     "q22_tumbling_window" -> q22,
     "q23_sliding_window" -> q23,
     "q24_sessionization" -> q24,
@@ -268,6 +300,7 @@ object Events {
     // windowed quantiles): identical fp ops, stable hash
     "q67_rolling_median" -> q67Sql,
     "q68_event_transitions" -> q68Sql,
+    "q69_first_last" -> q69Sql,
     "q22_tumbling_window" -> q22Sql,
     "q23_sliding_window" -> q23Sql,
     "q24_sessionization" -> q24Sql,

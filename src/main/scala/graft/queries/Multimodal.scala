@@ -414,7 +414,107 @@ object Multimodal {
       |WHERE a.vec_id <> 0
       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
+  // ---- llm_label_centroids: per-label elementwise embedding mean -----
+  // The supervised complement of the IVF quantizer: class centroids
+  // (prototype vectors) computed as the elementwise mean over each
+  // label's embeddings — the building block for nearest-class-mean
+  // classification, per-class drift monitoring, and seeding a
+  // supervised coarse quantizer. Distributed shape: posexplode fans
+  // each vector into (label, idx, x) rows and ONE map-side-combinable
+  // aggregation reduces per (label, idx) — no vector ever collects to
+  // the driver (the KMeans treeAggregate path is the alternative when
+  // the result itself must be driver-resident). Output is |labels|×dim
+  // rows, ≪ corpus. avg rounds to 4 (summation-order discipline).
+  private val labelCentroids: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(col("embedding")).as(Seq("idx", "x")))
+      .groupBy(col("label"), col("idx").cast(LongType).as("idx"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("x").cast(DoubleType)), 4).as("c"))
+      .orderBy(col("label"), col("idx"))
+
+  private val labelCentroidsOracle =
+    """WITH flat AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT)
+      |      AS idx,
+      |    unnest([CAST(x AS DOUBLE) for x in embedding]) AS x
+      |  FROM embeddings)
+      |SELECT label, idx, CAST(count(*) AS BIGINT) AS n_vectors,
+      |  round(avg(x), 4) AS c
+      |FROM flat GROUP BY label, idx ORDER BY label, idx""".stripMargin
+
+  // ---- llm_knn_classify: k-nearest-neighbor label voting -------------
+  // The eval harness of the similarity family: each query vector gets
+  // the majority label of its 10 nearest neighbors (cosine), ties
+  // broken toward the smaller label — i.e. exact kNN classification.
+  // This is the baseline an ANN deployment measures recall/accuracy
+  // against; the scale path for batch kNN is the IVF index
+  // (llm_ann_ivf), which prunes candidates to probed cells before this
+  // same score-rank-vote tail. Queries ship broadcast; the per-query
+  // rank window partitions on query_id (parallelism = #queries — fine
+  // for an eval batch; a corpus-sized query set routes through IVF
+  // cell joins instead). Ranking uses the ROUNDED score (both engines
+  // round the identical expression tree, q29's discipline) with
+  // vec_id tiebreak, so neighbor sets are deterministic cross-engine.
+  private val knnClassify: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val scored = e.filter(col("vec_id") >= 3)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")),
+          4).as("score"))
+    val topk = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+    topk.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk2", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("label"))))
+      .filter(col("rk2") === 1)
+      .select(col("query_id"), col("label").cast(LongType).as("pred_label"),
+        col("votes"))
+      .orderBy(col("query_id"))
+  }
+
+  private val knnClassifySql =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    [CAST(x AS DOUBLE) for x in embedding] AS ed,
+      |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |                   for x in embedding])) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, ed AS qe, nrm AS qn
+      |      FROM e WHERE vec_id < 3),
+      |s AS (
+      |  SELECT query_id, vec_id, label,
+      |    round(list_sum([ed[i] * qe[i]
+      |      for i in generate_series(1, len(ed))]) / (nrm * qn), 4)
+      |      AS score
+      |  FROM e, q WHERE vec_id >= 3),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+      |      FROM s),
+      |v AS (SELECT query_id, label, count(*) AS votes
+      |      FROM r WHERE rk <= 10 GROUP BY 1, 2),
+      |p AS (SELECT query_id, label, votes, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY votes DESC, label) AS rk2
+      |      FROM v)
+      |SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes
+      |FROM p WHERE rk2 = 1 ORDER BY query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_label_centroids" -> labelCentroids,
+    "llm_knn_classify" -> knnClassify,
     "mm_decode_meta" -> decodeMeta,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resize,
@@ -424,6 +524,8 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_label_centroids" -> labelCentroidsOracle,
+    "llm_knn_classify" -> knnClassifySql,
     "mm_decode_meta" -> decodeMetaSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize" -> resizeSql,
