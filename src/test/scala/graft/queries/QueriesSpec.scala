@@ -536,6 +536,72 @@ class QueriesSpec extends SparkSpec {
     assert(sig == sig2)
   }
 
+  test("q64 tiles are balanced: per group, tile sizes differ by <= 1 " +
+    "and sum to the group's row count") {
+    val rows = SparkEntry.queries("q64_ntile")(spark, dir).collect()
+    val totals = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_orderpriority")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (pri, rs) =>
+      val ns = rs.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$pri tiles unbalanced: ${ns.toSeq}")
+      assert(ns.sum == totals(pri),
+        s"$pri tiles sum ${ns.sum} != total ${totals(pri)}")
+    }
+  }
+
+  test("q67 rolling median equals the (rounded) row value on each " +
+    "user's first row and stays within the user's value range") {
+    val rows = SparkEntry.queries("q67_rolling_median")(spark, dir)
+      .collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val first = rs.head // output is ordered (user_id, ts, event_id)
+      val expect = BigDecimal(first.getDouble(3))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(first.getDouble(4) == expect,
+        s"first-row median ${first.getDouble(4)} != rounded value $expect")
+      val vals = rs.map(_.getDouble(3))
+      rs.foreach(r => assert(
+        r.getDouble(4) >= vals.min - 1e-4 &&
+          r.getDouble(4) <= vals.max + 1e-4,
+        s"median ${r.getDouble(4)} outside [${vals.min}, ${vals.max}]"))
+    }
+  }
+
+  test("llm_knn_classify: deterministic across runs, votes bounded by " +
+    "k, predicted labels drawn from the corpus") {
+    val a = SparkEntry.queries("llm_knn_classify")(spark, dir).collect()
+    val b = SparkEntry.queries("llm_knn_classify")(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, "two runs differ")
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("label")).distinct().collect()
+      .map(_.getInt(0).toLong).toSet
+    a.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 10L,
+        s"votes ${r.getLong(2)} out of [1, 10]")
+      assert(labels.contains(r.getLong(1)),
+        s"pred_label ${r.getLong(1)} not a corpus label")
+    }
+  }
+
+  test("llm_label_centroids covers every (label, idx) cell with the " +
+    "label's exact cardinality") {
+    val rows = SparkEntry.queries("llm_label_centroids")(spark, dir)
+      .collect()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val counts = e.groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val byLabel = rows.groupBy(_.getLong(0))
+    assert(byLabel.keySet == counts.keySet, "label sets differ")
+    byLabel.foreach { case (l, rs) =>
+      assert(rs.map(_.getLong(1)).toSet == (0L until dim.toLong).toSet,
+        s"label $l misses centroid components")
+      rs.foreach(r => assert(r.getLong(2) == counts(l),
+        s"label $l n_vectors ${r.getLong(2)} != ${counts(l)}"))
+    }
+  }
+
   test("minhash collision probability tracks jaccard similarity") {
     import spark.implicits._
     // two 90%-overlapping shingle sets should collide on most rows
