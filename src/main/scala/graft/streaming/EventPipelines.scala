@@ -75,6 +75,47 @@ object EventPipelines {
       watermark: String = "2 hours"): DataFrame =
     attributed(clicks, purchases, watermark, "left_outer")
 
+  /** q68 twin, streaming-native: consecutive-event PAIRING per user via
+    * `flatMapGroupsWithState` — the sequence operator windows/joins
+    * can't express (lead() needs a finished partition; a stream never
+    * finishes). Each batch's rows for a user are processed in
+    * (ts, event_id) order and the last seen event is CARRIED IN STATE,
+    * so a pair spans batch boundaries exactly like the batch lead()
+    * spans partition rows. Emits one (cur, nxt) row per transition
+    * (Append mode — downstream counting is the consumer's aggregation,
+    * e.g. foreachBatchRunningAgg, keeping this operator composable).
+    *
+    * Contract: batches must arrive per-user event-time monotone (the
+    * ingestion-order contract every sequence-stateful operator has;
+    * a late event would pair against the wrong predecessor — bound it
+    * with a watermark upstream if the source can reorder). State is
+    * O(1) per user: (ts millis, event_id, event_type). Parity with
+    * batch q68 across a batch split is pinned in StreamingSpec. */
+  def transitionPairs(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val sorted = it.toSeq.sortBy(e => (e._2.getTime, e._3))
+          val out = Seq.newBuilder[(String, String)]
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach(l => out += ((l._3, e._4)))
+            last = Some((e._2.getTime, e._3, e._4))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("cur", "nxt")
+  }
+
   private def attributed(clicks: DataFrame, purchases: DataFrame,
       watermark: String, joinType: String): DataFrame = {
     val c = clicks

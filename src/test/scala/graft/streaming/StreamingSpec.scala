@@ -150,6 +150,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful per-user pairing reproduces the batch q68 transition " +
+    "matrix, with pairs spanning the batch boundary via carried state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // split the fixture at the median timestamp so each user's rows
+    // arrive in two event-time-monotone batches — cross-batch pairs
+    // exist iff the carried state works
+    val sorted = fixtureRows.sortBy(e => (e.ts.getTime, e.event_id))
+    val (batch1, batch2) = sorted.splitAt(sorted.size / 2)
+    val mem = MemoryStream[Ev]
+    val out = EventPipelines.transitionPairs(
+      mem.toDF().withColumn("ts", col("ts").cast("timestamp")))
+    val qName = s"q_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qName)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(qName).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val batch = graft.SparkEntry.queries("q68_event_transitions")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"streamed ${streamed.size} cells vs " +
+      s"batch ${batch.size}")
+    assert(streamed.values.sum == fixtureRows.size -
+      fixtureRows.map(_.user_id).distinct.size,
+      "pair count != events - users (every event but each user's first " +
+        "must produce exactly one pair)")
+  }
+
   test("flow-state tracker implements the barrier semantics (O14-O16)") {
     import spark.implicits._
     import FlowStateStream._
