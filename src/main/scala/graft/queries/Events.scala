@@ -282,11 +282,39 @@ object Events {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  // q70: distinct users per sliding 7-day window (stepping 1 day) —
+  // the rolling-reach metric. The scale-safe sliding-distinct plan:
+  // each (user, day) replicates into the ≤7 window starts it belongs
+  // to (bounded replication, q50's interval-binning pattern), then ONE
+  // count-distinct aggregation with map-side partial dedup — never a
+  // window function over the corpus, never a self-join of day ranges.
+  private val q70: Q = (s, dir) =>
+    events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .select(col("user_id"),
+        explode(sequence(date_sub(col("day"), 6), col("day")))
+          .as("win_start"))
+      .groupBy(col("win_start"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("win_start"))
+
+  private val q70Sql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |w AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(day - 6, day, INTERVAL 1 DAY))
+      |      AS DATE) AS win_start
+      |  FROM ud)
+      |SELECT win_start, count(DISTINCT user_id) AS n_users
+      |FROM w GROUP BY 1 ORDER BY win_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q16_lag_lead" -> q16,
     "q67_rolling_median" -> q67,
     "q68_event_transitions" -> q68,
     "q69_first_last" -> q69,
+    "q70_sliding_distinct" -> q70,
     "q22_tumbling_window" -> q22,
     "q23_sliding_window" -> q23,
     "q24_sessionization" -> q24,
@@ -301,6 +329,7 @@ object Events {
     "q67_rolling_median" -> q67Sql,
     "q68_event_transitions" -> q68Sql,
     "q69_first_last" -> q69Sql,
+    "q70_sliding_distinct" -> q70Sql,
     "q22_tumbling_window" -> q22Sql,
     "q23_sliding_window" -> q23Sql,
     "q24_sessionization" -> q24Sql,

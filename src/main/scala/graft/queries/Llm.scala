@@ -780,6 +780,42 @@ object Llm {
        |    THEN 'en' ELSE 'unknown' END AS predicted_lang
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- llm_lang_confusion: language-ID audit matrix ------------------
+  // The evaluation view of the langid heuristic: predicted language
+  // vs the corpus's recorded `lang` column, as a confusion matrix with
+  // per-recorded-language rates. The audit a pipeline runs before
+  // trusting a classifier for filtering — the same groupBy shape
+  // serves any (predicted, actual) column pair. Rates are ratios of
+  // exact integer counts (deterministic); one scan, one tiny exchange.
+  private val langConfusion: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("lang"),
+        when(size(array_intersect(split(col("text"), " "),
+          array(stop.map(lit): _*))) > 0, lit("en"))
+          .otherwise(lit("unknown")).as("predicted_lang"))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate", round(col("n_docs").cast(DoubleType) /
+        sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))),
+        4))
+      .orderBy(col("lang"), col("predicted_lang"))
+
+  private val langConfusionSql =
+    """WITH p AS (
+      |  SELECT lang,
+      |    CASE WHEN len(list_intersect(string_split(text, ' '),
+      |      ['the', 'a', 'of', 'and', 'to'])) > 0
+      |      THEN 'en' ELSE 'unknown' END AS predicted_lang
+      |  FROM documents),
+      |c AS (SELECT lang, predicted_lang, count(*) AS n_docs
+      |      FROM p GROUP BY 1, 2)
+      |SELECT lang, predicted_lang, n_docs,
+      |  round(CAST(n_docs AS DOUBLE) /
+      |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4)
+      |    AS rate
+      |FROM c ORDER BY lang, predicted_lang""".stripMargin
+
   // ---- text analysis: quality scoring ---------------------------------
   private val quality: Q = (s, dir) =>
     t(s, dir, "documents")
@@ -1437,6 +1473,7 @@ object Llm {
     "llm_quality_score" -> quality,
     "llm_gopher_rules" -> gopher,
     "llm_source_overlap" -> sourceOverlap,
+    "llm_lang_confusion" -> langConfusion,
     "llm_repetition" -> repetition,
     "llm_token_entropy" -> entropy,
     "llm_token_count" -> tokenCount,
@@ -1479,6 +1516,7 @@ object Llm {
     "llm_quality_score" -> qualitySql,
     "llm_gopher_rules" -> gopherSql,
     "llm_source_overlap" -> sourceOverlapSql,
+    "llm_lang_confusion" -> langConfusionSql,
     "llm_repetition" -> repetitionSql,
     "llm_token_entropy" -> entropySql,
     "llm_token_count" -> tokenCountSql,

@@ -445,6 +445,66 @@ object Multimodal {
       |  round(avg(x), 4) AS c
       |FROM flat GROUP BY label, idx ORDER BY label, idx""".stripMargin
 
+  // ---- llm_embedding_outliers: distance-to-prototype audit -----------
+  // The quality-control consumer of the class centroids: the 3 vectors
+  // per label FARTHEST from their label's mean (lowest cosine to the
+  // prototype) — mislabeled/corrupt-embedding suspects, the per-class
+  // audit list a labeling pipeline reviews. Centroid components are
+  // rounded to 6 decimals BEFORE the dot product: avg summation order
+  // differs across engines (ulps), and freezing the model inputs makes
+  // every downstream similarity the identical fp expression on
+  // identical inputs (the knn/q29 discipline then applies to the final
+  // round(4)). Centroids ship broadcast; the rank window partitions on
+  // label (parallelism = #labels, and the per-label frame is corpus/
+  // #labels — for ONE giant class the TakeOrdered-per-cell shape of
+  // the IVF index is the fallback).
+  private val embeddingOutliers: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .groupBy(col("label"), col("idx"))
+      .agg(round(avg(col("x").cast(DoubleType)), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("c")))),
+        p => p.getField("c")).as("cent"))
+    e.join(broadcast(cents), Seq("label"))
+      .select(col("label").cast(LongType).as("label"), col("vec_id"),
+        round(dot(col("embedding"), col("cent")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+            sqrt(dot(col("cent"), col("cent")))), 4).as("centroid_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("centroid_sim"), col("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select(col("label"), col("vec_id"), col("centroid_sim"))
+      .orderBy(col("label"), col("vec_id"))
+  }
+
+  private val embeddingOutliersSql =
+    """WITH flat AS (
+      |  SELECT label,
+      |    CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT)
+      |      AS idx,
+      |    unnest([CAST(x AS DOUBLE) for x in embedding]) AS x
+      |  FROM embeddings),
+      |cm AS (SELECT label, idx, round(avg(x), 6) AS c
+      |       FROM flat GROUP BY 1, 2),
+      |cent AS (SELECT label, list(c ORDER BY idx) AS cent
+      |         FROM cm GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(e.label AS BIGINT) AS label, e.vec_id,
+      |    round(list_sum([CAST(e.embedding[i] AS DOUBLE) * cent[i]
+      |      for i in generate_series(1, len(cent))]) /
+      |      (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |                      for x in e.embedding])) *
+      |       sqrt(list_sum([c * c for c in cent]))), 4) AS centroid_sim
+      |  FROM embeddings e JOIN cent ON e.label = cent.label),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY label ORDER BY centroid_sim, vec_id) AS rk
+      |      FROM s)
+      |SELECT label, vec_id, centroid_sim
+      |FROM r WHERE rk <= 3 ORDER BY label, vec_id""".stripMargin
+
   // ---- llm_knn_classify: k-nearest-neighbor label voting -------------
   // The eval harness of the similarity family: each query vector gets
   // the majority label of its 10 nearest neighbors (cosine), ties
@@ -515,6 +575,7 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "llm_label_centroids" -> labelCentroids,
     "llm_knn_classify" -> knnClassify,
+    "llm_embedding_outliers" -> embeddingOutliers,
     "mm_decode_meta" -> decodeMeta,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resize,
@@ -526,6 +587,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "llm_label_centroids" -> labelCentroidsOracle,
     "llm_knn_classify" -> knnClassifySql,
+    "llm_embedding_outliers" -> embeddingOutliersSql,
     "mm_decode_meta" -> decodeMetaSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize" -> resizeSql,
