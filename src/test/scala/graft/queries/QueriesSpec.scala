@@ -602,6 +602,16 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("no query in the inventory plans a CartesianProduct (every " +
+    "deliberate cross join is a broadcast of a singleton/tiny frame)") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct planned by: ${offenders.mkString(", ")}")
+  }
+
   test("minhash collision probability tracks jaccard similarity") {
     import spark.implicits._
     // two 90%-overlapping shingle sets should collide on most rows
