@@ -103,7 +103,13 @@ object EventPipelines {
       .flatMapGroupsWithState[(Long, Long, String), (String, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, it, state) =>
-          val sorted = it.toSeq.sortBy(e => (e._2.getTime, e._3))
+          // full-precision ordering (epoch second, nanos, event_id):
+          // getTime alone is millis and would diverge from the batch
+          // lead()'s timestamp order on sub-millisecond data. The
+          // toSeq materializes ONE user's batch slice (bounded by the
+          // trigger interval), not the stream.
+          val sorted = it.toSeq.sortBy(e =>
+            (e._2.toInstant.getEpochSecond, e._2.getNanos, e._3))
           val out = Seq.newBuilder[(String, String)]
           var last = state.getOption
           sorted.foreach { e =>
