@@ -397,9 +397,38 @@ class RandomDifferentialSpec extends SparkSpec {
     TestQuery(s"setop:$op:$t", sql, build)
   }
 
+  // ---- null semantics: the fixture is null-free, so DERIVE nulls ----
+  // A projection nulls out one categorical value (nullif) and one
+  // numeric range (CASE → NULL), then the standard aggregation tail
+  // runs over it — exercising null group keys (grouped together,
+  // ordered nulls-first by both Spark front-ends), aggregates skipping
+  // nulls (count(*) vs sum/avg/min/max), and HAVING over null groups.
+  // The SQL stays DuckDB-replayable except ORDER BY null placement
+  // (DuckDB defaults NULLS LAST; add NULLS FIRST when replaying).
+  private def nullSingleGen: Gen[TestQuery] = for {
+    t <- Gen.oneOf("lineitem", "orders", "customer")
+    cat <- Gen.oneOf(meta(t).cats)
+    v <- Gen.oneOf(catDomain((t, cat)))
+    num <- Gen.oneOf(meta(t).numeric)
+    f <- Gen.choose(0.2, 0.8)
+    q <- {
+      val (lo, hi) = numRange((t, num))
+      val cut = BigDecimal(lo + f * (hi - lo))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val fromSql = s"(SELECT nullif($cat, '$v') AS $cat, " +
+        s"CASE WHEN $num < $cut THEN NULL ELSE $num END AS $num " +
+        s"FROM fuzz_$t) nv"
+      val baseDf = () => frames(t).select(
+        when(col(cat) === v, lit(null)).otherwise(col(cat)).as(cat),
+        when(col(num) < cut.toDouble, lit(null)).otherwise(col(num))
+          .as(num))
+      withTail(s"nulls:$t", fromSql, baseDf, Seq(cat), Seq(num), Nil, Nil)
+    }
+  } yield q
+
   private def queryGen: Gen[TestQuery] =
     Gen.frequency((4, singleGen), (5, join2Gen), (2, join3Gen),
-      (3, windowGen), (2, setOpGen))
+      (3, windowGen), (2, setOpGen), (2, nullSingleGen))
 
   // ---- the differential check ----------------------------------------
   private def canon(df: DataFrame): Seq[String] =
@@ -412,7 +441,7 @@ class RandomDifferentialSpec extends SparkSpec {
   test("200 seeded random queries: DataFrame-API and SQL-text " +
     "formulations agree row-for-row (predicates, group keys, " +
     "aggregates, HAVING, join types, join orders, window ranks, " +
-    "set operations)") {
+    "set operations, derived-null semantics)") {
     frames // force view registration
     var ran = 0
     (0 until 200).foreach { i =>
