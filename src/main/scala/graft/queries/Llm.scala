@@ -66,7 +66,7 @@ object Llm {
     * + pair groupBy, no window sort, no join) and ~30-40% faster at
     * sf0.1 (1.0-1.3 s vs 1.6-1.9 s).
     */
-  private[queries] def jaccardPairsFor(docs: DataFrame,
+  private[queries] def pairStatsFor(docs: DataFrame,
       maxDf: Int = JaccardMaxDf): DataFrame = {
     // shingles live their whole pipeline life as 64-bit hashes
     // (functions.ShingleHashes): the posting-list exchange is the
@@ -130,10 +130,21 @@ object Llm {
       .select(
         shiftrightunsigned(col("a_dn"), PackBits).as("a_id"),
         shiftrightunsigned(col("b_dn"), PackBits).as("b_id"),
-        (col("inter").cast(DoubleType) /
-          (col("a_dn").bitwiseAND(PackMask) +
-            col("b_dn").bitwiseAND(PackMask) - col("inter"))).as("jaccard"))
+        col("inter"),
+        col("a_dn").bitwiseAND(PackMask).as("na"),
+        col("b_dn").bitwiseAND(PackMask).as("nb"))
   }
+
+  /** Raw overlap statistics per candidate pair — (a_id, b_id, inter,
+    * na, nb) with ids ordered — the shared substrate jaccard AND
+    * containment scoring derive from (one posting-list pipeline, two
+    * similarity measures). */
+  private[queries] def jaccardPairsFor(docs: DataFrame,
+      maxDf: Int = JaccardMaxDf): DataFrame =
+    pairStatsFor(docs, maxDf)
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
 
   private[queries] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairsFor(t(s, dir, "documents"))
@@ -391,6 +402,51 @@ object Llm {
   private val minhashLsh: Q = (s, dir) =>
     lshVerifiedPairs(t(s, dir, "documents"))
       .orderBy(col("a_id"), col("b_id"))
+
+  // ---- llm_containment_dedup: asymmetric overlap (quote/subset) ------
+  // The similarity measure Jaccard structurally misses: containment
+  // C(A,B) = |A∩B| / min(|A|,|B|) is ~1 when one document QUOTES or
+  // SUBSUMES another even though Jaccard is small (a 40-token doc
+  // embedded in a 400-token doc has J ≈ 0.1, C ≈ 1.0). The standard
+  // quote/boilerplate-inclusion detector in web-corpus dedup. Rides
+  // the SAME df-capped posting-list pipeline as the Jaccard family
+  // (pairStatsFor — one pipeline, two measures); the filter runs on
+  // the RAW integer ratio (deterministic cross-engine), rounding is
+  // output-only.
+  private val containmentDedup: Q = (s, dir) =>
+    pairStatsFor(t(s, dir, "documents"))
+      .withColumn("c_raw", col("inter").cast(DoubleType) /
+        least(col("na"), col("nb")))
+      .filter(col("c_raw") >= 0.9)
+      .select(col("a_id"), col("b_id"),
+        round(col("c_raw"), 4).as("containment"),
+        round(col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val containmentDedupSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |            for i in generate_series(1, len(tk)-2)]) AS s
+      |  FROM tok),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |  round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 4)
+      |    AS containment,
+      |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4)
+      |    AS jaccard
+      |FROM pr JOIN sz sa ON sa.doc_id = a_id
+      |        JOIN sz sb ON sb.doc_id = b_id
+      |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+      |ORDER BY a_id, b_id""".stripMargin
 
   // ---- llm_source_overlap: cross-source near-dup matrix --------------
   // The sixth consumer of the verified-pair index: which SOURCES share
@@ -1473,6 +1529,7 @@ object Llm {
     "llm_quality_score" -> quality,
     "llm_gopher_rules" -> gopher,
     "llm_source_overlap" -> sourceOverlap,
+    "llm_containment_dedup" -> containmentDedup,
     "llm_lang_confusion" -> langConfusion,
     "llm_repetition" -> repetition,
     "llm_token_entropy" -> entropy,
@@ -1516,6 +1573,10 @@ object Llm {
     "llm_quality_score" -> qualitySql,
     "llm_gopher_rules" -> gopherSql,
     "llm_source_overlap" -> sourceOverlapSql,
+    // df-capped postings vs the oracle's uncapped join: parity holds
+    // when no shared shingle exceeds the cap (true on the fixtures,
+    // pinned by the gate at all three SFs — same contract as jaccard)
+    "llm_containment_dedup" -> containmentDedupSql,
     "llm_lang_confusion" -> langConfusionSql,
     "llm_repetition" -> repetitionSql,
     "llm_token_entropy" -> entropySql,
