@@ -38,8 +38,15 @@ object BloomJoin {
   private[graft] def bloomBytesFor(small: DataFrame, key: String,
       fpp: Double): Array[Byte] =
     bloomCache.get(small, (key, fpp)) {
-      val n = math.max(1L, small.count())
-      val bf = small.stat.bloomFilter(key, n, fpp)
+      val n = small.count()
+      // an EMPTY build side must yield a valid never-matching filter:
+      // stat.bloomFilter's zero-row aggregation returns a sketch with
+      // a null bit buffer whose serialization NPEs (found by
+      // EmptyInputSpec), so build the empty filter directly
+      val bf =
+        if (n == 0L)
+          org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+        else small.stat.bloomFilter(key, n, fpp)
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       bos.toByteArray

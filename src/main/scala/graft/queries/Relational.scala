@@ -604,10 +604,18 @@ object Relational {
     val merged = o
       .groupBy(spark_partition_id()) // any grouping: per-group sketches
       .agg(kll_sketch_agg_double(col("p"), 400).as("sk"))
-      .agg(kll_merge_agg_double(col("sk"), 400).as("msk"))
+      .agg(kll_merge_agg_double(col("sk"), 400).as("msk"),
+        count(lit(1)).as("ng"))
+      // ZERO input groups merge to a degenerate (non-null but
+      // value-less) sketch the quantile extractor REJECTS at runtime
+      // (found by EmptyInputSpec) — gate extraction on the merged
+      // group count so an empty corpus degrades to null estimates
+      // instead of a runtime error
       .select(
-        kll_sketch_get_quantile_double(col("msk"), lit(0.5)).as("e50"),
-        kll_sketch_get_quantile_double(col("msk"), lit(0.9)).as("e90"))
+        when(col("ng") > 0,
+          kll_sketch_get_quantile_double(col("msk"), lit(0.5))).as("e50"),
+        when(col("ng") > 0,
+          kll_sketch_get_quantile_double(col("msk"), lit(0.9))).as("e90"))
     o.crossJoin(broadcast(merged))
       .agg(count(lit(1)).as("n_rows"),
         (sum(when(col("p") <= col("e50"), 1L).otherwise(0L))
