@@ -445,6 +445,63 @@ object Multimodal {
       |  round(avg(x), 4) AS c
       |FROM flat GROUP BY label, idx ORDER BY label, idx""".stripMargin
 
+  // ---- llm_ann_recall: the ANN quality metric AS a query -------------
+  // Recall@10 of the IVF index against exact brute force at probe
+  // depths 2 and 4 — the recall/cost curve an ANN deployment monitors
+  // (more probes = more candidates scanned = higher recall). The
+  // DuckDB oracle rebuilds BOTH the IVF cells and the brute ranking,
+  // so the metric itself is hash-checked. On the un-clustered fixture
+  // the UNTRAINED hash-sampled quantizer reads ~0.5→0.6 across the
+  // curve — honestly low; the TRAINED quantizer on clustered data is
+  // pinned ≥ 0.9 in MultimodalSpec (training, not probe depth, is the
+  // first-order recall lever). Cost: one IVF probe + one brute scan —
+  // the production form samples query vectors through the same
+  // two-sided join.
+  private val annRecall: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val brute = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("qe")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+            sqrt(dot(col("qe"), col("qe"))))).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"))
+    def recallAt(nProbe: Int) =
+      annIvfWith(s, dir, nProbe = nProbe).select(col("vec_id"))
+        .join(brute, "vec_id")
+        .agg((count(lit(1)).cast(DoubleType) / 10.0)
+          .as(s"recall_p$nProbe"))
+    recallAt(2).crossJoin(recallAt(4))
+  }
+
+  // the 4-probe twin is the 2-probe oracle with the probe-depth
+  // constant swapped — same cell derivation, wider search
+  private val annRecallSql =
+    s"""WITH ivf2 AS (SELECT vec_id FROM ($annIvfSql) iv2),
+       |ivf4 AS (SELECT vec_id FROM (${annIvfSql
+            .replace("rn <= 2", "rn <= 4")}) iv4),
+       |brute AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e.vec_id,
+       |      list_sum([CAST(e.embedding[i] AS DOUBLE) *
+       |                CAST(q.embedding[i] AS DOUBLE)
+       |                for i in generate_series(1, len(e.embedding))]) /
+       |      (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                      for x in e.embedding])) *
+       |       sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                      for x in q.embedding]))) AS score
+       |    FROM embeddings e, (SELECT embedding FROM embeddings
+       |                        WHERE vec_id = 0) q
+       |    WHERE e.vec_id <> 0
+       |    ORDER BY score DESC, vec_id LIMIT 10) b)
+       |SELECT
+       |  (SELECT count(*) FROM ivf2 JOIN brute USING (vec_id)) / 10.0
+       |    AS recall_p2,
+       |  (SELECT count(*) FROM ivf4 JOIN brute USING (vec_id)) / 10.0
+       |    AS recall_p4""".stripMargin
+
   // ---- llm_embedding_outliers: distance-to-prototype audit -----------
   // The quality-control consumer of the class centroids: the 3 vectors
   // per label FARTHEST from their label's mean (lowest cosine to the
@@ -576,6 +633,7 @@ object Multimodal {
     "llm_label_centroids" -> labelCentroids,
     "llm_knn_classify" -> knnClassify,
     "llm_embedding_outliers" -> embeddingOutliers,
+    "llm_ann_recall" -> annRecall,
     "mm_decode_meta" -> decodeMeta,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resize,
@@ -588,6 +646,7 @@ object Multimodal {
     "llm_label_centroids" -> labelCentroidsOracle,
     "llm_knn_classify" -> knnClassifySql,
     "llm_embedding_outliers" -> embeddingOutliersSql,
+    "llm_ann_recall" -> annRecallSql,
     "mm_decode_meta" -> decodeMetaSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize" -> resizeSql,
