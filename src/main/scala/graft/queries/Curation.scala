@@ -1072,6 +1072,111 @@ object Curation {
       |    THEN '4' ELSE '8' END
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- llm_weighted_sample: exact weighted reservoir (A-ES) ----------
+  // Efraimidis–Spirakis weighted sampling without replacement: each doc
+  // draws u ~ Uniform(0,1) and ranks by key = -ln(u)/w (w = n_chars);
+  // the k smallest keys form an exact weighted sample (a doc's
+  // inclusion odds are proportional to its weight). u is the doc-id
+  // md5 32-bit prefix — no RNG, engine/partition/rerun-stable, and
+  // per-row decidable, so a re-delivered doc samples identically
+  // (the property incremental corpus appends need). Scale shape: scan
+  // + per-row scoring + TakeOrdered(k) — no global sort, no shuffle
+  // beyond the top-k reduction; ln and the division are per-row
+  // libm/IEEE ops both engines execute identically (the same budget
+  // llm_token_entropy rides).
+  private val weightedSample: Q = (s, dir) => {
+    val u = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
+      16, 10).cast(DoubleType) + 0.5) / 4294967296.0
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast(LongType).as("weight"),
+        (-log(u) / col("n_chars").cast(DoubleType)).as("key_raw"))
+      .orderBy(col("key_raw"), col("doc_id"))
+      .limit(200)
+      .select(col("doc_id"), col("source"), col("weight"),
+        round(col("key_raw"), 8).as("sample_key"))
+  }
+
+  private val weightedSampleSql =
+    """WITH scored AS (
+      |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+      |    -ln((list_sum([(strpos('0123456789abcdef',
+      |            substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+      |          * power(16, 8 - i)
+      |          for i in generate_series(1, 8)]) + 0.5)
+      |        / 4294967296.0)
+      |      / CAST(n_chars AS DOUBLE) AS key_raw
+      |  FROM documents)
+      |SELECT doc_id, source, weight, round(key_raw, 8) AS sample_key
+      |FROM scored ORDER BY key_raw, doc_id LIMIT 200""".stripMargin
+
+  // ---- llm_zipf_fit: Zipf's-law slope of the corpus frequency curve --
+  // Corpus-health diagnostic (a natural corpus fits ln(freq) ≈
+  // intercept + slope·ln(rank) with slope ≈ -1; a heavily duplicated
+  // or templated corpus bends away). Served from the term-stats
+  // artifact — no re-tokenization; the regression runs over the
+  // VOCABULARY (≪ corpus). Cross-engine determinism: the ln terms are
+  // rounded per row and summed as exact DECIMALs (order-independent),
+  // then the closed-form least-squares slope/intercept is a handful of
+  // scalar double ops both engines perform identically.
+  private val zipfFit: Q = (s, dir) => {
+    val freq = termStats(t(s, dir, "documents"))
+      .groupBy(col("w")).agg(sum(col("tf")).as("f"))
+    val ranked = freq.select(col("w"), col("f"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("w"))).as("r"))
+    val terms = ranked.select(
+      round(log(col("r").cast(DoubleType)), 9)
+        .cast(DecimalType(28, 9)).as("x"),
+      round(log(col("f").cast(DoubleType)), 9)
+        .cast(DecimalType(28, 9)).as("y"),
+      round(log(col("r").cast(DoubleType)) * log(col("r").cast(DoubleType)), 9)
+        .cast(DecimalType(28, 9)).as("xx"),
+      round(log(col("r").cast(DoubleType)) * log(col("f").cast(DoubleType)), 9)
+        .cast(DecimalType(28, 9)).as("xy"))
+    val sums = terms.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast(DoubleType).as("sx"),
+      sum(col("y")).cast(DoubleType).as("sy"),
+      sum(col("xx")).cast(DoubleType).as("sxx"),
+      sum(col("xy")).cast(DoubleType).as("sxy"))
+    sums.select(col("n").as("n_terms"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+      round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+        col("n"), 6).as("intercept"))
+  }
+
+  private val zipfFitSql =
+    """WITH freq AS (
+      |  SELECT w, count(*) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |ranked AS (
+      |  SELECT w, f,
+      |    row_number() OVER (ORDER BY f DESC, w) AS r
+      |  FROM freq),
+      |terms AS (
+      |  SELECT
+      |    CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(28,9)) AS x,
+      |    CAST(round(ln(CAST(f AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y,
+      |    CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 9)
+      |      AS DECIMAL(28,9)) AS xx,
+      |    CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 9)
+      |      AS DECIMAL(28,9)) AS xy
+      |  FROM ranked),
+      |sums AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(xx) AS DOUBLE) AS sxx, CAST(sum(xy) AS DOUBLE) AS sxy
+      |  FROM terms)
+      |SELECT n AS n_terms,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+      |    6) AS intercept
+      |FROM sums""".stripMargin
+
   // ---- llm_bm25: retrieval scoring (Robertson/Sparck Jones BM25) -----
   // The ranking operator a curation pipeline uses to score documents
   // against a reference query/corpus (quality classifiers, targeted
@@ -1240,6 +1345,8 @@ object Curation {
     "llm_bigram_lm" -> bigramLm,
     "llm_pmi_bigrams" -> pmi,
     "llm_stratified_sample" -> stratified,
+    "llm_weighted_sample" -> weightedSample,
+    "llm_zipf_fit" -> zipfFit,
     "q58_bloom_join" -> q58,
     "q59_heavy_hitters" -> q59,
     "q63_count_min" -> q63,
@@ -1268,6 +1375,8 @@ object Curation {
     "llm_quality_buckets" -> qualityBucketsSql,
     "llm_pmi_bigrams" -> pmiSql,
     "llm_stratified_sample" -> stratifiedSql,
+    "llm_weighted_sample" -> weightedSampleSql,
+    "llm_zipf_fit" -> zipfFitSql,
     "q58_bloom_join" -> q58Sql,
     // sketch estimates are merge-order-dependent; the BOUND is
     // deterministic, so the verdict column is the oracle surface

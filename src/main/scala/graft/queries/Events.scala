@@ -309,8 +309,161 @@ object Events {
       |SELECT win_start, count(DISTINCT user_id) AS n_users
       |FROM w GROUP BY 1 ORDER BY win_start""".stripMargin
 
+  // q71: time-series resample + gap fill — the densify/forward-fill
+  // operator every metrics pipeline needs (a user with no events on a
+  // day must still produce a row). Scale shape: the observed per-day
+  // aggregation is ONE user-keyed exchange; the day grid is generated
+  // (sequence + explode), never stored or self-joined, and its span is
+  // a broadcast scalar; the grid→observed join and the forward-fill
+  // window reuse the same user partitioning. Grid cardinality =
+  // users × span-days — bounded and predictable, the standard densify
+  // contract (a 100 TB deployment bounds the span per query, not the
+  // engine).
+  private val q71: Q = (s, dir) => {
+    val daily = events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(d(sum(dec2(col("value")))).as("dv"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("dv"), lit(0.0)).as("day_value"),
+        last(col("dv"), ignoreNulls = true).over(w).as("carry_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val q71Sql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dv
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |grid AS (
+      |  SELECT u.user_id,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |      AS day
+      |  FROM (SELECT DISTINCT user_id FROM daily) u, span)
+      |SELECT g.user_id, g.day,
+      |  coalesce(d.dv, 0.0) AS day_value,
+      |  last_value(d.dv IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_value
+      |FROM grid g LEFT JOIN daily d
+      |  ON d.user_id = g.user_id AND d.day = g.day
+      |ORDER BY g.user_id, g.day""".stripMargin
+
+  // q72: slowly-changing-dimension (type 2) history build — collapse a
+  // change-event log into validity intervals [valid_from, valid_to)
+  // with a current-row flag. The state tracked here is the user's
+  // event_type (each differing consecutive event opens a new
+  // interval). Scale shape: change detection and interval closing are
+  // two window passes over the SAME user partitioning (one exchange,
+  // Catalyst reuses the sort); output is bounded by the number of
+  // state CHANGES, not events.
+  private val q72: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = events(s, dir)
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull ||
+        col("prev_state") =!= col("event_type"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    changes
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w2).as("valid_to"),
+        when(lead(col("ts"), 1).over(w2).isNull, lit(1L)).otherwise(lit(0L))
+          .as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  private val q72Sql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(event_type, 1) OVER w AS prev_state
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |changes AS (
+      |  SELECT user_id, event_id, ts, event_type FROM marked
+      |  WHERE prev_state IS NULL OR prev_state <> event_type)
+      |SELECT user_id, event_type AS state, ts AS valid_from,
+      |  lead(ts, 1) OVER w AS valid_to,
+      |  CAST(CASE WHEN lead(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END
+      |    AS BIGINT) AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from""".stripMargin
+
+  // q74: PageRank (damping 0.85, 20 power iterations) over the
+  // event-type transition graph. The iterative graph operator lives in
+  // operators.PageRank: `run` is the distributed loop (one node-keyed
+  // join + one aggregation per step — the billion-node shape), and
+  // `runBounded` is the driver-resident variant for graphs bounded BY
+  // CONSTRUCTION (this one: a label alphabet, ≤ |types|² edges behind
+  // a loud cap) — identical decimal-exact arithmetic, pinned equal in
+  // OperatorsSpec, without paying 20 × the per-stage scheduling floor
+  // for a 25-edge graph. Cross-engine determinism notes on PageRank.
+  private val q74: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val edges = pairs.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w", col("cnt").cast(DoubleType) /
+        sum(col("cnt")).over(Window.partitionBy(col("src")))
+          .cast(DoubleType))
+      .select(col("src"), col("dst"), col("w"))
+    graft.operators.PageRank.runBounded(edges)
+      .select(col("node"), round(col("rank"), 8).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  private val q74Sql =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |counts AS (
+      |  SELECT src, dst, count(*) AS cnt
+      |  FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT src, dst, CAST(cnt AS DOUBLE) /
+      |    CAST(sum(cnt) OVER (PARTITION BY src) AS DOUBLE) AS w
+      |  FROM counts),
+      |nodes AS (
+      |  -- DISTINCT over UNION ALL, not UNION: inside WITH RECURSIVE
+      |  -- DuckDB gives a plain UNION in a helper CTE recursive-union
+      |  -- semantics and skips the dedup
+      |  SELECT DISTINCT node FROM (
+      |    SELECT src AS node FROM edges
+      |    UNION ALL SELECT dst AS node FROM edges)),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |pr(iter, node, rank) AS (
+      |  SELECT 0, node, CAST(1.0 / nn.n AS DOUBLE) FROM nodes, nn
+      |  UNION ALL
+      |  SELECT p.iter + 1, e.dst AS node,
+      |    CAST(round(0.15 / min(nn.n) + 0.85 *
+      |      CAST(sum(CAST(p.rank * e.w AS DECIMAL(38,18))) AS DOUBLE),
+      |      12) AS DOUBLE)
+      |  FROM pr p JOIN edges e ON e.src = p.node, nn
+      |  WHERE p.iter < 20
+      |  GROUP BY p.iter, e.dst)
+      |SELECT node, round(rank, 8) AS rank
+      |FROM pr WHERE iter = 20 ORDER BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q16_lag_lead" -> q16,
+    "q71_gap_fill" -> q71,
+    "q72_scd2" -> q72,
+    "q74_pagerank" -> q74,
     "q67_rolling_median" -> q67,
     "q68_event_transitions" -> q68,
     "q69_first_last" -> q69,
@@ -324,6 +477,9 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q16_lag_lead" -> q16Sql,
+    "q71_gap_fill" -> q71Sql,
+    "q72_scd2" -> q72Sql,
+    "q74_pagerank" -> q74Sql,
     // explicit midpoint derivation on both sides (not built-in
     // windowed quantiles): identical fp ops, stable hash
     "q67_rolling_median" -> q67Sql,

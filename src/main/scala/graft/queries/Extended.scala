@@ -318,6 +318,58 @@ object Extended {
       |FROM base b FULL OUTER JOIN updates u ON b.key = u.key
       |ORDER BY key""".stripMargin
 
+  // q73: snapshot diff (CDC derivation) — classify every key across
+  // two table snapshots as added / removed / changed, the operator a
+  // lakehouse ingest runs to turn full snapshots into a change feed.
+  // Snapshots are derived deterministically from the fixture: the old
+  // snapshot is missing keys ≡7 (mod 10) (later additions), the new
+  // one is missing keys ≡3 (mod 10) (deletions) and bumps open-order
+  // prices by +50 (updates). Scale shape: ONE key-partitioned
+  // full-outer sort-merge join of the two snapshot scans — the
+  // classification is a per-row projection, and emitting only
+  // non-unchanged rows keeps the output proportional to the churn
+  // rate, not the table.
+  private val q73: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val old = o.filter(col("o_orderkey") % 10 =!= 7)
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").as("old_price"))
+    val neu = o.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey").as("key"),
+        when(col("o_orderstatus") === "O", col("o_totalprice") + 50.0)
+          .otherwise(col("o_totalprice")).as("new_price"))
+    old.join(neu, Seq("key"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_price").isNull, "added")
+          .when(col("new_price").isNull, "removed")
+          .when(col("old_price") =!= col("new_price"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("key"), col("change_type"),
+        col("old_price"), col("new_price"))
+      .orderBy(col("key"))
+  }
+
+  private val q73Sql =
+    """WITH old AS (
+      |  SELECT o_orderkey AS key, o_totalprice AS old_price
+      |  FROM orders WHERE o_orderkey % 10 <> 7),
+      |neu AS (
+      |  SELECT o_orderkey AS key,
+      |    CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 50.0
+      |         ELSE o_totalprice END AS new_price
+      |  FROM orders WHERE o_orderkey % 10 <> 3),
+      |diff AS (
+      |  SELECT coalesce(o.key, n.key) AS key, o.old_price, n.new_price,
+      |    CASE WHEN o.key IS NULL THEN 'added'
+      |         WHEN n.key IS NULL THEN 'removed'
+      |         WHEN o.old_price <> n.new_price THEN 'changed'
+      |         ELSE 'unchanged' END AS change_type
+      |  FROM old o FULL OUTER JOIN neu n ON o.key = n.key)
+      |SELECT key, change_type, old_price, new_price
+      |FROM diff WHERE change_type <> 'unchanged'
+      |ORDER BY key""".stripMargin
+
   // q42: deterministic hash sampling — the scalable sampling method
   // (consistent across engines, partitions, and reruns, unlike
   // seed-based TABLESAMPLE): keep rows whose md5(key) starts with
@@ -544,6 +596,7 @@ object Extended {
     "q36_grouping_sets" -> q36,
     "q40_map_funcs" -> q40,
     "q41_merge_upsert" -> q41,
+    "q73_snapshot_diff" -> q73,
     "q42_hash_sample" -> q42,
     "q43_recursive_cte" -> q43,
     "q44_lateral_topn" -> q44,
@@ -563,6 +616,7 @@ object Extended {
     "q36_grouping_sets" -> q36Sql,
     "q40_map_funcs" -> q40Sql,
     "q41_merge_upsert" -> q41Sql,
+    "q73_snapshot_diff" -> q73Sql,
     "q42_hash_sample" -> q42Sql,
     "q43_recursive_cte" -> q43Sql,
     "q44_lateral_topn" -> q44Sql,

@@ -502,6 +502,96 @@ object Multimodal {
        |  (SELECT count(*) FROM ivf4 JOIN brute USING (vec_id)) / 10.0
        |    AS recall_p4""".stripMargin
 
+  // ---- llm_ann_sq8: scalar-quantized (int8) candidate search ----------
+  // The memory-compression path of a 100 TB vector deployment: store
+  // 8-bit codes (4x smaller than float32, 8x than float64), scan the
+  // COMPRESSED corpus for candidates, and re-rank only the shortlist
+  // against exact vectors (FAISS's SQ flat index shape; composes with
+  // the IVF cell routing above). Quantization is SYMMETRIC with one
+  // GLOBAL scale (code = round(x/s*127), s = corpus max |component|):
+  // codes stay proportional to values, so the integer code dot product
+  // is a true similarity proxy -- an asymmetric per-dim min/max scheme
+  // was tried first and REFUTED by the recall spec (the offset term
+  // dominates the code dot; recall@10 vs exact was 0/10). The scale is
+  // ONE bounded aggregation shipped broadcast; the candidate scan
+  // ranks by quantized cosine (exact integer sums; the final
+  // sqrt/divide is the identical fp expression both engines run on
+  // identical integers -- the q29/q30 discipline); only the
+  // 50-candidate shortlist pays an exact-double cosine re-rank.
+  private val annSq8: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val scale = e
+      .select(posexplode(col("embedding")).as(Seq("idx", "x")))
+      .agg(max(abs(col("x").cast(DoubleType))).as("s"))
+    val quantized = e.crossJoin(broadcast(scale))
+      .select(col("vec_id"), col("embedding"),
+        expr("""transform(embedding, x ->
+          cast(round(cast(x as double) / s * 127.0D, 0) as bigint))""")
+          .as("qv"))
+      .withColumn("q2",
+        expr("aggregate(transform(qv, x -> x * x), cast(0 as bigint), " +
+          "(acc, v) -> acc + v)"))
+    val q = quantized.filter(col("vec_id") === 0)
+      .select(col("qv").as("qq"), col("embedding").as("qe"),
+        col("q2").as("qq2"))
+    val cand = quantized.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("qe"),
+        expr("aggregate(zip_with(qv, qq, (x, y) -> x * y), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)").as("qdot"),
+        col("q2"), col("qq2"))
+      .withColumn("qcos", col("qdot").cast(DoubleType) /
+        (sqrt(col("q2").cast(DoubleType)) *
+          sqrt(col("qq2").cast(DoubleType))))
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(50)
+    cand
+      .select(col("vec_id"), col("qdot"),
+        round(dot(col("embedding"), col("qe")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+            sqrt(dot(col("qe"), col("qe")))), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+
+  private val annSq8Sql =
+    """WITH e AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ed
+      |  FROM embeddings),
+      |scale AS (
+      |  SELECT max(abs(x)) AS s
+      |  FROM (SELECT unnest(ed) AS x FROM e)),
+      |qe AS (
+      |  SELECT vec_id, ed,
+      |    [CAST(round(ed[i] / p.s * 127.0, 0) AS BIGINT)
+      |     for i in generate_series(1, len(ed))] AS qv
+      |  FROM e, scale p),
+      |qn AS (
+      |  SELECT vec_id, ed, qv,
+      |    CAST(list_sum([x * x for x in qv]) AS BIGINT) AS q2
+      |  FROM qe),
+      |q AS (SELECT qv AS qq, ed AS qed, q2 AS qq2 FROM qn WHERE vec_id = 0),
+      |cand AS (
+      |  SELECT c.vec_id, c.ed,
+      |    CAST(list_sum([c.qv[i] * q.qq[i]
+      |      for i in generate_series(1, len(c.qv))]) AS BIGINT) AS qdot,
+      |    c.q2, q.qq2
+      |  FROM qn c, q WHERE c.vec_id <> 0),
+      |short AS (
+      |  SELECT vec_id, ed, qdot,
+      |    CAST(qdot AS DOUBLE) /
+      |      (sqrt(CAST(q2 AS DOUBLE)) * sqrt(CAST(qq2 AS DOUBLE))) AS qcos
+      |  FROM cand
+      |  ORDER BY qcos DESC, vec_id LIMIT 50)
+      |SELECT c.vec_id, c.qdot,
+      |  round(list_sum([c.ed[i] * q.qed[i]
+      |      for i in generate_series(1, len(c.ed))]) /
+      |    (sqrt(list_sum([x * x for x in c.ed])) *
+      |     sqrt(list_sum([x * x for x in q.qed]))), 4) AS score
+      |FROM short c, q
+      |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
   // ---- llm_embedding_outliers: distance-to-prototype audit -----------
   // The quality-control consumer of the class centroids: the 3 vectors
   // per label FARTHEST from their label's mean (lowest cosine to the
@@ -634,6 +724,7 @@ object Multimodal {
     "llm_knn_classify" -> knnClassify,
     "llm_embedding_outliers" -> embeddingOutliers,
     "llm_ann_recall" -> annRecall,
+    "llm_ann_sq8" -> annSq8,
     "mm_decode_meta" -> decodeMeta,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resize,
@@ -647,6 +738,7 @@ object Multimodal {
     "llm_knn_classify" -> knnClassifySql,
     "llm_embedding_outliers" -> embeddingOutliersSql,
     "llm_ann_recall" -> annRecallSql,
+    "llm_ann_sq8" -> annSq8Sql,
     "mm_decode_meta" -> decodeMetaSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize" -> resizeSql,

@@ -259,4 +259,31 @@ class OperatorsSpec extends SparkSpec {
     assert(!(other eq first))
     SkewJoin.clearHotKeyCache()
   }
+
+  test("pagerank: distributed loop and bounded driver variant are " +
+    "bit-identical; ranks are a probability distribution") {
+    import spark.implicits._
+    // small weighted digraph with a dangling-free structure and
+    // asymmetric weights (exercises the decimal-sum path)
+    val edges = Seq(
+      ("a", "b", 0.5), ("a", "c", 0.5),
+      ("b", "a", 1.0),
+      ("c", "a", 0.25), ("c", "b", 0.75)).toDF("src", "dst", "w")
+    val n = PageRank.nodesOf(edges).count()
+    val dist = PageRank.run(edges, n).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bounded = PageRank.runBounded(edges).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dist == bounded,
+      s"distributed $dist != bounded $bounded")
+    val sum = bounded.values.sum
+    assert(math.abs(sum - 1.0) < 1e-9, s"rank mass $sum")
+    assert(bounded.values.forall(_ > 0.0))
+  }
+
+  test("pagerank on an empty edge list returns an empty rank table") {
+    import spark.implicits._
+    val edges = Seq.empty[(String, String, Double)].toDF("src", "dst", "w")
+    assert(PageRank.runBounded(edges).count() == 0)
+  }
 }

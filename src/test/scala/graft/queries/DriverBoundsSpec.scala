@@ -92,6 +92,17 @@ class DriverBoundsSpec extends SparkSpec {
     assert(ex.getMessage.contains("driver-resident"), ex.getMessage)
   }
 
+  test("pagerank runBounded refuses an over-cap edge list before " +
+    "collecting it") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0), ("a", "c", 0.0))
+      .toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.PageRank.runBounded(edges, maxEdges = 2)
+    }
+    assert(ex.getMessage.contains("driver cap"), ex.getMessage)
+  }
+
   test("bigram LM model build refuses an over-cap vocabulary before " +
     "collecting it") {
     import spark.implicits._

@@ -612,6 +612,121 @@ class QueriesSpec extends SparkSpec {
       s"CartesianProduct planned by: ${offenders.mkString(", ")}")
   }
 
+  test("q71 gap fill: complete per-user day grid, zero-filled gaps, " +
+    "carry equals the last observed day value") {
+    val rows = SparkEntry.queries("q71_gap_fill")(spark, dir).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    val days = rows.map(_.getDate(1).toLocalDate).distinct.sorted
+    val span = java.time.temporal.ChronoUnit.DAYS
+      .between(days.head, days.last) + 1
+    assert(days.length.toLong == span, "global day grid has holes")
+    byUser.foreach { case (u, rs) =>
+      assert(rs.length.toLong == span, s"user $u grid incomplete")
+      var carry: Option[Double] = None
+      rs.sortBy(_.getDate(1).toLocalDate.toEpochDay).foreach { r =>
+        val dv = r.getDouble(2)
+        if (dv != 0.0) carry = Some(dv)
+        if (r.isNullAt(3)) assert(carry.isEmpty,
+          s"user $u: null carry after an observed day")
+        // dv == 0.0 is ambiguous (gap vs true zero-sum day); only
+        // non-zero observations must propagate exactly
+        else if (carry.isDefined && dv != 0.0)
+          assert(r.getDouble(3) == dv,
+            s"user $u: carry ${r.getDouble(3)} != day value $dv")
+      }
+    }
+  }
+
+  test("q72 scd2: per user, intervals chain (valid_to = next " +
+    "valid_from), exactly one current row, states alternate") {
+    val rows = SparkEntry.queries("q72_scd2")(spark, dir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      assert(rs.count(_.getLong(4) == 1L) == 1,
+        s"user $u: not exactly one is_current")
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          // ntz timestamps surface as LocalDateTime — compare generically
+          assert(a.get(3) == b.get(2),
+            s"user $u: interval chain broken")
+          assert(a.getString(1) != b.getString(1),
+            s"user $u: consecutive intervals share a state")
+        case _ => ()
+      }
+      assert(rs.last.isNullAt(3) && rs.last.getLong(4) == 1L,
+        s"user $u: last interval must be open + current")
+    }
+  }
+
+  test("q73 snapshot diff: change classes follow the derivation " +
+    "(added ≡7 mod 10, removed ≡3 mod 10, changed are open orders)") {
+    val rows = SparkEntry.queries("q73_snapshot_diff")(spark, dir)
+      .collect()
+    val status = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, ct) = (r.getLong(0), r.getString(1))
+      ct match {
+        case "added"   => assert(k % 10 == 7, s"$k added but not ≡7")
+        case "removed" => assert(k % 10 == 3, s"$k removed but not ≡3")
+        case "changed" =>
+          assert(k % 10 != 7 && k % 10 != 3 && status(k) == "O",
+            s"$k changed but not an open order present in both")
+        case other => fail(s"unexpected change_type $other")
+      }
+    }
+  }
+
+  test("q74 pagerank: ranks are a probability distribution over the " +
+    "event-type alphabet (sum 1, all positive)") {
+    val rows = SparkEntry.queries("q74_pagerank")(spark, dir).collect()
+    val types = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type")).distinct().count()
+    assert(rows.length.toLong == types, "one rank row per event type")
+    rows.foreach(r => assert(r.getDouble(1) > 0.0, "non-positive rank"))
+    val sum = rows.map(_.getDouble(1)).sum
+    assert(math.abs(sum - 1.0) < 1e-6, s"ranks sum to $sum, not 1")
+  }
+
+  test("llm_weighted_sample: top-k selection, not a global sort " +
+    "(TakeOrdered), and keys respect the weight ordering property") {
+    val df = SparkEntry.queries("llm_weighted_sample")(spark, dir)
+    assert(df.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+      "weighted sample should plan a TakeOrdered, not sort the corpus")
+    val rows = df.collect()
+    assert(rows.length == math.min(200,
+      spark.read.parquet(s"$dir/documents.parquet").count()).toInt)
+    // sample keys ascending in output order; every key positive
+    val keys = rows.map(_.getDouble(3))
+    assert(keys.sameElements(keys.sorted), "keys not ascending")
+    keys.foreach(k => assert(k >= 0.0))
+  }
+
+  test("llm_zipf_fit: negative slope on the fixture (frequency " +
+    "decreases with rank) and n_terms = vocabulary size") {
+    val r = SparkEntry.queries("llm_zipf_fit")(spark, dir).head()
+    val vocab = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(col("w")).distinct().count()
+    assert(r.getLong(0) == vocab, s"n_terms ${r.getLong(0)} != $vocab")
+    assert(r.getDouble(1) < 0.0, s"slope ${r.getDouble(1)} not negative")
+  }
+
+  test("llm_ann_sq8: quantized candidate search recovers (nearly all " +
+    "of) the exact top-10, via integer candidate scores") {
+    val sq8 = SparkEntry.queries("llm_ann_sq8")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val exact = SparkEntry.queries("q29_similarity_topk")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(sq8.size == 10)
+    // int8 codes over 64 dims keep ~2-3 significant digits per
+    // component — the exact top-10 should survive almost intact
+    assert((sq8 & exact).size >= 8,
+      s"sq8 recall ${(sq8 & exact).size}/10 vs exact top-10")
+  }
+
   test("minhash collision probability tracks jaccard similarity") {
     import spark.implicits._
     // two 90%-overlapping shingle sets should collide on most rows
