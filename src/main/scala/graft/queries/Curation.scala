@@ -1177,6 +1177,72 @@ object Curation {
       |    6) AS intercept
       |FROM sums""".stripMargin
 
+  // ---- llm_domain_importance: DSIR-shaped importance weights ---------
+  // Data Selection via Importance Resampling (Xie et al. '23), the
+  // unigram-LM form: score each document by the mean log-likelihood
+  // ratio of a TARGET-domain language model (here the 'src0' slice —
+  // a deploy parameterizes the target) against the whole-corpus model,
+  // add-one smoothed. Positive = reads like the target domain; the
+  // resampling weights a mixing pipeline feeds into llm_weighted_
+  // sample. Fourth consumer of the term-stats artifact: the per-word
+  // log-ratio table is a |vocab|-row re-aggregation shipped BROADCAST
+  // as the model; docs collapse to row-local word counts first, so
+  // join fan-out is doc×distinct-words. All model counts are exact
+  // integers; the per-doc weighted mean rounds to 4 (the rarity/
+  // avg_logp discipline: rounding absorbs summation-order ulps).
+  private val domainImportance: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val stats = termStats(docs)
+      .groupBy(col("w"))
+      .agg(sum(when(col("source") === "src0", col("tf")).otherwise(0L))
+          .as("tft"),
+        sum(col("tf")).as("tfc"))
+    val totals = stats.agg(sum(col("tft")).as("tt"),
+      sum(col("tfc")).as("tc"), count(lit(1)).as("v"))
+    val lr = stats.crossJoin(broadcast(totals))
+      .select(col("w"),
+        log(((col("tft") + 1).cast(DoubleType) /
+             (col("tt") + col("v")).cast(DoubleType)) /
+            ((col("tfc") + 1).cast(DoubleType) /
+             (col("tc") + col("v")).cast(DoubleType))).as("lr"))
+    docs.select(col("doc_id"), col("source"),
+        explode(graft.functions.TokenOps.word_counts(
+          split(col("text"), " "))).as(Seq("w", "c")))
+      .join(broadcast(lr), Seq("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+        round(sum(col("c") * col("lr")) / sum(col("c")), 4)
+          .as("importance"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val domainImportanceSql =
+    """WITH words AS (
+      |  SELECT doc_id, source, w, count(*) AS c
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2, 3),
+      |stats AS (
+      |  SELECT w,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN c ELSE 0 END)
+      |      AS BIGINT) AS tft,
+      |    CAST(sum(c) AS BIGINT) AS tfc
+      |  FROM words GROUP BY 1),
+      |totals AS (
+      |  SELECT CAST(sum(tft) AS BIGINT) AS tt,
+      |    CAST(sum(tfc) AS BIGINT) AS tc, count(*) AS v
+      |  FROM stats),
+      |lr AS (
+      |  SELECT w,
+      |    ln((CAST(tft + 1 AS DOUBLE) / (tt + v)) /
+      |       (CAST(tfc + 1 AS DOUBLE) / (tc + v))) AS lr
+      |  FROM stats CROSS JOIN totals)
+      |SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  round(sum(c * lr) / sum(c), 4) AS importance
+      |FROM words JOIN lr USING (w)
+      |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+
   // ---- llm_bm25: retrieval scoring (Robertson/Sparck Jones BM25) -----
   // The ranking operator a curation pipeline uses to score documents
   // against a reference query/corpus (quality classifiers, targeted
@@ -1347,6 +1413,7 @@ object Curation {
     "llm_stratified_sample" -> stratified,
     "llm_weighted_sample" -> weightedSample,
     "llm_zipf_fit" -> zipfFit,
+    "llm_domain_importance" -> domainImportance,
     "q58_bloom_join" -> q58,
     "q59_heavy_hitters" -> q59,
     "q63_count_min" -> q63,
@@ -1377,6 +1444,7 @@ object Curation {
     "llm_stratified_sample" -> stratifiedSql,
     "llm_weighted_sample" -> weightedSampleSql,
     "llm_zipf_fit" -> zipfFitSql,
+    "llm_domain_importance" -> domainImportanceSql,
     "q58_bloom_join" -> q58Sql,
     // sketch estimates are merge-order-dependent; the BOUND is
     // deterministic, so the verdict column is the oracle surface

@@ -459,11 +459,99 @@ object Events {
       |SELECT node, round(rank, 8) AS rank
       |FROM pr WHERE iter = 20 ORDER BY node""".stripMargin
 
+  // q75: time-weighted average (the TWAP/metrics-gauge aggregate): a
+  // reading holds until the next one, so its weight is its holding
+  // duration — the correct average for irregularly-sampled gauges,
+  // where the plain mean over-weights bursts. One user-keyed window
+  // pass (lead) then one aggregation on the same partitioning.
+  // Cross-engine determinism: durations are exact integer
+  // MICROSECONDS, values ride DECIMAL(18,2), so Σ value·dt is an
+  // exact (order-independent) decimal sum; ONE final double division
+  // + round. Single-reading users carry no interval and drop on both
+  // engines.
+  private val q75: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dt",
+        expr("timestampdiff(MICROSECOND, ts, next_ts)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).cast(LongType).as("span_us"),
+        round(sum(dec2(col("value")) * col("dt")).cast(DoubleType) /
+          sum(col("dt")).cast(DoubleType), 4).as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q75Sql =
+    """WITH iv AS (
+      |  SELECT user_id, value,
+      |    epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS dt
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, count(*) AS n_intervals,
+      |  CAST(sum(dt) AS BIGINT) AS span_us,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE) /
+      |    CAST(sum(dt) AS DOUBLE), 4) AS twa
+      |FROM iv WHERE dt IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // q76: Tukey IQR outlier audit per event type — fence = quartile ±
+  // 1.5·IQR, the standard robust anomaly screen a metrics pipeline
+  // runs before alerting on raw extremes. Exact quartiles ride the
+  // q39 discipline (Spark `percentile` ≡ DuckDB `quantile_cont`,
+  // identical interpolation); the fences are the same double ops on
+  // identical quartiles, and outlier values pass through untouched.
+  // Scale: quartiles are per-TYPE (bounded alphabet → bounded sort
+  // buffers; the corpus-scale path is q52's mergeable sketch), fences
+  // ship broadcast, the outlier scan is one filter pass.
+  private val q76: Q = (s, dir) => {
+    val b = events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+    events(s, dir)
+      .join(broadcast(b), Seq("event_type"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .filter(col("value") < col("lo") || col("value") > col("hi"))
+      .groupBy(col("event_type"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_outliers"),
+        min(col("value")).as("min_outlier"),
+        max(col("value")).as("max_outlier"))
+      .select(col("event_type"),
+        round(col("lo"), 2).as("lo_fence"),
+        round(col("hi"), 2).as("hi_fence"),
+        col("n_outliers"), col("min_outlier"), col("max_outlier"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q76Sql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.25) AS q1,
+      |    quantile_cont(value, 0.75) AS q3
+      |  FROM events GROUP BY 1),
+      |o AS (
+      |  SELECT e.event_type, e.value,
+      |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+      |  FROM events e JOIN b USING (event_type))
+      |SELECT event_type, round(lo, 2) AS lo_fence,
+      |  round(hi, 2) AS hi_fence,
+      |  count(*) AS n_outliers, min(value) AS min_outlier,
+      |  max(value) AS max_outlier
+      |FROM o WHERE value < lo OR value > hi
+      |GROUP BY event_type, lo, hi ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q16_lag_lead" -> q16,
     "q71_gap_fill" -> q71,
     "q72_scd2" -> q72,
     "q74_pagerank" -> q74,
+    "q75_time_weighted_avg" -> q75,
+    "q76_iqr_outliers" -> q76,
     "q67_rolling_median" -> q67,
     "q68_event_transitions" -> q68,
     "q69_first_last" -> q69,
@@ -480,6 +568,8 @@ object Events {
     "q71_gap_fill" -> q71Sql,
     "q72_scd2" -> q72Sql,
     "q74_pagerank" -> q74Sql,
+    "q75_time_weighted_avg" -> q75Sql,
+    "q76_iqr_outliers" -> q76Sql,
     // explicit midpoint derivation on both sides (not built-in
     // windowed quantiles): identical fp ops, stable hash
     "q67_rolling_median" -> q67Sql,

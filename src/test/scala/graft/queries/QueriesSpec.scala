@@ -727,6 +727,55 @@ class QueriesSpec extends SparkSpec {
       s"sq8 recall ${(sq8 & exact).size}/10 vs exact top-10")
   }
 
+  test("llm_domain_importance: target-domain docs score higher on " +
+    "average than off-domain docs, one row per doc") {
+    val rows = SparkEntry.queries("llm_domain_importance")(spark, dir)
+      .collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length.toLong == nDocs)
+    val (in, out) = rows.partition(_.getString(1) == "src0")
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(3)).sum / rs.length
+    assert(mean(in) > mean(out),
+      s"src0 mean ${mean(in)} not above off-domain mean ${mean(out)}")
+  }
+
+  test("q75 time-weighted average stays inside each user's value " +
+    "range and spans match the user's observation window") {
+    val rows = SparkEntry.queries("q75_time_weighted_avg")(spark, dir)
+      .collect()
+    val ranges = Events.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, n) = ranges(r.getLong(0))
+      assert(r.getLong(1) == n - 1, "interval count != events - 1")
+      assert(r.getDouble(3) >= lo - 1e-4 && r.getDouble(3) <= hi + 1e-4,
+        s"user ${r.getLong(0)}: twa ${r.getDouble(3)} outside [$lo, $hi]")
+    }
+  }
+
+  test("q76 IQR fences are ordered and every reported outlier extreme " +
+    "lies outside them") {
+    val rows = SparkEntry.queries("q76_iqr_outliers")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+      assert(lo < hi, s"${r.getString(0)}: fences inverted")
+      assert(r.getLong(3) > 0)
+      // min/max outlier must be outside the (rounded) fence band up
+      // to the 2-decimal rounding slack
+      assert(r.getDouble(4) > hi - 0.01 || r.getDouble(4) < lo + 0.01)
+      assert(r.getDouble(5) > hi - 0.01 || r.getDouble(5) < lo + 0.01)
+    }
+  }
+
   test("minhash collision probability tracks jaccard similarity") {
     import spark.implicits._
     // two 90%-overlapping shingle sets should collide on most rows

@@ -426,9 +426,70 @@ class RandomDifferentialSpec extends SparkSpec {
     }
   } yield q
 
+  // ---- scalar expressions: string/date/math function compositions ---
+  // A random derived projection (one string fn over a categorical, one
+  // date-part fn, one arithmetic composition) built in a subquery,
+  // then folded through the standard aggregation tail — exercising
+  // the SQL-function registry vs the functions._ Column builders on
+  // grouping BY computed columns and aggregating OVER computed
+  // columns. Functions restricted to those with identical semantics
+  // in DuckDB (substring 1-based, year/month/day, round/abs/floor/
+  // ceil) so failing seeds stay replayable.
+  private def scalarGen: Gen[TestQuery] = for {
+    t <- Gen.oneOf("lineitem", "orders")
+    cat <- Gen.oneOf(meta(t).cats)
+    num <- Gen.oneOf(meta(t).numeric)
+    dt <- Gen.oneOf(meta(t).dates)
+    sfn <- Gen.oneOf("upper", "lower", "reverse", "substr")
+    dfn <- Gen.oneOf("year", "month", "day", "trunc_month")
+    mfn <- Gen.oneOf("roundmul", "absdiff", "floorceil")
+    ps <- predsGen(t, 1)
+    q <- {
+      val (lo, hi) = numRange((t, num))
+      val cut = BigDecimal(lo + 0.5 * (hi - lo))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val (sSql, sCol) = sfn match {
+        case "upper" => (s"upper($cat)", upper(col(cat)))
+        case "lower" => (s"lower($cat)", lower(col(cat)))
+        case "reverse" => (s"reverse($cat)", reverse(col(cat)))
+        case "substr" =>
+          (s"substring($cat, 2, 3)", substring(col(cat), 2, 3))
+      }
+      val (dSql, dCol) = dfn match {
+        case "year" => (s"year($dt)", year(col(dt)))
+        case "month" => (s"month($dt)", month(col(dt)))
+        case "day" => (s"day($dt)", dayofmonth(col(dt)))
+        case "trunc_month" => (s"trunc($dt, 'MM')", trunc(col(dt), "MM"))
+      }
+      val (mSql, mCol) = mfn match {
+        case "roundmul" =>
+          (s"round($num * 1.5 + 2.25, 1)",
+            round(col(num) * 1.5 + 2.25, 1))
+        case "absdiff" =>
+          (s"abs($num - $cut)", abs(col(num) - cut.toDouble))
+        case "floorceil" =>
+          (s"floor($num) + ceil($num)",
+            floor(col(num)) + ceil(col(num)))
+      }
+      val where =
+        if (ps.isEmpty) "" else s" WHERE ${ps.map(_._1).mkString(" AND ")}"
+      val fromSql =
+        s"(SELECT $sSql AS se, $dSql AS de, $mSql AS me " +
+          s"FROM fuzz_$t$where) sv"
+      val baseDf = () => {
+        var d = frames(t)
+        ps.foreach { case (_, c) => d = d.filter(c) }
+        d.select(sCol.as("se"), dCol.as("de"), mCol.as("me"))
+      }
+      withTail(s"scalar:$t:$sfn-$dfn-$mfn", fromSql, baseDf,
+        Seq("de", "se"), Seq("me"), Nil, Nil)
+    }
+  } yield q
+
   private def queryGen: Gen[TestQuery] =
     Gen.frequency((4, singleGen), (5, join2Gen), (2, join3Gen),
-      (3, windowGen), (2, setOpGen), (2, nullSingleGen))
+      (3, windowGen), (2, setOpGen), (2, nullSingleGen),
+      (3, scalarGen))
 
   // ---- the differential check ----------------------------------------
   private def canon(df: DataFrame): Seq[String] =
