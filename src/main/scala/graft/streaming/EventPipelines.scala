@@ -122,6 +122,63 @@ object EventPipelines {
       .toDF("cur", "nxt")
   }
 
+  /** q72 twin, streaming-native: SCD2 (type-2 history) interval
+    * maintenance via `flatMapGroupsWithState`. Each user's CURRENT
+    * interval (tracked state + valid_from) is carried in operator
+    * state; when an arriving event changes the tracked state the old
+    * interval CLOSES (valid_to = new event's ts) and is emitted —
+    * Append mode, so the output is the immutable closed-interval
+    * history a dimension table's writer upserts from, and the one
+    * open interval per user lives in state until its closing event
+    * arrives. Exactly the q72 batch derivation with is_current=0 rows
+    * streamed as they become final (pinned in StreamingSpec).
+    *
+    * Same ingestion-order contract as [[transitionPairs]]: batches
+    * per-user event-time monotone; state is O(1) per user (state
+    * string + full-precision valid_from). */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Int),
+        (Long, String, java.sql.Timestamp, java.sql.Timestamp)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          // (epoch second, nanos, event_id): the full-precision order
+          // the batch window uses (transitionPairs note)
+          val sorted = it.toSeq.sortBy(e =>
+            (e._2.toInstant.getEpochSecond, e._2.getNanos, e._3))
+          def ts(sec: Long, nanos: Int): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp(sec * 1000L)
+            t.setNanos(nanos)
+            t
+          }
+          val out = Seq.newBuilder[
+            (Long, String, java.sql.Timestamp, java.sql.Timestamp)]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some((st, sec, nanos)) if st != e._4 =>
+                out += ((uid, st, ts(sec, nanos), e._2))
+                cur = Some((e._4,
+                  e._2.toInstant.getEpochSecond, e._2.getNanos))
+              case None =>
+                cur = Some((e._4,
+                  e._2.toInstant.getEpochSecond, e._2.getNanos))
+              case _ => () // same state: interval continues
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "state", "valid_from", "valid_to")
+  }
+
   private def attributed(clicks: DataFrame, purchases: DataFrame,
       watermark: String, joinType: String): DataFrame = {
     val c = clicks

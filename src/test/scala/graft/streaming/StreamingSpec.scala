@@ -183,6 +183,47 @@ class StreamingSpec extends SparkSpec {
         "must produce exactly one pair)")
   }
 
+  test("streaming SCD2 maintenance reproduces the batch q72 closed " +
+    "intervals, with intervals spanning the batch boundary via state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sorted = fixtureRows.sortBy(e => (e.ts.getTime, e.event_id))
+    val (batch1, batch2) = sorted.splitAt(sorted.size / 2)
+    val mem = MemoryStream[Ev]
+    val out = EventPipelines.scd2Intervals(
+      mem.toDF().withColumn("ts", col("ts").cast("timestamp")))
+    val qName = s"scd2_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qName)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(qName).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSet
+    // the batch q72 rows with a closing edge (is_current = 0) are
+    // exactly the intervals the stream must have emitted
+    val batch = graft.SparkEntry.queries("q72_scd2")(
+      spark, "/root/testdata/sf0.001").collect()
+      .filter(_.getLong(4) == 0L)
+      .map { r =>
+        def ms(o: Any) = o match {
+          case t: java.sql.Timestamp => t.getTime
+          case t: java.time.LocalDateTime =>
+            t.atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        }
+        (r.getLong(0), r.getString(1), ms(r.get(2)), ms(r.get(3)))
+      }.toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} closed intervals vs batch ${batch.size}")
+    // every user's one OPEN interval stays in state: closed count =
+    // q72 rows - distinct users
+    assert(streamed.size == graft.SparkEntry.queries("q72_scd2")(
+      spark, "/root/testdata/sf0.001").count() -
+      fixtureRows.map(_.user_id).distinct.size)
+  }
+
   test("flow-state tracker implements the barrier semantics (O14-O16)") {
     import spark.implicits._
     import FlowStateStream._
