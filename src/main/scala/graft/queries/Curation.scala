@@ -165,6 +165,57 @@ object Curation {
       |SELECT name, other AS nearest, CAST(dist AS BIGINT) AS distance
       |FROM rk WHERE rk = 1 ORDER BY name""".stripMargin
 
+  // ---- q77_jaro_winkler: blocked fuzzy match (entity resolution) -----
+  // The ER shape at scale: BLOCK first (equi-join on a cheap blocking
+  // key — here the name's first token), THEN score candidate pairs
+  // with Jaro-Winkler, the prefix-weighted similarity fuzzy matching
+  // wants and Spark doesn't ship. functions.JaroWinklerSim is a
+  // custom codegen'd Catalyst expression whose semantics are pinned
+  // to DuckDB's jaro_winkler_similarity (the oracle here — the
+  // external engine's NATIVE function checks the custom expression).
+  // Blocking keeps the pair count Σ block² ≪ corpus²; the key-bounded
+  // slice keeps the fixture run small while the plan shape is the
+  // production one.
+  private val q77: Q = (s, dir) => {
+    val p = t(s, dir, "part").filter(col("p_partkey") < 500)
+      .select(col("p_partkey"), col("p_name"),
+        substring_index(col("p_name"), " ", 1).as("blk"))
+    val a = p.select(col("p_partkey").as("key"),
+      col("p_name").as("name"), col("blk"))
+    val b = p.select(col("p_partkey").as("okey"),
+      col("p_name").as("oname"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("key") =!= col("okey"))
+      .select(col("key"), col("name"), col("okey"), col("oname"),
+        graft.functions.JaroWinkler
+          .jaro_winkler(col("name"), col("oname")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("key"))
+          .orderBy(col("sim").desc, col("okey"))))
+      .filter(col("rk") === 1)
+      .select(col("key"), col("name"), col("okey").as("nearest_key"),
+        col("oname").as("nearest_name"),
+        round(col("sim"), 4).as("similarity"))
+      .orderBy(col("key"))
+  }
+
+  private val q77Sql =
+    """WITH p AS (
+      |  SELECT p_partkey AS key, p_name AS name,
+      |    split_part(p_name, ' ', 1) AS blk
+      |  FROM part WHERE p_partkey < 500),
+      |pairs AS (
+      |  SELECT a.key, a.name, b.key AS okey, b.name AS oname,
+      |    jaro_winkler_similarity(a.name, b.name) AS sim
+      |  FROM p a JOIN p b ON a.blk = b.blk AND a.key <> b.key),
+      |rk AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY key ORDER BY sim DESC, okey) AS rk
+      |  FROM pairs)
+      |SELECT key, name, okey AS nearest_key, oname AS nearest_name,
+      |  round(sim, 4) AS similarity
+      |FROM rk WHERE rk = 1 ORDER BY key""".stripMargin
+
   // ---- q49_salted_join: skew-mitigated equi-join under oracle check ---
   // operators.SkewJoin.saltedHotKeyJoin — the manual fallback when
   // AQE skew-split can't kick in (e.g. the skew is one hot KEY, not a
@@ -1427,6 +1478,7 @@ object Curation {
     "llm_ngram_novelty" -> novelty,
     "q47_date_funcs" -> q47,
     "q48_edit_distance" -> q48,
+    "q77_jaro_winkler" -> q77,
     "q49_salted_join" -> q49,
     "q50_interval_overlap" -> q50,
     "q51_funnel" -> q51,
@@ -1464,6 +1516,7 @@ object Curation {
     "llm_ngram_novelty" -> noveltySql,
     "q47_date_funcs" -> q47Sql,
     "q48_edit_distance" -> q48Sql,
+    "q77_jaro_winkler" -> q77Sql,
     "q49_salted_join" -> q49Sql,
     "q50_interval_overlap" -> q50Sql,
     "q51_funnel" -> q51Sql,
