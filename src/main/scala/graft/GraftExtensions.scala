@@ -14,9 +14,9 @@ import graft.functions.{DotProduct, MinHashSignature, WinnowFingerprints, WordSh
   * `.withExtensions(new GraftExtensions)`.
   *
   * Registered: `dot_product(a, b)`, `minhash_signature(shingles, k)`,
-  * `word_shingles(tokens, n)`, `winnow_fingerprints(text, k, w)` — the
-  * numeric arguments must be integer literals (they parameterize the
-  * expression, not the row).
+  * `word_shingles(tokens, n)`, `winnow_fingerprints(text, k, w)`,
+  * `jaro_winkler(a, b)` — the numeric arguments must be integer
+  * literals (they parameterize the expression, not the row).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -61,6 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "winnow_fingerprints(text, k, w) takes 3 arguments")
         WinnowFingerprints(args(0), intLit(args(1), "k"),
           intLit(args(2), "w"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinklerSim].getName,
+        "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "jaro_winkler(a, b) takes 2 arguments")
+        graft.functions.JaroWinklerSim(args(0), args(1))
       }))
   }
 }

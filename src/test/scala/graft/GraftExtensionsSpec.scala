@@ -60,6 +60,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(wf == graft.functions.WinnowFingerprints
         .compute("the quick brown fox jumps over", 8, 4).toSeq)
 
+      val jw = s.sql(
+        "SELECT jaro_winkler('martha', 'marhta') AS jw")
+        .head().getDouble(0)
+      assert(math.abs(jw - 0.9611111111111111) < 1e-15)
+
       // SQL and Column API produce identical results
       import s.implicits._
       val viaCol = Seq(Tuple1(Seq("a", "b", "c", "d"))).toDF("tk")
