@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Curation, Events, Extended, Llm, Multimodal, Relational}
+import graft.queries.{Curation, Events, Extended, Llm, Multimodal, Relational, Stats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,12 +18,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Llm.queries ++
-    Multimodal.queries ++ Extended.queries ++ Curation.queries
+    Multimodal.queries ++ Extended.queries ++ Curation.queries ++
+    Stats.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted for non-SQL-expressible or
     * approximate ops (driver records a weaker rows-only check). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Llm.oracles ++
-    Multimodal.oracles ++ Extended.oracles ++ Curation.oracles
+    Multimodal.oracles ++ Extended.oracles ++ Curation.oracles ++
+    Stats.oracles
 }

@@ -83,6 +83,63 @@ object Curation {
       |      FROM documents)
       |GROUP BY w ORDER BY n_occurrences DESC, w LIMIT 20""".stripMargin
 
+  // ---- llm_ttr: lexical-diversity audit per source ------------------
+  // Type-token ratio (distinct words / words, per doc, averaged) plus
+  // hapax-legomena rate — the vocabulary-health screens a curation
+  // pipeline runs per source alongside the Gopher rules (repetitive
+  // or template-generated sources show low TTR and a thin hapax
+  // tail). Per-doc counts are ROW-LOCAL off the same word_counts map
+  // as term-stats; the corpus-wide hapax tail is served FROM the
+  // session term-stats artifact (no re-tokenization). Each per-doc
+  // ratio is rounded to a 9-decimal DECIMAL before summing, so the
+  // mean is an exact order-independent sum on both engines.
+  private val ttr: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val perDoc = docs.select(col("source"),
+      graft.functions.TokenOps.word_counts(split(col("text"), " "))
+        .as("wc"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        size(col("wc")).cast(LongType).as("n_types"))
+    val diversity = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(d(sum(round(d(col("n_types")) / col("n_tokens"), 9)
+            .cast(DecimalType(12, 9)))) / count(lit(1)), 6)
+          .as("avg_ttr"))
+    val tail = termStats(docs).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_vocab"),
+        round(d(col("n_hapax")) / col("n_vocab"), 6).as("hapax_rate"))
+    diversity.join(tail, Seq("source")).orderBy(col("source"))
+  }
+
+  private val ttrSql =
+    """WITH perdoc AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      AS n_types
+      |  FROM documents),
+      |div AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    round(CAST(sum(CAST(round(
+      |      CAST(n_types AS DOUBLE) / n_tokens, 9) AS DECIMAL(12,9)))
+      |      AS DOUBLE) / count(*), 6) AS avg_ttr
+      |  FROM perdoc GROUP BY source),
+      |tf AS (
+      |  SELECT source, w, count(*) AS tf FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  GROUP BY source, w),
+      |tail AS (
+      |  SELECT source, count(*) AS n_vocab,
+      |    round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / count(*), 6) AS hapax_rate
+      |  FROM tf GROUP BY source)
+      |SELECT source, n_docs, avg_ttr, n_vocab, hapax_rate
+      |FROM div JOIN tail USING (source) ORDER BY source""".stripMargin
+
   // ---- llm_redact_terms: regex scrubbing / redaction ----------------
   // The PII-scrub operator shape: a lexicon/pattern match is replaced
   // with a sentinel and the hit count is kept for audit. The fixture
@@ -1472,6 +1529,7 @@ object Curation {
     "llm_contamination_apply" -> contaminationApply,
     "llm_mix_sources" -> mix,
     "llm_vocab_topk" -> vocab,
+    "llm_ttr" -> ttr,
     "llm_redact_terms" -> redact,
     "llm_tfidf" -> tfidf,
     "llm_rarity" -> rarity,
@@ -1508,6 +1566,9 @@ object Curation {
     "llm_contamination_apply" -> contaminationApplySql,
     "llm_mix_sources" -> mixSql,
     "llm_vocab_topk" -> vocabSql,
+    // per-doc TTRs ride a 9-decimal DECIMAL sum (order-independent);
+    // the hapax tail is integer arithmetic off term frequencies
+    "llm_ttr" -> ttrSql,
     "llm_redact_terms" -> redactSql,
     "llm_tfidf" -> tfidfSql,
     // c·idf / 0-1 fractions: identical per-(doc,word) products, round

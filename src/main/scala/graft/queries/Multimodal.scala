@@ -719,7 +719,58 @@ object Multimodal {
       |SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes
       |FROM p WHERE rk2 = 1 ORDER BY query_id""".stripMargin
 
+  // ---- llm_embed_pca: first principal component of the corpus -------
+  // The embedding-space health check (and the whitening/SemDeDup
+  // precursor): PC1 of the embedding covariance via operators.Pca —
+  // ONE treeAggregate pass for the d×d moments, a driver-side power
+  // iteration (d ≤ 2048 behind a loud cap), then a single projection
+  // scan. Output: per-label mean of the CENTERED PC1 projection (how
+  // the classes separate along the dominant axis) plus the eigenvalue
+  // and explained-variance ratio. No SQL oracle — an eigenvector is
+  // not expressible in DuckDB SQL — so this entry takes the driver's
+  // rows-only check; algorithm QUALITY is pinned in PcaSpec (known-
+  // direction recovery, residual ‖Cv−λv‖, λ ≥ every axis variance),
+  // per the SQ8 lesson that mirrored oracles don't check quality.
+  // Like q63's sketch, the fit is an EAGER corpus action at
+  // DataFrame-construction time — memoized per corpus snapshot.
+  private val pcaCache = new graft.operators.PlanCache[Unit,
+    graft.operators.Pca.Pc1]()
+
+  private val embedPca: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    // empty corpus: degrade to an empty result (EmptyInputSpec
+    // contract) rather than caching a fit of nothing
+    if (e.select(col("embedding")).na.drop().head(1).isEmpty) {
+      import org.apache.spark.sql.types.{StructField, StructType}
+      s.createDataFrame(s.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row],
+        StructType(Seq(StructField("label", LongType),
+          StructField("n_vectors", LongType),
+          StructField("mean_pc1", DoubleType),
+          StructField("eigenvalue", DoubleType),
+          StructField("explained_var_ratio", DoubleType))))
+    } else {
+      val fit = pcaCache.get(e, ())(
+        graft.operators.Pca.fitPc1(e, "embedding"))
+      val muProj =
+        fit.vector.zip(fit.mean).map { case (a, b) => a * b }.sum
+      val vCol = lit(fit.vector)
+      e.select(col("label").cast(LongType).as("label"),
+          (graft.functions.VectorOps.dot_product(col("embedding"), vCol) -
+            lit(muProj)).as("proj"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(avg(col("proj")), 4).as("mean_pc1"))
+        .select(col("label"), col("n_vectors"), col("mean_pc1"),
+          round(lit(fit.eigenvalue), 6).as("eigenvalue"),
+          round(lit(fit.explainedVarianceRatio), 6)
+            .as("explained_var_ratio"))
+        .orderBy(col("label"))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_embed_pca" -> embedPca,
     "llm_label_centroids" -> labelCentroids,
     "llm_knn_classify" -> knnClassify,
     "llm_embedding_outliers" -> embeddingOutliers,

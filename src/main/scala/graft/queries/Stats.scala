@@ -1,0 +1,525 @@
+package graft.queries
+
+import graft.{Canon, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical / analytical query pack (SURVEY.md §2.14): grouped OLS
+  * regression, gaps-and-islands streaks, robust dispersion (MAD),
+  * Welch two-sample tests, RFM segmentation, market-basket association
+  * rules, co-occurrence-graph triangle census, bit/bool aggregates,
+  * and higher-moment shape statistics — the analyst-facing workloads a
+  * warehouse engine is expected to run beside the LLM-curation stack.
+  *
+  * Determinism discipline is the q33/q56 one throughout: money/value
+  * doubles are 2-decimal, so all sums ride exact DECIMAL (or exact
+  * integer cents), and each query performs ONE identical double
+  * expression tree on both engines, rounded at the end.
+  */
+object Stats {
+  import Canon._
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---- session artifacts (build-once/serve-many, PlanCache rules) ---
+  private val artifactCache =
+    new graft.operators.PlanCache[String, DataFrame](df => {
+      df.unpersist(); ()
+    })
+
+  /** Per-order sorted distinct part arrays — shared base of the
+    * market-basket queries. ONE exchange (groupBy orderkey with
+    * map-side collect_set partials) builds it; the order count, the
+    * item counts, and the pair generation all read the persisted
+    * frame. Pairs come from an ARRAY expression over each basket —
+    * codegen'd row-local work — instead of a basket self-join, so the
+    * only other exchange in q83 is the final pair aggregation. */
+  private def basketArraysFor(li: DataFrame): DataFrame =
+    artifactCache.get(li, "basket_arrays")(
+      li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Thresholded supplier co-occurrence edges (u < v, pair count ≥
+    * P95) — the q84 graph. Built ONCE per corpus snapshot: the
+    * threshold is an EAGER one-row action at build time (the q63
+    * discipline), then the sparse edge list persists and serves the
+    * degree census, the wedge join, and the edge count without
+    * re-running the pair pipeline. */
+  private def supplierEdgesFor(li: DataFrame): DataFrame =
+    artifactCache.get(li, "supplier_edges")({
+      val os = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val a = os.select(col("l_orderkey"), col("l_suppkey").as("u"))
+      val b = os.select(col("l_orderkey"), col("l_suppkey").as("v"))
+      val pc = a.join(b, Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val thrRow = pc.agg(expr("percentile(cnt, 0.95)")).head()
+      val edges =
+        if (thrRow.isNullAt(0)) pc.filter(lit(false)) // empty corpus
+        else pc.filter(col("cnt") >= thrRow.getDouble(0))
+      val out = edges.select(col("u"), col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize so pc can be dropped
+      pc.unpersist()
+      out
+    })
+
+  /** Test hook: drop the persisted basket/edge artifacts. */
+  private[graft] def clearArtifacts(): Unit = artifactCache.clear()
+
+  // ---- q78_linreg: grouped OLS of value on hour-of-day ---------------
+  // Per event type, least-squares fit value ~ hour(ts): slope,
+  // intercept, r². The grouped-regression shape (one aggregation, no
+  // window) scales embarrassingly: x is an exact small integer, y an
+  // exact decimal, so Σx, Σy, Σxy, Σx², Σy² are exact and
+  // order-independent; slope/intercept/r² are one double tree.
+  private val q78: Q = (s, dir) => {
+    val x = hour(col("ts")).cast(DecimalType(9, 0))
+    val y = dec2(col("value"))
+    Events.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        d(sum(x)).as("sx"), d(sum(y)).as("sy"),
+        d(sum(x * y)).as("sxy"),
+        d(sum(x * x)).as("sxx"), d(sum(y * y)).as("syy"))
+      .select(col("event_type"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 6).as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+           (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q78Sql =
+    """WITH a AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(hour(ts) AS DECIMAL(9,0))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(hour(ts) AS DECIMAL(9,0)) *
+      |             CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(hour(ts) AS DECIMAL(9,0)) *
+      |             CAST(hour(ts) AS DECIMAL(9,0))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2)) *
+      |             CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+      |    6) AS intercept,
+      |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM a ORDER BY event_type""".stripMargin
+
+  // ---- q79_gaps_islands: activity-streak census --------------------
+  // The classic gaps-and-islands idiom: a user's distinct active days,
+  // grouped into runs of consecutive days by the (day − row_number)
+  // constant. Everything is per-user-partitioned — one shuffle on
+  // user_id serves the distinct, the window, and both aggregations, so
+  // the plan holds at any user count; days per user are bounded by the
+  // calendar, so no window buffer can grow past it.
+  private val q79: Q = (s, dir) => {
+    val days = Events.events(s, dir)
+      .select(col("user_id"), col("ts").cast(DateType).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q79Sql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |islands AS (
+      |  SELECT user_id,
+      |    day - CAST(row_number() OVER (
+      |      PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, grp, count(*) AS len
+      |  FROM islands GROUP BY user_id, grp)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+      |  count(*) AS n_streaks,
+      |  max(len) AS longest_streak
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- q80_mad: median absolute deviation --------------------------
+  // The robust dispersion partner of q76's IQR fences: per event type,
+  // median of |value − median|. Two bounded-alphabet percentile
+  // passes (q39 discipline: Spark `percentile` ≡ DuckDB
+  // `quantile_cont`); the medians broadcast back, the deviation is an
+  // exact double op on both engines.
+  private val q80: Q = (s, dir) => {
+    val med = Events.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    Events.events(s, dir)
+      .join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      .select(col("event_type"),
+        round(col("med"), 6).as("median"),
+        round(col("mad"), 6).as("mad"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q80Sql =
+    """WITH m AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, round(m.med, 6) AS median,
+      |  round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+      |FROM events e JOIN m USING (event_type)
+      |GROUP BY e.event_type, m.med ORDER BY e.event_type""".stripMargin
+
+  // ---- q81_ttest: Welch two-sample t over every type pair ----------
+  // The A/B-test primitive: for each pair of event types, Welch's
+  // t-statistic and Welch–Satterthwaite degrees of freedom on `value`.
+  // One exact-decimal aggregation produces (n, Σx, Σx²) per type; the
+  // 5×5 pair expansion is a broadcast self-join of a 5-row frame, and
+  // mean/variance/t/df are one double tree identical on both engines.
+  private val q81: Q = (s, dir) => {
+    val x = dec2(col("value"))
+    val base = Events.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), d(sum(x)).as("sx"),
+        d(sum(x * x)).as("sxx"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("var",
+        (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+    val a = base.select(col("event_type").as("type_a"),
+      col("n").as("na"), col("mean").as("ma"), col("var").as("va"))
+    val b = base.select(col("event_type").as("type_b"),
+      col("n").as("nb"), col("mean").as("mb"), col("var").as("vb"))
+    val se2 = col("va") / col("na") + col("vb") / col("nb")
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round((col("ma") - col("mb")) / sqrt(se2), 6).as("t_stat"),
+        round(se2 * se2 /
+          ((col("va") / col("na")) * (col("va") / col("na")) /
+            (col("na") - 1) +
+           (col("vb") / col("nb")) * (col("vb") / col("nb")) /
+            (col("nb") - 1)), 6).as("df"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private val q81Sql =
+    """WITH s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2)) *
+      |             CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      |  FROM events GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type, n, sx / n AS mean,
+      |    (sxx - sx * sx / n) / (n - 1) AS var FROM s)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  round((a.mean - b.mean) /
+      |    sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat,
+      |  round((a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n) /
+      |    ((a.var / a.n) * (a.var / a.n) / (a.n - 1) +
+      |     (b.var / b.n) * (b.var / b.n) / (b.n - 1)), 6) AS df
+      |FROM m a JOIN m b ON a.event_type < b.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // ---- q82_rfm: recency/frequency/monetary segmentation ------------
+  // Marketing's RFM cube: quartile each customer on days-since-last-
+  // order, order count, and exact-decimal spend, then census the 64
+  // segments. ntile is deterministic only under a TOTAL order, so
+  // every ORDER BY carries o_custkey as the tiebreak (same in the
+  // oracle). One orders aggregation + three cheap windows over the
+  // customer-sized frame.
+  private val q82: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val mx = o.agg(max(col("o_orderdate")).as("mxd"))
+    val cust = o.crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey"))
+      .agg(datediff(first(col("mxd")), max(col("o_orderdate")))
+          .as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(dec2(col("o_totalprice"))).as("monetary"))
+    val seg = cust
+      .withColumn("r", ntile(4).over(Window.orderBy(
+        col("recency"), col("o_custkey"))))
+      .withColumn("f", ntile(4).over(Window.orderBy(
+        col("frequency").desc, col("o_custkey"))))
+      .withColumn("m", ntile(4).over(Window.orderBy(
+        col("monetary").desc, col("o_custkey"))))
+    seg.groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        d(sum(col("monetary"))).as("seg_spend"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+
+  private val q82Sql =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', max(o_orderdate),
+      |      (SELECT max(o_orderdate) FROM orders)) AS recency,
+      |    count(*) AS frequency,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |seg AS (
+      |  SELECT o_custkey, monetary,
+      |    ntile(4) OVER (ORDER BY recency, o_custkey) AS r,
+      |    ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+      |    ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      |  FROM cust)
+      |SELECT CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+      |  CAST(m AS INTEGER) AS m, count(*) AS n_customers,
+      |  CAST(sum(monetary) AS DOUBLE) AS seg_spend
+      |FROM seg GROUP BY r, f, m ORDER BY r, f, m""".stripMargin
+
+  // ---- q83_assoc_rules: market-basket support/confidence/lift ------
+  // Association rules over order baskets: for part pairs co-occurring
+  // in an order, support / confidence / lift, top 20 by lift. The
+  // pair explosion is bounded BY THE BASKET (≤ C(items,2) per order,
+  // items ≤ ~20 in this schema), so the self-join on l_orderkey is
+  // linear in orders — the scale-safe shape; a corpus-wide pair join
+  // without the basket key would be the quadratic mistake. The
+  // deduped basket is a session artifact (basketFor) — one dedup
+  // exchange serves the order count, the item counts, and both pair
+  // sides. Counts are integers; ratios are one rounded double tree.
+  private val q83: Q = (s, dir) => {
+    val baskets = basketArraysFor(t(s, dir, "lineitem"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val item = baskets
+      .select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+    // ordered pairs (a < b) generated row-locally from the sorted
+    // array — bounded by C(basket,2) per order, no self-join; the
+    // codegen-friendly tight-loop expression replaces the interpreted
+    // HOF chain (1.5 s of the total at sf0.1)
+    val pairs = baskets
+      .filter(size(col("parts")) >= 2)
+      .select(explode(
+        graft.functions.ArrayPairs.ordered_pairs(col("parts"))).as("p"))
+      .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("pc"))
+    // item counts are catalog-sized (≪ baskets): broadcast both probe
+    // sides so the pair frame (the big side) never re-shuffles
+    pairs
+      .join(broadcast(item.select(col("l_partkey").as("part_a"),
+        col("cnt").as("ca"))), Seq("part_a"))
+      .join(broadcast(item.select(col("l_partkey").as("part_b"),
+        col("cnt").as("cb"))), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("pc").as("n_both"),
+        round(d(col("pc")) / col("n_orders"), 6).as("support"),
+        round(d(col("pc")) / col("ca"), 6).as("confidence"),
+        round(d(col("pc")) * col("n_orders") /
+          (d(col("ca")) * col("cb")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  private val q83Sql =
+    """WITH basket AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket),
+      |item AS (
+      |  SELECT l_partkey, count(*) AS cnt FROM basket GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |    count(*) AS pc
+      |  FROM basket a JOIN basket b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2)
+      |SELECT part_a, part_b, pc AS n_both,
+      |  round(CAST(pc AS DOUBLE) / n.n_orders, 6) AS support,
+      |  round(CAST(pc AS DOUBLE) / ia.cnt, 6) AS confidence,
+      |  round(CAST(pc AS DOUBLE) * n.n_orders /
+      |    (CAST(ia.cnt AS DOUBLE) * ib.cnt), 6) AS lift
+      |FROM pairs
+      |JOIN item ia ON ia.l_partkey = part_a
+      |JOIN item ib ON ib.l_partkey = part_b, n
+      |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin
+
+  // ---- q84_triangles: co-occurrence-graph triangle census ----------
+  // Network analysis over a graph DERIVED from the data: suppliers are
+  // adjacent when they co-occur in an order unusually often (pair
+  // count ≥ the P95 of pair counts — a relative threshold, so the
+  // graph stays sparse at every scale; a fixed count would go dense
+  // or empty as SF moves). The edge list is a session artifact
+  // (supplierEdgesFor): built once, persisted, and served to the
+  // degree census, the wedge join, and the edge count — the naive
+  // form re-ran the whole pair pipeline four times (11.1 s at sf0.1;
+  // 4 copies of the dedup + self-join + percentile). Triangles by the
+  // ordered wedge join (u<v<w), wedge count from degrees — both
+  // linear in edges × degree on a thresholded (sparse) graph. Output
+  // is the one-row census: nodes, edges, triangles, global
+  // clustering coefficient.
+  private val q84: Q = (s, dir) => {
+    val edges = supplierEdgesFor(t(s, dir, "lineitem"))
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      sum(col("deg") * (col("deg") - 1) / 2).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(edges.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    wedges.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering_coeff"))
+  }
+
+  private val q84Sql =
+    """WITH os AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |pc AS (
+      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS cnt
+      |  FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2),
+      |thr AS (SELECT quantile_cont(cnt, 0.95) AS thr FROM pc),
+      |edges AS (SELECT u, v FROM pc, thr WHERE cnt >= thr.thr),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM edges
+      |    UNION ALL SELECT v AS node FROM edges)
+      |  GROUP BY node),
+      |w AS (SELECT sum(deg * (deg - 1) / 2) AS n_wedges,
+      |        count(*) AS n_nodes FROM deg),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM edges e1
+      |  JOIN edges e2 ON e1.v = e2.u
+      |  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v),
+      |ne AS (SELECT count(*) AS n_edges FROM edges)
+      |SELECT w.n_nodes, ne.n_edges, tri.n_triangles,
+      |  round(3.0 * tri.n_triangles / w.n_wedges, 6)
+      |    AS clustering_coeff
+      |FROM w, ne, tri""".stripMargin
+
+  // ---- q85_bitagg: bitwise / boolean aggregates --------------------
+  // The flag-folding aggregates (feature masks, permission bits,
+  // all/any predicates) — native codegen'd aggregates in both engines,
+  // trivially mergeable so map-side partials do all the work.
+  private val q85: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("bit_and(l_partkey)").as("mask_and"),
+        expr("bit_or(l_partkey)").as("mask_or"),
+        expr("bit_xor(l_partkey)").as("mask_xor"),
+        expr("bool_and(l_discount <= 0.1)").as("all_low_disc"),
+        expr("bool_or(l_quantity >= 50)").as("any_bulk"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q85Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  bit_and(l_partkey) AS mask_and,
+      |  bit_or(l_partkey) AS mask_or,
+      |  bit_xor(l_partkey) AS mask_xor,
+      |  bool_and(l_discount <= 0.1) AS all_low_disc,
+      |  bool_or(l_quantity >= 50) AS any_bulk
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q86_moments: skewness / excess kurtosis from exact sums -----
+  // Distribution-shape audit per event type. Native skewness/kurtosis
+  // stream doubles in partition order AND the two engines disagree on
+  // bias correction — so both are computed from first principles:
+  // exact integer-cent power sums S1..S4 (DECIMAL(9,0) chain keeps
+  // every product within both engines' 38-digit cap), then the
+  // population central-moment formulas as one shared double tree.
+  // Standardized moments are scale-invariant, so cents ≡ units. (The
+  // oracle rides HUGEINT — same exact integers; DuckDB's decimal
+  // multiply overflows at width 18 where Spark's widens to 38.)
+  private val q86: Q = (s, dir) => {
+    val c = round(col("value") * 100, 0).cast(DecimalType(9, 0))
+    val events = Events.events(s, dir)
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        d(sum(c)).as("s1"), d(sum(c * c)).as("s2"),
+        d(sum(c * c * c)).as("s3"),
+        d(sum((c * c * c) * c)).as("s4"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+      .withColumn("m3", col("s3") / col("n") -
+        lit(3) * col("mean") * (col("s2") / col("n")) +
+        lit(2) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4", col("s4") / col("n") -
+        lit(4) * col("mean") * (col("s3") / col("n")) +
+        lit(6) * col("mean") * col("mean") * (col("s2") / col("n")) -
+        lit(3) * col("mean") * col("mean") * col("mean") * col("mean"))
+      .select(col("event_type"), col("n"),
+        round(col("m3") / sqrt(col("m2") * col("m2") * col("m2")), 6)
+          .as("skewness"),
+        round(col("m4") / (col("m2") * col("m2")) - 3, 6)
+          .as("excess_kurtosis"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q86Sql =
+    """WITH s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(c) AS DOUBLE) AS s1,
+      |    CAST(sum(c * c) AS DOUBLE) AS s2,
+      |    CAST(sum(c * c * c) AS DOUBLE) AS s3,
+      |    CAST(sum((c * c * c) * c) AS DOUBLE) AS s4
+      |  FROM (SELECT event_type,
+      |          CAST(round(value * 100, 0) AS HUGEINT) AS c
+      |        FROM events)
+      |  GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type, n, s1 / n AS mean,
+      |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+      |    s3 / n - 3 * (s1 / n) * (s2 / n) +
+      |      2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+      |    s4 / n - 4 * (s1 / n) * (s3 / n) +
+      |      6 * (s1 / n) * (s1 / n) * (s2 / n) -
+      |      3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      |  FROM s)
+      |SELECT event_type, n,
+      |  round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+      |  round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+      |FROM m ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q78_linreg" -> q78,
+    "q79_gaps_islands" -> q79,
+    "q80_mad" -> q80,
+    "q81_ttest" -> q81,
+    "q82_rfm" -> q82,
+    "q83_assoc_rules" -> q83,
+    "q84_triangles" -> q84,
+    "q85_bitagg" -> q85,
+    "q86_moments" -> q86)
+
+  val oracles: Map[String, String] = Map(
+    "q78_linreg" -> q78Sql,
+    "q79_gaps_islands" -> q79Sql,
+    "q80_mad" -> q80Sql,
+    "q81_ttest" -> q81Sql,
+    "q82_rfm" -> q82Sql,
+    "q83_assoc_rules" -> q83Sql,
+    "q84_triangles" -> q84Sql,
+    "q85_bitagg" -> q85Sql,
+    "q86_moments" -> q86Sql)
+}

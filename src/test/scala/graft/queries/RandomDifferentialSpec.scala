@@ -486,10 +486,89 @@ class RandomDifferentialSpec extends SparkSpec {
     }
   } yield q
 
+  // ---- grouping sets: ROLLUP / CUBE over two categoricals -----------
+  // Multi-level aggregation has its own null-marker semantics (the
+  // subtotal rows) and a dedicated planning path (Expand); the axis
+  // checks DataFrame .rollup/.cube against the SQL GROUP BY ROLLUP/
+  // CUBE clauses, with grouping_id disambiguating real-NULL groups
+  // from subtotal rows in the ordering.
+  private def rollupGen: Gen[TestQuery] = for {
+    t <- Gen.oneOf("lineitem", "orders")
+    mode <- Gen.oneOf("ROLLUP", "CUBE")
+    ps <- predsGen(t, 1)
+    aggs <- aggGen(meta(t).numeric)
+  } yield {
+    val keys = meta(t).cats.take(2)
+    val where =
+      if (ps.isEmpty) "" else s" WHERE ${ps.map(_._1).mkString(" AND ")}"
+    val selectItems = keys ++
+      Seq("CAST(grouping_id() AS BIGINT) AS gid",
+        "CAST(count(*) AS BIGINT) AS cnt") ++ aggs.map(_._1)
+    val outCols = keys ++ Seq("gid", "cnt") ++
+      aggs.indices.map(i => s"a$i")
+    val sql = s"SELECT ${selectItems.mkString(", ")} FROM fuzz_$t" +
+      where + s" GROUP BY $mode(${keys.mkString(", ")})" +
+      s" ORDER BY ${outCols.mkString(", ")}"
+    val build = () => {
+      var d = frames(t)
+      ps.foreach { case (_, c) => d = d.filter(c) }
+      val grouped =
+        if (mode == "ROLLUP") d.rollup(keys.map(col): _*)
+        else d.cube(keys.map(col): _*)
+      val aggCols = grouping_id().cast("long").as("gid") +:
+        count(lit(1)).cast("long").as("cnt") +: aggs.map(_._2)
+      grouped.agg(aggCols.head, aggCols.tail: _*)
+        .orderBy(outCols.map(col): _*)
+    }
+    TestQuery(s"rollup:$mode:$t", sql, build)
+  }
+
+  // ---- distinct aggregates: count/sum DISTINCT beside plain aggs ----
+  // DISTINCT aggregates plan through Expand + double aggregation —
+  // a different physical path from plain hash aggregation, and the
+  // classic source of wrong-multiplicity bugs when mixed with
+  // non-distinct aggregates in the same SELECT.
+  private def distinctAggGen: Gen[TestQuery] = for {
+    t <- Gen.oneOf("lineitem", "orders", "customer")
+    ps <- predsGen(t, 1)
+    num <- Gen.oneOf(meta(t).numeric)
+    dcat <- Gen.oneOf(meta(t).cats)
+    useKey <- Gen.oneOf(true, false)
+  } yield {
+    val key = meta(t).cats.find(_ != dcat).getOrElse(dcat)
+    val keys = if (useKey && key != dcat) Seq(key) else Nil
+    val where =
+      if (ps.isEmpty) "" else s" WHERE ${ps.map(_._1).mkString(" AND ")}"
+    val selectItems = keys ++ Seq(
+      s"CAST(count(DISTINCT $dcat) AS BIGINT) AS nd",
+      s"sum(DISTINCT CAST($num AS DECIMAL(18,2))) AS sd",
+      "CAST(count(*) AS BIGINT) AS cnt",
+      s"sum(CAST($num AS DECIMAL(18,2))) AS st")
+    val outCols = keys ++ Seq("nd", "sd", "cnt", "st")
+    val groupBy =
+      if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
+    val sql = s"SELECT ${selectItems.mkString(", ")} FROM fuzz_$t" +
+      where + groupBy + s" ORDER BY ${outCols.mkString(", ")}"
+    val build = () => {
+      var d = frames(t)
+      ps.foreach { case (_, c) => d = d.filter(c) }
+      val aggCols = List(
+        countDistinct(col(dcat)).cast("long").as("nd"),
+        sum_distinct(col(num).cast(DecimalType(18, 2))).as("sd"),
+        count(lit(1)).cast("long").as("cnt"),
+        sum(col(num).cast(DecimalType(18, 2))).as("st"))
+      val out =
+        if (keys.isEmpty) d.agg(aggCols.head, aggCols.tail: _*)
+        else d.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      out.orderBy(outCols.map(col): _*)
+    }
+    TestQuery(s"distinct:$t", sql, build)
+  }
+
   private def queryGen: Gen[TestQuery] =
     Gen.frequency((4, singleGen), (5, join2Gen), (2, join3Gen),
       (3, windowGen), (2, setOpGen), (2, nullSingleGen),
-      (3, scalarGen))
+      (3, scalarGen), (2, rollupGen), (2, distinctAggGen))
 
   // ---- the differential check ----------------------------------------
   private def canon(df: DataFrame): Seq[String] =
@@ -499,13 +578,14 @@ class RandomDifferentialSpec extends SparkSpec {
       case x => x.toString
     }.mkString("|")).toSeq
 
-  test("200 seeded random queries: DataFrame-API and SQL-text " +
+  test("240 seeded random queries: DataFrame-API and SQL-text " +
     "formulations agree row-for-row (predicates, group keys, " +
     "aggregates, HAVING, join types, join orders, window ranks, " +
-    "set operations, derived-null semantics)") {
+    "set operations, derived-null semantics, ROLLUP/CUBE, " +
+    "DISTINCT aggregates)") {
     frames // force view registration
     var ran = 0
-    (0 until 200).foreach { i =>
+    (0 until 240).foreach { i =>
       queryGen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { q =>
         val viaSql = canon(spark.sql(q.sql))
         val viaDf = canon(q.df())
@@ -517,6 +597,6 @@ class RandomDifferentialSpec extends SparkSpec {
       }
     }
     info(s"$ran seeded comparisons ran")
-    assert(ran >= 175, s"only $ran of 200 seeds produced a query")
+    assert(ran >= 210, s"only $ran of 240 seeds produced a query")
   }
 }

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.Row
+
+/** Invariant pins for the Stats pack (q78–q86). Value correctness is
+  * the DuckDB gate; these pin the MATHEMATICAL properties each
+  * statistic must satisfy regardless of fixture values — the checks
+  * that catch a wrong formula that still hash-matches a wrong oracle
+  * twin (both engines computing the same wrong thing).
+  */
+class StatsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, dir).collect()
+
+  test("q78: r² lies in [0,1] for every group") {
+    val rows = run("q78_linreg")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r")
+    }
+  }
+
+  test("q79: streak arithmetic is internally consistent per user") {
+    val rows = run("q79_gaps_islands")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val days = r.getAs[Long]("n_days")
+      val streaks = r.getAs[Long]("n_streaks")
+      val longest = r.getAs[Long]("longest_streak")
+      assert(streaks >= 1 && longest >= 1, s"degenerate row: $r")
+      assert(longest <= days, s"longest > total days: $r")
+      // n_streaks runs of ≥1 day each can't exceed the day count,
+      // and the longest run plus one day for each other run must fit
+      assert(streaks <= days && longest + (streaks - 1) <= days,
+        s"runs don't fit in day count: $r")
+    }
+  }
+
+  test("q80: MAD is non-negative and ≤ max|value − median| by construction") {
+    val rows = run("q80_mad")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0, s"negative MAD: $r")
+    }
+  }
+
+  test("q81: all C(5,2) type pairs present; df within Welch bounds") {
+    val rows = run("q81_ttest")
+    assert(rows.length == 10, s"expected 10 pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      // Welch–Satterthwaite df: min(n1,n2)−1 ≤ df ≤ n1+n2−2; the
+      // fixture types all have ≥2 rows, so df must be ≥ 1
+      assert(r.getAs[Double]("df") >= 1.0, s"df below 1: $r")
+    }
+  }
+
+  test("q82: segment census partitions the customer base; tiles in 1..4") {
+    val rows = run("q82_rfm")
+    val nCustomers = graft.Tables(spark, dir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCustomers,
+      "segments don't partition the customers")
+    rows.foreach { r =>
+      Seq("r", "f", "m").foreach { c =>
+        val v = r.getAs[Int](c)
+        assert(v >= 1 && v <= 4, s"tile out of range: $r")
+      }
+    }
+  }
+
+  test("q83: support ≤ confidence ≤ 1 and lift consistency per rule") {
+    val rows = run("q83_assoc_rules")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sup = r.getAs[Double]("support")
+      val conf = r.getAs[Double]("confidence")
+      assert(sup > 0 && sup <= conf + 1e-9 && conf <= 1.0 + 1e-9,
+        s"support/confidence ordering broken: $r")
+      assert(r.getAs[Double]("lift") > 0, s"non-positive lift: $r")
+    }
+  }
+
+  test("q84: triangle census bounds — 3·triangles ≤ wedges (cc ≤ 1), " +
+    "edges ≤ C(nodes,2)") {
+    val Array(r: Row) = run("q84_triangles")
+    val nodes = r.getAs[Long]("n_nodes")
+    val edges = r.getAs[Long]("n_edges")
+    val cc = r.getAs[Double]("clustering_coeff")
+    assert(edges <= nodes * (nodes - 1) / 2, s"impossible edge count: $r")
+    assert(cc >= 0.0 && cc <= 1.0 + 1e-9, s"clustering coeff range: $r")
+  }
+
+  test("q85: AND-mask is contained in OR-mask per group") {
+    val rows = run("q85_bitagg")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val andM = r.getAs[Long]("mask_and")
+      val orM = r.getAs[Long]("mask_or")
+      assert((andM & orM) == andM, s"bit containment broken: $r")
+    }
+  }
+
+  test("q86: moments match direct double computation within rounding") {
+    val rows = run("q86_moments")
+    assert(rows.nonEmpty)
+    // independent direct computation (double arithmetic, same data)
+    val vals = Events.events(spark, dir)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)) }
+    rows.foreach { r =>
+      val xs = vals(r.getAs[String]("event_type"))
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val m2 = xs.map(x => (x - mean) * (x - mean)).sum / n
+      val m3 = xs.map(x => math.pow(x - mean, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mean, 4)).sum / n
+      val skew = m3 / math.pow(m2, 1.5)
+      val kurt = m4 / (m2 * m2) - 3
+      assert(math.abs(r.getAs[Double]("skewness") - skew) < 1e-4,
+        s"skewness drifted from direct computation: $r vs $skew")
+      assert(math.abs(r.getAs[Double]("excess_kurtosis") - kurt) < 1e-4,
+        s"kurtosis drifted from direct computation: $r vs $kurt")
+    }
+  }
+}
