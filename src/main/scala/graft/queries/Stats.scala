@@ -501,7 +501,166 @@ object Stats {
       |  round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
       |FROM m ORDER BY event_type""".stripMargin
 
+  // ---- q87_seasonal_anomaly: seasonal-profile z-score audit ---------
+  // The metrics-anomaly screen with a SEASONAL baseline: mean/std per
+  // (event type, hour-of-day) — the profile — then events beyond 3σ
+  // OF THEIR OWN SEASON are flagged. The profile is a bounded-alphabet
+  // aggregate (types × 24) built from exact decimal sums, shipped
+  // broadcast; the flagging pass is one filter — embarrassingly
+  // parallel. A flat 3σ over the whole series (q76's shape) would
+  // flag every rush-hour burst; the seasonal profile is what a
+  // production monitor actually runs.
+  private val q87: Q = (s, dir) => {
+    val x = dec2(col("value"))
+    val prof = Events.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"), d(sum(x)).as("sx"),
+        d(sum(x * x)).as("sxx"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("std", sqrt(
+        (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+    Events.events(s, dir)
+      .withColumn("hr", hour(col("ts")))
+      .join(broadcast(prof), Seq("event_type", "hr"))
+      .groupBy(col("event_type"), col("hr"), col("n"), col("mean"),
+        col("std"))
+      .agg(sum(when(abs(col("value") - col("mean")) >
+          lit(3.0) * col("std"), 1L).otherwise(0L)).as("n_anomalies"))
+      .select(col("event_type"), col("hr").cast(LongType).as("hr"),
+        col("n").as("n_events"),
+        round(col("mean"), 4).as("season_mean"),
+        round(col("std"), 4).as("season_std"),
+        col("n_anomalies"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  private val q87Sql =
+    """WITH prof AS (
+      |  SELECT event_type, hour(ts) AS hr, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2)) *
+      |             CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, hr, n, sx / n AS mean,
+      |    sqrt((sxx - sx * sx / n) / (n - 1)) AS std
+      |  FROM prof)
+      |SELECT e.event_type, CAST(p.hr AS BIGINT) AS hr,
+      |  p.n AS n_events,
+      |  round(p.mean, 4) AS season_mean,
+      |  round(p.std, 4) AS season_std,
+      |  CAST(sum(CASE WHEN abs(e.value - p.mean) > 3.0 * p.std
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM events e JOIN p
+      |  ON e.event_type = p.event_type AND hour(e.ts) = p.hr
+      |GROUP BY e.event_type, p.hr, p.n, p.mean, p.std
+      |ORDER BY e.event_type, hr""".stripMargin
+
+  // ---- q88_cohort_matrix: purchase-cohort / day-offset retention ----
+  // The cohort-retention matrix behind every growth dashboard: users
+  // grouped by FIRST-PURCHASE day, each later purchase-active day
+  // counted at its offset, retention = active / cohort size. (First
+  // purchase, not first event: on this schema every user appears on
+  // day one, so event-based cohorts are degenerate; purchase adoption
+  // spreads over weeks — the realistic conversion cohort.) Two
+  // aggregations on the same user partitioning, cohort sizes
+  // broadcast back.
+  private val q88: Q = (s, dir) => {
+    val days = Events.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast(DateType).as("day"))
+      .distinct()
+    val firstDay = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val cohortSize = firstDay.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    days.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast(LongType)
+          .as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSize), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        round(d(col("n_active")) / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private val q88Sql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |fd AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1),
+      |cs AS (
+      |  SELECT cohort_day, count(*) AS cohort_size FROM fd GROUP BY 1),
+      |act AS (
+      |  SELECT f.cohort_day,
+      |    CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT)
+      |      AS day_offset,
+      |    count(*) AS n_active
+      |  FROM days d JOIN fd f USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT a.cohort_day, a.day_offset, a.n_active, cs.cohort_size,
+      |  round(CAST(a.n_active AS DOUBLE) / cs.cohort_size, 6)
+      |    AS retention
+      |FROM act a JOIN cs USING (cohort_day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  // ---- q89_abc: Pareto / ABC contribution analysis ------------------
+  // Classify parts by cumulative revenue share (A ≤ 80%, B ≤ 95%,
+  // C = tail) — the inventory-prioritization classic. Exact decimal
+  // revenue sums; the cumulative share is a running DECIMAL sum over
+  // a TOTAL order (revenue desc, partkey tiebreak), so the class
+  // boundary is deterministic. The single-partition window is bounded
+  // by the CATALOG (parts), not the corpus — the same bound as q82's
+  // ntile; a corpus-scale cumulative share would ride q52's sketch.
+  private val q89: Q = (s, dir) => {
+    val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("rev"))
+    val tot = rev.agg(sum(col("rev")).as("tot"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.crossJoin(broadcast(tot))
+      .withColumn("cumshare", d(sum(col("rev")).over(w)) / d(col("tot")))
+      .withColumn("abc_class",
+        when(col("cumshare") <= 0.8, "A")
+          .when(col("cumshare") <= 0.95, "B").otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(d(sum(col("rev"))) / first(d(col("tot"))), 6)
+          .as("revenue_share"))
+      .orderBy(col("abc_class"))
+  }
+
+  private val q89Sql =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT sum(rev) AS tot FROM rev),
+      |ranked AS (
+      |  SELECT l_partkey, rev,
+      |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS cumshare
+      |  FROM rev, tot),
+      |classed AS (
+      |  SELECT l_partkey, rev,
+      |    CASE WHEN cumshare <= 0.8 THEN 'A'
+      |         WHEN cumshare <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+      |  FROM ranked)
+      |SELECT abc_class, count(*) AS n_parts,
+      |  round(CAST(sum(rev) AS DOUBLE) /
+      |    (SELECT CAST(tot AS DOUBLE) FROM tot), 6) AS revenue_share
+      |FROM classed GROUP BY abc_class ORDER BY abc_class""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q87_seasonal_anomaly" -> q87,
+    "q88_cohort_matrix" -> q88,
+    "q89_abc" -> q89,
     "q78_linreg" -> q78,
     "q79_gaps_islands" -> q79,
     "q80_mad" -> q80,
@@ -513,6 +672,9 @@ object Stats {
     "q86_moments" -> q86)
 
   val oracles: Map[String, String] = Map(
+    "q87_seasonal_anomaly" -> q87Sql,
+    "q88_cohort_matrix" -> q88Sql,
+    "q89_abc" -> q89Sql,
     "q78_linreg" -> q78Sql,
     "q79_gaps_islands" -> q79Sql,
     "q80_mad" -> q80Sql,

@@ -104,6 +104,64 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q87: anomaly counts bounded by Chebyshev at 3 sigma (≤ n/9)") {
+    val rows = run("q87_seasonal_anomaly")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val a = r.getAs[Long]("n_anomalies")
+      // Chebyshev: P(|X−µ| > 3σ) ≤ 1/9 for ANY distribution — an
+      // invariant the seasonal profile cannot violate if mean/std are
+      // computed over the same population that is being flagged
+      assert(a <= n / 9 + 1, s"anomaly count violates Chebyshev: $r")
+    }
+  }
+
+  test("q88: cohort matrix — retention 1.0 at offset 0, ≤ 1 " +
+    "everywhere, cohorts partition the purchasing users") {
+    val rows = run("q88_cohort_matrix")
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_day"))
+    byCohort.values.foreach { cr =>
+      val zero = cr.filter(_.getAs[Long]("day_offset") == 0L)
+      assert(zero.length == 1, "missing/duplicate offset-0 row")
+      assert(zero.head.getAs[Double]("retention") == 1.0,
+        s"offset-0 retention must be exactly 1: ${zero.head}")
+      cr.foreach(r => assert(r.getAs[Double]("retention") <= 1.0,
+        s"retention above 1: $r"))
+    }
+    // Σ cohort sizes = distinct purchasing users
+    val totalCohort = byCohort.values
+      .map(_.head.getAs[Long]("cohort_size")).sum
+    val purchasers = Events.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") ===
+        "purchase")
+      .select("user_id").distinct().count()
+    assert(totalCohort == purchasers,
+      s"cohorts don't partition purchasers: $totalCohort vs $purchasers")
+  }
+
+  test("q89: ABC classes partition the catalog; shares sum to 1 and " +
+    "A ≥ B ≥ C in per-part intensity") {
+    val rows = run("q89_abc")
+    val classes = rows.map(_.getAs[String]("abc_class"))
+    assert(classes.toSet.subsetOf(Set("A", "B", "C")) && classes.nonEmpty)
+    val shareSum = rows.map(_.getAs[Double]("revenue_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4,
+      s"revenue shares don't sum to 1: $shareSum")
+    val nParts = rows.map(_.getAs[Long]("n_parts")).sum
+    val catalog = graft.Tables(spark, dir, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(nParts == catalog, s"classes don't partition: $nParts/$catalog")
+    // per-part revenue intensity must fall A → C (the Pareto point)
+    val intensity = rows.map(r => r.getAs[String]("abc_class") ->
+      r.getAs[Double]("revenue_share") / r.getAs[Long]("n_parts")).toMap
+    for (Seq(hi, lo) <- Seq("A", "B", "C").filter(intensity.contains)
+        .sliding(2) if lo != hi)
+      assert(intensity(hi) >= intensity(lo),
+        s"intensity ordering broken: $intensity")
+  }
+
   test("q86: moments match direct double computation within rounding") {
     val rows = run("q86_moments")
     assert(rows.nonEmpty)

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle set — the same-window baseline pair partner.
+
+Usage: tools/duckbench.py <sfDir> <oracle_sql.json> [rounds=3]
+
+Runs every oracle SQL entry against views over <sfDir>'s parquet
+tables (32 threads), best-of-N per query, and prints one JSON line
+mirroring graft.Bench's shape. Run immediately BEFORE and AFTER a
+graft.Bench run: this host swings ±40% between windows, so only
+same-window ratios are meaningful (BASELINE.md).
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sfdir, oracle_json = sys.argv[1], sys.argv[2]
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    sql = json.load(open(oracle_json))
+    best = {}
+    errors = {}
+    for _ in range(rounds):
+        for name in sorted(sql):
+            if name in errors:
+                continue
+            t0 = time.time()
+            try:
+                con.execute(sql[name]).fetchall()
+            except Exception as e:  # noqa: BLE001 - record and move on
+                errors[name] = str(e)[:200]
+                continue
+            dt = time.time() - t0
+            best[name] = min(best.get(name, float("inf")), dt)
+    out = {
+        "metric": "duckdb_total",
+        "value": round(sum(best.values()), 4),
+        "unit": "sec",
+        "n": len(best),
+        "nerrors": len(errors),
+        "queries": {k: round(v, 4) for k, v in sorted(best.items())},
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
