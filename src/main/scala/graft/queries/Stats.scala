@@ -511,11 +511,13 @@ object Stats {
   // flag every rush-hour burst; the seasonal profile is what a
   // production monitor actually runs.
   private val q87: Q = (s, dir) => {
-    val x = dec2(col("value"))
-    val prof = Events.events(s, dir)
-      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n"), d(sum(x)).as("sx"),
-        d(sum(x * x)).as("sxx"))
+    // the profile derivation is SHARED with the incremental maintainer
+    // (streaming.SeasonalProfileStream): this query is its one-shot
+    // twin, so a monitor can switch between them without drift
+    val prof = graft.streaming.SeasonalProfileStream
+      .batchProfile(Events.events(s, dir))
+      .withColumn("sx", d(col("sx")))
+      .withColumn("sxx", d(col("sxx")))
       .withColumn("mean", col("sx") / col("n"))
       .withColumn("std", sqrt(
         (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
