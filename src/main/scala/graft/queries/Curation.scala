@@ -140,6 +140,104 @@ object Curation {
       |SELECT source, n_docs, avg_ttr, n_vocab, hapax_rate
       |FROM div JOIN tail USING (source) ORDER BY source""".stripMargin
 
+  // ---- llm_hash_embed: feature-hashed document vectors --------------
+  // The hashing trick (Weinberger et al. '09): a deterministic,
+  // vocabulary-free document representation — bucket = md5(word) mod
+  // 64, sign from the next nibble, weight = Σ count·sign. The cheap
+  // embedding path when no model is available (streaming-safe: a
+  // word's bucket never depends on corpus state, so append batches
+  // hash identically). Weights are INTEGER sums — exact on both
+  // engines, no float discipline needed. Work is row-local explode +
+  // one bounded aggregation; the doc_id slice keeps the fixture
+  // output small while the plan is the full-corpus one.
+  private val HashDim = 64
+  private val hashEmbed: Q = (s, dir) => {
+    val h = md5(col("w"))
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        explode(graft.functions.TokenOps.word_counts(
+          split(col("text"), " "))).as(Seq("w", "c")))
+      .select(col("doc_id"), col("c"),
+        (conv(substring(h, 1, 2), 16, 10).cast(IntegerType) %
+          HashDim).as("bucket"),
+        when(conv(substring(h, 3, 1), 16, 10).cast(IntegerType) < 8,
+          lit(1L)).otherwise(lit(-1L)).as("sign"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("c") * col("sign")).as("weight"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
+  private val hashEmbedSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents WHERE doc_id < 20)
+       |  GROUP BY doc_id, w),
+       |hashed AS (
+       |  SELECT doc_id, c,
+       |    ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+       |     + strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1)
+       |      % $HashDim AS bucket,
+       |    CASE WHEN strpos('0123456789abcdef', substr(md5(w), 3, 1))
+       |      - 1 < 8 THEN 1 ELSE -1 END AS sign
+       |  FROM tok)
+       |SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+       |  CAST(sum(c * sign) AS BIGINT) AS weight
+       |FROM hashed GROUP BY doc_id, bucket
+       |ORDER BY doc_id, bucket""".stripMargin
+
+  // ---- llm_keywords: per-document keyword extraction ----------------
+  // Top-3 TF-IDF terms per document — the document-level complement
+  // of llm_tfidf's per-source view (tagging, retrieval snippets,
+  // index keys). tf is row-local (word_counts); global df comes from
+  // the session term-stats artifact (Σ over sources) and ships
+  // broadcast (vocabulary-sized); the top-3 is a per-doc window over
+  // the doc's own terms. Scores round to 6 (double product
+  // discipline); ties break on the term.
+  private val keywords: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val df = termStats(docs).groupBy(col("w"))
+      .agg(sum(col("sdf")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        explode(graft.functions.TokenOps.word_counts(
+          split(col("text"), " "))).as(Seq("w", "c")))
+    val scored = tf.join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("c") * log(d(col("n_docs")) / col("df")))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("w"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast(LongType).as("rk"),
+        col("w").as("keyword"), round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val keywordsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |df AS (
+      |  SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |tf AS (
+      |  SELECT doc_id, w, count(*) AS c FROM tok
+      |  WHERE doc_id < 100 GROUP BY doc_id, w),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.w,
+      |    tf.c * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+      |  FROM tf JOIN df USING (w), n),
+      |ranked AS (
+      |  SELECT doc_id, w, score, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, w AS keyword, round(score, 6) AS score
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   // ---- llm_redact_terms: regex scrubbing / redaction ----------------
   // The PII-scrub operator shape: a lexicon/pattern match is replaced
   // with a sentinel and the hit count is kept for audit. The fixture
@@ -1529,6 +1627,8 @@ object Curation {
     "llm_contamination_apply" -> contaminationApply,
     "llm_mix_sources" -> mix,
     "llm_vocab_topk" -> vocab,
+    "llm_hash_embed" -> hashEmbed,
+    "llm_keywords" -> keywords,
     "llm_ttr" -> ttr,
     "llm_redact_terms" -> redact,
     "llm_tfidf" -> tfidf,
@@ -1566,6 +1666,9 @@ object Curation {
     "llm_contamination_apply" -> contaminationApplySql,
     "llm_mix_sources" -> mixSql,
     "llm_vocab_topk" -> vocabSql,
+    // integer hashed weights: exact on both engines by construction
+    "llm_hash_embed" -> hashEmbedSql,
+    "llm_keywords" -> keywordsSql,
     // per-doc TTRs ride a 9-decimal DECIMAL sum (order-independent);
     // the hapax tail is integer arithmetic off term frequencies
     "llm_ttr" -> ttrSql,

@@ -659,7 +659,43 @@ object Stats {
       |    (SELECT CAST(tot AS DOUBLE) FROM tot), 6) AS revenue_share
       |FROM classed GROUP BY abc_class ORDER BY abc_class""".stripMargin
 
+  // ---- q90_percentile_disc: discrete (witnessed) percentiles --------
+  // The percentile family's third member: q39 interpolates
+  // (percentile ≡ quantile_cont), q52 sketches at corpus scale — this
+  // one returns an ACTUAL data value (the SLA-report convention:
+  // "p90 latency" must be a latency that happened). Spark has no
+  // exact percentile_disc aggregate, so the witness is selected by
+  // rank: DuckDB's quantile_disc semantics (probed before mirroring)
+  // are the value at 1-based position max(ceil(p·n), 1) of the sorted
+  // group — one bounded-alphabet window + one conditional aggregation
+  // on the same partitioning. Values pass through untouched: no
+  // rounding needed, the output IS input data.
+  private val q90: Q = (s, dir) => {
+    val cnt = Events.events(s, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    def pos(p: Double) =
+      greatest(ceil(lit(p) * col("n")), lit(1)).cast(LongType)
+    Events.events(s, dir)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .join(broadcast(cnt), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(min(when(col("rn") === pos(0.5), col("value"))).as("p50_disc"),
+        min(when(col("rn") === pos(0.9), col("value"))).as("p90_disc"),
+        min(when(col("rn") === pos(0.99), col("value"))).as("p99_disc"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q90Sql =
+    """SELECT event_type, count(*) AS n,
+      |  quantile_disc(value, 0.5) AS p50_disc,
+      |  quantile_disc(value, 0.9) AS p90_disc,
+      |  quantile_disc(value, 0.99) AS p99_disc
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q90_percentile_disc" -> q90,
     "q87_seasonal_anomaly" -> q87,
     "q88_cohort_matrix" -> q88,
     "q89_abc" -> q89,
@@ -674,6 +710,7 @@ object Stats {
     "q86_moments" -> q86)
 
   val oracles: Map[String, String] = Map(
+    "q90_percentile_disc" -> q90Sql,
     "q87_seasonal_anomaly" -> q87Sql,
     "q88_cohort_matrix" -> q88Sql,
     "q89_abc" -> q89Sql,

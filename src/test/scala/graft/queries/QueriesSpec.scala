@@ -356,6 +356,42 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("llm_keywords: ≤3 per doc, ranks contiguous, scores descending " +
+    "within each doc") {
+    val rows = SparkEntry.queries("llm_keywords")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for ((_, rs0) <- rows.groupBy(_.getAs[Long]("doc_id"))) {
+      val rs = rs0.sortBy(_.getAs[Long]("rk"))
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to rs.length).toSeq, "ranks not contiguous")
+      val scores = rs.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse, "scores not descending")
+    }
+  }
+
+  test("llm_hash_embed: total |weight| ≤ token count (hashing can only " +
+    "cancel mass, never create it) and buckets within the dimension") {
+    val rows = SparkEntry.queries("llm_hash_embed")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 0 && b < 64, s"bucket out of range: $r")
+    }
+    val massByDoc = rows.groupBy(_.getAs[Long]("doc_id")).map {
+      case (id, rs) => id -> rs.map(r =>
+        math.abs(r.getAs[Long]("weight"))).sum
+    }
+    val tokensByDoc = graft.Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    massByDoc.foreach { case (id, m) =>
+      assert(m <= tokensByDoc(id), s"doc $id hashed mass $m exceeds " +
+        s"its ${tokensByDoc(id)} tokens")
+    }
+  }
+
   test("dot_product matches the interpreted fold exactly") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.25f)))

@@ -162,6 +162,25 @@ class StatsSpec extends SparkSpec {
         s"intensity ordering broken: $intensity")
   }
 
+  test("q90: discrete percentiles are WITNESSES (actual data values) " +
+    "and ordered p50 ≤ p90 ≤ p99") {
+    val rows = run("q90_percentile_disc")
+    assert(rows.nonEmpty)
+    val byType = Events.events(spark, dir)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).toSet }
+    rows.foreach { r =>
+      val vals = byType(r.getAs[String]("event_type"))
+      val (p50, p90, p99) = (r.getAs[Double]("p50_disc"),
+        r.getAs[Double]("p90_disc"), r.getAs[Double]("p99_disc"))
+      assert(p50 <= p90 && p90 <= p99, s"percentiles unordered: $r")
+      // the defining property interpolation CANNOT satisfy in general
+      Seq(p50, p90, p99).foreach(p =>
+        assert(vals.contains(p), s"$p is not a data value: $r"))
+    }
+  }
+
   test("q86: moments match direct double computation within rounding") {
     val rows = run("q86_moments")
     assert(rows.nonEmpty)
