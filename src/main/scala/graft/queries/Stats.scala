@@ -694,7 +694,82 @@ object Stats {
       |  quantile_disc(value, 0.99) AS p99_disc
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- q91_growth_accounting: new/retained/resurrected/churned ------
+  // The DAU growth-accounting decomposition (every active user is
+  // exactly one of new / retained / resurrected; churn is attributed
+  // to the first INACTIVE day), satisfying the conservation identity
+  // DAU(d) = DAU(d−1) + new + resurrected − churned — pinned in
+  // StatsSpec, since the identity is what dashboards reconcile
+  // against. One user-partitioned window pass (lag + lead) classifies
+  // every activity day; churn events are emitted from the same pass;
+  // the per-day counts meet in a coalesced full-outer join on the
+  // (bounded) day axis.
+  private val q91: Q = (s, dir) => {
+    val act = Events.events(s, dir)
+      .select(col("user_id"), col("ts").cast(DateType).as("day"))
+      .distinct()
+    val maxDay = act.agg(max(col("day")).as("max_day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val marked = act
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w))
+    val status = marked.groupBy(col("day"))
+      .agg(sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev") === date_sub(col("day"), 1), 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("prev").isNotNull &&
+          col("prev") < date_sub(col("day"), 1), 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churn = marked.crossJoin(broadcast(maxDay))
+      .filter((col("next").isNull && col("day") < col("max_day")) ||
+        col("next") > date_add(col("day"), 1))
+      .select(date_add(col("day"), 1).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    status.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("dau",
+        col("n_new") + col("n_retained") + col("n_resurrected"))
+      .orderBy(col("day"))
+  }
+
+  private val q91Sql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |mx AS (SELECT max(day) AS max_day FROM act),
+      |marked AS (
+      |  SELECT user_id, day,
+      |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+      |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+      |  FROM act),
+      |status AS (
+      |  SELECT day,
+      |    sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+      |    sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END)
+      |      AS n_retained,
+      |    sum(CASE WHEN prev IS NOT NULL AND prev < day - 1
+      |      THEN 1 ELSE 0 END) AS n_resurrected
+      |  FROM marked GROUP BY day),
+      |churn AS (
+      |  SELECT day + 1 AS day, count(*) AS n_churned
+      |  FROM marked, mx
+      |  WHERE (next IS NULL AND day < mx.max_day) OR next > day + 1
+      |  GROUP BY day + 1)
+      |SELECT COALESCE(s.day, c.day) AS day,
+      |  CAST(COALESCE(s.n_new, 0) AS BIGINT) AS n_new,
+      |  CAST(COALESCE(s.n_retained, 0) AS BIGINT) AS n_retained,
+      |  CAST(COALESCE(s.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+      |  CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned,
+      |  CAST(COALESCE(s.n_new, 0) + COALESCE(s.n_retained, 0) +
+      |    COALESCE(s.n_resurrected, 0) AS BIGINT) AS dau
+      |FROM status s FULL OUTER JOIN churn c ON s.day = c.day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q91_growth_accounting" -> q91,
     "q90_percentile_disc" -> q90,
     "q87_seasonal_anomaly" -> q87,
     "q88_cohort_matrix" -> q88,
@@ -710,6 +785,7 @@ object Stats {
     "q86_moments" -> q86)
 
   val oracles: Map[String, String] = Map(
+    "q91_growth_accounting" -> q91Sql,
     "q90_percentile_disc" -> q90Sql,
     "q87_seasonal_anomaly" -> q87Sql,
     "q88_cohort_matrix" -> q88Sql,

@@ -181,6 +181,26 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q91: growth accounting satisfies the conservation identity " +
+    "DAU(d) = DAU(d−1) + new + resurrected − churned on every day") {
+    val rows = run("q91_growth_accounting")
+      .sortBy(_.getAs[java.sql.Date]("day").toString)
+    assert(rows.length > 2)
+    var prevDau = 0L
+    rows.foreach { r =>
+      val dau = r.getAs[Long]("dau")
+      assert(dau == prevDau + r.getAs[Long]("n_new") +
+        r.getAs[Long]("n_resurrected") - r.getAs[Long]("n_churned"),
+        s"conservation identity broken at $r (prev DAU $prevDau)")
+      prevDau = dau
+    }
+    // every user is new exactly once
+    val totalNew = rows.map(_.getAs[Long]("n_new")).sum
+    val users = Events.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(totalNew == users, s"new-user total $totalNew != $users")
+  }
+
   test("q86: moments match direct double computation within rounding") {
     val rows = run("q86_moments")
     assert(rows.nonEmpty)
