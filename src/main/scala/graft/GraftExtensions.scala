@@ -15,8 +15,9 @@ import graft.functions.{DotProduct, MinHashSignature, WinnowFingerprints, WordSh
   *
   * Registered: `dot_product(a, b)`, `minhash_signature(shingles, k)`,
   * `word_shingles(tokens, n)`, `winnow_fingerprints(text, k, w)`,
-  * `jaro_winkler(a, b)` — the numeric arguments must be integer
-  * literals (they parameterize the expression, not the row).
+  * `jaro_winkler(a, b)`, `ordered_pairs(xs)` — the numeric arguments
+  * must be integer literals (they parameterize the expression, not
+  * the row).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -61,6 +62,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "winnow_fingerprints(text, k, w) takes 3 arguments")
         WinnowFingerprints(args(0), intLit(args(1), "k"),
           intLit(args(2), "w"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ordered_pairs"),
+      new ExpressionInfo(classOf[graft.functions.OrderedPairs].getName,
+        "ordered_pairs"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "ordered_pairs(xs) takes 1 argument")
+        graft.functions.OrderedPairs(args(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("jaro_winkler"),

@@ -65,6 +65,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head().getDouble(0)
       assert(math.abs(jw - 0.9611111111111111) < 1e-15)
 
+      val op = s.sql(
+        "SELECT ordered_pairs(array(1L, 2L, 3L)) AS p")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(op.map(r => (r.getLong(0), r.getLong(1))) ==
+        Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+
       // SQL and Column API produce identical results
       import s.implicits._
       val viaCol = Seq(Tuple1(Seq("a", "b", "c", "d"))).toDF("tk")

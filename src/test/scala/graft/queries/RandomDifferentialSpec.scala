@@ -565,10 +565,60 @@ class RandomDifferentialSpec extends SparkSpec {
     TestQuery(s"distinct:$t", sql, build)
   }
 
+  // ---- window AGGREGATES over ROWS frames ---------------------------
+  // The windowGen axis covers rank functions; this one covers framed
+  // aggregation (running totals, trailing/centered windows) where the
+  // frame-boundary semantics are the bug surface. Sums ride the
+  // decimal cast so every frame sum is exact; the ORDER BY carries
+  // the unique key so frames are deterministic.
+  private def windowAggGen: Gen[TestQuery] = for {
+    (t, part, ord, uniq) <- Gen.oneOf(windowTables)
+    (frameSql, lo, hi) <- Gen.oneOf(
+      ("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        Long.MinValue, 0L),
+      ("ROWS BETWEEN 2 PRECEDING AND CURRENT ROW", -2L, 0L),
+      ("ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING", -1L, 1L),
+      ("ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING", 0L, 3L))
+    fn <- Gen.oneOf("sum", "min", "max", "count")
+    ps <- predsGen(t, 1)
+  } yield {
+    import org.apache.spark.sql.expressions.Window
+    val where =
+      if (ps.isEmpty) "" else s" WHERE ${ps.map(_._1).mkString(" AND ")}"
+    val over = s"OVER (PARTITION BY $part ORDER BY " +
+      s"${(ord +: uniq).mkString(", ")} $frameSql)"
+    val aggSql = fn match {
+      case "sum" => s"sum(CAST($ord AS DECIMAL(18,2))) $over"
+      case "min" => s"min(CAST($ord AS DECIMAL(18,2))) $over"
+      case "max" => s"max(CAST($ord AS DECIMAL(18,2))) $over"
+      case "count" => s"CAST(count(*) $over AS BIGINT)"
+    }
+    val outCols = Seq(part) ++ uniq ++ Seq("wv")
+    val sql = s"SELECT $part, ${uniq.mkString(", ")}, $aggSql AS wv " +
+      s"FROM fuzz_$t$where ORDER BY ${outCols.mkString(", ")}"
+    val build = () => {
+      var d = frames(t)
+      ps.foreach { case (_, c) => d = d.filter(c) }
+      val w = Window.partitionBy(col(part))
+        .orderBy((col(ord) +: uniq.map(col)): _*)
+        .rowsBetween(lo, hi)
+      val wc = fn match {
+        case "sum" => sum(col(ord).cast(DecimalType(18, 2))).over(w)
+        case "min" => min(col(ord).cast(DecimalType(18, 2))).over(w)
+        case "max" => max(col(ord).cast(DecimalType(18, 2))).over(w)
+        case "count" => count(lit(1)).over(w).cast("long")
+      }
+      d.select((Seq(part) ++ uniq).map(col) :+ wc.as("wv"): _*)
+        .orderBy(outCols.map(col): _*)
+    }
+    TestQuery(s"windowagg:$t:$fn", sql, build)
+  }
+
   private def queryGen: Gen[TestQuery] =
     Gen.frequency((4, singleGen), (5, join2Gen), (2, join3Gen),
       (3, windowGen), (2, setOpGen), (2, nullSingleGen),
-      (3, scalarGen), (2, rollupGen), (2, distinctAggGen))
+      (3, scalarGen), (2, rollupGen), (2, distinctAggGen),
+      (2, windowAggGen))
 
   // ---- the differential check ----------------------------------------
   private def canon(df: DataFrame): Seq[String] =
@@ -582,7 +632,7 @@ class RandomDifferentialSpec extends SparkSpec {
     "formulations agree row-for-row (predicates, group keys, " +
     "aggregates, HAVING, join types, join orders, window ranks, " +
     "set operations, derived-null semantics, ROLLUP/CUBE, " +
-    "DISTINCT aggregates)") {
+    "DISTINCT aggregates, framed window aggregates)") {
     frames // force view registration
     var ran = 0
     (0 until 240).foreach { i =>
