@@ -41,17 +41,33 @@ case class OrderedPairs(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
-    val n = xs.numElements()
+    val m = xs.numElements()
+    // null elements are SKIPPED (an unsafe getLong would silently
+    // read them as 0 and fabricate pairs); the output struct fields
+    // stay non-null by construction
+    val vals = new Array[Long](m)
+    var n = 0
+    var p = 0
+    while (p < m) {
+      if (!xs.isNullAt(p)) { vals(n) = xs.getLong(p); n += 1 }
+      p += 1
+    }
     if (n < 2) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](n * (n - 1) / 2)
+    val pairCount = n.toLong * (n - 1) / 2
+    if (pairCount > OrderedPairs.MaxPairsPerRow)
+      throw new IllegalArgumentException(
+        s"ordered_pairs: $n elements expand to $pairCount pairs, over " +
+          s"the ${OrderedPairs.MaxPairsPerRow} per-row cap — a row " +
+          "this wide is a memory bomb; pre-bucket or cap the array")
+    val out = new Array[Any](pairCount.toInt)
     var k = 0
     var i = 0
     while (i < n - 1) {
-      val a = xs.getLong(i)
+      val a = vals(i)
       var j = i + 1
       while (j < n) {
         out(k) = new GenericInternalRow(
-          Array[Any](a, xs.getLong(j))): InternalRow
+          Array[Any](a, vals(j))): InternalRow
         k += 1
         j += 1
       }
@@ -62,6 +78,12 @@ case class OrderedPairs(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): OrderedPairs =
     copy(child = c)
+}
+
+object OrderedPairs {
+  /** Per-row expansion cap: C(n,2) past this is a memory bomb (and
+    * n*(n-1)/2 past Int.MaxValue cannot even allocate). */
+  val MaxPairsPerRow = 4000000L
 }
 
 object ArrayPairs {

@@ -54,6 +54,14 @@ object Curation {
       termStatsFor(documents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Global document frequency per term (w, df) = Σ over sources of
+    * sdf — the ONE shared derivation for every idf consumer
+    * (llm_keywords, llm_rarity, llm_bm25); a drift in the df
+    * definition must change all of them together (r6 self-review). */
+  private[queries] def globalDf(documents: DataFrame): DataFrame =
+    termStats(documents).groupBy(col("w"))
+      .agg(sum(col("sdf")).as("df"))
+
   /** Test hook: drop persisted term-stats frames (and the unigram /
     * bigram artifacts derived from the same corpus snapshot). */
   private[graft] def clearTermStats(): Unit = {
@@ -197,8 +205,7 @@ object Curation {
   // discipline); ties break on the term.
   private val keywords: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val df = termStats(docs).groupBy(col("w"))
-      .agg(sum(col("sdf")).as("df"))
+    val df = globalDf(docs)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val tf = docs.filter(col("doc_id") < 100)
       .select(col("doc_id"),
@@ -472,8 +479,7 @@ object Curation {
   private val rarity: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val idf = termStats(docs)
-      .groupBy(col("w")).agg(sum(col("sdf")).as("df"))
+    val idf = globalDf(docs)
       .crossJoin(broadcast(n))
       .select(col("w"),
         log(col("n_docs").cast(DoubleType) / col("df")).as("idf"))
@@ -1486,9 +1492,8 @@ object Curation {
       .select(col("n_docs"),
         (col("nu").cast(DoubleType) / col("n_docs").cast(DoubleType))
           .as("avgdl"))
-    val dfT = termStats(documents)
+    val dfT = globalDf(documents)
       .filter(col("w").isin(Bm25Terms: _*))
-      .groupBy(col("w")).agg(sum(col("sdf")).as("df"))
     // the term filter rides INSIDE the array before the explode:
     // Generate emits |query terms ∩ doc| rows per doc, not |tokens|
     val tf = toks.select(col("doc_id"),

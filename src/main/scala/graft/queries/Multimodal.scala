@@ -759,7 +759,10 @@ object Multimodal {
           (graft.functions.VectorOps.dot_product(col("embedding"), vCol) -
             lit(muProj)).as("proj"))
         .groupBy(col("label"))
-        .agg(count(lit(1)).as("n_vectors"),
+        // count the PROJECTED rows: a null embedding is excluded from
+        // both the fit (na.drop) and the projection (null dot), so
+        // counting raw rows would inflate n_vectors (r6 self-review)
+        .agg(count(col("proj")).as("n_vectors"),
           round(avg(col("proj")), 4).as("mean_pc1"))
         .select(col("label"), col("n_vectors"), col("mean_pc1"),
           round(lit(fit.eigenvalue), 6).as("eigenvalue"),

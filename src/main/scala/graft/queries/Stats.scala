@@ -282,17 +282,18 @@ object Stats {
   // oracle). One orders aggregation + three cheap windows over the
   // customer-sized frame.
   private val q82: Q = (s, dir) => {
-    val o = t(s, dir, "orders")
-    val mx = o.agg(max(col("o_orderdate")).as("mxd"))
-    val cust = o.crossJoin(broadcast(mx))
+    // recency ordering needs no reference date: days-since-last-order
+    // ASC is exactly last-order-DAY DESC (same custkey tiebreak), so
+    // the max-date scalar subquery + crossJoin stages are dropped and
+    // the recency tile sorts on the per-customer aggregate directly
+    val cust = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
-      .agg(datediff(first(col("mxd")), max(col("o_orderdate")))
-          .as("recency"),
+      .agg(max(col("o_orderdate").cast(DateType)).as("last_day"),
         count(lit(1)).as("frequency"),
         sum(dec2(col("o_totalprice"))).as("monetary"))
     val seg = cust
       .withColumn("r", ntile(4).over(Window.orderBy(
-        col("recency"), col("o_custkey"))))
+        col("last_day").desc, col("o_custkey"))))
       .withColumn("f", ntile(4).over(Window.orderBy(
         col("frequency").desc, col("o_custkey"))))
       .withColumn("m", ntile(4).over(Window.orderBy(
@@ -614,18 +615,26 @@ object Stats {
   // aggregations on the same user partitioning, cohort sizes
   // broadcast back.
   private val q88: Q = (s, dir) => {
-    val days = Events.events(s, dir)
+    // ONE user-keyed exchange: each user's sorted distinct purchase
+    // days collapse to an array (collect_set dedups in place), and
+    // cohort day + offsets are ROW-LOCAL functions of the array —
+    // the distinct / first-day / join formulation paid three
+    // exchanges for the same rows (days per user are calendar-
+    // bounded, so the array cannot grow past it)
+    val userDays = Events.events(s, dir)
       .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").cast(DateType).as("day"))
-      .distinct()
-    val firstDay = days.groupBy(col("user_id"))
-      .agg(min(col("day")).as("cohort_day"))
-    val cohortSize = firstDay.groupBy(col("cohort_day"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("ts").cast(DateType)))
+        .as("days"))
+    val cohortSize = userDays
+      .groupBy(col("days").getItem(0).as("cohort_day"))
       .agg(count(lit(1)).as("cohort_size"))
-    days.join(firstDay, Seq("user_id"))
-      .groupBy(col("cohort_day"),
-        datediff(col("day"), col("cohort_day")).cast(LongType)
-          .as("day_offset"))
+    userDays
+      .select(col("days").getItem(0).as("cohort_day"),
+        explode(expr("transform(days, x -> datediff(x, days[0]))"))
+          .as("off"))
+      .groupBy(col("cohort_day"), col("off").cast(LongType)
+        .as("day_offset"))
       .agg(count(lit(1)).as("n_active"))
       .join(broadcast(cohortSize), Seq("cohort_day"))
       .select(col("cohort_day"), col("day_offset"), col("n_active"),
@@ -668,11 +677,18 @@ object Stats {
     val rev = t(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(sum(dec2(col("l_extendedprice"))).as("rev"))
-    val tot = rev.agg(sum(col("rev")).as("tot"))
-    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rev.crossJoin(broadcast(tot))
-      .withColumn("cumshare", d(sum(col("rev")).over(w)) / d(col("tot")))
+    // ONE sorted window stage serves both the running sum and the
+    // grand total (unbounded-both frame on the same sort) — the
+    // separate scalar-aggregate + crossJoin cost two extra stages
+    val ord = Window.orderBy(col("rev").desc, col("l_partkey"))
+    val wCum = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wTot = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    rev
+      .withColumn("tot", sum(col("rev")).over(wTot))
+      .withColumn("cumshare", d(sum(col("rev")).over(wCum)) /
+        d(col("tot")))
       .withColumn("abc_class",
         when(col("cumshare") <= 0.8, "A")
           .when(col("cumshare") <= 0.95, "B").otherwise("C"))
@@ -751,34 +767,58 @@ object Stats {
   // the per-day counts meet in a coalesced full-outer join on the
   // (bounded) day axis.
   private val q91: Q = (s, dir) => {
-    val act = Events.events(s, dir)
-      .select(col("user_id"), col("ts").cast(DateType).as("day"))
-      .distinct()
-    val maxDay = act.agg(max(col("day")).as("max_day"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
-    val marked = act
-      .withColumn("prev", lag(col("day"), 1).over(w))
-      .withColumn("next", lead(col("day"), 1).over(w))
-    val status = marked.groupBy(col("day"))
-      .agg(sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
-        sum(when(col("prev") === date_sub(col("day"), 1), 1L)
-          .otherwise(0L)).as("n_retained"),
-        sum(when(col("prev").isNotNull &&
-          col("prev") < date_sub(col("day"), 1), 1L).otherwise(0L))
-          .as("n_resurrected"))
-    val churn = marked.crossJoin(broadcast(maxDay))
-      .filter((col("next").isNull && col("day") < col("max_day")) ||
-        col("next") > date_add(col("day"), 1))
-      .select(date_add(col("day"), 1).as("day"))
-      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
-    status.join(churn, Seq("day"), "full_outer")
-      .select(col("day"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"),
-        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
-        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
-        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+    // ONE user-keyed exchange, ONE day-keyed aggregation: each user's
+    // sorted distinct day array yields predecessor/successor (and
+    // therefore new/retained/resurrected/churn-at-day+1 flags)
+    // ROW-LOCALLY, so the whole decomposition is emit-flags → one
+    // groupBy(day) sum — no windows, no join. The trailing churn row
+    // at max_day+1 (users whose activity simply ends with the
+    // observation window) is dropped by a window over the tiny
+    // per-day frame.
+    val userDays = Events.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("ts").cast(DateType)))
+        .as("days"))
+    val marked = userDays.select(explode(expr(
+        "transform(sequence(0, size(days) - 1), i -> struct(" +
+          "days[i] AS day, " +
+          "IF(i > 0, days[i - 1], NULL) AS prev, " +
+          "IF(i < size(days) - 1, days[i + 1], NULL) AS next))"))
+        .as("m"))
+      .select(col("m.day").as("day"), col("m.prev").as("prev"),
+        col("m.next").as("next"))
+    val flags = marked.select(explode(array(
+        struct(col("day"),
+          when(col("prev").isNull, 1L).otherwise(0L).as("n"),
+          when(col("prev") === date_sub(col("day"), 1), 1L)
+            .otherwise(0L).as("r"),
+          when(col("prev").isNotNull &&
+            col("prev") < date_sub(col("day"), 1), 1L).otherwise(0L)
+            .as("s"),
+          lit(0L).as("c")),
+        struct(date_add(col("day"), 1).as("day"),
+          lit(0L).as("n"), lit(0L).as("r"), lit(0L).as("s"),
+          when(col("next").isNull ||
+            col("next") > date_add(col("day"), 1), 1L).otherwise(0L)
+            .as("c")))).as("x"))
+      .select(col("x.day").as("day"), col("x.n"), col("x.r"),
+        col("x.s"), col("x.c"))
+      .filter(col("n") + col("r") + col("s") + col("c") > 0)
+    val agg = flags.groupBy(col("day"))
+      .agg(sum(col("n")).as("n_new"),
+        sum(col("r")).as("n_retained"),
+        sum(col("s")).as("n_resurrected"),
+        sum(col("c")).as("n_churned"))
       .withColumn("dau",
         col("n_new") + col("n_retained") + col("n_resurrected"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    agg
+      .withColumn("max_active",
+        max(when(col("dau") > 0, col("day"))).over(wAll))
+      .filter(col("day") <= col("max_active"))
+      .select(col("day"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"), col("dau"))
       .orderBy(col("day"))
   }
 

@@ -39,6 +39,16 @@ class ArrayPairsSpec extends SparkSpec {
     assert(counts == Seq(0, 0, 45))
   }
 
+  test("null elements are skipped, never fabricated as zeros") {
+    val viaCol = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L)))
+      .toDF("xs")
+      .select(ArrayPairs.ordered_pairs(col("xs")).as("p"))
+      .selectExpr("explode(p) AS e").select("e.a", "e.b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaCol == Seq((1L, 3L)),
+      s"null element fabricated a pair: $viaCol")
+  }
+
   test("non-bigint input is rejected at analysis with a typed error") {
     val df = Seq(Seq("a", "b")).toDF("xs")
     val ex = intercept[Exception] {
