@@ -854,7 +854,93 @@ object Stats {
       |FROM status s FULL OUTER JOIN churn c ON s.day = c.day
       |ORDER BY day""".stripMargin
 
+  // ---- q92_event_paths: top behavioral paths (event trigrams) -------
+  // The "what do users do next" product-analytics staple: consecutive
+  // event-type triples per user (strictly time-ordered, event_id
+  // tiebreak), counted corpus-wide, top 15. One user-partitioned
+  // window pass (two leads on the same sort) then a bounded
+  // aggregation over the |types|³ path alphabet.
+  private val q92: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Events.events(s, dir)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+      .limit(15)
+  }
+
+  private val q92Sql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1, e2, e3, count(*) AS n_paths,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY e1, e2, e3
+      |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 15""".stripMargin
+
+  // ---- q93_attribution: last-touch purchase attribution -------------
+  // Marketing attribution: each purchase credits the MOST RECENT
+  // preceding non-purchase event by the same user within a 24 h
+  // lookback (the as-of-join shape, expressed as one window pass: a
+  // running "last touch" carried by last(ignoreNulls) over the
+  // user-ordered stream, then validated against the lookback).
+  // Output: credited touch type × conversion count + exact-decimal
+  // credited revenue — the attribution report. Purchases with no
+  // in-window touch report as 'direct'.
+  private val q93: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Events.events(s, dir)
+      .withColumn("touch_type", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w))
+      .withColumn("touch_ts", last(
+        when(col("event_type") =!= "purchase", col("ts")),
+        ignoreNulls = true).over(w))
+    ev.filter(col("event_type") === "purchase")
+      .withColumn("credited",
+        when(col("touch_ts").isNotNull &&
+          col("touch_ts") >= col("ts") - expr("INTERVAL 24 HOURS"),
+          col("touch_type")).otherwise(lit("direct")))
+      .groupBy(col("credited"))
+      .agg(count(lit(1)).as("n_conversions"),
+        d(sum(dec2(col("value")))).as("credited_revenue"))
+      .orderBy(col("credited"))
+  }
+
+  private val q93Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, ts, value,
+      |    last_value(CASE WHEN event_type <> 'purchase'
+      |        THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+      |    last_value(CASE WHEN event_type <> 'purchase'
+      |        THEN ts END IGNORE NULLS) OVER w AS touch_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT CASE WHEN touch_ts IS NOT NULL AND
+      |    touch_ts >= ts - INTERVAL 24 HOURS
+      |    THEN touch_type ELSE 'direct' END AS credited,
+      |  count(*) AS n_conversions,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS credited_revenue
+      |FROM ev WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY credited""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q92_event_paths" -> q92,
+    "q93_attribution" -> q93,
     "q91_growth_accounting" -> q91,
     "q90_percentile_disc" -> q90,
     "q87_seasonal_anomaly" -> q87,
@@ -871,6 +957,8 @@ object Stats {
     "q86_moments" -> q86)
 
   val oracles: Map[String, String] = Map(
+    "q92_event_paths" -> q92Sql,
+    "q93_attribution" -> q93Sql,
     "q91_growth_accounting" -> q91Sql,
     "q90_percentile_disc" -> q90Sql,
     "q87_seasonal_anomaly" -> q87Sql,

@@ -201,6 +201,33 @@ class StatsSpec extends SparkSpec {
     assert(totalNew == users, s"new-user total $totalNew != $users")
   }
 
+  test("q92: paths over the type alphabet; reach never exceeds count") {
+    val rows = run("q92_event_paths")
+    assert(rows.nonEmpty && rows.length <= 15)
+    val types = Events.events(spark, dir)
+      .select("event_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    rows.foreach { r =>
+      Seq("e1", "e2", "e3").foreach(c =>
+        assert(types.contains(r.getAs[String](c)), s"alien type: $r"))
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_paths"),
+        s"distinct users exceed path occurrences: $r")
+    }
+  }
+
+  test("q93: attribution partitions the purchases; purchase never " +
+    "credits itself") {
+    val rows = run("q93_attribution")
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getAs[String]("credited") == "purchase"),
+      "a purchase credited itself as the touch")
+    val purchases = Events.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") ===
+        "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_conversions")).sum == purchases,
+      "attribution does not partition the purchase set")
+  }
+
   test("q86: moments match direct double computation within rounding") {
     val rows = run("q86_moments")
     assert(rows.nonEmpty)
