@@ -15,9 +15,9 @@ import graft.functions.{DotProduct, MinHashSignature, WinnowFingerprints, WordSh
   *
   * Registered: `dot_product(a, b)`, `minhash_signature(shingles, k)`,
   * `word_shingles(tokens, n)`, `winnow_fingerprints(text, k, w)`,
-  * `jaro_winkler(a, b)`, `ordered_pairs(xs)` — the numeric arguments
-  * must be integer literals (they parameterize the expression, not
-  * the row).
+  * `jaro_winkler(a, b)`, `ordered_pairs(xs)`, `top_k_by(score,
+  * payload, k)` — the numeric arguments must be integer literals
+  * (they parameterize the expression, not the row).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -62,6 +62,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "winnow_fingerprints(text, k, w) takes 3 arguments")
         WinnowFingerprints(args(0), intLit(args(1), "k"),
           intLit(args(2), "w"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[graft.functions.TopKByScore].getName,
+        "top_k_by"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "top_k_by(score, payload, k) takes 3 arguments")
+        graft.functions.TopKByScore(args(0), args(1),
+          intLit(args(2), "k")).toAggregateExpression()
       }))
     ext.injectFunction((
       new FunctionIdentifier("ordered_pairs"),

@@ -938,7 +938,43 @@ object Stats {
       |FROM ev WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY credited""".stripMargin
 
+  // ---- q94_grouped_topk: per-group top-k AS AN AGGREGATE ------------
+  // The native-aggregate alternative to the window idiom
+  // (`row_number() OVER ... <= k` full-sorts every group after a
+  // full-width shuffle): functions.TopKAgg keeps a k-bounded heap per
+  // group with MAP-SIDE partial aggregation, so only k rows per group
+  // cross the wire — the shape that survives a 100 TB fact table.
+  // Oracle = the window idiom (same ties: score desc, custkey desc);
+  // the plan pin (ObjectHashAggregate, no Window/Sort) lives in
+  // TopKAggSpec.
+  private val q94: Q = (s, dir) => {
+    val payload = struct(col("c_acctbal").as("acctbal"),
+      col("c_custkey").as("custkey"), col("c_name").as("name"))
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.TopKAgg.top_k_by(
+        d(col("c_acctbal")), payload, 3).as("top"))
+      .select(col("c_mktsegment"),
+        posexplode(col("top")).as(Seq("rk0", "t")))
+      .select(col("c_mktsegment"),
+        (col("rk0") + 1).cast(LongType).as("rk"),
+        col("t.custkey").as("c_custkey"), col("t.name").as("c_name"),
+        col("t.acctbal").as("c_acctbal"))
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  private val q94Sql =
+    """WITH rk AS (
+      |  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rk
+      |  FROM customer)
+      |SELECT c_mktsegment, rk, c_custkey, c_name, c_acctbal
+      |FROM rk WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q94_grouped_topk" -> q94,
     "q92_event_paths" -> q92,
     "q93_attribution" -> q93,
     "q91_growth_accounting" -> q91,
@@ -957,6 +993,7 @@ object Stats {
     "q86_moments" -> q86)
 
   val oracles: Map[String, String] = Map(
+    "q94_grouped_topk" -> q94Sql,
     "q92_event_paths" -> q92Sql,
     "q93_attribution" -> q93Sql,
     "q91_growth_accounting" -> q91Sql,

@@ -71,6 +71,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(op.map(r => (r.getLong(0), r.getLong(1))) ==
         Seq((1L, 2L), (1L, 3L), (2L, 3L)))
 
+      val tk = s.sql(
+        "SELECT g, top_k_by(s, id, 2) AS top FROM VALUES " +
+          "('a', 1.0D, 1L), ('a', 3.0D, 2L), ('a', 2.0D, 3L), " +
+          "('b', 9.0D, 4L) AS t(g, s, id) GROUP BY g ORDER BY g")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(tk("a") == Seq(2L, 3L) && tk("b") == Seq(4L))
+
       // SQL and Column API produce identical results
       import s.implicits._
       val viaCol = Seq(Tuple1(Seq("a", "b", "c", "d"))).toDF("tk")

@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** top_k_by ≡ the window idiom it replaces, with the PLAN SHAPE that
+  * justifies it pinned: a k-bounded heap aggregate (map-side
+  * partials, k rows per group on the wire) instead of a full
+  * per-group sort behind a full-width shuffle.
+  */
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomDf(seed: Int, rows: Int, groups: Int,
+      parts: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until rows).map { i =>
+      (s"g${rnd.nextInt(groups)}", rnd.nextInt(50).toDouble, i.toLong)
+    }.toDF("g", "score", "id").repartition(parts)
+  }
+
+  test("matches the row_number window idiom on seeded random data " +
+    "across partitionings (merge path exercised)") {
+    for (seed <- 1 to 5; parts <- Seq(1, 7)) {
+      val df = randomDf(seed, 500, 6, parts).persist()
+      val viaAgg = df.groupBy($"g")
+        .agg(TopKAgg.top_k_by($"score",
+          struct($"score", $"id"), 4).as("top"))
+        .select($"g", posexplode($"top").as(Seq("rk0", "t")))
+        .select($"g", ($"rk0" + 1).as("rk"), $"t.score", $"t.id")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      // ties: score desc, then payload (score, id) desc → id desc
+      val w = Window.partitionBy($"g")
+        .orderBy($"score".desc, $"id".desc)
+      val viaWindow = df
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= 4)
+        .select($"g", $"rk".cast("int").as("rk"), $"score", $"id")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      df.unpersist()
+      assert(viaAgg == viaWindow, s"diverged at seed=$seed parts=$parts")
+    }
+  }
+
+  test("plans as an object hash aggregate — no Window, no per-group " +
+    "full sort") {
+    val plan = graft.SparkEntry.queries("q94_grouped_topk")(
+      spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"plan:\n$plan")
+    assert(!plan.contains("Window"), s"window sneaked in:\n$plan")
+  }
+
+  test("null scores and null payloads are skipped; groups smaller " +
+    "than k return all rows") {
+    val df = Seq(("a", Some(1.0), 1L), ("a", None, 2L),
+      ("b", Some(2.0), 3L)).toDF("g", "score", "id")
+    val out = df.groupBy($"g")
+      .agg(TopKAgg.top_k_by($"score", $"id", 5).as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("a") == Seq(1L)) // null score skipped
+    assert(out("b") == Seq(3L))
+  }
+
+  test("k outside the heap bound fails loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      Seq(("a", 1.0, 1L)).toDF("g", "score", "id").groupBy($"g")
+        .agg(TopKAgg.top_k_by($"score", $"id",
+          TopKAgg.MaxK + 1).as("top")).collect()
+    }
+    assert(ex.getMessage.contains("top_k_by"), ex.getMessage)
+  }
+}
