@@ -15,14 +15,16 @@ import org.apache.spark.sql.types._
   * returns the k payloads with the largest (score, payload) keys,
   * score-descending.
   *
-  * Why an aggregate and not a window: the idiomatic
-  * `row_number() OVER (PARTITION BY g ORDER BY s DESC) <= k` plans a
-  * full sort of EVERY group's rows after a full-width shuffle. This
-  * aggregate keeps a k-bounded min-heap per group, participates in
-  * map-side partial aggregation (partials merge heap-into-heap), and
-  * shuffles only k rows per group — the difference between sorting a
-  * 100 TB fact table per key and exchanging k·|groups| rows. The
-  * same plan shape Spark gives any ObjectHashAggregate.
+  * Why an aggregate and not a window: Spark 3.5+ does optimize the
+  * idiomatic `row_number() OVER (...) <= k` with a PARTIAL
+  * WindowGroupLimit before the exchange (verified on this build), so
+  * the shuffle is already k-bounded per map partition — but both
+  * sides of that plan still SORT every map partition (O(n log n)
+  * ahead of the partial limit, again after the exchange). The heap
+  * aggregate does O(n log k) with no sort at all, and its output is
+  * an ordinary aggregation state: re-aggregatable (top-k of top-ks
+  * rolls up across levels) and servable from the same partial-merge
+  * machinery as any sketch — which a window result is not.
   *
   * Determinism: ties on score are broken by the PAYLOAD's natural
   * ordering (payload must be an orderable type; include a unique key

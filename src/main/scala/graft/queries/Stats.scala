@@ -939,11 +939,11 @@ object Stats {
       |GROUP BY 1 ORDER BY credited""".stripMargin
 
   // ---- q94_grouped_topk: per-group top-k AS AN AGGREGATE ------------
-  // The native-aggregate alternative to the window idiom
-  // (`row_number() OVER ... <= k` full-sorts every group after a
-  // full-width shuffle): functions.TopKAgg keeps a k-bounded heap per
-  // group with MAP-SIDE partial aggregation, so only k rows per group
-  // cross the wire — the shape that survives a 100 TB fact table.
+  // The native-aggregate alternative to the window idiom. Spark 3.5+
+  // already k-bounds the window shuffle with a partial
+  // WindowGroupLimit, but still sorts every map partition twice;
+  // functions.TopKAgg is sort-free (O(n log k) heap updates,
+  // map-side partial merge) and its output is re-aggregatable state.
   // Oracle = the window idiom (same ties: score desc, custkey desc);
   // the plan pin (ObjectHashAggregate, no Window/Sort) lives in
   // TopKAggSpec.
