@@ -973,7 +973,99 @@ object Stats {
       |FROM rk WHERE rk <= 3
       |ORDER BY c_mktsegment, rk""".stripMargin
 
+  // ---- q95_dq_audit: declarative data-quality constraint report -----
+  // The Deequ-style contract check a pipeline runs before publishing
+  // a table: key uniqueness, referential integrity, null rates,
+  // domain/range constraints — each evaluated as ONE aggregate over
+  // its table (no row-level output, violations COUNTED), results
+  // unioned into the audit report. Integrity checks ride anti-join
+  // counts; everything else is conditional aggregation — all
+  // map-side-combinable, nothing collects.
+  private val q95: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("constraint_name"),
+        col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0).as("passed"))
+    val keyUnique = check("orders.o_orderkey unique",
+      o.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("n_violations")))
+    val fkOrders = check("lineitem.l_orderkey -> orders",
+      li.join(o.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("n_rows")))))
+    val fkCust = check("orders.o_custkey -> customer",
+      o.join(c.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n_rows")))))
+    val notNull = check("lineitem.l_shipdate not null",
+      li.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+          .as("n_violations")))
+    val range = check("lineitem.l_discount in [0, 0.1]",
+      li.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("n_violations")))
+    val domain = check("orders.o_orderstatus in (F, O, P)",
+      o.agg(count(lit(1)).as("n_rows"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("n_violations")))
+    Seq(keyUnique, fkOrders, fkCust, notNull, range, domain)
+      .reduce(_ unionByName _)
+      .orderBy(col("constraint_name"))
+  }
+
+  private val q95Sql =
+    """SELECT * FROM (
+      |  SELECT 'orders.o_orderkey unique' AS constraint_name,
+      |    count(*) AS n_rows,
+      |    count(*) - count(DISTINCT o_orderkey) AS n_violations,
+      |    count(*) - count(DISTINCT o_orderkey) = 0 AS passed
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey -> orders',
+      |    (SELECT count(*) FROM lineitem),
+      |    count(*), count(*) = 0
+      |  FROM lineitem l WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey -> customer',
+      |    (SELECT count(*) FROM orders),
+      |    count(*), count(*) = 0
+      |  FROM orders o WHERE NOT EXISTS (
+      |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_shipdate not null',
+      |    count(*),
+      |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_discount in [0, 0.1]',
+      |    count(*),
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+      |      THEN 1 ELSE 0 END) AS BIGINT),
+      |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+      |      THEN 1 ELSE 0 END) = 0
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders.o_orderstatus in (F, O, P)',
+      |    count(*),
+      |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+      |      THEN 1 ELSE 0 END) AS BIGINT),
+      |    sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+      |      THEN 1 ELSE 0 END) = 0
+      |  FROM orders)
+      |ORDER BY constraint_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q95_dq_audit" -> q95,
     "q94_grouped_topk" -> q94,
     "q92_event_paths" -> q92,
     "q93_attribution" -> q93,
@@ -993,6 +1085,7 @@ object Stats {
     "q86_moments" -> q86)
 
   val oracles: Map[String, String] = Map(
+    "q95_dq_audit" -> q95Sql,
     "q94_grouped_topk" -> q94Sql,
     "q92_event_paths" -> q92Sql,
     "q93_attribution" -> q93Sql,

@@ -228,6 +228,20 @@ class StatsSpec extends SparkSpec {
       "attribution does not partition the purchase set")
   }
 
+  test("q95: the audit covers all six contracts and the clean fixture " +
+    "passes them; passed ⇔ zero violations on every row") {
+    val rows = run("q95_dq_audit")
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("passed") ==
+        (r.getAs[Long]("n_violations") == 0L), s"inconsistent row: $r")
+      assert(r.getAs[Long]("n_violations") >= 0 &&
+        r.getAs[Long]("n_violations") <= r.getAs[Long]("n_rows"))
+      // the driver-generated fixture satisfies its own contracts
+      assert(r.getAs[Boolean]("passed"), s"fixture violates: $r")
+    }
+  }
+
   test("q86: moments match direct double computation within rounding") {
     val rows = run("q86_moments")
     assert(rows.nonEmpty)
