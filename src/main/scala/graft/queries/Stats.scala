@@ -1064,7 +1064,69 @@ object Stats {
       |  FROM orders)
       |ORDER BY constraint_name""".stripMargin
 
+  // ---- llm_curation_funnel: the pipeline END-TO-END in one plan -----
+  // The integration showcase: quality gate → fingerprint dedup →
+  // decontamination → hash sampling composed as CUMULATIVE flags in
+  // a single DataFrame, reported as a per-source funnel (the
+  // keep-rate table a curation run publishes). Stage semantics are
+  // the deterministic cores of their standalone operators (token-
+  // count band; first-occurrence per 8-token-prefix fingerprint —
+  // the llm_fingerprint idea; substring probe; md5 membership — the
+  // llm_mix_sources idea). One corpus scan + one fingerprint-keyed
+  // window + one aggregation; each doc is flagged, never copied, so
+  // the funnel costs ONE pass regardless of stage count.
+  private val funnel: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val tk = split(col("text"), " ")
+    val flagged = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        size(tk).as("n_tokens"),
+        md5(concat_ws(" ", slice(tk, 1, 8))).as("fp"))
+      .withColumn("q",
+        col("n_tokens") >= 40 && col("n_tokens") <= 90)
+      .withColumn("uniq", col("q") && col("doc_id") ===
+        min(when(col("q"), col("doc_id")))
+          .over(Window.partitionBy(col("fp"))))
+      .withColumn("clean",
+        col("uniq") && !col("text").contains("batch batch"))
+      .withColumn("kept", col("clean") &&
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 1),
+          16, 10) < 8)
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  private val funnelSql =
+    """WITH flagged AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(text, ' ')) BETWEEN 40 AND 90 AS q,
+      |    md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+      |      AS fp,
+      |    text LIKE '%batch batch%' AS contaminated,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS sampled
+      |  FROM documents),
+      |dedup AS (
+      |  SELECT *, q AND doc_id = min(CASE WHEN q THEN doc_id END)
+      |    OVER (PARTITION BY fp) AS uniq
+      |  FROM flagged)
+      |SELECT source, count(*) AS n_raw,
+      |  CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_quality,
+      |  CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unique,
+      |  CAST(sum(CASE WHEN uniq AND NOT contaminated THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clean,
+      |  CAST(sum(CASE WHEN uniq AND NOT contaminated AND sampled
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM dedup GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_curation_funnel" -> funnel,
     "q95_dq_audit" -> q95,
     "q94_grouped_topk" -> q94,
     "q92_event_paths" -> q92,
@@ -1085,6 +1147,7 @@ object Stats {
     "q86_moments" -> q86)
 
   val oracles: Map[String, String] = Map(
+    "llm_curation_funnel" -> funnelSql,
     "q95_dq_audit" -> q95Sql,
     "q94_grouped_topk" -> q94Sql,
     "q92_event_paths" -> q92Sql,

@@ -242,6 +242,20 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("llm_curation_funnel: counts are monotone down the stages and " +
+    "every stage discriminates on this corpus") {
+    val rows = run("llm_curation_funnel")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seq = Seq("n_raw", "n_quality", "n_unique", "n_clean",
+        "n_sampled").map(r.getAs[Long])
+      assert(seq == seq.sorted.reverse, s"funnel not monotone: $r")
+    }
+    def tot(c: String) = rows.map(_.getAs[Long](c)).sum
+    assert(tot("n_quality") < tot("n_raw"), "quality gate vacuous")
+    assert(tot("n_sampled") < tot("n_clean"), "sampling vacuous")
+  }
+
   test("q86: moments match direct double computation within rounding") {
     val rows = run("q86_moments")
     assert(rows.nonEmpty)
