@@ -132,9 +132,12 @@ object Bench {
     }
     // crash insurance: persist the best-so-far after every round, so a
     // killed run (driver timeout, OOM) still leaves per-query data on
-    // disk; stdout stays clean until the final two lines
+    // disk; stdout stays clean until the final two lines. SUBSET runs
+    // (SPARK_GRAFT_ONLY) do NOT persist — a spot-bench must never
+    // clobber the last full-inventory record (r6 self-review: a
+    // one-query debug run replaced the committed 148-query artifact).
     def persist(): Unit =
-      try {
+      if (only.isEmpty) try {
         java.nio.file.Files.write(
           java.nio.file.Paths.get("bench_last.json"),
           renderFull().getBytes("UTF-8"))

@@ -77,12 +77,15 @@ case class TopKByScore(
       : mutable.PriorityQueue[UnsafeRow] =
     mutable.PriorityQueue.empty[UnsafeRow](keyOrdering.reverse)
 
+  /** `owned` = the row is already detached from any reused buffer
+    * (deserialized or heap-resident); the update path passes false and
+    * pays the copy only when the row actually enters the heap. */
   private def push(heap: mutable.PriorityQueue[UnsafeRow],
-      row: UnsafeRow): Unit =
-    if (heap.size < k) heap.enqueue(row.copy())
+      row: UnsafeRow, owned: Boolean): Unit =
+    if (heap.size < k) heap.enqueue(if (owned) row else row.copy())
     else if (keyOrdering.compare(row, heap.head) > 0) {
       heap.dequeue()
-      heap.enqueue(row.copy())
+      heap.enqueue(if (owned) row else row.copy())
     }
 
   override def update(heap: mutable.PriorityQueue[UnsafeRow],
@@ -90,9 +93,12 @@ case class TopKByScore(
     val s = score.eval(input)
     val p = payload.eval(input)
     if (s != null && p != null) {
-      inputRow.update(0, s)
+      // + 0.0 collapses -0.0 to 0.0: SQL ordering treats them equal,
+      // Double.compare does not — without this the k-boundary could
+      // diverge from the window idiom on negative zero
+      inputRow.update(0, s.asInstanceOf[Double] + 0.0)
       inputRow.update(1, p)
-      push(heap, project(inputRow))
+      push(heap, project(inputRow), owned = false)
     }
     heap
   }
@@ -100,7 +106,7 @@ case class TopKByScore(
   override def merge(a: mutable.PriorityQueue[UnsafeRow],
       b: mutable.PriorityQueue[UnsafeRow])
       : mutable.PriorityQueue[UnsafeRow] = {
-    b.foreach(push(a, _))
+    b.foreach(push(a, _, owned = true)) // deserialized rows: no alias
     a
   }
 

@@ -62,6 +62,18 @@ class TopKAggSpec extends SparkSpec {
     assert(out("b") == Seq(3L))
   }
 
+  test("negative zero scores order as zero (SQL semantics), so the " +
+    "k-boundary matches the window idiom") {
+    // -0.0 vs 0.0 with k=1: SQL ordering ties them, so the payload
+    // tiebreak (id desc) must decide — Double.compare alone would
+    // pick the +0.0 row
+    val df = Seq(("a", -0.0, 9L), ("a", 0.0, 1L)).toDF("g", "score", "id")
+    val out = df.groupBy($"g")
+      .agg(TopKAgg.top_k_by($"score", $"id", 1).as("top"))
+      .collect().head.getSeq[Long](1)
+    assert(out == Seq(9L), s"negative zero broke the tie order: $out")
+  }
+
   test("k outside the heap bound fails loudly") {
     val ex = intercept[IllegalArgumentException] {
       Seq(("a", 1.0, 1L)).toDF("g", "score", "id").groupBy($"g")
