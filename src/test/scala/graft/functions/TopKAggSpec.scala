@@ -62,6 +62,32 @@ class TopKAggSpec extends SparkSpec {
     assert(out("b") == Seq(3L))
   }
 
+  test("re-aggregatable: top-k of per-shard top-ks equals the global " +
+    "top-k (the rollup property the docs claim)") {
+    val df = randomDf(11, 800, 5, 8).persist()
+    // shard by an arbitrary extra key, take top-k per (g, shard),
+    // then roll the partials up to per-g top-k
+    val sharded = df.withColumn("shard", pmod($"id", lit(4)))
+      .groupBy($"g", $"shard")
+      .agg(TopKAgg.top_k_by($"score", struct($"score", $"id"), 4)
+        .as("partial"))
+      .select($"g", explode($"partial").as("t"))
+      .select($"g", $"t.score".as("score"), $"t.id".as("id"))
+    val rolled = sharded.groupBy($"g")
+      .agg(TopKAgg.top_k_by($"score", struct($"score", $"id"), 4)
+        .as("top"))
+      .select($"g", $"top")
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.toSeq)).toMap
+    val global = df.groupBy($"g")
+      .agg(TopKAgg.top_k_by($"score", struct($"score", $"id"), 4)
+        .as("top"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.toSeq)).toMap
+    df.unpersist()
+    assert(rolled == global, "per-shard partials did not roll up")
+  }
+
   test("negative zero scores order as zero (SQL semantics), so the " +
     "k-boundary matches the window idiom") {
     // -0.0 vs 0.0 with k=1: SQL ordering ties them, so the payload
