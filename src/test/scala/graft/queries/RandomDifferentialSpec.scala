@@ -25,8 +25,8 @@ import org.scalacheck.rng.Seed
   * exact and order-independent (a double sum would differ in ulps
   * between physical plans and flag phantom diffs).
   *
-  * 160 seeds ≥ the verdict's 100-comparison bar (window-rank shapes
-  * joined the pool after the first 120-seed run); failures print the
+  * 300 seeds across 10 axes (≥ the verdict's 100-comparison bar; the
+  * pool grew axis by axis as rounds added shapes); failures print the
   * seed and the full SQL for replay.
   */
 class RandomDifferentialSpec extends SparkSpec {
@@ -628,14 +628,14 @@ class RandomDifferentialSpec extends SparkSpec {
       case x => x.toString
     }.mkString("|")).toSeq
 
-  test("240 seeded random queries: DataFrame-API and SQL-text " +
+  test("300 seeded random queries: DataFrame-API and SQL-text " +
     "formulations agree row-for-row (predicates, group keys, " +
     "aggregates, HAVING, join types, join orders, window ranks, " +
     "set operations, derived-null semantics, ROLLUP/CUBE, " +
     "DISTINCT aggregates, framed window aggregates)") {
     frames // force view registration
     var ran = 0
-    (0 until 240).foreach { i =>
+    (0 until 300).foreach { i =>
       queryGen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { q =>
         val viaSql = canon(spark.sql(q.sql))
         val viaDf = canon(q.df())
@@ -647,6 +647,6 @@ class RandomDifferentialSpec extends SparkSpec {
       }
     }
     info(s"$ran seeded comparisons ran")
-    assert(ran >= 210, s"only $ran of 240 seeds produced a query")
+    assert(ran >= 265, s"only $ran of 300 seeds produced a query")
   }
 }

@@ -49,6 +49,38 @@ class StateCrashRecoverySpec extends SparkSpec {
       .agg(sum(col("n"))).collect()(0).getLong(0) == 3L)
   }
 
+  test("DeltaStore: an interrupted post-compaction CLEANUP (covered " +
+    "delta left behind) does not double-count and heals on re-run") {
+    val dir = Files.createTempDirectory("dscleanup").toString
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").limit(400)
+    (0 until 2).foreach(i => BasketIndexStream.updateBatch(
+      li.filter(pmod(col("l_partkey"), lit(2)) === i), dir, i.toLong))
+    def pairTotal: Long = BasketIndexStream.pairCounts(spark, dir).get
+      .agg(sum(col("pc"))).collect()(0).getLong(0)
+    val before = pairTotal
+    val fold = Map("pairs" -> ((df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("part_a"), col("part_b"))
+        .agg(sum(col("dc")).cast("long").as("dc"))))
+    DeltaStore.compact(spark, dir, Seq("items", "pairs"), "pairs", fold)
+    assert(pairTotal == before)
+    // crash state: cleanup died before deleting a covered pairs delta
+    // — recreate delta_v0 with content that WOULD double-count if the
+    // read path consulted it
+    spark.range(1).selectExpr("1L AS part_a", "2L AS part_b",
+        "1000000L AS dc")
+      .write.parquet(s"$dir/pairs/delta_v0")
+    assert(pairTotal == before,
+      "covered delta below the base double-counted")
+    // a compact re-run takes the interrupted-cleanup branch: finishes
+    // the deletes, leaves the view unchanged
+    DeltaStore.compact(spark, dir, Seq("items", "pairs"), "pairs", fold)
+    assert(pairTotal == before)
+    assert(!fs(dir).exists(new Path(s"$dir/pairs/delta_v0")),
+      "re-run did not finish the interrupted cleanup")
+  }
+
   test("DeltaStore: a crash mid-compaction (data base written, commit " +
     "base not) leaves the delta view authoritative; a re-run heals") {
     val dir = Files.createTempDirectory("dscrash").toString
