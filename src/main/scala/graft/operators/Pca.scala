@@ -16,8 +16,13 @@ import org.apache.spark.sql.functions._
   *
   * Power iteration is deterministic: fixed uniform start vector,
   * fixed iteration count, and a sign pin (largest-|component| made
-  * positive), so repeated fits on the same corpus agree bit-for-bit
-  * given Spark's fixed partitioning of the source.
+  * positive). Repeated fits on the same corpus agree to rounding
+  * precision — the iteration itself is a pure function of the
+  * moments, but treeAggregate's combOp order over double sums
+  * depends on task completion order, so the moments (and hence the
+  * fit) can differ in low-order bits between runs. Consumers that
+  * need stable output round projections before comparing (the
+  * PcaSpec discipline).
   */
 object Pca {
 

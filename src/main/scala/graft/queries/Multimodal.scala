@@ -736,6 +736,11 @@ object Multimodal {
   private val pcaCache = new graft.operators.PlanCache[Unit,
     graft.operators.Pca.Pc1]()
 
+  /** Test hook: drop memoized PC1 fits so a fixture rewritten at the
+    * same path in-session gets a fresh fit (r6 ADVICE — mirrors
+    * Stats.clearArtifacts / Curation.clearTermStats). */
+  private[graft] def clearPcaCache(): Unit = pcaCache.clear()
+
   private val embedPca: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
     // empty corpus: degrade to an empty result (EmptyInputSpec

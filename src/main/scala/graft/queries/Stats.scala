@@ -496,14 +496,23 @@ object Stats {
   // Distribution-shape audit per event type. Native skewness/kurtosis
   // stream doubles in partition order AND the two engines disagree on
   // bias correction — so both are computed from first principles:
-  // exact integer-cent power sums S1..S4 (DECIMAL(9,0) chain keeps
+  // exact integer-cent power sums S1..S4 (DECIMAL(12,0) chain keeps
   // every product within both engines' 38-digit cap), then the
   // population central-moment formulas as one shared double tree.
   // Standardized moments are scale-invariant, so cents ≡ units. (The
   // oracle rides HUGEINT — same exact integers; DuckDB's decimal
   // multiply overflows at width 18 where Spark's widens to 38.)
+  // Exactness bound made LOUD (r6 ADVICE): c⁴ stays within the
+  // 38-digit product cap only for |cents| < 10⁹ (|value| ≤ $10M), so
+  // a row outside that range raises instead of silently NULLing out
+  // of the power sums while the HUGEINT oracle keeps it.
   private val q86: Q = (s, dir) => {
-    val c = round(col("value") * 100, 0).cast(DecimalType(9, 0))
+    val cents = round(col("value") * 100, 0)
+    val c = when(abs(cents) >= lit(1e9), raise_error(concat(
+        lit("q86_moments: |value| exceeds the $10M exact-moment " +
+          "range (c^4 would overflow DECIMAL(38,0)): "),
+        col("value").cast(StringType))))
+      .otherwise(cents).cast(DecimalType(12, 0))
     val events = Events.events(s, dir)
     events
       .groupBy(col("event_type"))

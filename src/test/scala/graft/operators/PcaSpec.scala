@@ -77,6 +77,30 @@ class PcaSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("clearPcaCache drops the memoized fit when a fixture is " +
+    "rewritten at the same path in-session") {
+    val dir = java.nio.file.Files.createTempDirectory("pcafix").toString
+    def write(scale: Float): Unit =
+      Seq.tabulate(8) { i =>
+        val v = Array.fill(3)(0.001f * i)
+        v(0) = scale * (1.0f + 0.1f * i)
+        (i.toLong, v, i % 2)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def eigenvalue(): Double =
+      graft.SparkEntry.queries("llm_embed_pca")(spark, dir)
+        .collect().head.getAs[Double]("eigenvalue")
+    write(scale = 1.0f)
+    val first = eigenvalue()
+    // same path, 25x the variance: WITHOUT the clear hook the stale
+    // PC1 fit would be served (PlanCache keys on the read plan)
+    write(scale = 5.0f)
+    graft.queries.Multimodal.clearPcaCache()
+    val second = eigenvalue()
+    assert(second > first * 10,
+      s"stale PC1 fit served after clearPcaCache: $first vs $second")
+  }
+
   test("llm_embed_pca query: projections centered globally; labels " +
     "present exactly once") {
     val out = graft.SparkEntry.queries("llm_embed_pca")(

@@ -13,6 +13,8 @@ class StatsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def run(name: String) =
     SparkEntry.queries(name)(spark, dir).collect()
+  private def run2(d: String, name: String) =
+    SparkEntry.queries(name)(spark, d).collect()
 
   test("q78: r² lies in [0,1] for every group") {
     val rows = run("q78_linreg")
@@ -278,5 +280,26 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("excess_kurtosis") - kurt) < 1e-4,
         s"kurtosis drifted from direct computation: $r vs $kurt")
     }
+  }
+
+  test("q86: a value past the $10M exact-moment range fails loudly " +
+    "instead of silently NULLing out of the power sums") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q86rng").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        1L, "purchase", 42.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"),
+        1L, "purchase", 2.0e7, "{}") // $20M: c^4 would overflow
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val ex = intercept[Exception] {
+      run2(tmp, "q86_moments")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("exact-moment range")),
+      s"expected the loud range guard, got: $ex")
   }
 }

@@ -39,6 +39,10 @@ def main():
                 con.execute(sql[name]).fetchall()
             except Exception as e:  # noqa: BLE001 - record and move on
                 errors[name] = str(e)[:200]
+                # a query that succeeded in an earlier round but errors
+                # now must not stay in the total — `value`/`n` cover
+                # exactly the error-free set (r6 ADVICE)
+                best.pop(name, None)
                 continue
             dt = time.time() - t0
             best[name] = min(best.get(name, float("inf")), dt)
