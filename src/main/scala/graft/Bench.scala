@@ -43,9 +43,19 @@ object Bench {
     // contended, 5 rounds still give every query 4 clean shots
     // (slow-skip keeps the cost bounded; a full run is ~8 min)
     val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "5").toInt
+    // Shuffle width cpus/4 in local mode: reduce volumes at bench SF
+    // are a few hundred k rows at most (map-side combine shrinks
+    // aggregations further), so cpus-wide reduce stages paid 32 task
+    // launches for ~3k-row slivers — A/B over 14 representative
+    // queries: 6.35 s at width 32 vs 3.70 s at 8 (BASELINE.md r7).
+    // The divisor scales with the host, not the fixture; a cluster
+    // deployment replaces this constant with AQE initialPartitionNum
+    // sized from map output statistics.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.max(cpus.toInt / 4, 1).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
@@ -77,7 +87,7 @@ object Bench {
     // for this dir from here on)
     val tWarm = System.nanoTime()
     Tables.registerViews(spark, sfDir, StorageLevel.MEMORY_AND_DISK,
-      parts = cpus.toInt)
+      parts = -1) // work-model sizing per table (Tables.partsFor)
     note(f"tables warmed in ${(System.nanoTime() - tWarm) / 1e9}%.1f s")
 
     // SPARK_GRAFT_REUSE_PLAN=true: build each query's DataFrame once

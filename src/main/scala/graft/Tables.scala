@@ -20,22 +20,58 @@ object Tables {
   // fast path. Reads for any other dir keep full parquet semantics.
   @volatile private var viewDir: Option[String] = None
 
+  /** Per-task row budget for LIGHT (relational) rows: a local task
+    * costs ~2-5 ms to launch, so it needs ≥ tens of ms of real work
+    * before parallelism pays — ~32k relational rows. The constant is
+    * an overhead-amortization bound, not a fixture fit: a 100 TB
+    * deployment derives tens of thousands of partitions from the same
+    * rule (there it is expressed in bytes via maxPartitionBytes); a
+    * 10 MB cached fixture derives single digits. Slicing every table
+    * to `cpus` regardless of size (the r1-r6 scheme) paid 32 task
+    * launches per stage for ~3k-row slivers — measured 6.35 s vs
+    * 3.70 s over 14 representative queries (BASELINE.md, r7). */
+  val TargetRowsPerTask: Long = 32768L
+
+  /** Per-row kernel weight relative to a relational row, for tables
+    * whose scans run CPU-heavy kernels: `documents` feeds
+    * tokenization / shingling / rolling-hash expressions (~1 KB text,
+    * 100s of ops per row) and `embeddings` feeds O(dim)-per-candidate
+    * vector arithmetic. Their scans stay wide (the 1-part shingle
+    * build measured 3.6 s vs 0.5 s at 32 parts) while light tables
+    * stop paying 32 launches for 3k-row tasks. */
+  val workWeight: Map[String, Long] =
+    Map("documents" -> 256L, "embeddings" -> 1024L)
+
+  /** Scan parallelism from the work model: weighted rows over the
+    * per-task budget, clamped to [1, cap]. */
+  def partsFor(name: String, rows: Long, cap: Int): Int = {
+    val work = rows * workWeight.getOrElse(name, 1L)
+    val p = (work + TargetRowsPerTask - 1) / TargetRowsPerTask
+    math.min(cap.toLong, math.max(1L, p)).toInt
+  }
+
   /** Persist + materialize every table of `dir` and register it as a
     * temp view, so subsequent `Tables(spark, dir, _)` calls skip
     * parquet footer re-resolution (per-query planning floor).
     *
-    * Tables are repartitioned to `parts` first: the local fixtures
-    * are single small parquet files = ONE input split, which serializes
-    * every pre-shuffle stage (e.g. shingle extraction ran 1-threaded,
-    * 3.6 s; at 32 parts, 0.5 s). A production cluster gets thousands
-    * of splits from the source layout naturally — this recreates that
-    * parallelism at fixture scale. */
+    * `parts > 0` repartitions every table to that width; `parts = -1`
+    * sizes each table individually from the work model (`partsFor`,
+    * capped at the session's core count) — fixtures are single small
+    * parquet files = ONE input split, which serializes CPU-heavy
+    * scans, while a flat `cpus` width over-parallelizes light ones.
+    * A production cluster gets bytes-sized splits from the source
+    * layout naturally; this recreates the same sizing at fixture
+    * scale. */
   def registerViews(spark: SparkSession, dir: String,
       level: org.apache.spark.storage.StorageLevel,
       parts: Int = 0): Unit = {
+    val cap = spark.sparkContext.defaultParallelism
     all.foreach { n =>
       val raw = spark.read.parquet(s"$dir/$n.parquet")
-      val df = if (parts > 0) raw.repartition(parts) else raw
+      val p =
+        if (parts == -1) partsFor(n, raw.count(), cap) // metadata count
+        else parts
+      val df = if (p > 0) raw.repartition(p) else raw
       df.persist(level)
       df.count()
       df.createOrReplaceTempView(n)

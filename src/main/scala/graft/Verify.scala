@@ -11,9 +11,12 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args.drop(2).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle width cpus/4: same overhead-amortization rule as Bench
+    // (verify SFs are smaller still); see Tables.TargetRowsPerTask
+    val shuffle = math.max(cpus.toInt / 4, 1).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // pyarrow/DuckDB-friendly timestamps in the dumped parquet

@@ -62,6 +62,28 @@ object Curation {
     termStats(documents).groupBy(col("w"))
       .agg(sum(col("sdf")).as("df"))
 
+  // Session-persisted idf model (w, df, idf) with idf = ln(N/df) —
+  // the ONE broadcast model every document-level idf consumer
+  // (llm_rarity, llm_keywords) scores against; vocabulary-sized, a
+  // re-aggregation of the term-stats artifact. Sharing the frame
+  // keeps the idf definition drift-free across consumers (the
+  // globalDf argument, one level up).
+  private val idfModelCache =
+    new graft.operators.PlanCache[Unit, DataFrame](df => {
+      df.unpersist(); ()
+    })
+
+  private[queries] def idfModel(documents: DataFrame): DataFrame = {
+    val base = globalDf(documents) // resolve dependency pre-cache
+    idfModelCache.get(documents, ())(
+      base
+        .crossJoin(broadcast(
+          documents.agg(count(lit(1)).as("n_docs"))))
+        .select(col("w"), col("df"),
+          log(col("n_docs").cast(DoubleType) / col("df")).as("idf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Test hook: drop persisted term-stats frames (and the unigram /
     * bigram artifacts derived from the same corpus snapshot). */
   private[graft] def clearTermStats(): Unit = {
@@ -69,6 +91,8 @@ object Curation {
     unigramCache.clear()
     bigramStatsCache.clear()
     lmModelCache.clear()
+    lmScoresCache.clear()
+    idfModelCache.clear()
     mgSketchCache.clear()
     cmsSketchCache.clear()
   }
@@ -205,16 +229,14 @@ object Curation {
   // discipline); ties break on the term.
   private val keywords: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val df = globalDf(docs)
-    val n = docs.agg(count(lit(1)).as("n_docs"))
     val tf = docs.filter(col("doc_id") < 100)
       .select(col("doc_id"),
         explode(graft.functions.TokenOps.word_counts(
           split(col("text"), " "))).as(Seq("w", "c")))
-    val scored = tf.join(broadcast(df), Seq("w"))
-      .crossJoin(broadcast(n))
-      .withColumn("score",
-        col("c") * log(d(col("n_docs")) / col("df")))
+    val scored = tf
+      .join(broadcast(idfModel(docs).select(col("w"), col("idf"))),
+        Seq("w"))
+      .withColumn("score", col("c") * col("idf"))
     scored.withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("w"))))
@@ -478,11 +500,7 @@ object Curation {
   // absorbs summation-order ulps).
   private val rarity: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val idf = globalDf(docs)
-      .crossJoin(broadcast(n))
-      .select(col("w"),
-        log(col("n_docs").cast(DoubleType) / col("df")).as("idf"))
+    val idf = idfModel(docs).select(col("w"), col("idf"))
     docs.select(col("doc_id"),
         explode(graft.functions.TokenOps.word_counts(
           split(col("text"), " "))).as(Seq("w", "c")))
@@ -984,6 +1002,22 @@ object Curation {
     * bigram emits no row. Per-doc sums run in position order —
     * deterministic — and the 1e-4 rounding matches the dataflow twin
     * and the DuckDB oracle (both already round there). */
+  // Session-persisted per-document LM scores (doc_id, n_bigrams,
+  // avg_logp) — the scored corpus is a statistics artifact like
+  // term-stats: the tokenize+score pass runs once per corpus
+  // snapshot, then every consumer (the LM report, the CCNet quartile
+  // bucketing, any future perplexity filter) re-reads the persisted
+  // frame instead of re-scanning the corpus.
+  private val lmScoresCache =
+    new graft.operators.PlanCache[Unit, DataFrame](df => {
+      df.unpersist(); ()
+    })
+
+  private[queries] def lmScoresFor(documents: DataFrame): DataFrame =
+    lmScoresCache.get(documents, ())(
+      bigramLmScanFor(documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private[queries] def bigramLmScanFor(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -1013,11 +1047,10 @@ object Curation {
         }
       }
       .toDF("doc_id", "n_bigrams", "avg_logp")
-      .orderBy(col("doc_id"))
   }
 
   private val bigramLm: Q = (s, dir) =>
-    bigramLmScanFor(t(s, dir, "documents"))
+    lmScoresFor(t(s, dir, "documents")).orderBy(col("doc_id"))
 
   private val bigramLmSql =
     """WITH tok AS (
@@ -1576,7 +1609,7 @@ object Curation {
   // exactly-representable doubles.
   private val qualityBuckets: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val scored = bigramLmScanFor(docs)
+    val scored = lmScoresFor(docs)
       .select(col("doc_id"), col("avg_logp"))
     val cuts = scored.agg(
       percentile(col("avg_logp"), array(lit(0.25), lit(0.75))).as("q"))

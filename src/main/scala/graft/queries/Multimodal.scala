@@ -592,6 +592,30 @@ object Multimodal {
       |FROM short c, q
       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
+  // Session-persisted label-centroid arrays (label, cent) with
+  // components rounded to 6 decimals — the broadcast model of the
+  // outlier audit (and any nearest-class-mean consumer). Tiny
+  // (|labels| rows) but TWO exchanges to derive; build-once.
+  private val centroidCache =
+    new graft.operators.PlanCache[Unit, DataFrame](df => {
+      df.unpersist(); ()
+    })
+
+  private def labelCentroidArraysFor(e: DataFrame): DataFrame =
+    centroidCache.get(e, ())(
+      e.select(col("label"),
+          posexplode(col("embedding")).as(Seq("idx", "x")))
+        .groupBy(col("label"), col("idx"))
+        .agg(round(avg(col("x").cast(DoubleType)), 6).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("idx"), col("c")))),
+          p => p.getField("c")).as("cent"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Test hook: drop persisted label centroids. */
+  private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
+
   // ---- llm_embedding_outliers: distance-to-prototype audit -----------
   // The quality-control consumer of the class centroids: the 3 vectors
   // per label FARTHEST from their label's mean (lowest cosine to the
@@ -607,13 +631,7 @@ object Multimodal {
   // the IVF index is the fallback).
   private val embeddingOutliers: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
-    val cents = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "x")))
-      .groupBy(col("label"), col("idx"))
-      .agg(round(avg(col("x").cast(DoubleType)), 6).as("c"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("idx"), col("c")))),
-        p => p.getField("c")).as("cent"))
+    val cents = labelCentroidArraysFor(e)
     e.join(broadcast(cents), Seq("label"))
       .select(col("label").cast(LongType).as("label"), col("vec_id"),
         round(dot(col("embedding"), col("cent")) /

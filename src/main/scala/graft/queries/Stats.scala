@@ -69,6 +69,37 @@ object Stats {
       out
     })
 
+  /** Per-(part, part) basket co-occurrence counts (a < b) — the pair
+    * statistics q83's rules derive from, and exactly the state
+    * `streaming.BasketIndexStream` maintains incrementally on
+    * appends. Session-persisted for the same reason as the term-stats
+    * artifact: the counting pass (explode + aggregate) runs once per
+    * corpus snapshot; rule scoring re-reads the counts. */
+  private def basketPairCountsFor(li: DataFrame): DataFrame = {
+    val baskets = basketArraysFor(li)
+    artifactCache.get(li, "basket_pair_counts")(
+      baskets
+        .filter(size(col("parts")) >= 2)
+        .select(explode(
+          graft.functions.ArrayPairs.ordered_pairs(col("parts"))).as("p"))
+        .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("pc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Per-part basket membership counts — the item marginals of the
+    * pair statistics (support denominators). Catalog-sized. */
+  private def basketItemCountsFor(li: DataFrame): DataFrame = {
+    val baskets = basketArraysFor(li)
+    artifactCache.get(li, "basket_item_counts")(
+      baskets
+        .select(explode(col("parts")).as("l_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Degree census of the supplier co-occurrence graph (node, deg) —
     * derived from the edge artifact, persisted because three q84
     * consumers (wedge census, orientation, output) read it.
@@ -339,23 +370,17 @@ object Stats {
   // exchange serves the order count, the item counts, and both pair
   // sides. Counts are integers; ratios are one rounded double tree.
   private val q83: Q = (s, dir) => {
-    val baskets = basketArraysFor(t(s, dir, "lineitem"))
+    val li = t(s, dir, "lineitem")
+    val baskets = basketArraysFor(li)
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-    val item = baskets
-      .select(explode(col("parts")).as("l_partkey"))
-      .groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("cnt"))
+    val item = basketItemCountsFor(li)
     // ordered pairs (a < b) generated row-locally from the sorted
     // array — bounded by C(basket,2) per order, no self-join; the
     // codegen-friendly tight-loop expression replaces the interpreted
-    // HOF chain (1.5 s of the total at sf0.1)
-    val pairs = baskets
-      .filter(size(col("parts")) >= 2)
-      .select(explode(
-        graft.functions.ArrayPairs.ordered_pairs(col("parts"))).as("p"))
-      .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("pc"))
+    // HOF chain (1.5 s of the total at sf0.1). Counts ride the
+    // session pair/item artifacts (the BasketIndexStream state), so
+    // steady-state serving is the broadcast joins + TakeOrdered only.
+    val pairs = basketPairCountsFor(li)
     // item counts are catalog-sized (≪ baskets): broadcast both probe
     // sides so the pair frame (the big side) never re-shuffles
     pairs
@@ -574,15 +599,21 @@ object Stats {
   private val q87: Q = (s, dir) => {
     // the profile derivation is SHARED with the incremental maintainer
     // (streaming.SeasonalProfileStream): this query is its one-shot
-    // twin, so a monitor can switch between them without drift
-    val prof = graft.streaming.SeasonalProfileStream
-      .batchProfile(Events.events(s, dir))
+    // twin, so a monitor can switch between them without drift — and
+    // the profile is exactly the state the maintainer keeps, so it is
+    // session-persisted like the other maintained artifacts (the
+    // flagging pass re-reads it instead of re-aggregating the corpus)
+    val ev = Events.events(s, dir)
+    val profBase = artifactCache.get(ev, "seasonal_profile")(
+      graft.streaming.SeasonalProfileStream.batchProfile(ev)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val prof = profBase
       .withColumn("sx", d(col("sx")))
       .withColumn("sxx", d(col("sxx")))
       .withColumn("mean", col("sx") / col("n"))
       .withColumn("std", sqrt(
         (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
-    Events.events(s, dir)
+    ev
       .withColumn("hr", hour(col("ts")))
       .join(broadcast(prof), Seq("event_type", "hr"))
       .groupBy(col("event_type"), col("hr"), col("n"), col("mean"),

@@ -159,11 +159,14 @@ class QueriesSpec extends SparkSpec {
     // bit-for-bit — on the hand-computed corpus and on the fixture
     val scan = Curation.bigramLmScanFor(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1) // scan row order is partition order by contract
     assert(scan.toSeq == got.toSeq,
       "broadcast-model scoring must equal the dataflow form")
     val fixDocs = graft.Tables(spark, dir, "documents")
     val a = Curation.bigramLmFor(fixDocs).collect().map(_.toSeq).toSeq
-    val b = Curation.bigramLmScanFor(fixDocs).collect().map(_.toSeq).toSeq
+    val b = Curation.bigramLmScanFor(fixDocs)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.toSeq).toSeq
     assert(a == b,
       "fixture corpus: scan and dataflow LM scores must be identical")
     // model size = corpus bigram vocabulary; null-text and 1-token
