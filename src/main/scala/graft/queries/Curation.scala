@@ -93,6 +93,7 @@ object Curation {
     lmModelCache.clear()
     lmScoresCache.clear()
     idfModelCache.clear()
+    bm25StatsCache.clear()
     mgSketchCache.clear()
     cmsSketchCache.clear()
   }
@@ -1513,20 +1514,40 @@ object Curation {
   // exactly (the PMI discipline).
   private val Bm25Terms = Seq("join", "scan", "dup")
 
+  // Session-persisted BM25 index statistics (w, df, n_docs, avgdl)
+  // for the query-term set — the index-time model of a retrieval
+  // system (document frequencies + the length normalizer), a
+  // |terms|-row re-aggregation of the term-stats/unigram artifacts.
+  private val bm25StatsCache =
+    new graft.operators.PlanCache[Unit, DataFrame](df => {
+      df.unpersist(); ()
+    })
+
+  private def bm25StatsFor(documents: DataFrame): DataFrame = {
+    // resolve term-stats-derived dependencies before entering the
+    // cache (PlanCache nesting rules)
+    val dfT = globalDf(documents)
+      .filter(col("w").isin(Bm25Terms: _*))
+    val nu = unigramCounts(documents)
+    bm25StatsCache.get(documents, ())({
+      // count docs WITH text: the oracle's avg(dl) skips null-text
+      // rows (string_split(NULL) is NULL), so N must skip them too or
+      // avgdl and every idf diverge on corpora with null documents
+      val nDf = documents.agg(count(col("text")).as("n_docs"))
+      val nuDf = nu.agg(sum(col("u")).as("nu"))
+      val statsDf = nDf.crossJoin(nuDf)
+        .select(col("n_docs"),
+          (col("nu").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("avgdl"))
+      dfT.crossJoin(broadcast(statsDf))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
   private[queries] def bm25For(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    // count docs WITH text: the oracle's avg(dl) skips null-text rows
-    // (string_split(NULL) is NULL), so N must skip them too or avgdl
-    // and every idf diverge on corpora with null documents
-    val nDf = documents.agg(count(col("text")).as("n_docs"))
-    val nuDf = unigramCounts(documents).agg(sum(col("u")).as("nu"))
-    val statsDf = nDf.crossJoin(nuDf)
-      .select(col("n_docs"),
-        (col("nu").cast(DoubleType) / col("n_docs").cast(DoubleType))
-          .as("avgdl"))
-    val dfT = globalDf(documents)
-      .filter(col("w").isin(Bm25Terms: _*))
+    val model = bm25StatsFor(documents)
     // the term filter rides INSIDE the array before the explode:
     // Generate emits |query terms ∩ doc| rows per doc, not |tokens|
     val tf = toks.select(col("doc_id"),
@@ -1541,8 +1562,7 @@ object Curation {
     val tfD = col("tf").cast(DoubleType)
     val dlD = col("dl").cast(DoubleType)
     val contrib = tf
-      .join(broadcast(dfT), "w")
-      .crossJoin(broadcast(statsDf))
+      .join(broadcast(model), "w")
       .select(col("doc_id"),
         (idf * (tfD * lit(2.2)) /
           (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * dlD / col("avgdl"))))
