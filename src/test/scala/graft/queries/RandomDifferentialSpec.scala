@@ -35,6 +35,13 @@ class RandomDifferentialSpec extends SparkSpec {
   private val tableNames =
     Seq("lineitem", "orders", "customer", "part", "supplier", "nation")
 
+  // builders resolve tables through this hook so the partitioning
+  // axis below can re-run a seed's DataFrame formulation over
+  // differently-partitioned inputs without touching the SQL path
+  @volatile private var frameOverride: Map[String, DataFrame] = Map.empty
+  private def tbl(n: String): DataFrame =
+    frameOverride.getOrElse(n, frames(n))
+
   private lazy val frames: Map[String, DataFrame] = tableNames.map { n =>
     val df = spark.read.parquet(s"$dir/$n.parquet")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -234,7 +241,7 @@ class RandomDifferentialSpec extends SparkSpec {
   private def singleGen: Gen[TestQuery] = for {
     t <- Gen.oneOf("lineitem", "orders", "customer", "part")
     ps <- predsGen(t, 2)
-    q <- withTail(s"single:$t", s"fuzz_$t", () => frames(t),
+    q <- withTail(s"single:$t", s"fuzz_$t", () => tbl(t),
       meta(t).cats, meta(t).numeric, ps.map(_._1), ps.map(_._2))
   } yield q
 
@@ -261,16 +268,16 @@ class RandomDifferentialSpec extends SparkSpec {
             lps.map(_._1) :+ s"$ex (SELECT 1 FROM fuzz_$r WHERE $rWhere)",
             lps.map(_._2),
             () => {
-              var rr = frames(r)
+              var rr = tbl(r)
               rps.foreach { case (_, c) => rr = rr.filter(c) }
-              frames(l).join(rr, col(lk) === col(rk), jt)
+              tbl(l).join(rr, col(lk) === col(rk), jt)
             })
         } else {
           val kw = if (jt == "inner") "JOIN" else "LEFT JOIN"
           (s"fuzz_$l $kw fuzz_$r ON $lk = $rk",
             lps.map(_._1) ++ rps.map(_._1),
             lps.map(_._2) ++ rps.map(_._2),
-            () => frames(l).join(frames(r), col(lk) === col(rk), jt))
+            () => tbl(l).join(tbl(r), col(lk) === col(rk), jt))
         }
       val groupPool =
         if (semiAnti) meta(l).cats else meta(l).cats ++ meta(r).cats
@@ -292,12 +299,12 @@ class RandomDifferentialSpec extends SparkSpec {
         "JOIN fuzz_customer ON o_custkey = c_custkey",
       () => {
         if (leftFirst)
-          frames("lineitem")
-            .join(frames("orders"), col("l_orderkey") === col("o_orderkey"))
-            .join(frames("customer"), col("o_custkey") === col("c_custkey"))
+          tbl("lineitem")
+            .join(tbl("orders"), col("l_orderkey") === col("o_orderkey"))
+            .join(tbl("customer"), col("o_custkey") === col("c_custkey"))
         else
-          frames("lineitem").join(
-            frames("orders").join(frames("customer"),
+          tbl("lineitem").join(
+            tbl("orders").join(tbl("customer"),
               col("o_custkey") === col("c_custkey")),
             col("l_orderkey") === col("o_orderkey"))
       },
@@ -337,7 +344,7 @@ class RandomDifferentialSpec extends SparkSpec {
         s"WHERE rk <= $topK ORDER BY ${outCols.mkString(", ")}"
     val build = () => {
       import org.apache.spark.sql.expressions.Window
-      var d = frames(t)
+      var d = tbl(t)
       ps.foreach { case (_, c) => d = d.filter(c) }
       val ordCols = (if (desc) col(ord).desc else col(ord).asc) +:
         uniq.map(col)
@@ -380,7 +387,7 @@ class RandomDifferentialSpec extends SparkSpec {
       s"GROUP BY $sel ORDER BY ${(cols :+ "cnt").mkString(", ")}"
     val build = () => {
       def side(ps: Seq[(String, Column)]) = {
-        var d = frames(t)
+        var d = tbl(t)
         ps.foreach(p => d = d.filter(p._2))
         d.select(cols.map(col): _*)
       }
@@ -418,7 +425,7 @@ class RandomDifferentialSpec extends SparkSpec {
       val fromSql = s"(SELECT nullif($cat, '$v') AS $cat, " +
         s"CASE WHEN $num < $cut THEN NULL ELSE $num END AS $num " +
         s"FROM fuzz_$t) nv"
-      val baseDf = () => frames(t).select(
+      val baseDf = () => tbl(t).select(
         when(col(cat) === v, lit(null)).otherwise(col(cat)).as(cat),
         when(col(num) < cut.toDouble, lit(null)).otherwise(col(num))
           .as(num))
@@ -477,7 +484,7 @@ class RandomDifferentialSpec extends SparkSpec {
         s"(SELECT $sSql AS se, $dSql AS de, $mSql AS me " +
           s"FROM fuzz_$t$where) sv"
       val baseDf = () => {
-        var d = frames(t)
+        var d = tbl(t)
         ps.foreach { case (_, c) => d = d.filter(c) }
         d.select(sCol.as("se"), dCol.as("de"), mCol.as("me"))
       }
@@ -510,7 +517,7 @@ class RandomDifferentialSpec extends SparkSpec {
       where + s" GROUP BY $mode(${keys.mkString(", ")})" +
       s" ORDER BY ${outCols.mkString(", ")}"
     val build = () => {
-      var d = frames(t)
+      var d = tbl(t)
       ps.foreach { case (_, c) => d = d.filter(c) }
       val grouped =
         if (mode == "ROLLUP") d.rollup(keys.map(col): _*)
@@ -550,7 +557,7 @@ class RandomDifferentialSpec extends SparkSpec {
     val sql = s"SELECT ${selectItems.mkString(", ")} FROM fuzz_$t" +
       where + groupBy + s" ORDER BY ${outCols.mkString(", ")}"
     val build = () => {
-      var d = frames(t)
+      var d = tbl(t)
       ps.foreach { case (_, c) => d = d.filter(c) }
       val aggCols = List(
         countDistinct(col(dcat)).cast("long").as("nd"),
@@ -597,7 +604,7 @@ class RandomDifferentialSpec extends SparkSpec {
     val sql = s"SELECT $part, ${uniq.mkString(", ")}, $aggSql AS wv " +
       s"FROM fuzz_$t$where ORDER BY ${outCols.mkString(", ")}"
     val build = () => {
-      var d = frames(t)
+      var d = tbl(t)
       ps.foreach { case (_, c) => d = d.filter(c) }
       val w = Window.partitionBy(col(part))
         .orderBy((col(ord) +: uniq.map(col)): _*)
@@ -648,5 +655,35 @@ class RandomDifferentialSpec extends SparkSpec {
     }
     info(s"$ran seeded comparisons ran")
     assert(ran >= 265, s"only $ran of 300 seeds produced a query")
+  }
+
+  test("partitioning-independence axis: 60 seeds re-run with inputs " +
+    "repartitioned to 1 and to 7 agree with the SQL path exactly " +
+    "(the r7 work-model sizing must never change a result)") {
+    frames // force view registration + stats sampling on base frames
+    def withParts(parts: Int)(body: => Unit): Unit = {
+      frameOverride = frames.map { case (n, df) =>
+        n -> (if (parts == 1) df.coalesce(1) else df.repartition(parts))
+      }
+      try body finally frameOverride = Map.empty
+    }
+    var ran = 0
+    (0 until 60).foreach { i =>
+      queryGen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { q =>
+        val viaSql = canon(spark.sql(q.sql)) // base partitioning
+        Seq(1, 7).foreach { parts =>
+          withParts(parts) {
+            val viaDf = canon(q.df())
+            assert(viaDf == viaSql,
+              s"seed=$i parts=$parts ${q.label}: result depends on " +
+                s"input partitioning\nSQL: ${q.sql}\n" +
+                s"df=${viaDf.take(5)}... sql=${viaSql.take(5)}...")
+          }
+        }
+        ran += 1
+      }
+    }
+    info(s"$ran seeds x 2 partitionings ran")
+    assert(ran >= 50, s"only $ran of 60 seeds produced a query")
   }
 }
