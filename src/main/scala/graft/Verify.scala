@@ -25,6 +25,11 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // cache + view-register the inputs like Bench: 153 queries would
+    // otherwise re-resolve parquet footers per query (driver-loop
+    // wall-clock; results are identical either way)
+    Tables.registerViews(spark, sfDir,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK, parts = -1)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -25,18 +25,26 @@ object Relational {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  // q01: scan + projection + filter (pushdown visible in explain)
+  // q01: scan + projection + filter (pushdown visible in explain).
+  // ORDER BY covers ALL output columns: the synthetic fixture has
+  // duplicate (l_orderkey, l_linenumber) pairs, so the 2-key order
+  // was not total — the row order then depends on scan partitioning
+  // (caught by the r7 view-registered verify, which changed the
+  // physical order; identical full-row duplicates are order-free by
+  // construction).
   private val q01: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= ts("1998-09-02"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_shipdate"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_shipdate"))
 
   private val q01Sql =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate"""
+      .stripMargin
 
   // q02: TPC-H Q1 shape — hash aggregate, multi-aggregate w/ partials
   private val q02: Q = (s, dir) =>
