@@ -79,6 +79,19 @@ object Tables {
     viewDir = Some(dir)
   }
 
+  /** Test hook: unregister the cached views so reads fall back to
+    * parquet-direct plans (shared test sessions must not leak the
+    * bench fast path into other suites' plan pins). */
+  private[graft] def clearViews(spark: SparkSession): Unit = {
+    viewDir = None
+    all.foreach { n =>
+      try {
+        spark.table(n).unpersist()
+        spark.catalog.dropTempView(n)
+      } catch { case _: Throwable => () }
+    }
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (viewDir.contains(dir)) spark.table(name)
     else spark.read.parquet(s"$dir/$name.parquet")
