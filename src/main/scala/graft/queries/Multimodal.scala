@@ -414,6 +414,63 @@ object Multimodal {
       |WHERE a.vec_id <> 0
       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
+  // ---- llm_ivf_balance: invlist balance + cohesion audit -------------
+  // The index-health view an ANN deployment monitors: per-cell member
+  // count, corpus share, and mean cosine-to-own-centroid (cohesion).
+  // Skewed invlists make probe cost unpredictable (one hot cell
+  // serves most queries); falling cohesion is the quantizer-drift
+  // signal (IvfAssignStream measures the same objective per batch).
+  // Served from the session IVF index — the audit re-reads the
+  // persisted assignment, never re-derives cells. Determinism: cs is
+  // the identical double tree on both engines; the per-cell mean
+  // rounds to 4 (the rarity/avg_logp discipline — rounding absorbs
+  // summation-order ulps); share is an exact-integer ratio.
+  private val ivfBalance: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val ix = ivfIndex(emb)
+    ix.assign
+      .join(broadcast(ix.cents), Seq("cid"))
+      .select(col("cid"),
+        (dot(col("embedding"), col("ce")) /
+          (sqrt(col("n2")) * sqrt(col("cn2")))).as("cs"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("cs")), 4).as("mean_cohesion"))
+      .withColumn("share",
+        round(col("n_vectors").cast(DoubleType) /
+          sum(col("n_vectors")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()), 4))
+      .select(col("cid"), col("n_vectors"), col("share"),
+        col("mean_cohesion"))
+      .orderBy(col("cid"))
+  }
+
+  private val ivfBalanceSql =
+    """WITH e AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ed,
+      |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |              for x in embedding]) AS n2
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id AS cid, ed AS ce, n2 AS cn2 FROM e
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+      |dists AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum([e.ed[i] * c.ce[i]
+      |      for i in generate_series(1, len(e.ed))]) /
+      |      (sqrt(e.n2) * sqrt(c.cn2)) AS cs
+      |  FROM e, c),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cs DESC, cid) AS rn
+      |  FROM dists),
+      |own AS (SELECT vec_id, cid, cs FROM ranked WHERE rn = 1)
+      |SELECT cid, count(*) AS n_vectors,
+      |  round(CAST(count(*) AS DOUBLE) /
+      |    sum(count(*)) OVER (), 4) AS share,
+      |  round(avg(cs), 4) AS mean_cohesion
+      |FROM own GROUP BY cid ORDER BY cid""".stripMargin
+
   // ---- llm_label_centroids: per-label elementwise embedding mean -----
   // The supervised complement of the IVF quantizer: class centroids
   // (prototype vectors) computed as the elementwise mean over each
@@ -815,9 +872,11 @@ object Multimodal {
     "mm_feature_extract" -> featureExtract,
     "llm_ann_ivf" -> annIvf,
     "llm_ann_ivf_trained" -> annIvfTrained,
+    "llm_ivf_balance" -> ivfBalance,
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ivf_balance" -> ivfBalanceSql,
     "llm_label_centroids" -> labelCentroidsOracle,
     "llm_knn_classify" -> knnClassifySql,
     "llm_embedding_outliers" -> embeddingOutliersSql,

