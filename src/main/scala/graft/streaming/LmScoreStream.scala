@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** INCREMENTAL maintenance of the per-document LM-score artifact —
+  * the streaming twin of `Curation.lmScoresFor`, completing the
+  * artifact-lifecycle set for the newest r7 artifact (term-stats, LSH
+  * pairs, winnow overlap, IVF assignment, basket pairs, seasonal
+  * profile, and now LM scores all maintain on appends instead of
+  * rebuilding per corpus snapshot). The CCNet quality-bucketing and
+  * any perplexity filter serve from the same scores, so they run
+  * incrementally for free.
+  *
+  * Lifecycle mirrors [[IvfAssignStream]] (the fixed-model + measured-
+  * drift shape): the FIRST non-empty batch builds the bigram LM from
+  * its own documents and commits the (w1, w2, lp) weight table
+  * durably under `dir/model`; every batch — including the first —
+  * scores only its NEW documents (anti-join on doc_id) against the
+  * COMMITTED model via the same `Curation.scoreDocsWith` scorer the
+  * batch scan runs, and appends (doc_id, n_bigrams, avg_logp) deltas.
+  * The model is FIXED across appends: scores must stay comparable
+  * (a silently refreshed model would re-rank every earlier document),
+  * so the maintainer never re-fits.
+  *
+  * Drift is measured instead: each batch's meta delta records its
+  * OOV coverage — matched bigrams over total adjacent pairs under the
+  * fixed model. Appends drawn from the training distribution hold the
+  * training coverage; vocabulary drift (new domains, new languages)
+  * drives coverage visibly down — the rebuild signal. Pinned in
+  * LmScoreStreamSpec.
+  *
+  * State layout rides [[DeltaStore]]:
+  * {{{
+  *   dir/model/weights       (w1, w2, lp)  committed once, creation batch
+  *   dir/meta/delta_vN       (batch_id, n_new, coverage)
+  *   dir/scores/delta_vN     (doc_id, n_bigrams, avg_logp)
+  * }}}
+  * `scores` is written LAST and is the commit point; replays and
+  * re-delivered doc_ids are no-ops. A crash after the model write but
+  * before the scores commit leaves no committed batch — the retry
+  * rebuilds and overwrites the model from the same batch.
+  */
+object LmScoreStream {
+
+  private val Commit = "scores"
+  private val Subs = Seq("meta", "scores")
+
+  // one broadcast per committed model per session, not per micro-batch
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[
+      scala.collection.Map[(String, String), Double]]]()
+
+  /** Test hook: drop memoized model broadcasts. */
+  private[graft] def clearModelCache(): Unit = modelCache.clear()
+
+  private def modelPath(dir: String) = s"$dir/model/weights"
+
+  private def committedModel(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.broadcast.Broadcast[
+        scala.collection.Map[(String, String), Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(modelPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        modelPath(dir) + "/_SUCCESS"))) None
+    else Some(modelCache.computeIfAbsent(dir, _ =>
+      graft.queries.Curation.broadcastWeights(
+        spark.read.parquet(modelPath(dir)))))
+  }
+
+  /** One incremental update. The creation batch builds + commits the
+    * model from its own documents (a batch with rows but no scorable
+    * bigram fails loudly rather than committing an empty model that
+    * would score every later document as OOV). */
+  def updateBatch(batch: DataFrame, dir: String, batchId: Long,
+      autoCompactEvery: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    if (DeltaStore.isCommitted(spark, dir, Commit, batchId))
+      return // replay of a committed batch: done
+    val stored = DeltaStore.stored(spark, dir, "scores", Commit, batchId)
+
+    val incoming = batch.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
+    val newDocs = stored match {
+      case Some(p) => incoming.join(p.select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      case None => incoming
+    }
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pinned = newDocs.persist(lvl)
+    try {
+      val modelB = committedModel(spark, dir).orElse {
+        // no committed model: this is the creation batch
+        if (pinned.isEmpty) None // empty creation batch: nothing to do
+        else {
+          // the term-stats derivation groups per source; the model
+          // only needs corpus-wide counts (source-sum-invariant), so
+          // a literal source keeps the maintainer schema-minimal
+          val weights = graft.queries.Curation.lmModelWeights(
+            pinned.withColumn("source", lit("stream")))
+          require(!weights.isEmpty,
+            s"LM score store $dir: the creation batch has documents " +
+              "but no scorable bigram — a model built from it would " +
+              "mark every later document OOV; seed the store from a " +
+              "representative corpus")
+          weights.coalesce(1).write.mode("overwrite")
+            .parquet(modelPath(dir))
+          committedModel(spark, dir)
+        }
+      }
+      modelB.foreach { m =>
+        val scored = graft.queries.Curation.scoreDocsWith(pinned, m)
+          .persist(lvl)
+        try {
+          // drift row: OOV coverage of THIS batch under the fixed
+          // model (matched bigrams / total adjacent pairs)
+          val nNew = pinned.count()
+          val cov = scored.agg(
+            sum(col("n_bigrams")).as("hit"),
+            sum(col("total_pairs")).as("tot")).collect()(0)
+          val coverage =
+            if (cov.isNullAt(1) || cov.getLong(1) == 0L) 0.0
+            else cov.getLong(0).toDouble / cov.getLong(1)
+          import spark.implicits._
+          Seq((batchId, nNew, coverage))
+            .toDF("batch_id", "n_new", "coverage").coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/meta/delta_v$batchId")
+          scored.select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
+            .write.mode("overwrite") // scores LAST = commit point
+            .parquet(s"$dir/scores/delta_v$batchId")
+        } finally { scored.unpersist(); () }
+      }
+    } finally { pinned.unpersist(); () }
+    DeltaStore.autoCompact(spark, dir, Subs, Commit, autoCompactEvery)
+  }
+
+  /** Fold committed deltas into a new base (pure appends; the model
+    * store is not touched). */
+  def compact(spark: SparkSession, dir: String): Unit =
+    DeltaStore.compact(spark, dir, Subs, Commit)
+
+  /** The streaming entry point: maintain the score store under `dir`
+    * from a streaming `documents` frame. */
+  def scoreStream(docs: DataFrame, dir: String,
+      autoCompactEvery: Int = 64): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        updateBatch(batch.toDF(), dir, batchId, autoCompactEvery)
+    }
+
+  /** The current score store (doc_id, n_bigrams, avg_logp) — equal to
+    * `Curation.scoreDocsWith` over every document ingested so far,
+    * under the committed model. */
+  def currentScores(spark: SparkSession, dir: String): DataFrame =
+    DeltaStore.stored(spark, dir, "scores", Commit, Long.MaxValue)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed score store under $dir"))
+
+  /** Per-batch drift rows (batch_id, n_new, coverage) — the rebuild
+    * signal. */
+  def coverages(spark: SparkSession, dir: String): DataFrame =
+    DeltaStore.stored(spark, dir, "meta", Commit, Long.MaxValue)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed score store under $dir"))
+}
