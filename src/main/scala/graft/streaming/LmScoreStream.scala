@@ -40,7 +40,9 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * `scores` is written LAST and is the commit point; replays and
   * re-delivered doc_ids are no-ops. A crash after the model write but
   * before the scores commit leaves no committed batch — the retry
-  * rebuilds and overwrites the model from the same batch.
+  * finds the written model and scores the replayed batch against it
+  * (same creation batch by streaming replay semantics, so reusing the
+  * written model equals rebuilding it).
   */
 object LmScoreStream {
 
