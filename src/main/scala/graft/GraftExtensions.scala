@@ -16,8 +16,10 @@ import graft.functions.{DotProduct, MinHashSignature, WinnowFingerprints, WordSh
   * Registered: `dot_product(a, b)`, `minhash_signature(shingles, k)`,
   * `word_shingles(tokens, n)`, `winnow_fingerprints(text, k, w)`,
   * `jaro_winkler(a, b)`, `ordered_pairs(xs)`, `top_k_by(score,
-  * payload, k)` — the numeric arguments must be integer literals
-  * (they parameterize the expression, not the row).
+  * payload, k)`, `word_counts(tokens)`, `shingle_hashes(tokens, n)`,
+  * `window_hash_counts(tokens, n)` — the numeric arguments must be
+  * integer literals (they parameterize the expression, not the
+  * row).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -89,5 +91,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 2, "jaro_winkler(a, b) takes 2 arguments")
         graft.functions.JaroWinklerSim(args(0), args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_counts"),
+      new ExpressionInfo(classOf[graft.functions.WordCounts].getName,
+        "word_counts"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "word_counts(tokens) takes 1 argument")
+        graft.functions.WordCounts(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[graft.functions.ShingleHashes].getName,
+        "shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "shingle_hashes(tokens, n) takes 2 arguments")
+        graft.functions.ShingleHashes(args(0), intLit(args(1), "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("window_hash_counts"),
+      new ExpressionInfo(classOf[graft.functions.WindowHashCounts].getName,
+        "window_hash_counts"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "window_hash_counts(tokens, n) takes 2 arguments")
+        graft.functions.WindowHashCounts(args(0), intLit(args(1), "n"))
+      }))
+    // NOT registered, by design: SrpBits (parameterized by a
+    // hyperplane matrix — not a SQL literal) and BloomMightContain
+    // (parameterized by a built filter's bytes) — both are
+    // artifact-parameterized expressions a SQL caller cannot
+    // construct meaningfully; the Column API builds them from their
+    // artifacts.
   }
 }

@@ -88,6 +88,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("word_counts / shingle_hashes / window_hash_counts are " +
+    "callable from pure SQL and equal the Column API") {
+    withExtSession { s =>
+      import s.implicits._
+      val toks = Seq("a", "b", "a", "c", "a", "b")
+      // word_counts: multiset of (word, count)
+      val viaSqlWc = s.sql(
+        "SELECT word_counts(array('a','b','a','c','a','b')) AS m")
+        .head().getMap[String, Int](0)
+      val viaColWc = Seq(Tuple1(toks)).toDF("tk")
+        .select(graft.functions.TokenOps.word_counts(
+          org.apache.spark.sql.functions.col("tk")))
+        .head().getMap[String, Int](0)
+      assert(viaSqlWc == viaColWc)
+      assert(viaSqlWc("a") == 3 && viaSqlWc("b") == 2)
+      // shingle_hashes
+      val viaSqlSh = s.sql(
+        "SELECT shingle_hashes(array('a','b','a','c'), 2) AS h")
+        .head().getSeq[Long](0)
+      val viaColSh = Seq(Tuple1(Seq("a", "b", "a", "c"))).toDF("tk")
+        .select(graft.functions.TokenOps.shingle_hashes(
+          org.apache.spark.sql.functions.col("tk"), 2))
+        .head().getSeq[Long](0)
+      assert(viaSqlSh == viaColSh && viaSqlSh.nonEmpty)
+      // window_hash_counts
+      val viaSqlWh = s.sql(
+        "SELECT window_hash_counts(array('a','b','a','c','a'), 3) AS m")
+        .head().getMap[Long, Long](0)
+      val viaColWh = Seq(Tuple1(Seq("a", "b", "a", "c", "a"))).toDF("tk")
+        .select(graft.functions.TokenOps.window_hash_counts(
+          org.apache.spark.sql.functions.col("tk"), 3))
+        .head().getMap[Long, Long](0)
+      assert(viaSqlWh == viaColWh && viaSqlWh.nonEmpty)
+    }
+  }
+
   test("bad arguments fail with a clear message") {
     withExtSession { s =>
       val e = intercept[Exception] {
