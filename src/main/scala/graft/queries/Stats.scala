@@ -964,6 +964,72 @@ object Stats {
       .orderBy(col("credited"))
   }
 
+  // ---- q96_linear_attribution: multi-touch attribution --------------
+  // The multi-touch complement of q93: each purchase splits its
+  // revenue EQUALLY across every preceding non-purchase touch by the
+  // same user within the 24 h lookback (linear attribution — the
+  // model marketing teams run beside last-touch to expose how much
+  // credit last-touch concentrates). No-touch purchases report as
+  // 'direct' with full value, the q93 convention — and a purchase has
+  // an in-window LAST touch iff it has ANY in-window touch, so the
+  // two models' 'direct' rows agree exactly (pinned in StatsSpec).
+  // Scale shape: a user-equi + time-range join (the q50 interval
+  // pattern — fan-out bounded by per-user 24 h activity, never
+  // user²), one pid-partitioned count window, one aggregation.
+  // Determinism: per-credit value/n rides ONE shared double tree
+  // rounded to 6, then sums as exact DECIMAL (the bm25 contribution
+  // discipline: partial-order-independent).
+  private val q96: Q = (s, dir) => {
+    val ev = Events.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("pts"), dec2(col("value")).as("v"))
+    val tch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_type").as("touch"))
+    val j = p.join(tch,
+      p("user_id") === tch("user_id") &&
+        col("tts") < col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 24 HOURS"),
+      "left")
+    val n = count(col("touch")).over(
+      Window.partitionBy(col("pid")))
+    j.withColumn("n", n)
+      .withColumn("credited", coalesce(col("touch"), lit("direct")))
+      .withColumn("credit",
+        when(col("touch").isNull, col("v").cast(DecimalType(18, 6)))
+          .otherwise(round(col("v").cast(DoubleType) / col("n"), 6)
+            .cast(DecimalType(18, 6))))
+      .groupBy(col("credited"))
+      .agg(count(lit(1)).as("n_credits"),
+        d(sum(col("credit"))).as("credited_revenue"))
+      .orderBy(col("credited"))
+  }
+
+  private val q96Sql =
+    """WITH p AS (
+      |  SELECT event_id AS pid, user_id, ts AS pts,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, ts AS tts, event_type AS touch
+      |  FROM events WHERE event_type <> 'purchase'),
+      |j AS (
+      |  SELECT p.pid, p.v, t.touch FROM p LEFT JOIN t
+      |  ON p.user_id = t.user_id AND t.tts < p.pts
+      |    AND t.tts >= p.pts - INTERVAL 24 HOUR),
+      |c AS (
+      |  SELECT pid, v, touch,
+      |    count(touch) OVER (PARTITION BY pid) AS n
+      |  FROM j)
+      |SELECT COALESCE(touch, 'direct') AS credited,
+      |  CAST(count(*) AS BIGINT) AS n_credits,
+      |  CAST(sum(CASE WHEN touch IS NULL
+      |      THEN CAST(v AS DECIMAL(18,6))
+      |      ELSE CAST(round(CAST(v AS DOUBLE) / n, 6)
+      |        AS DECIMAL(18,6)) END) AS DOUBLE) AS credited_revenue
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val q93Sql =
     """WITH ev AS (
       |  SELECT user_id, event_type, ts, value,
@@ -1193,6 +1259,7 @@ object Stats {
     "q94_grouped_topk" -> q94,
     "q92_event_paths" -> q92,
     "q93_attribution" -> q93,
+    "q96_linear_attribution" -> q96,
     "q91_growth_accounting" -> q91,
     "q90_percentile_disc" -> q90,
     "q87_seasonal_anomaly" -> q87,
@@ -1214,6 +1281,7 @@ object Stats {
     "q94_grouped_topk" -> q94Sql,
     "q92_event_paths" -> q92Sql,
     "q93_attribution" -> q93Sql,
+    "q96_linear_attribution" -> q96Sql,
     "q91_growth_accounting" -> q91Sql,
     "q90_percentile_disc" -> q90Sql,
     "q87_seasonal_anomaly" -> q87Sql,
