@@ -545,7 +545,52 @@ object Events {
       |FROM o WHERE value < lo OR value > hi
       |GROUP BY event_type, lo, hi ORDER BY event_type""".stripMargin
 
+  // q97: exponentially-weighted moving average per user — the
+  // RECURSIVE smoothing no window frame can express (each output
+  // depends on the previous output, not a frame of inputs): the
+  // metrics-smoothing / trend-detection primitive beside q67's
+  // rolling median. Shape: ONE user-keyed aggregation collects each
+  // user's (ts, event_id, value) series sorted row-locally, then a
+  // sequential fold (functions.aggregate ≡ DuckDB list_reduce —
+  // probed: acc-first LEFT fold seeded with the first element) runs
+  // the recurrence acc' = α·x + (1−α)·acc with α = 0.2. Cross-engine
+  // determinism is structural: both engines fold the SAME sorted
+  // series left-to-right through the SAME double expression →
+  // bit-identical before the final round. Per-user state is the
+  // user's own series (bounded by per-user activity); at corpus scale
+  // the streaming form carries acc in mapGroupsWithState instead of
+  // an array.
+  private val q97: Q = (s, dir) => {
+    val ewma = aggregate(
+      slice(col("vals"), lit(2),
+        greatest(size(col("vals")) - 1, lit(0))),
+      element_at(col("vals"), 1),
+      (acc, x) => lit(0.2) * x + lit(0.8) * acc)
+    events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("value")))),
+        e => e.getField("value")).as("vals"))
+      .select(col("user_id"),
+        size(col("vals")).cast(LongType).as("n_readings"),
+        round(ewma, 6).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q97Sql =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, CAST(len(vals) AS BIGINT) AS n_readings,
+      |  round(list_reduce(vals, (acc, x) -> 0.2*x + 0.8*acc), 6)
+      |    AS ewma
+      |FROM s ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q97_ewma" -> q97,
     "q16_lag_lead" -> q16,
     "q71_gap_fill" -> q71,
     "q72_scd2" -> q72,
@@ -564,6 +609,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_ewma" -> q97Sql,
     "q16_lag_lead" -> q16Sql,
     "q71_gap_fill" -> q71Sql,
     "q72_scd2" -> q72Sql,
