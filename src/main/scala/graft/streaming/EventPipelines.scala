@@ -179,6 +179,46 @@ object EventPipelines {
       .toDF("user_id", "state", "valid_from", "valid_to")
   }
 
+  /** q97 twin, streaming-native: per-user EWMA with the accumulator
+    * CARRIED IN STATE — the recursive smoothing no stream window
+    * expresses. Each batch's rows for a user run the SAME left fold
+    * the batch query runs (acc' = 0.2·x + 0.8·acc over (ts, event_id)
+    * order, seeded with the first value); because the fold is
+    * sequential, continuing it from state over a prefix split at ANY
+    * boundary is bit-identical to folding the whole prefix — the
+    * parity pinned in StreamingSpec. Emits one (user_id, n_readings,
+    * ewma) row per user per batch (Update-mode semantics: the current
+    * smoothed value, what a metrics dashboard reads). Same
+    * ingestion-order contract as [[transitionPairs]]; state is O(1)
+    * per user (n, acc). */
+  def ewma(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .filter(col("value").isNotNull)
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val sorted = it.toSeq.sortBy(e =>
+            (e._2.toInstant.getEpochSecond, e._2.getNanos, e._3))
+          var (n, acc) = state.getOption.getOrElse((0L, 0.0))
+          sorted.foreach { e =>
+            acc = if (n == 0L) e._4 else 0.2 * e._4 + 0.8 * acc
+            n += 1
+          }
+          if (n > 0L) state.update((n, acc))
+          (uid, n,
+            BigDecimal(acc).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("user_id", "n_readings", "ewma")
+  }
+
   private def attributed(clicks: DataFrame, purchases: DataFrame,
       watermark: String, joinType: String): DataFrame = {
     val c = clicks

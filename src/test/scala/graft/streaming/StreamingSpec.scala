@@ -183,6 +183,35 @@ class StreamingSpec extends SparkSpec {
         "must produce exactly one pair)")
   }
 
+  test("stateful per-user EWMA reproduces the batch q97 fold exactly " +
+    "across a batch split (the accumulator carries the recursion)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sorted = fixtureRows.sortBy(e => (e.ts.getTime, e.event_id))
+    val (batch1, batch2) = sorted.splitAt(sorted.size / 2)
+    val mem = MemoryStream[Ev]
+    val out = EventPipelines.ewma(
+      mem.toDF().withColumn("ts", col("ts").cast("timestamp")))
+    val qName = s"ewma_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qName)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    // latest emission per user (Update mode re-emits on new data)
+    val streamed = spark.table(qName).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap // later rows overwrite earlier: toMap keeps the last
+    val batch = graft.SparkEntry.queries("q97_ewma")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed == batch,
+      s"streamed EWMA diverges from the batch fold: " +
+        s"${streamed.toSeq.sortBy(_._1).take(3)} vs " +
+        s"${batch.toSeq.sortBy(_._1).take(3)}")
+  }
+
   test("streaming SCD2 maintenance reproduces the batch q72 closed " +
     "intervals, with intervals spanning the batch boundary via state") {
     import spark.implicits._
