@@ -962,10 +962,24 @@ object Curation {
     * derivation behind the broadcast model, exposed separately so the
     * incremental maintainer (`streaming.LmScoreStream`) can commit it
     * durably in exactly the form the scorer consumes. */
-  private[graft] def lmModelWeights(documents: DataFrame): DataFrame = {
-    val uni = unigramCounts(documents)
+  private[graft] def lmModelWeights(documents: DataFrame): DataFrame =
+    lmModelWeightsFrom(unigramCounts(documents), bigramStats(documents))
+
+  /** Uncached weight derivation for ONE-OFF corpora (the maintainer's
+    * creation batch): routing a never-recurring micro-batch plan
+    * through the session PlanCaches would persist term-stat frames no
+    * later query can ever hit (r7 review). */
+  private[graft] def lmModelWeightsUncached(documents: DataFrame)
+      : DataFrame =
+    lmModelWeightsFrom(
+      termStatsFor(documents).groupBy(col("w"))
+        .agg(sum(col("tf")).as("u")),
+      bigramStatsFor(documents))
+
+  private def lmModelWeightsFrom(uni: DataFrame,
+      bigrams: DataFrame): DataFrame = {
     val vdf = uni.agg(count(lit(1)).as("v"))
-    bigramStats(documents)
+    bigrams
       .join(uni, col("w1") === col("w"))
       .crossJoin(broadcast(vdf))
       .select(col("w1"), col("w2"),

@@ -541,10 +541,23 @@ object Stats {
     val events = Events.events(s, dir)
     events
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
+      .agg(count(lit(1)).as("n"), count(c).as("nc"),
         d(sum(c)).as("s1"), d(sum(c * c)).as("s2"),
         d(sum(c * c * c)).as("s3"),
         d(sum((c * c * c) * c)).as("s4"))
+      // the SUM can overflow even when every row passes the per-row
+      // guard (r7 review): ~100+ rows near the \$10M bound push S4
+      // past DECIMAL(38,0), which non-ANSI Spark NULLs silently while
+      // the HUGEINT oracle errors. S4 dominates S1-S3 for integer
+      // cents (|c| >= 1 => c^4 >= c^3 >= ...), so the one guard
+      // covers the family; nc > 0 distinguishes overflow from the
+      // legitimate all-NULL-values group.
+      .withColumn("s4",
+        when(col("nc") > 0 && col("s4").isNull, raise_error(lit(
+          "q86_moments: the S4 power sum overflowed DECIMAL(38,0) " +
+            "for a group — too many near-bound values; compute " +
+            "moments over a narrower range or shard the group")))
+          .otherwise(col("s4")))
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
       .withColumn("m3", col("s3") / col("n") -

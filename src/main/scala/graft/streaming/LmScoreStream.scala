@@ -35,6 +35,7 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * {{{
   *   dir/model/weights       (w1, w2, lp)  committed once, creation batch
   *   dir/meta/delta_vN       (batch_id, n_new, coverage)
+  *   dir/seen/delta_vN       (doc_id)  every new doc, scorable or not
   *   dir/scores/delta_vN     (doc_id, n_bigrams, avg_logp)
   * }}}
   * `scores` is written LAST and is the commit point; replays and
@@ -47,11 +48,15 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 object LmScoreStream {
 
   private val Commit = "scores"
-  private val Subs = Seq("meta", "scores")
+  private val Subs = Seq("meta", "seen", "scores")
 
-  // one broadcast per committed model per session, not per micro-batch
+  // one broadcast per committed model VERSION per session, not per
+  // micro-batch; the key carries the model commit's modification time
+  // so an in-session store rebuild (delete + re-seed, the documented
+  // response to the drift signal) cannot serve the stale broadcast
+  // (r7 review)
   private val modelCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.broadcast.Broadcast[
+    (String, Long), org.apache.spark.broadcast.Broadcast[
       scala.collection.Map[(String, String), Double]]]()
 
   /** Test hook: drop memoized model broadcasts. */
@@ -62,13 +67,17 @@ object LmScoreStream {
   private def committedModel(spark: SparkSession, dir: String)
       : Option[org.apache.spark.broadcast.Broadcast[
         scala.collection.Map[(String, String), Double]]] = {
-    val p = new org.apache.hadoop.fs.Path(modelPath(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(
-        modelPath(dir) + "/_SUCCESS"))) None
-    else Some(modelCache.computeIfAbsent(dir, _ =>
-      graft.queries.Curation.broadcastWeights(
-        spark.read.parquet(modelPath(dir)))))
+    val success = new org.apache.hadoop.fs.Path(
+      modelPath(dir) + "/_SUCCESS")
+    val fs = success.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) None
+    else {
+      val version = fs.getFileStatus(success).getModificationTime
+      Some(modelCache.computeIfAbsent((dir, version), _ =>
+        graft.queries.Curation.broadcastWeights(
+          spark.read.parquet(modelPath(dir)))))
+    }
   }
 
   /** One incremental update. The creation batch builds + commits the
@@ -80,11 +89,15 @@ object LmScoreStream {
     val spark = batch.sparkSession
     if (DeltaStore.isCommitted(spark, dir, Commit, batchId))
       return // replay of a committed batch: done
-    val stored = DeltaStore.stored(spark, dir, "scores", Commit, batchId)
+    // dedup against the SEEN store, not the scores store: a fully-OOV
+    // or null-text doc produces no score row but must still make its
+    // re-delivery a no-op (r7 review — the scores-store anti-join let
+    // exactly the OOV class recount into n_new/coverage)
+    val seen = DeltaStore.stored(spark, dir, "seen", Commit, batchId)
 
     val incoming = batch.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id")
-    val newDocs = stored match {
+    val newDocs = seen match {
       case Some(p) => incoming.join(p.select(col("doc_id")),
         Seq("doc_id"), "left_anti")
       case None => incoming
@@ -98,8 +111,10 @@ object LmScoreStream {
         else {
           // the term-stats derivation groups per source; the model
           // only needs corpus-wide counts (source-sum-invariant), so
-          // a literal source keeps the maintainer schema-minimal
-          val weights = graft.queries.Curation.lmModelWeights(
+          // a literal source keeps the maintainer schema-minimal.
+          // UNCACHED derivation: the creation batch's plan never
+          // recurs, so the session PlanCaches must not persist it
+          val weights = graft.queries.Curation.lmModelWeightsUncached(
             pinned.withColumn("source", lit("stream")))
           require(!weights.isEmpty,
             s"LM score store $dir: the creation batch has documents " +
@@ -116,18 +131,31 @@ object LmScoreStream {
           .persist(lvl)
         try {
           // drift row: OOV coverage of THIS batch under the fixed
-          // model (matched bigrams / total adjacent pairs)
-          val nNew = pinned.count()
-          val cov = scored.agg(
-            sum(col("n_bigrams")).as("hit"),
-            sum(col("total_pairs")).as("tot")).collect()(0)
+          // model — matched bigrams over the batch's TOTAL adjacent
+          // pairs, computed over ALL new docs (scoreDocsWith emits no
+          // row for a zero-match doc, so its denominator alone would
+          // overstate coverage exactly when drift arrives as whole
+          // new-domain documents; r7 review)
+          val totRow = pinned.agg(
+            count(lit(1)).as("n_new"),
+            coalesce(sum(greatest(
+              size(split(col("text"), " ", -1)) - 1, lit(0))), lit(0L))
+              .as("tot")).collect()(0)
+          val nNew = totRow.getLong(0)
+          val tot = totRow.getLong(1)
+          val hitRow = scored.agg(
+            coalesce(sum(col("n_bigrams")), lit(0L))).collect()(0)
           val coverage =
-            if (cov.isNullAt(1) || cov.getLong(1) == 0L) 0.0
-            else cov.getLong(0).toDouble / cov.getLong(1)
+            if (tot == 0L) 0.0
+            else hitRow.getLong(0).toDouble / tot
           import spark.implicits._
           Seq((batchId, nNew, coverage))
             .toDF("batch_id", "n_new", "coverage").coalesce(1)
             .write.mode("overwrite").parquet(s"$dir/meta/delta_v$batchId")
+          pinned.select(col("doc_id"))
+            .write.mode("overwrite") // before the commit point: an
+            .parquet(s"$dir/seen/delta_v$batchId") // uncommitted batch's
+          // seen delta is invisible to stored() and overwritten on retry
           scored.select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
             .write.mode("overwrite") // scores LAST = commit point
             .parquet(s"$dir/scores/delta_v$batchId")

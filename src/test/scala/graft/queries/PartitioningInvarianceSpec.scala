@@ -24,6 +24,22 @@ class PartitioningInvarianceSpec extends graft.SparkSpec {
 
   private val rowsOnly = Set("llm_embed_pca")
 
+  // EVERY session artifact cache, so pass-2 artifacts keyed on view
+  // plans (which no later suite can hit) do not stay persisted for
+  // the rest of the shared-session JVM (r7 review)
+  private def clearAllCaches(): Unit = {
+    graft.queries.Curation.clearTermStats()
+    graft.queries.Stats.clearArtifacts()
+    graft.queries.Llm.clearPairStatsIndex()
+    graft.queries.Llm.clearPairIndex()
+    graft.queries.Llm.clearWinnowIndex()
+    graft.queries.Multimodal.clearIvfIndex()
+    graft.queries.Multimodal.clearTrainedCache()
+    graft.queries.Multimodal.clearCentroidCache()
+    graft.queries.Multimodal.clearPcaCache()
+    graft.operators.KMeans.clearCache()
+  }
+
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map {
       case null => "NULL"
@@ -37,7 +53,7 @@ class PartitioningInvarianceSpec extends graft.SparkSpec {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // pass 1: parquet-direct (the Verify-before-r7 physical shape)
     Tables.clearViews(spark)
-    graft.queries.Curation.clearTermStats()
+    clearAllCaches()
     val direct = names.map { n =>
       n -> canon(SparkEntry.queries(n)(spark, dir))
     }.toMap
@@ -48,7 +64,7 @@ class PartitioningInvarianceSpec extends graft.SparkSpec {
     // artifacts were built on parquet-direct plans; view plans key
     // differently, so clear every session cache to force rebuilds on
     // the new partitioning
-    graft.queries.Curation.clearTermStats()
+    clearAllCaches()
     try {
       names.foreach { n =>
         val viaViews = canon(SparkEntry.queries(n)(spark, dir))
@@ -64,7 +80,7 @@ class PartitioningInvarianceSpec extends graft.SparkSpec {
       }
     } finally {
       Tables.clearViews(spark)
-      graft.queries.Curation.clearTermStats()
+      clearAllCaches()
     }
   }
 }

@@ -101,6 +101,38 @@ class LmScoreStreamSpec extends SparkSpec {
     assert(after(1L) == before(1L),
       "a re-delivered doc_id must keep its original score")
     assert(after.contains(9L))
+    // a re-delivered fully-OOV doc (which never scored) is ALSO a
+    // no-op: it must not recount into n_new or drag coverage (the
+    // seen store, not the scores store, is the dedup set)
+    LmScoreStream.updateBatch(
+      Seq(Doc(7L, "quux zorp blargh quux"), Doc(10L, "scan join"))
+        .toDF("doc_id", "text"), out, 3L)
+    val meta3 = LmScoreStream.coverages(spark, out)
+      .filter(col("batch_id") === 3L).collect()(0)
+    assert(meta3.getLong(1) == 1L,
+      s"re-delivered OOV doc must not recount into n_new: $meta3")
+    assert(meta3.getDouble(2) == 1.0,
+      s"coverage must reflect only the genuinely new doc: $meta3")
+  }
+
+  test("coverage denominator counts fully-OOV documents: a " +
+    "part-drifted batch reads fractional coverage, not 1.0") {
+    import spark.implicits._
+    val out = fresh()
+    LmScoreStream.updateBatch(
+      (1L to 4L).map(i => Doc(i, "scan join scan"))
+        .toDF("doc_id", "text"), out, 0L)
+    // 1 in-vocabulary doc (2 pairs, both hit) + 3 fully-OOV docs
+    // (2 pairs each, zero hits): true coverage 2/8 = 0.25 — the
+    // scored-rows-only denominator would read 1.0
+    LmScoreStream.updateBatch(
+      (Seq(Doc(5L, "scan join scan")) ++
+        (6L to 8L).map(i => Doc(i, s"quux$i zorp$i blargh$i")))
+        .toDF("doc_id", "text"), out, 1L)
+    val cov = LmScoreStream.coverages(spark, out)
+      .filter(col("batch_id") === 1L).collect()(0).getDouble(2)
+    assert(math.abs(cov - 0.25) < 1e-9,
+      s"part-drifted batch must read fractional coverage: $cov")
   }
 
   test("creation batch with no scorable bigram fails loudly; empty " +
