@@ -152,6 +152,31 @@ class LmScoreStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("no scorable bigram"), ex.getMessage)
   }
 
+  test("crash window: a seen delta written without its scores commit " +
+    "is invisible and the retried batch overwrites it cleanly") {
+    import spark.implicits._
+    val out = fresh()
+    LmScoreStream.updateBatch(
+      Seq(Doc(1L, "a b a b"), Doc(2L, "b a")).toDF("doc_id", "text"),
+      out, 0L)
+    // simulate the crash: batch 1's seen delta lands but the commit
+    // point (scores) does not
+    Seq(Tuple1(3L)).toDF("doc_id")
+      .write.parquet(s"$out/seen/delta_v1")
+    // the half-written batch is invisible: doc 3 is NOT seen
+    val before = scoresMap(out)
+    assert(!before.contains(3L))
+    // the retry of batch 1 must process doc 3 as NEW (the orphan
+    // seen delta is uncommitted -> ignored by stored()) and commit
+    LmScoreStream.updateBatch(
+      Seq(Doc(3L, "a b")).toDF("doc_id", "text"), out, 1L)
+    val after = scoresMap(out)
+    assert(after.contains(3L), "retried batch must score the doc")
+    assert(LmScoreStream.coverages(spark, out)
+      .filter(col("batch_id") === 1L).collect()(0).getLong(1) == 1L,
+      "retried batch must count the doc as new exactly once")
+  }
+
   test("compaction folds deltas; the stored view is unchanged") {
     import spark.implicits._
     val out = fresh()
