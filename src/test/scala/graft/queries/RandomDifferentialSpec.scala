@@ -621,11 +621,45 @@ class RandomDifferentialSpec extends SparkSpec {
     TestQuery(s"windowagg:$t:$fn", sql, build)
   }
 
+  // navigation-function axis (r7): lag/lead pass values THROUGH, so
+  // any divergence is a window ordering/frame bug, not arithmetic
+  private def navGen: Gen[TestQuery] = for {
+    (t, part, ord, uniq) <- Gen.oneOf(windowTables)
+    fn <- Gen.oneOf("lag", "lead")
+    k <- Gen.choose(1, 3)
+    desc <- Gen.oneOf(true, false)
+    ps <- predsGen(t, 1)
+  } yield {
+    val dir0 = if (desc) "DESC" else "ASC"
+    val orderSql = (s"$ord $dir0" +: uniq).mkString(", ")
+    val where =
+      if (ps.isEmpty) "" else s" WHERE ${ps.map(_._1).mkString(" AND ")}"
+    val outCols = Seq(part, ord) ++ uniq :+ "nav"
+    val sql =
+      s"SELECT $part, $ord, ${uniq.mkString(", ")}, " +
+        s"$fn($ord, $k) OVER (PARTITION BY $part " +
+        s"ORDER BY $orderSql) AS nav FROM fuzz_$t$where " +
+        s"ORDER BY ${(Seq(part, ord) ++ uniq).mkString(", ")}"
+    val build = () => {
+      import org.apache.spark.sql.expressions.Window
+      var d = tbl(t)
+      ps.foreach { case (_, c) => d = d.filter(c) }
+      val ordCols = (if (desc) col(ord).desc else col(ord).asc) +:
+        uniq.map(col)
+      val w = Window.partitionBy(col(part)).orderBy(ordCols: _*)
+      val f = if (fn == "lag") lag(col(ord), k) else lead(col(ord), k)
+      d.select((Seq(part, ord) ++ uniq).map(col) :+
+          f.over(w).as("nav"): _*)
+        .orderBy((Seq(part, ord) ++ uniq).map(col): _*)
+    }
+    TestQuery(s"nav:$t:$fn$k", sql, build)
+  }
+
   private def queryGen: Gen[TestQuery] =
     Gen.frequency((4, singleGen), (5, join2Gen), (2, join3Gen),
       (3, windowGen), (2, setOpGen), (2, nullSingleGen),
       (3, scalarGen), (2, rollupGen), (2, distinctAggGen),
-      (2, windowAggGen))
+      (2, windowAggGen), (2, navGen))
 
   // ---- the differential check ----------------------------------------
   private def canon(df: DataFrame): Seq[String] =
@@ -639,7 +673,7 @@ class RandomDifferentialSpec extends SparkSpec {
     "formulations agree row-for-row (predicates, group keys, " +
     "aggregates, HAVING, join types, join orders, window ranks, " +
     "set operations, derived-null semantics, ROLLUP/CUBE, " +
-    "DISTINCT aggregates, framed window aggregates)") {
+    "DISTINCT aggregates, framed window aggregates, lag/lead navigation)") {
     frames // force view registration
     var ran = 0
     (0 until 300).foreach { i =>
