@@ -1050,9 +1050,10 @@ object Curation {
   /** Per-row LM scoring against a FIXED broadcast model — the scorer
     * both the per-corpus scan and the incremental maintainer
     * (`streaming.LmScoreStream`) run, so streamed and batch scores
-    * cannot drift. Emits the matched-bigram count, the rounded mean
-    * log-prob, and the doc's TOTAL adjacent-pair count (the
-    * denominator of the maintainer's OOV-coverage drift signal). */
+    * cannot drift. Emits the matched-bigram count and the rounded
+    * mean log-prob; a doc with no matched bigram emits no row (the
+    * maintainer computes its OOV-coverage denominator over the raw
+    * batch for exactly that reason). */
   private[graft] def scoreDocsWith(documents: DataFrame,
       modelB: org.apache.spark.broadcast.Broadcast[
         scala.collection.Map[(String, String), Double]]): DataFrame = {
@@ -1078,17 +1079,15 @@ object Curation {
             if (n == 0L) Iterator.empty
             else Iterator((id, n,
               BigDecimal(s / n)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-              (tk.length - 1).toLong))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
           }
         }
       }
-      .toDF("doc_id", "n_bigrams", "avg_logp", "total_pairs")
+      .toDF("doc_id", "n_bigrams", "avg_logp")
   }
 
   private[queries] def bigramLmScanFor(documents: DataFrame): DataFrame =
     scoreDocsWith(documents, bigramLmModel(documents))
-      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
 
   private val bigramLm: Q = (s, dir) =>
     lmScoresFor(t(s, dir, "documents")).orderBy(col("doc_id"))

@@ -667,6 +667,10 @@ object Llm {
   // eager jobs; the first construction still pays them)
   private val statsCache = new graft.operators.PlanCache[Unit, Long]()
 
+  /** Test hook: drop memoized corpus cardinalities (mirrors the other
+    * artifact caches so suites can fully reset the session). */
+  private[graft] def clearStatsCache(): Unit = statsCache.clear()
+
   private[queries] def cosineLshPairsFor(emb: DataFrame,
       threshold: Double = 0.5, nBands: Int = 16, bandBits: Int = 2)
       : DataFrame = {

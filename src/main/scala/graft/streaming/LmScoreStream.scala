@@ -44,39 +44,58 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * finds the written model and scores the replayed batch against it
   * (same creation batch by streaming replay semantics, so reusing the
   * written model equals rebuilding it).
+  *
+  * The `seen` substore is part of the store format since its
+  * introduction (both landed in r7 — no earlier on-disk stores
+  * exist); a store missing committed `seen` deltas is foreign or
+  * corrupt and fails loudly at read, the library-wide convention.
   */
 object LmScoreStream {
 
   private val Commit = "scores"
   private val Subs = Seq("meta", "seen", "scores")
 
-  // one broadcast per committed model VERSION per session, not per
-  // micro-batch; the key carries the model commit's modification time
-  // so an in-session store rebuild (delete + re-seed, the documented
-  // response to the drift signal) cannot serve the stale broadcast
-  // (r7 review)
+  // ONE broadcast per store dir, replaced (and the superseded
+  // broadcast destroyed) when the committed model's directory
+  // fingerprint changes — an in-session rebuild (delete + re-seed,
+  // the documented response to the drift signal) gets a fresh load,
+  // and a long-lived session that rebuilds repeatedly holds exactly
+  // one model broadcast per dir (r7 review: the mtime-only key both
+  // missed same-tick rebuilds and leaked one broadcast per rebuild).
+  // The fingerprint folds every file's name, length, and mtime, so a
+  // re-seed is visible even when _SUCCESS lands in the same tick.
   private val modelCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), org.apache.spark.broadcast.Broadcast[
-      scala.collection.Map[(String, String), Double]]]()
+    String, (Long, org.apache.spark.broadcast.Broadcast[
+      scala.collection.Map[(String, String), Double]])]()
 
-  /** Test hook: drop memoized model broadcasts. */
-  private[graft] def clearModelCache(): Unit = modelCache.clear()
+  /** Test hook: destroy + drop memoized model broadcasts. */
+  private[graft] def clearModelCache(): Unit = {
+    modelCache.values.forEach(v => v._2.destroy())
+    modelCache.clear()
+  }
 
   private def modelPath(dir: String) = s"$dir/model/weights"
 
   private def committedModel(spark: SparkSession, dir: String)
       : Option[org.apache.spark.broadcast.Broadcast[
         scala.collection.Map[(String, String), Double]]] = {
-    val success = new org.apache.hadoop.fs.Path(
-      modelPath(dir) + "/_SUCCESS")
-    val fs = success.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success)) None
+    val root = new org.apache.hadoop.fs.Path(modelPath(dir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        modelPath(dir) + "/_SUCCESS"))) None
     else {
-      val version = fs.getFileStatus(success).getModificationTime
-      Some(modelCache.computeIfAbsent((dir, version), _ =>
-        graft.queries.Curation.broadcastWeights(
-          spark.read.parquet(modelPath(dir)))))
+      val fp = fs.listStatus(root).foldLeft(17L) { (h, st) =>
+        ((h * 31 + st.getPath.getName.hashCode) * 31 + st.getLen) * 31 +
+          st.getModificationTime
+      }
+      val fresh = modelCache.compute(dir, (_, cur) =>
+        if (cur != null && cur._1 == fp) cur
+        else {
+          if (cur != null) cur._2.destroy() // superseded model
+          (fp, graft.queries.Curation.broadcastWeights(
+            spark.read.parquet(modelPath(dir))))
+        })
+      Some(fresh._2)
     }
   }
 

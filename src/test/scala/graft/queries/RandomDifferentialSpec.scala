@@ -634,7 +634,6 @@ class RandomDifferentialSpec extends SparkSpec {
     val orderSql = (s"$ord $dir0" +: uniq).mkString(", ")
     val where =
       if (ps.isEmpty) "" else s" WHERE ${ps.map(_._1).mkString(" AND ")}"
-    val outCols = Seq(part, ord) ++ uniq :+ "nav"
     val sql =
       s"SELECT $part, $ord, ${uniq.mkString(", ")}, " +
         s"$fn($ord, $k) OVER (PARTITION BY $part " +
