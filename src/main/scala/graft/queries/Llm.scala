@@ -1291,6 +1291,60 @@ object Llm {
   private val dedupClusters: Q = (s, dir) =>
     dedupClustersFor(t(s, dir, "documents"))
 
+  // ---- llm_dedup_stats: the dedup summary report ---------------------
+  // The one-row report a curation run publishes before applying
+  // dedup: corpus size, near-dup cluster census (count / clustered
+  // docs / would-drop count / largest cluster), and the dedup ratio —
+  // the number that decides whether the corpus is clean enough to
+  // train on. Eighth consumer of the session verified-pair index
+  // (clusters re-derive from the SAME pairs the apply form drops by,
+  // so report and action cannot disagree). Exact integer counts; the
+  // ratio is the single final division both engines round identically.
+  private val dedupStats: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    dedupClustersFor(docs)
+      .agg(count(lit(1)).as("n_clusters"),
+        coalesce(sum(col("cluster_size")), lit(0L)).cast(LongType)
+          .as("n_clustered"),
+        coalesce(sum(col("cluster_size") - 1), lit(0L)).cast(LongType)
+          .as("n_dropped"),
+        coalesce(max(col("cluster_size")), lit(0L)).cast(LongType)
+          .as("max_cluster"))
+      .crossJoin(broadcast(nd))
+      .select(col("n_docs"), col("n_clusters"), col("n_clustered"),
+        col("n_dropped"), col("max_cluster"),
+        // try_divide: the empty-corpus report keeps its row with a
+        // NULL ratio instead of an ANSI divide-by-zero (EmptyInputSpec)
+        round(try_divide(col("n_dropped").cast(DoubleType),
+          col("n_docs")), 6).as("dedup_ratio"))
+  }
+
+  // lazy: textually precedes dedupClustersSql, which it reuses
+  private lazy val dedupStatsSql = {
+    // reuse the clusters CTE chain verbatim; aggregate ABOVE it so an
+    // empty cluster set still yields the one-row report
+    val cte = dedupClustersSql
+      .substring(0, dedupClustersSql.lastIndexOf("SELECT lbl")).trim
+    s"""$cte,
+       |cl AS (
+       |  SELECT lbl AS keeper_id, count(*) AS cluster_size
+       |  FROM comp GROUP BY lbl),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       |    COALESCE(CAST(sum(cluster_size) AS BIGINT), 0) AS n_clustered,
+       |    COALESCE(CAST(sum(cluster_size - 1) AS BIGINT), 0)
+       |      AS n_dropped,
+       |    COALESCE(CAST(max(cluster_size) AS BIGINT), 0) AS max_cluster
+       |  FROM cl),
+       |nd AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT nd.n_docs, agg.n_clusters, agg.n_clustered, agg.n_dropped,
+       |  agg.max_cluster,
+       |  round(CAST(agg.n_dropped AS DOUBLE) / nd.n_docs, 6)
+       |    AS dedup_ratio
+       |FROM agg, nd""".stripMargin
+  }
+
   // oracle: transitive closure by recursive CTE over the same exact
   // Jaccard pairs, component label = min reachable id
   private val dedupClustersSql =
@@ -1548,6 +1602,7 @@ object Llm {
     "llm_chunk" -> chunk,
     "llm_pack_sequences" -> pack,
     "llm_dedup_clusters" -> dedupClusters,
+    "llm_dedup_stats" -> dedupStats,
     "llm_simhash" -> simhash,
     "llm_langid" -> langid,
     "llm_quality_score" -> quality,
@@ -1592,6 +1647,7 @@ object Llm {
     // fixtures (recall 1), so components over them match the oracle's
     // recursive closure over exact pairs
     "llm_dedup_clusters" -> dedupClustersSql,
+    "llm_dedup_stats" -> dedupStatsSql,
     "llm_simhash" -> simhashSql,
     "llm_langid" -> langidSql,
     "llm_quality_score" -> qualitySql,
