@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Exact `ntile(k)` over a TOTAL order without a single-partition
+  * window — the scale-safe replacement for
+  * `ntile(k).over(Window.orderBy(...))`, whose plan is one
+  * `Exchange SinglePartition` + global sort: a one-task straggler the
+  * moment the frame scales with the corpus (VERDICT r7 on q82_rfm).
+  *
+  * Shape (all distributed, no Window node anywhere in the plan):
+  *   1. `repartitionByRange(order)` + `sortWithinPartitions(order)` —
+  *      the ONE wide exchange; range partitions are contiguous slices
+  *      of the global order.
+  *   2. `monotonically_increasing_id()` over the sorted partitions:
+  *      the upper bits carry the partition id, the lower 33 bits the
+  *      record offset — a per-partition row number WITHOUT a window
+  *      (the projection runs over the sorted iterator, so the local
+  *      offset ranks the partition's rows in order).
+  *   3. Per-partition counts fold into ONE packed row
+  *      (`collect_list` over ≤ #shuffle-partitions structs — bounded
+  *      by CLUSTER WIDTH, not data), a HOF prefix-sum turns them into
+  *      (pid, offset) rows plus the grand total, and a broadcast join
+  *      hands every row its global rank = offset + local offset.
+  *   4. The tile is arithmetic on (rank, n): SQL ntile semantics give
+  *      the first `n mod k` tiles `floor(n/k)+1` rows and the rest
+  *      `floor(n/k)`, so
+  *        tile = ceil(rank / (base+1))                 if rank <= cut
+  *             = rem + ceil((rank - cut) / base)       otherwise
+  *      with base = floor(n/k), rem = n mod k, cut = rem*(base+1).
+  *
+  * Equality with `ntile` REQUIRES `order` to be a total order (ties
+  * make both forms nondeterministic); callers carry a unique key as
+  * the final tiebreak, exactly as the window form must. Both reads of
+  * the ranked frame sit above the same range exchange, so the plan
+  * reuses it (pinned in NtileSpec); determinism does not depend on the
+  * reuse — the range boundaries and the within-partition sort are
+  * deterministic functions of the input, so both subtrees would rank
+  * identically even recomputed.
+  *
+  * Doubles are exact here: ranks and counts stay far below 2^53, and
+  * IEEE division of exact operands whose true quotient is an integer
+  * returns that integer exactly, so `ceil` never wobbles.
+  */
+object DistributedNtile {
+
+  /** Adds `out` = exact ntile(k) under the total order `order`. */
+  def withNtile(df: DataFrame, k: Int, out: String,
+      order: Column*): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    require(order.nonEmpty, "ntile needs at least one ordering column")
+    val mid = s"__${out}_mid"; val pid = s"__${out}_pid"
+    val lrn = s"__${out}_lrn"; val off = s"__${out}_off"
+    val nTot = s"__${out}_n"
+
+    val local = df
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(mid, monotonically_increasing_id())
+      .withColumn(pid, shiftright(col(mid), 33))
+      .withColumn(lrn, col(mid).bitwiseAND(lit((1L << 33) - 1)) + 1)
+      .drop(mid)
+
+    // one packed row: sorted (pid, cnt) structs, <= one per shuffle
+    // partition — bounded by cluster width, never by the corpus
+    val packed = local
+      .groupBy(col(pid)).agg(count(lit(1)).as("cnt"))
+      .agg(sort_array(collect_list(struct(col(pid), col("cnt"))))
+        .as("arr"))
+    // HOF prefix sum over the packed row -> (pid, offset) + total n
+    val offs = packed
+      .select(aggregate(col("arr"),
+        struct(lit(0L).as("run"),
+          array().cast(s"array<struct<p:bigint,o:bigint>>").as("acc")),
+        (st, e) => struct(
+          (st.getField("run") + e.getField("cnt")).as("run"),
+          concat(st.getField("acc"),
+            array(struct(e.getField(pid).as("p"),
+              st.getField("run").as("o")))).as("acc")))
+        .as("st"))
+      .select(col("st.run").as(nTot), explode(col("st.acc")).as("e"))
+      .select(col(nTot), col("e.p").as(pid), col("e.o").as(off))
+
+    val rank = col(off) + col(lrn)
+    val base = floor(col(nTot) / k).cast(LongType)
+    val rem = col(nTot) % k
+    val cut = rem * (base + 1)
+    local
+      .join(broadcast(offs), Seq(pid))
+      .withColumn(out,
+        when(rank <= cut, ceil(rank / (base + 1)))
+          .otherwise(rem + ceil((rank - cut) / base))
+          .cast(IntegerType))
+      .drop(pid, lrn, off, nTot)
+  }
+}

@@ -1294,15 +1294,27 @@ object Llm {
   // ---- llm_dedup_stats: the dedup summary report ---------------------
   // The one-row report a curation run publishes before applying
   // dedup: corpus size, near-dup cluster census (count / clustered
-  // docs / would-drop count / largest cluster), and the dedup ratio —
-  // the number that decides whether the corpus is clean enough to
-  // train on. Eighth consumer of the session verified-pair index
-  // (clusters re-derive from the SAME pairs the apply form drops by,
-  // so report and action cannot disagree). Exact integer counts; the
-  // ratio is the single final division both engines round identically.
+  // docs / largest cluster), and BOTH drop policies' counts — both
+  // derived from the session verified-pair index (eighth consumer):
+  //   n_dropped          = Σ(cluster_size − 1), the CLUSTER-COLLAPSE
+  //                        policy (llm_dedup_clusters: one keeper per
+  //                        component); dedup_ratio divides THIS count.
+  //   n_dropped_pairwise = |distinct b_id| over the verified pairs —
+  //                        EXACTLY the loser set llm_dedup_apply
+  //                        anti-joins away. For a star component whose
+  //                        hub carries the max id (pairs (1,3),(2,3))
+  //                        collapse drops 2 docs but pairwise apply
+  //                        drops only doc 3, so the two counts are
+  //                        published side by side instead of one
+  //                        silently standing in for the other.
+  // Exact integer counts; the ratio is the single final division both
+  // engines round identically.
   private val dedupStats: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val pw = lshVerifiedPairs(docs)
+      .agg(count_distinct(col("b_id")).cast(LongType)
+        .as("n_dropped_pairwise"))
     dedupClustersFor(docs)
       .agg(count(lit(1)).as("n_clusters"),
         coalesce(sum(col("cluster_size")), lit(0L)).cast(LongType)
@@ -1312,42 +1324,21 @@ object Llm {
         coalesce(max(col("cluster_size")), lit(0L)).cast(LongType)
           .as("max_cluster"))
       .crossJoin(broadcast(nd))
+      .crossJoin(broadcast(pw))
       .select(col("n_docs"), col("n_clusters"), col("n_clustered"),
-        col("n_dropped"), col("max_cluster"),
+        col("n_dropped"), col("n_dropped_pairwise"), col("max_cluster"),
         // try_divide: the empty-corpus report keeps its row with a
         // NULL ratio instead of an ANSI divide-by-zero (EmptyInputSpec)
         round(try_divide(col("n_dropped").cast(DoubleType),
           col("n_docs")), 6).as("dedup_ratio"))
   }
 
-  // lazy: textually precedes dedupClustersSql, which it reuses
-  private lazy val dedupStatsSql = {
-    // reuse the clusters CTE chain verbatim; aggregate ABOVE it so an
-    // empty cluster set still yields the one-row report
-    val cte = dedupClustersSql
-      .substring(0, dedupClustersSql.lastIndexOf("SELECT lbl")).trim
-    s"""$cte,
-       |cl AS (
-       |  SELECT lbl AS keeper_id, count(*) AS cluster_size
-       |  FROM comp GROUP BY lbl),
-       |agg AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS n_clusters,
-       |    COALESCE(CAST(sum(cluster_size) AS BIGINT), 0) AS n_clustered,
-       |    COALESCE(CAST(sum(cluster_size - 1) AS BIGINT), 0)
-       |      AS n_dropped,
-       |    COALESCE(CAST(max(cluster_size) AS BIGINT), 0) AS max_cluster
-       |  FROM cl),
-       |nd AS (SELECT count(*) AS n_docs FROM documents)
-       |SELECT nd.n_docs, agg.n_clusters, agg.n_clustered, agg.n_dropped,
-       |  agg.max_cluster,
-       |  round(CAST(agg.n_dropped AS DOUBLE) / nd.n_docs, 6)
-       |    AS dedup_ratio
-       |FROM agg, nd""".stripMargin
-  }
-
-  // oracle: transitive closure by recursive CTE over the same exact
-  // Jaccard pairs, component label = min reachable id
-  private val dedupClustersSql =
+  // the CTE chain shared by the clusters and stats oracles — exact-
+  // Jaccard verified pairs → undirected edges → transitive reach →
+  // component labels. A NAMED constant both oracles interpolate
+  // (ADVICE r7: the previous substring-slice of the finished clusters
+  // SQL would silently corrupt the stats oracle on any rewording).
+  private val dedupComponentsCte =
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
@@ -1372,9 +1363,39 @@ object Llm {
       |  UNION
       |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
       |comp AS (
-      |  SELECT s AS id, least(s, min(d)) AS lbl FROM reach GROUP BY s)
-      |SELECT lbl AS keeper_id, count(*) AS cluster_size
-      |FROM comp GROUP BY lbl ORDER BY keeper_id""".stripMargin
+      |  SELECT s AS id, least(s, min(d)) AS lbl FROM reach GROUP BY s)""".stripMargin
+
+  // oracle: transitive closure by recursive CTE over the same exact
+  // Jaccard pairs, component label = min reachable id
+  private val dedupClustersSql =
+    dedupComponentsCte + "\n" +
+      """SELECT lbl AS keeper_id, count(*) AS cluster_size
+        |FROM comp GROUP BY lbl ORDER BY keeper_id""".stripMargin
+
+  // aggregate ABOVE the shared chain so an empty cluster set still
+  // yields the one-row report; pw counts the pairwise-apply losers
+  // from the SAME pairs CTE
+  private val dedupStatsSql =
+    dedupComponentsCte + ",\n" +
+      """cl AS (
+        |  SELECT lbl AS keeper_id, count(*) AS cluster_size
+        |  FROM comp GROUP BY lbl),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+        |    COALESCE(CAST(sum(cluster_size) AS BIGINT), 0) AS n_clustered,
+        |    COALESCE(CAST(sum(cluster_size - 1) AS BIGINT), 0)
+        |      AS n_dropped,
+        |    COALESCE(CAST(max(cluster_size) AS BIGINT), 0) AS max_cluster
+        |  FROM cl),
+        |pw AS (
+        |  SELECT CAST(count(DISTINCT b_id) AS BIGINT)
+        |    AS n_dropped_pairwise FROM pairs),
+        |nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT nd.n_docs, agg.n_clusters, agg.n_clustered, agg.n_dropped,
+        |  pw.n_dropped_pairwise, agg.max_cluster,
+        |  round(CAST(agg.n_dropped AS DOUBLE) / nd.n_docs, 6)
+        |    AS dedup_ratio
+        |FROM agg, nd, pw""".stripMargin
 
   // embedding L2 normalization (unit vectors for downstream cosine).
   // The unit vector is built with `transform` (the array op under

@@ -315,8 +315,11 @@ object Stats {
   // order, order count, and exact-decimal spend, then census the 64
   // segments. ntile is deterministic only under a TOTAL order, so
   // every ORDER BY carries o_custkey as the tiebreak (same in the
-  // oracle). One orders aggregation + three cheap windows over the
-  // customer-sized frame.
+  // oracle). CUSTOMERS SCALE WITH THE CORPUS, so the three quartile
+  // assignments run through operators.DistributedNtile (range-
+  // partitioned exact ntile — no single-partition Window/Sort
+  // anywhere; VERDICT r7 flagged the previous global ntile windows as
+  // the one-task straggler at 100×). Pinned window-free in StatsSpec.
   private val q82: Q = (s, dir) => {
     // recency ordering needs no reference date: days-since-last-order
     // ASC is exactly last-order-DAY DESC (same custkey tiebreak), so
@@ -327,13 +330,11 @@ object Stats {
       .agg(max(col("o_orderdate").cast(DateType)).as("last_day"),
         count(lit(1)).as("frequency"),
         sum(dec2(col("o_totalprice"))).as("monetary"))
-    val seg = cust
-      .withColumn("r", ntile(4).over(Window.orderBy(
-        col("last_day").desc, col("o_custkey"))))
-      .withColumn("f", ntile(4).over(Window.orderBy(
-        col("frequency").desc, col("o_custkey"))))
-      .withColumn("m", ntile(4).over(Window.orderBy(
-        col("monetary").desc, col("o_custkey"))))
+    val nt = graft.operators.DistributedNtile
+    val seg = nt.withNtile(nt.withNtile(nt.withNtile(cust,
+      4, "r", col("last_day").desc, col("o_custkey")),
+      4, "f", col("frequency").desc, col("o_custkey")),
+      4, "m", col("monetary").desc, col("o_custkey"))
     seg.groupBy(col("r"), col("f"), col("m"))
       .agg(count(lit(1)).as("n_customers"),
         d(sum(col("monetary"))).as("seg_spend"))

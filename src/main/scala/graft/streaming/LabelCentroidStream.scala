@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.DecimalType
   * LAST = commit point; replays no-ops; superseded versions pruned):
   * {{{
   *   dir/moments/state_vN  (label, idx, n, sx)
-  *   dir/meta/state_vN     (n_rows, n_components)
+  *   dir/meta/state_vN     (n_rows, n_observations — the TOTAL count
+  *                          of (label, idx) component observations
+  *                          folded into the state, i.e. Σn — an audit
+  *                          volume figure, not a dimension count)
   * }}}
   * Bounded by |labels| × dim behind a loud cap.
   */
@@ -78,13 +81,14 @@ object LabelCentroidStream {
         s"merged centroid moments would hold $rows rows, over the " +
           s"$MaxMomentRows cap — the label/dim alphabet is not " +
           "bounded; fix the source")
-      val nComponents =
+      val nObservations =
         if (rows == 0L) 0L
         else out.agg(sum(col("n"))).collect()(0).getLong(0)
       out.coalesce(1).write.mode("overwrite")
         .parquet(VersionedState.path(dir, "moments", batchId))
       import spark.implicits._
-      Seq((rows, nComponents)).toDF("n_rows", "n_components").coalesce(1)
+      Seq((rows, nObservations)).toDF("n_rows", "n_observations")
+        .coalesce(1)
         .write.mode("overwrite") // meta LAST = the commit point
         .parquet(VersionedState.path(dir, "meta", batchId))
       VersionedState.prune(spark, dir, Seq("moments", "meta"),

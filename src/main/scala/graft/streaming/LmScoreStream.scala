@@ -34,7 +34,8 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * State layout rides [[DeltaStore]]:
   * {{{
   *   dir/model/weights       (w1, w2, lp)  committed once, creation batch
-  *   dir/meta/delta_vN       (batch_id, n_new, coverage)
+  *   dir/meta/delta_vN       (batch_id, n_new, coverage — NULL when
+  *                            the batch had no scorable text at all)
   *   dir/seen/delta_vN       (doc_id)  every new doc, scorable or not
   *   dir/scores/delta_vN     (doc_id, n_bigrams, avg_logp)
   * }}}
@@ -84,14 +85,21 @@ object LmScoreStream {
     if (!fs.exists(new org.apache.hadoop.fs.Path(
         modelPath(dir) + "/_SUCCESS"))) None
     else {
-      val fp = fs.listStatus(root).foldLeft(17L) { (h, st) =>
-        ((h * 31 + st.getPath.getName.hashCode) * 31 + st.getLen) * 31 +
-          st.getModificationTime
-      }
+      // listStatus order is NOT an API guarantee — fold in sorted-path
+      // order so identical content always fingerprints identically (an
+      // order flip would read as a rebuild and churn the broadcast)
+      val fp = fs.listStatus(root).sortBy(_.getPath.getName)
+        .foldLeft(17L) { (h, st) =>
+          ((h * 31 + st.getPath.getName.hashCode) * 31 + st.getLen) * 31 +
+            st.getModificationTime
+        }
       val fresh = modelCache.compute(dir, (_, cur) =>
         if (cur != null && cur._1 == fp) cur
         else {
-          if (cur != null) cur._2.destroy() // superseded model
+          // superseded model: unpersist (executors refetch on demand),
+          // NOT destroy — in-flight tasks may still hold a reference,
+          // and destroy would fail them mid-batch
+          if (cur != null) cur._2.unpersist(blocking = false)
           (fp, graft.queries.Curation.broadcastWeights(
             spark.read.parquet(modelPath(dir))))
         })
@@ -164,9 +172,12 @@ object LmScoreStream {
           val tot = totRow.getLong(1)
           val hitRow = scored.agg(
             coalesce(sum(col("n_bigrams")), lit(0L))).collect()(0)
-          val coverage =
-            if (tot == 0L) 0.0
-            else hitRow.getLong(0).toDouble / tot
+          // tot == 0 means NOTHING SCORABLE ARRIVED (all-null/empty
+          // text) — record NULL, not 0.0, so a coverage monitor can
+          // tell it apart from a genuinely fully-OOV drift batch
+          val coverage: Option[Double] =
+            if (tot == 0L) None
+            else Some(hitRow.getLong(0).toDouble / tot)
           import spark.implicits._
           Seq((batchId, nNew, coverage))
             .toDF("batch_id", "n_new", "coverage").coalesce(1)

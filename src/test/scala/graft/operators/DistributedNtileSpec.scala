@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DistributedNtile must equal the window ntile under every total
+  * order — including the n < k, n % k != 0, and k = 1 edges — while
+  * planning NO Window node and reusing its one range exchange. */
+class DistributedNtileSpec extends SparkSpec {
+
+  private def randomFrame(n: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    // duplicate-heavy value column: ties are the dangerous case (the
+    // unique id tiebreak must resolve them identically in both forms)
+    (0 until n).map(i => (i.toLong, rnd.nextInt(math.max(n / 4, 1))))
+      .toDF("id", "v")
+  }
+
+  test("matches window ntile across sizes, bucket counts, and tie-" +
+    "heavy orders") {
+    for (n <- Seq(0, 1, 2, 3, 4, 5, 17, 100, 1001); k <- Seq(1, 3, 4, 7)) {
+      val df = randomFrame(n, seed = 31 * n + k)
+      val got = DistributedNtile
+        .withNtile(df, k, "t", col("v").desc, col("id"))
+        .select(col("id"), col("t"))
+      val want = df.select(col("id"),
+        ntile(k).over(Window.orderBy(col("v").desc, col("id"))).as("t"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"ntile mismatch at n=$n k=$k")
+    }
+  }
+
+  test("plans no Window node and reuses the single range exchange") {
+    val df = randomFrame(1000, seed = 7)
+    val out = DistributedNtile.withNtile(df, 4, "t", col("v").desc,
+      col("id"))
+    out.collect() // materialize so AQE prints the FINAL plan: exchange
+    // reuse is a runtime stage-level decision under AQE
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"distributed ntile must not plan a window:\n$plan")
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage"),
+      s"the range exchange must be reused across the rank/count " +
+        s"subtrees:\n$plan")
+  }
+
+  test("refuses k < 1 and an empty ordering") {
+    val df = randomFrame(10, seed = 1)
+    intercept[IllegalArgumentException] {
+      DistributedNtile.withNtile(df, 0, "t", col("id"))
+    }
+    intercept[IllegalArgumentException] {
+      DistributedNtile.withNtile(df, 4, "t")
+    }
+  }
+}

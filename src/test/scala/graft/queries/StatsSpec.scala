@@ -143,6 +143,23 @@ class StatsSpec extends SparkSpec {
       s"cohorts don't partition purchasers: $totalCohort vs $purchasers")
   }
 
+  test("q82 plans no window at all: the quartiles run through " +
+    "DistributedNtile, not a single-partition ntile sort") {
+    // VERDICT r7: three unpartitioned ntile(4) windows over the
+    // customer frame were a one-task straggler at 100× — the plan pin
+    // keeps them out for good
+    val df = graft.SparkEntry.queries("q82_rfm")(spark, dir)
+    df.collect() // materialize: reuse is an AQE runtime decision, and
+    // only the FINAL plan shows the deduplicated stages
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q82 must not plan any window:\n$plan")
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage"),
+      s"each quartile axis must reuse its range exchange between the " +
+        s"rank and count subtrees:\n$plan")
+  }
+
   test("q89: ABC classes partition the catalog; shares sum to 1 and " +
     "A ≥ B ≥ C in per-part intensity") {
     val rows = run("q89_abc")

@@ -81,7 +81,7 @@ class LabelCentroidStreamSpec extends SparkSpec {
         "CAST(1 AS DECIMAL(38,18)) AS sx")
       .write.parquet(VersionedState.path(out, "moments", 0))
     Seq((LabelCentroidStream.MaxMomentRows + 1, 1L))
-      .toDF("n_rows", "n_components").coalesce(1)
+      .toDF("n_rows", "n_observations").coalesce(1)
       .write.parquet(VersionedState.path(out, "meta", 0))
     val ex = intercept[IllegalArgumentException] {
       LabelCentroidStream.updateBatch(
