@@ -17,6 +17,13 @@ object Events {
   import Canon._
   type Q = (SparkSession, String) => DataFrame
 
+  /** q97's per-user series cap in the batch form: one task holds one
+    * user's whole sorted series (8 MB of doubles at the cap), so a
+    * hotter user must go through the O(1)-state streaming twin
+    * `EventPipelines.ewma` — the guard raises loudly instead of
+    * growing a task's heap without bound. */
+  val MaxEwmaSeries = 1000000
+
   /** events loader tolerant of parquet TIMESTAMP(NANOS): Spark reads it
     * as LongType when `spark.sql.legacy.parquet.nanosAsLong=true`; we
     * convert to a microsecond timestamp (identical to DuckDB, whose
@@ -559,20 +566,36 @@ object Events {
   // bit-identical before the final round. Per-user state is the
   // user's own series (bounded by per-user activity); at corpus scale
   // the streaming form carries acc in mapGroupsWithState instead of
-  // an array.
-  private val q97: Q = (s, dir) => {
+  // an array. That bound is made LOUD (VERDICT r7): a hot user past
+  // MaxEwmaSeries readings raises instead of silently growing one
+  // task's heap — the error points at the streaming twin, whose state
+  // is O(1) per user regardless of series length.
+  private val q97: Q = (s, dir) =>
+    ewmaBatch(events(s, dir), MaxEwmaSeries)
+
+  /** q97's body with an injectable cap (failure path pinned in
+    * DriverBoundsSpec without materializing a million-row series). */
+  private[graft] def ewmaBatch(events: DataFrame, cap: Int): DataFrame = {
     val ewma = aggregate(
       slice(col("vals"), lit(2),
         greatest(size(col("vals")) - 1, lit(0))),
       element_at(col("vals"), 1),
       (acc, x) => lit(0.2) * x + lit(0.8) * acc)
-    events(s, dir)
+    events
       .filter(col("value").isNotNull)
       .groupBy(col("user_id"))
       .agg(transform(
         sort_array(collect_list(struct(col("ts"), col("event_id"),
           col("value")))),
         e => e.getField("value")).as("vals"))
+      .withColumn("vals",
+        when(size(col("vals")) > cap, raise_error(concat(
+          lit(s"q97_ewma: a user's series exceeds the $cap-reading " +
+            "batch cap (user "),
+          col("user_id").cast(StringType),
+          lit("); run the O(1)-state streaming twin " +
+            "EventPipelines.ewma instead"))))
+          .otherwise(col("vals")))
       .select(col("user_id"),
         size(col("vals")).cast(LongType).as("n_readings"),
         round(ewma, 6).as("ewma"))

@@ -808,11 +808,19 @@ object Multimodal {
   // iteration (d ≤ 2048 behind a loud cap), then a single projection
   // scan. Output: per-label mean of the CENTERED PC1 projection (how
   // the classes separate along the dominant axis) plus the eigenvalue
-  // and explained-variance ratio. No SQL oracle — an eigenvector is
-  // not expressible in DuckDB SQL — so this entry takes the driver's
-  // rows-only check; algorithm QUALITY is pinned in PcaSpec (known-
-  // direction recovery, residual ‖Cv−λv‖, λ ≥ every axis variance),
-  // per the SQ8 lesson that mirrored oracles don't check quality.
+  // and explained-variance ratio. The DuckDB oracle mirrors the WHOLE
+  // fit as a recursive-CTE power iteration (the q74_pagerank pattern,
+  // VERDICT r7 #3): same moments→covariance algebra, same uniform
+  // start vector, same ±v-insensitive 1e-13 fixed-point stop, same
+  // sign pin, same centered projection — the covariance matrix rides
+  // INSIDE the recursion state so DuckDB materializes it once instead
+  // of re-deriving the moment join per iteration. The two engines sum
+  // moments in different orders, so agreement relies on the output
+  // rounding (4 dp projections / 6 dp scalars) absorbing low-order-bit
+  // differences — the same contract every double oracle here uses.
+  // Algorithm QUALITY is separately pinned in PcaSpec (known-direction
+  // recovery, residual ‖Cv−λv‖, λ ≥ every axis variance), per the SQ8
+  // lesson that mirrored oracles don't check quality.
   // Like q63's sketch, the fit is an EAGER corpus action at
   // DataFrame-construction time — memoized per corpus snapshot.
   private val pcaCache = new graft.operators.PlanCache[Unit,
@@ -859,6 +867,91 @@ object Multimodal {
     }
   }
 
+  // the PC1 fit, mirrored in SQL: moments → covariance (carried in
+  // the recursion state) → power iteration to the engine's 1e-13
+  // fixed point → sign pin → centered per-label projection means
+  private val embedPcaSql =
+    """WITH RECURSIVE
+      |ve AS (
+      |  SELECT label, [CAST(x AS DOUBLE) for x in embedding] AS e
+      |  FROM embeddings),
+      |v AS (SELECT e FROM ve WHERE e IS NOT NULL),
+      |dims AS (SELECT len(e) AS d, count(*) AS n FROM v GROUP BY 1),
+      |comp AS (SELECT row_number() OVER () AS rid, e FROM v),
+      |cu AS (
+      |  SELECT rid, unnest(generate_series(1, len(e))) AS i,
+      |    unnest(e) AS x
+      |  FROM comp),
+      |s1 AS (SELECT i, sum(x) AS s FROM cu GROUP BY i),
+      |m2 AS (
+      |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS m
+      |  FROM cu a JOIN cu b USING (rid) GROUP BY a.i, b.i),
+      |cov AS (
+      |  SELECT m2.i, m2.j,
+      |    m2.m / dims.n - (sa.s / dims.n) * (sb.s / dims.n) AS c
+      |  FROM m2, dims
+      |  JOIN s1 sa ON sa.i = m2.i JOIN s1 sb ON sb.i = m2.j),
+      |covrow AS (SELECT i, list(c ORDER BY j) AS r FROM cov GROUP BY i),
+      |covl AS (SELECT list(r ORDER BY i) AS cm FROM covrow),
+      |pow AS (
+      |  SELECT 0 AS it,
+      |    [1.0 / sqrt(d) for _ in generate_series(1, d)] AS vv,
+      |    1e9 AS delta, cm
+      |  FROM dims, covl
+      |  UNION ALL
+      |  SELECT it + 1,
+      |    CASE WHEN nrm = 0 THEN vv ELSE [w[i] / nrm
+      |      for i in generate_series(1, len(w))] END,
+      |    CASE WHEN nrm = 0 THEN 0.0 ELSE least(
+      |      list_max([abs(w[i] / nrm - vv[i])
+      |                for i in generate_series(1, len(w))]),
+      |      list_max([abs(w[i] / nrm + vv[i])
+      |                for i in generate_series(1, len(w))]))
+      |    END, cm
+      |  FROM (
+      |    SELECT q.it, q.vv, q.w, q.cm,
+      |      sqrt(list_sum([x * x for x in q.w])) AS nrm
+      |    FROM (
+      |      SELECT p.it, p.vv, p.cm,
+      |        [list_sum([p.cm[i][j] * p.vv[j]
+      |                   for j in generate_series(1, len(p.vv))])
+      |         for i in generate_series(1, len(p.vv))] AS w
+      |      FROM pow p
+      |      WHERE p.it < 5000 AND p.delta > 1e-13) q) q),
+      |fin AS (SELECT vv FROM pow ORDER BY it DESC LIMIT 1),
+      |pinned AS (
+      |  SELECT CASE WHEN vv[list_position([abs(x) for x in vv],
+      |      list_max([abs(x) for x in vv]))] < 0
+      |    THEN [-x for x in vv] ELSE vv END AS vv
+      |  FROM fin),
+      |scal AS (
+      |  SELECT list_sum([l.vv[i] * list_sum([cm[i][j] * l.vv[j]
+      |           for j in generate_series(1, len(l.vv))])
+      |         for i in generate_series(1, len(l.vv))]) AS lam,
+      |    list_sum([cm[i][i]
+      |              for i in generate_series(1, len(l.vv))]) AS tr,
+      |    l.vv AS vv
+      |  FROM pinned l, covl),
+      |mu AS (
+      |  SELECT list_sum([s.vv[i] * s1l[i]
+      |           for i in generate_series(1, len(s.vv))]) AS mu_proj,
+      |    s.lam, s.tr, s.vv
+      |  FROM scal s,
+      |    (SELECT list(s / n ORDER BY i) AS s1l
+      |     FROM s1, dims GROUP BY ALL) m)
+      |SELECT CAST(ve.label AS BIGINT) AS label,
+      |  count(ve.e) AS n_vectors,
+      |  round(avg(CASE WHEN ve.e IS NULL THEN NULL
+      |    ELSE list_sum([ve.e[i] * mu.vv[i]
+      |      for i in generate_series(1, len(ve.e))]) - mu.mu_proj END),
+      |    4) AS mean_pc1,
+      |  round(any_value(mu.lam), 6) AS eigenvalue,
+      |  round(CASE WHEN any_value(mu.tr) > 0
+      |    THEN any_value(mu.lam) / any_value(mu.tr) ELSE 0.0 END, 6)
+      |    AS explained_var_ratio
+      |FROM ve, mu
+      |GROUP BY ve.label ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "llm_embed_pca" -> embedPca,
     "llm_label_centroids" -> labelCentroids,
@@ -876,6 +969,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_embed_pca" -> embedPcaSql,
     "llm_ivf_balance" -> ivfBalanceSql,
     "llm_label_centroids" -> labelCentroidsOracle,
     "llm_knn_classify" -> knnClassifySql,
