@@ -53,9 +53,14 @@ object Bench {
     // sized from map output statistics.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       math.max(cpus.toInt / 4, 1).toString)
+    val concurrentEnv = sys.env.get("SPARK_GRAFT_CONCURRENT").map(_.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      // FAIR only in the concurrent-serving experiment: pools time-
+      // slice the in-flight queries instead of convoying them
+      .config("spark.scheduler.mode",
+        if (concurrentEnv.isDefined) "FAIR" else "FIFO")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
@@ -95,6 +100,16 @@ object Bench {
     // Catalyst analysis/optimization cost from execution — the floor
     // experiment recorded in BASELINE.md (VERDICT r4 #8). Default off:
     // the official number includes planning, as a real engine pays it.
+    // SPARK_GRAFT_CONCURRENT=N: the serving experiment (VERDICT r7
+    // #5) — measure whether a long-lived session amortizes the per-
+    // stage scheduling quantum across in-flight queries, instead of
+    // asserting it. Runs one untimed warm round, a timed sequential
+    // pass, then the same inventory over N submitter threads under
+    // FAIR scheduling (one pool per thread so no query convoys behind
+    // another's barrier), and prints ONE JSON line with both totals.
+    // Never persists bench_last.json (it is not the driver's metric).
+    val concurrent = concurrentEnv
+
     val reusePlan = sys.env.get("SPARK_GRAFT_REUSE_PLAN").contains("true")
     val planned = scala.collection.mutable.Map[
       String, org.apache.spark.sql.DataFrame]()
@@ -154,6 +169,12 @@ object Bench {
         ()
       } catch { case e: Throwable => note(s"bench_last.json write failed: $e") }
 
+    concurrent.foreach { threads =>
+      runConcurrent(spark, sfDir, ordered, threads, note)
+      spark.stop()
+      return
+    }
+
     for (r <- 1 to rounds) {
       for ((name, fn) <- ordered) {
       // Skip a slow query only after THREE slow measurements: one or
@@ -192,4 +213,55 @@ object Bench {
   }
 
   private def j(v: Double): String = f"$v%.4f"
+
+  /** The concurrent-serving A/B: warm round (JIT/codegen), timed
+    * sequential pass, timed N-thread pass under FAIR pools. Wall-clock
+    * amortization shows up as concurrent_sec < sequential_sec — the
+    * scheduler overlaps one query's skinny barrier stages with
+    * another's scans instead of idling the cores. */
+  private def runConcurrent(spark: SparkSession, sfDir: String,
+      ordered: Seq[(String, (SparkSession,
+        String) => org.apache.spark.sql.DataFrame)],
+      threads: Int, note: String => Unit): Unit = {
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    def runOne(name: String, fn: (SparkSession,
+        String) => org.apache.spark.sql.DataFrame): Unit =
+      try { fn(spark, sfDir).count(); () }
+      catch { case e: Throwable => note(s"ERROR $name: ${e.getMessage}") }
+
+    note("concurrent mode: warm round")
+    for ((name, fn) <- ordered) runOne(name, fn)
+
+    val t0 = System.nanoTime()
+    for ((name, fn) <- ordered) runOne(name, fn)
+    val seq = (System.nanoTime() - t0) / 1e9
+    note(f"sequential pass: $seq%.2f s")
+
+    // N submitter threads drain one shared queue; each pins its own
+    // FAIR pool so the in-flight queries time-slice the cluster
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue(
+      scala.jdk.CollectionConverters.SeqHasAsJava(ordered).asJava)
+    val t1 = System.nanoTime()
+    val pool = (0 until threads).map { i =>
+      val th = new Thread(() => {
+        spark.sparkContext.setLocalProperty(
+          "spark.scheduler.pool", s"bench-$i")
+        var item = queue.poll()
+        while (item != null) {
+          runOne(item._1, item._2)
+          item = queue.poll()
+        }
+      })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    pool.foreach(_.join())
+    val conc = (System.nanoTime() - t1) / 1e9
+    note(f"concurrent pass ($threads threads): $conc%.2f s")
+    println(s"""{"metric":"concurrent","threads":$threads,""" +
+      s""""sequential_sec":${j(seq)},"concurrent_sec":${j(conc)},""" +
+      s""""speedup":${j(seq / conc)},"n":${ordered.size},""" +
+      s""""sf":"$sfDir"}""")
+  }
 }

@@ -10,6 +10,13 @@ import org.apache.spark.sql.types._
 /** A media blob row entering the multimodal pipeline. */
 final case class MediaRow(doc_id: Long, source: String, blob: Array[Byte])
 
+/** A real PNG blob mid-pipeline (the encode stage's output). */
+final case class PngRow(doc_id: Long, png: Array[Byte])
+
+/** Decoded-image metadata from the REAL codec stage. */
+final case class ImageMeta(doc_id: Long, width: Long, height: Long,
+    pixel_sum: Long)
+
 /** Typed metadata produced by the decode stage. */
 final case class MediaMeta(doc_id: Long, source: String, byte_len: Long,
     width: Long, height: Long, n_frames: Long, checksum: String)
@@ -20,12 +27,15 @@ final case class MediaMeta(doc_id: Long, source: String, byte_len: Long,
   * typed metadata. The decode / feature-extract step runs batch-wise
   * in `mapPartitions` over a typed Dataset — the Scala analogue of a
   * `mapInPandas` batch UDF: schema in, iterator of batches, schema
-  * out. The decoders themselves are STUBBED deterministically (no
-  * codec libraries in this environment): byte length, modulo-derived
-  * dimensions, md5 checksum — so the Spark-side plumbing
-  * (binary column, typed Encoders, partition-wise batching, metadata
-  * schema) is real and oracle-checked while the codec call is a
-  * clearly-marked fake.
+  * out. The IMAGE leg runs a REAL codec (mm_image_roundtrip: the
+  * JDK's javax.imageio PNG encode + decode, pixel-exact against the
+  * oracle's generation formula); the video/audio legs remain
+  * deterministic stubs (byte length, modulo-derived dimensions, md5
+  * checksum — no video/audio codec exists in this environment), so
+  * the Spark-side plumbing (binary column, typed Encoders,
+  * partition-wise batching, metadata schema) is real and
+  * oracle-checked everywhere while only the genuinely unavailable
+  * codec calls are clearly-marked fakes.
   *
   * ANN-IVF: an inverted-file index with a deterministic coarse
   * quantizer — the 8 centroids are a deterministic hash sample (the 8
@@ -76,6 +86,108 @@ object Multimodal {
       |  CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames,
       |  md5(text) AS checksum
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- mm_image_roundtrip: REAL image codec in the pipeline ---------
+  // VERDICT r7 Missing #2: the JDK's javax.imageio decodes real PNG
+  // with zero new jars, so the image leg of the decode stage need not
+  // be a stub. Each document deterministically renders a small RGB
+  // image (dims and pixels are pure functions of doc_id — the
+  // generation formula below), the ENCODE stage writes real PNG bytes
+  // into a binary column, and a separate DECODE stage reads them back
+  // through ImageIO and reports width / height / an exact integer
+  // pixel checksum FROM THE DECODED PIXELS. PNG is lossless, so the
+  // decoded metadata must equal the generation formula — which is
+  // exactly what the DuckDB oracle computes (per-pixel formula summed
+  // over generate_series), making the codec itself oracle-checked: a
+  // decoder that mangled a channel or a row would hash-mismatch.
+  // Both stages are narrow typed mapPartitions passes (the mapInPandas
+  // batch shape); the binary column between them is a real
+  // executor-resident blob column, never collected. The video leg
+  // (n_frames) remains stubbed in mm_decode_meta — the sandbox has no
+  // video codec.
+  private def imgDims(id: Long): (Int, Int) =
+    (16 + (id % 32).toInt, 16 + ((id * 3) % 24).toInt)
+
+  /** Per-pixel channel formula — mirrored verbatim in the oracle. */
+  private def rgb(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((id + x * 3 + y * 7) % 256).toInt, ((x * 5 + y) % 256),
+      ((id * 11 + x + y * 13) % 256).toInt)
+
+  private def encodePng(id: Long): PngRow = {
+    val (w, h) = imgDims(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    PngRow(id, bos.toByteArray)
+  }
+
+  private def decodePng(r: PngRow): ImageMeta = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.png))
+    require(img != null, s"doc ${r.doc_id}: undecodable PNG blob")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sum += ((p >> 16) & 0xff) + 2L * ((p >> 8) & 0xff) +
+          3L * (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    ImageMeta(r.doc_id, w.toLong, h.toLong, sum)
+  }
+
+  /** The DECODE stage alone — a (doc_id, png binary) frame through
+    * the real ImageIO read (failure path pinned in MultimodalSpec). */
+  private[queries] def decodeBlobs(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id"), col("png")).as[PngRow]
+      .mapPartitions(_.map(decodePng))
+      .toDF()
+  }
+
+  private val imageRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    decodeBlobs( // DECODE: real ImageIO read of the binary column
+      t(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(encodePng)) // ENCODE: real PNG bytes
+        .toDF())
+      .orderBy(col("doc_id"))
+  }
+
+  private val imageRoundtripSql =
+    """WITH m AS (
+      |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 24 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+      |  FROM m),
+      |pxy AS (
+      |  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      |  FROM px)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height,
+      |  CAST(sum((doc_id + x * 3 + y * 7) % 256
+      |    + 2 * ((x * 5 + y) % 256)
+      |    + 3 * ((doc_id * 11 + x + y * 13) % 256)) AS BIGINT)
+      |    AS pixel_sum
+      |FROM pxy GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
   // frame sampling over the stubbed video metadata: every k-th frame
   private val frameSample: Q = (s, dir) => {
@@ -960,6 +1072,7 @@ object Multimodal {
     "llm_ann_recall" -> annRecall,
     "llm_ann_sq8" -> annSq8,
     "mm_decode_meta" -> decodeMeta,
+    "mm_image_roundtrip" -> imageRoundtrip,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resize,
     "mm_feature_extract" -> featureExtract,
@@ -977,6 +1090,7 @@ object Multimodal {
     "llm_ann_recall" -> annRecallSql,
     "llm_ann_sq8" -> annSq8Sql,
     "mm_decode_meta" -> decodeMetaSql,
+    "mm_image_roundtrip" -> imageRoundtripSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize" -> resizeSql,
     "mm_feature_extract" -> featureExtractSql,

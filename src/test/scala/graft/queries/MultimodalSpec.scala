@@ -14,6 +14,34 @@ class MultimodalSpec extends SparkSpec {
   private def top10(rows: Array[Row]): Set[Long] =
     rows.map(_.getLong(0)).toSet
 
+  test("mm_image_roundtrip decodes REAL PNGs: dims and pixel checksum " +
+    "from the decoded image equal the generation formula") {
+    val rows = graft.SparkEntry.queries("mm_image_roundtrip")(spark, dir)
+      .limit(20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = 16 + (id % 32); val h = 16 + (id * 3) % 24
+      assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h,
+        s"decoded dims disagree with the formula at doc $id: $r")
+      var sum = 0L
+      for (y <- 0 until h.toInt; x <- 0 until w.toInt)
+        sum += (id + x * 3 + y * 7) % 256 + 2 * ((x * 5 + y) % 256) +
+          3 * ((id * 11 + x + y * 13) % 256)
+      assert(r.getAs[Long]("pixel_sum") == sum,
+        s"decoded pixel checksum disagrees at doc $id: $r vs $sum")
+    }
+  }
+
+  test("an undecodable blob fails the decode stage loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "png")
+    val ex = intercept[Exception] {
+      Multimodal.decodeBlobs(bad).collect()
+    }
+    assert(ex.getMessage.contains("undecodable"), ex.getMessage)
+  }
+
   test("IVF recall@10 curve vs brute force: above the random-probe " +
     "floor at the shipped nProbe=2, monotone in probe width, exact " +
     "at full probe") {
