@@ -10,7 +10,9 @@ graft.Bench run: this host swings ±40% between windows, so only
 same-window ratios are meaningful (BASELINE.md).
 """
 import json
+import os
 import sys
+import threading
 import time
 
 import duckdb
@@ -30,22 +32,42 @@ def main():
     sql = json.load(open(oracle_json))
     best = {}
     errors = {}
-    for _ in range(rounds):
+    # DUCK_TIMEOUT_SEC: per-query budget for scale-up runs (an sf1
+    # oracle can be super-linear in DuckDB); on expiry the query is
+    # interrupted and recorded as an error — "the oracle exceeded the
+    # budget" is itself a datapoint. Unset (the driver's default
+    # usage): no timeout, behavior unchanged.
+    budget = float(os.environ.get("DUCK_TIMEOUT_SEC", "0") or 0)
+    for r in range(rounds):
         for name in sorted(sql):
             if name in errors:
                 continue
             t0 = time.time()
+            timer = None
+            if budget > 0:
+                timer = threading.Timer(budget, con.interrupt)
+                timer.start()
             try:
                 con.execute(sql[name]).fetchall()
             except Exception as e:  # noqa: BLE001 - record and move on
-                errors[name] = str(e)[:200]
+                msg = str(e)[:200]
+                if "INTERRUPT" in msg.upper():
+                    msg = f"timeout: exceeded {budget}s budget"
+                errors[name] = msg
                 # a query that succeeded in an earlier round but errors
                 # now must not stay in the total — `value`/`n` cover
                 # exactly the error-free set (r6 ADVICE)
                 best.pop(name, None)
+                print(f"[duckbench] r{r} {name} ERROR {msg}",
+                      file=sys.stderr, flush=True)
                 continue
+            finally:
+                if timer is not None:
+                    timer.cancel()
             dt = time.time() - t0
             best[name] = min(best.get(name, float("inf")), dt)
+            print(f"[duckbench] r{r} {name} {dt:.3f}s",
+                  file=sys.stderr, flush=True)
     out = {
         "metric": "duckdb_total",
         "value": round(sum(best.values()), 4),
