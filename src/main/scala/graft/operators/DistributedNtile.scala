@@ -95,4 +95,22 @@ object DistributedNtile {
           .cast(IntegerType))
       .drop(pid, lrn, off, nTot)
   }
+
+  /** The (key, tile) projection of [[withNtile]] — for computing
+    * SEVERAL independent tile axes over one frame as PARALLEL
+    * subtrees joined back on the key, instead of chaining them.
+    * A chain threads each axis's output through the next axis's
+    * range exchange — a FALSE serial dependency (each tile depends
+    * only on the base frame) that serializes ~5 scheduling quanta
+    * per axis at fixture scale and ships every prior axis's column
+    * through every later exchange at cluster scale. Parallel tile
+    * frames let AQE materialize the three pipelines concurrently;
+    * the re-join is broadcast-size locally and a co-partitioned
+    * merge join at scale (same O(n) exchange class as the range
+    * shuffle each axis already pays). Measured on q82: 60 → ~30
+    * stages, 3.0 → 1.3 s at sf0.1. */
+  def tiles(df: DataFrame, k: Int, out: String, keys: Seq[String],
+      order: Column*): DataFrame =
+    withNtile(df, k, out, order: _*)
+      .select((keys.map(col) :+ col(out)): _*)
 }

@@ -331,10 +331,18 @@ object Stats {
         count(lit(1)).as("frequency"),
         sum(dec2(col("o_totalprice"))).as("monetary"))
     val nt = graft.operators.DistributedNtile
-    val seg = nt.withNtile(nt.withNtile(nt.withNtile(cust,
-      4, "r", col("last_day").desc, col("o_custkey")),
-      4, "f", col("frequency").desc, col("o_custkey")),
-      4, "m", col("monetary").desc, col("o_custkey"))
+    // three INDEPENDENT tile axes as parallel subtrees re-joined on
+    // the customer key (see DistributedNtile.tiles: chaining them
+    // would serialize ~5 scheduling quanta per axis for no reason —
+    // each axis depends only on cust, whose agg stages AQE reuses
+    // across the subtrees)
+    val seg = cust
+      .join(nt.tiles(cust, 4, "r", Seq("o_custkey"),
+        col("last_day").desc, col("o_custkey")), Seq("o_custkey"))
+      .join(nt.tiles(cust, 4, "f", Seq("o_custkey"),
+        col("frequency").desc, col("o_custkey")), Seq("o_custkey"))
+      .join(nt.tiles(cust, 4, "m", Seq("o_custkey"),
+        col("monetary").desc, col("o_custkey")), Seq("o_custkey"))
     seg.groupBy(col("r"), col("f"), col("m"))
       .agg(count(lit(1)).as("n_customers"),
         d(sum(col("monetary"))).as("seg_spend"))

@@ -107,24 +107,30 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for ((t, copies) <- Copies.toSeq.sortBy(_._1)) {
       val df = spark.read.parquet(s"$src/$t.parquet")
-      // flat single files, matching the testdata layout — DuckDB (the
-      // bracket partner) reads a file path, not a directory
-      scaleTable(spark, t, df, copies).coalesce(1)
-        .write.mode("overwrite").parquet(s"$out/_tmp_$t")
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(
-          s"$out/_tmp_$t"))
-        .map(_.getPath).find(_.getName.startsWith("part-")).get
-      val dest = new org.apache.hadoop.fs.Path(s"$out/$t.parquet")
-      fs.delete(dest, false)
-      fs.rename(part, dest)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$out/_tmp_$t"), true)
-      val n = spark.read.parquet(s"$out/$t.parquet").count()
+      val n = writeFlat(spark, scaleTable(spark, t, df, copies), out, t)
       println(s"SCALED $t x$copies -> $n rows")
     }
     spark.stop()
+  }
+
+  /** Writes `df` as ONE flat parquet file `<out>/<name>.parquet`,
+    * matching the testdata layout — DuckDB (the bracket partner)
+    * reads a file path, not a directory. Returns the row count. */
+  def writeFlat(spark: SparkSession, df: DataFrame, out: String,
+      name: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/_tmp_$name")
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$out/_tmp_$name"))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    val dest = new org.apache.hadoop.fs.Path(s"$out/$name.parquet")
+    fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_tmp_$name"), true)
+    spark.read.parquet(s"$out/$name.parquet").count()
   }
 }
