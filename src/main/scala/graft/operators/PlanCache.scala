@@ -32,6 +32,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * (e.g. `unpersist`) on every value.
   */
 final class PlanCache[P, V](onEvict: V => Unit = (_: V) => ()) {
+  PlanCache.register(this)
+
   private val m =
     new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, P), V]()
 
@@ -46,4 +48,21 @@ final class PlanCache[P, V](onEvict: V => Unit = (_: V) => ()) {
     m.values.forEach(v => onEvict(v))
     m.clear()
   }
+}
+
+object PlanCache {
+  // every instance (they are all object-level singletons — a handful,
+  // never collected) so session-state-sensitive harnesses can reset
+  // ALL artifact caches at once: plan shapes legitimately differ
+  // between a cold session (artifact re-derived in-plan) and a warm
+  // one (InMemoryTableScan of the persisted artifact), so a
+  // plan-shape comparison must pin the cache state first
+  // (PlanBudgetSpec vs tools.PlanCensus).
+  private val instances =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[PlanCache[_, _]]()
+
+  private def register(c: PlanCache[_, _]): Unit = { instances.add(c); () }
+
+  /** Evict every cache in the session (test/census hook). */
+  def clearAll(): Unit = instances.forEach(_.clear())
 }

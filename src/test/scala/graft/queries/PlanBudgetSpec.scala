@@ -44,6 +44,14 @@ class PlanBudgetSpec extends SparkSpec {
   }
 
   test("no query's plan exceeds its committed exchange/sort budget") {
+    // plan shapes legitimately differ between a cold session (artifact
+    // re-derived in-plan) and a warm one (InMemoryTableScan of a
+    // persisted artifact another suite happened to build) — pin the
+    // state to the census's: parquet-direct reads, empty artifact
+    // caches, queries built in sorted order so caches warm in the
+    // same sequence PlanCensus saw
+    graft.Tables.clearViews(spark)
+    graft.operators.PlanCache.clearAll()
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
