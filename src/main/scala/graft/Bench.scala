@@ -169,8 +169,8 @@ object Bench {
         ()
       } catch { case e: Throwable => note(s"bench_last.json write failed: $e") }
 
-    concurrent.foreach { threads =>
-      runConcurrent(spark, sfDir, ordered, threads, note)
+    if (concurrent.isDefined) {
+      runConcurrent(spark, sfDir, ordered, concurrent.get, note)
       spark.stop()
       return
     }

@@ -113,7 +113,16 @@ object Multimodal {
     (((id + x * 3 + y * 7) % 256).toInt, ((x * 5 + y) % 256),
       ((id * 11 + x + y * 13) % 256).toInt)
 
+  // ImageIO defaults to a temp-FILE stream cache per encode/decode
+  // call — 50k tiny files of churn per executor at sf1 for blobs that
+  // fit in memory anyway. One JVM-wide switch, triggered lazily from
+  // both codec stages (initializes once per executor JVM on a
+  // cluster).
+  private lazy val imageIoInMemory: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private def encodePng(id: Long): PngRow = {
+    imageIoInMemory
     val (w, h) = imgDims(id)
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -133,6 +142,7 @@ object Multimodal {
   }
 
   private def decodePng(r: PngRow): ImageMeta = {
+    imageIoInMemory
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(r.png))
     require(img != null, s"doc ${r.doc_id}: undecodable PNG blob")
