@@ -108,8 +108,6 @@ object Bench {
     // FAIR scheduling (one pool per thread so no query convoys behind
     // another's barrier), and prints ONE JSON line with both totals.
     // Never persists bench_last.json (it is not the driver's metric).
-    val concurrent = concurrentEnv
-
     val reusePlan = sys.env.get("SPARK_GRAFT_REUSE_PLAN").contains("true")
     val planned = scala.collection.mutable.Map[
       String, org.apache.spark.sql.DataFrame]()
@@ -169,8 +167,8 @@ object Bench {
         ()
       } catch { case e: Throwable => note(s"bench_last.json write failed: $e") }
 
-    if (concurrent.isDefined) {
-      runConcurrent(spark, sfDir, ordered, concurrent.get, note)
+    if (concurrentEnv.isDefined) {
+      runConcurrent(spark, sfDir, ordered, concurrentEnv.get, note)
       spark.stop()
       return
     }
@@ -223,17 +221,29 @@ object Bench {
       ordered: Seq[(String, (SparkSession,
         String) => org.apache.spark.sql.DataFrame)],
       threads: Int, note: String => Unit): Unit = {
+    require(ordered.nonEmpty,
+      "concurrent mode: no queries selected (check SPARK_GRAFT_ONLY)")
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    // per-pass error sets: a query failing in only ONE pass means the
+    // two totals timed different work — the JSON must say so rather
+    // than publish an overstated speedup
+    val seqErr = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val concErr = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def runOne(name: String, fn: (SparkSession,
-        String) => org.apache.spark.sql.DataFrame): Unit =
+        String) => org.apache.spark.sql.DataFrame,
+        errs: java.util.Set[String]): Unit =
       try { fn(spark, sfDir).count(); () }
-      catch { case e: Throwable => note(s"ERROR $name: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        errs.add(name)
+        note(s"ERROR $name: ${e.getMessage}")
+      }
 
     note("concurrent mode: warm round")
-    for ((name, fn) <- ordered) runOne(name, fn)
+    val warmErr = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    for ((name, fn) <- ordered) runOne(name, fn, warmErr)
 
     val t0 = System.nanoTime()
-    for ((name, fn) <- ordered) runOne(name, fn)
+    for ((name, fn) <- ordered) runOne(name, fn, seqErr)
     val seq = (System.nanoTime() - t0) / 1e9
     note(f"sequential pass: $seq%.2f s")
 
@@ -248,7 +258,7 @@ object Bench {
           "spark.scheduler.pool", s"bench-$i")
         var item = queue.poll()
         while (item != null) {
-          runOne(item._1, item._2)
+          runOne(item._1, item._2, concErr)
           item = queue.poll()
         }
       })
@@ -262,6 +272,8 @@ object Bench {
     println(s"""{"metric":"concurrent","threads":$threads,""" +
       s""""sequential_sec":${j(seq)},"concurrent_sec":${j(conc)},""" +
       s""""speedup":${j(seq / conc)},"n":${ordered.size},""" +
+      s""""seq_errors":${seqErr.size},"conc_errors":${concErr.size},""" +
+      s""""equal_work":${seqErr.equals(concErr)},""" +
       s""""sf":"$sfDir"}""")
   }
 }

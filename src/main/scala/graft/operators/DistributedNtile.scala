@@ -35,10 +35,20 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * make both forms nondeterministic); callers carry a unique key as
   * the final tiebreak, exactly as the window form must. Both reads of
   * the ranked frame sit above the same range exchange, so the plan
-  * reuses it (pinned in NtileSpec); determinism does not depend on the
-  * reuse — the range boundaries and the within-partition sort are
-  * deterministic functions of the input, so both subtrees would rank
-  * identically even recomputed.
+  * reuses it (pinned in NtileSpec). Correctness DOES depend on both
+  * subtrees seeing the same partition boundaries: `RangePartitioner`
+  * samples with an rdd.id-derived seed, so two independent physical
+  * executions (exchange reuse disabled, or a future canonicalization
+  * drift defeating `ReusedExchange`) can slice the order differently
+  * — offsets from one slicing added to local row numbers from another
+  * would corrupt every rank. That failure is made LOUD, not trusted
+  * away: the broadcast offsets carry each partition's counted size,
+  * the join is a left join, and any row that lands outside its
+  * counted slot (`lrn > cnt`, or a pid the count pass never saw)
+  * raises. The guard is complete: partitions are contiguous slices of
+  * the same total order and both executions see the same row multiset,
+  * so per-pid counts matching (no overflow anywhere + equal totals)
+  * implies identical boundaries, hence identical membership.
   *
   * Doubles are exact here: ranks and counts stay far below 2^53, and
   * IEEE division of exact operands whose true quotient is an integer
@@ -69,31 +79,42 @@ object DistributedNtile {
       .groupBy(col(pid)).agg(count(lit(1)).as("cnt"))
       .agg(sort_array(collect_list(struct(col(pid), col("cnt"))))
         .as("arr"))
-    // HOF prefix sum over the packed row -> (pid, offset) + total n
+    // HOF prefix sum over the packed row -> (pid, offset, cnt) + total
+    val cnt = s"__${out}_cnt"
     val offs = packed
       .select(aggregate(col("arr"),
         struct(lit(0L).as("run"),
-          array().cast(s"array<struct<p:bigint,o:bigint>>").as("acc")),
+          array().cast(s"array<struct<p:bigint,o:bigint,c:bigint>>")
+            .as("acc")),
         (st, e) => struct(
           (st.getField("run") + e.getField("cnt")).as("run"),
           concat(st.getField("acc"),
             array(struct(e.getField(pid).as("p"),
-              st.getField("run").as("o")))).as("acc")))
+              st.getField("run").as("o"),
+              e.getField("cnt").as("c")))).as("acc")))
         .as("st"))
       .select(col("st.run").as(nTot), explode(col("st.acc")).as("e"))
-      .select(col(nTot), col("e.p").as(pid), col("e.o").as(off))
+      .select(col(nTot), col("e.p").as(pid), col("e.o").as(off),
+        col("e.c").as(cnt))
 
     val rank = col(off) + col(lrn)
     val base = floor(col(nTot) / k).cast(LongType)
     val rem = col(nTot) % k
     val cut = rem * (base + 1)
     local
-      .join(broadcast(offs), Seq(pid))
+      .join(broadcast(offs), Seq(pid), "left")
       .withColumn(out,
-        when(rank <= cut, ceil(rank / (base + 1)))
+        // boundary-divergence guard (see scaladoc): a row outside its
+        // counted slot means the two subtrees range-partitioned
+        // differently — raise instead of emitting corrupted ranks
+        when(col(cnt).isNull || col(lrn) > col(cnt), raise_error(lit(
+          s"DistributedNtile($out): range boundaries diverged between " +
+            "the count and rank subtrees (exchange not reused?)"))
+          .cast(IntegerType))
+        .when(rank <= cut, ceil(rank / (base + 1)))
           .otherwise(rem + ceil((rank - cut) / base))
           .cast(IntegerType))
-      .drop(pid, lrn, off, nTot)
+      .drop(pid, lrn, off, nTot, cnt)
   }
 
   /** The (key, tile) projection of [[withNtile]] — for computing

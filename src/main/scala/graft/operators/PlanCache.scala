@@ -32,10 +32,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * (e.g. `unpersist`) on every value.
   */
 final class PlanCache[P, V](onEvict: V => Unit = (_: V) => ()) {
-  PlanCache.register(this)
-
   private val m =
     new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, P), V]()
+
+  // register AFTER m is initialized: the registry may clear() a
+  // just-registered instance from another thread, which would NPE on
+  // a not-yet-assigned map if this line came first
+  PlanCache.register(this)
 
   /** The cached value for (df's canonicalized plan, params), computing
     * and caching it on first use. `compute` may run Spark jobs. */

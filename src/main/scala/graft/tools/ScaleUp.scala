@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{FloatType, IntegerType}
+import org.apache.spark.sql.types.{FloatType, IntegerType, LongType}
 
 /** Synthesizes an sf1-equivalent fixture from sf0.1 by extending the
   * driver's OWN per-table scaling curve (TESTDATA.md, measured across
@@ -73,6 +73,10 @@ object ScaleUp {
           when(col("rep") === 0, col("text")).otherwise(
             concat_ws(" ", transform(split(col("text"), " ", -1),
               w => concat(lit("r"), col("rep"), lit("x"), w)))))
+        // the fixtures hold n_chars == length(text); token-salting
+        // grows the text, so recompute or every char-weighted metric
+        // (weighted sample, funnel clean_chars…) reads a stale weight
+        .withColumn("n_chars", length(col("text")).cast(LongType))
       case "embeddings" => rep
         .withColumn("vec_id", off("vec_id"))
         .withColumn("embedding",

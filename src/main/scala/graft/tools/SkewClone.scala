@@ -1,15 +1,15 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Clones a fixture with PATHOLOGICAL key skew (VERDICT r7 #8): the
   * uniform driver fixtures never stress the skew paths end-to-end, so
   * this clone remaps
-  *   - events.user_id: ~90% of event rows onto the single minimum
-  *     user (the one-hot-user distribution every windowed/sessionized
-  *     family must survive), and
-  *   - lineitem.l_suppkey: ~90% of lineitems onto one supplier (the
+  *   - events.user_id: 15/16 (93.75%) of event rows onto the single
+  *     minimum user (the one-hot-user distribution every windowed/
+  *     sessionized family must survive), and
+  *   - lineitem.l_suppkey: 15/16 of lineitems onto one supplier (the
   *     hot-join-key case q49's salting and AQE skew-join exist for).
   * Membership is md5-deterministic (rebuilds are identical); every
   * other table copies through unchanged, so the clone is a drop-in
@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   * (defaults /root/testdata/sf0.01 → /tmp/graft_skew)
   */
 object SkewClone {
+
+  /** Remaps `keyCol` to `hotValue` on the 15/16 (93.75%) of rows whose
+    * md5 over the '#'-joined `idCols` does not start with '0' —
+    * the ONE deterministic one-hot-skew definition, shared by this
+    * clone tool and RandomDifferentialSpec's skew axis so the two
+    * cannot silently diverge. */
+  def oneHot(df: DataFrame, keyCol: String, hotValue: Long,
+      idCols: Column*): DataFrame =
+    df.withColumn(keyCol,
+      when(substring(md5(concat_ws("#",
+        idCols.map(_.cast("string")): _*)), 1, 1) =!= "0",
+        lit(hotValue)).otherwise(col(keyCol)))
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.01")
@@ -41,13 +53,11 @@ object SkewClone {
     for (t <- tables) {
       val df = spark.read.parquet(s"$src/$t.parquet")
       val skewed = t match {
-        case "events" => df.withColumn("user_id",
-          when(substring(md5(col("event_id").cast("string")), 1, 1)
-            =!= "0", lit(hotUser)).otherwise(col("user_id")))
-        case "lineitem" => df.withColumn("l_suppkey",
-          when(substring(md5(concat(col("l_orderkey").cast("string"),
-            lit("#"), col("l_linenumber").cast("string"))), 1, 1)
-            =!= "0", lit(hotSupp)).otherwise(col("l_suppkey")))
+        case "events" =>
+          oneHot(df, "user_id", hotUser, col("event_id"))
+        case "lineitem" =>
+          oneHot(df, "l_suppkey", hotSupp,
+            col("l_orderkey"), col("l_linenumber"))
         case _ => df
       }
       val n = ScaleUp.writeFlat(spark, skewed, out, t)

@@ -720,26 +720,25 @@ class RandomDifferentialSpec extends SparkSpec {
     assert(ran >= 50, s"only $ran of 60 seeds produced a query")
   }
 
-  test("skew axis: 60 seeds over a 90%-one-key clone of the join keys " +
+  test("skew axis: 60 seeds over a 94%-one-key clone of the join keys " +
     "(hot customer, hot supplier) — both formulations agree exactly " +
     "under pathological skew (VERDICT r7 #8)") {
     frames // force base view registration + stats sampling
-    // deterministic one-hot remap: ~94% of orders onto one customer,
-    // ~94% of lineitems onto one supplier — the uniform fixtures never
-    // stress AQE skew splits / hash-agg fallback end-to-end
+    // deterministic one-hot remap (SkewClone.oneHot, 15/16 = 93.75%):
+    // orders onto one customer, lineitems onto one supplier — the
+    // uniform fixtures never stress AQE skew splits / hash-agg
+    // fallback end-to-end
     val hotCust = frames("customer")
       .agg(min(col("c_custkey"))).collect()(0).getLong(0)
     val hotSupp = frames("supplier")
       .agg(min(col("s_suppkey"))).collect()(0).getLong(0)
     val skewed: Map[String, DataFrame] = frames.map { case (n, df) =>
       val s = n match {
-        case "orders" => df.withColumn("o_custkey",
-          when(substring(md5(col("o_orderkey").cast("string")), 1, 1)
-            =!= "0", lit(hotCust)).otherwise(col("o_custkey")))
-        case "lineitem" => df.withColumn("l_suppkey",
-          when(substring(md5(concat(col("l_orderkey").cast("string"),
-            lit("#"), col("l_linenumber").cast("string"))), 1, 1)
-            =!= "0", lit(hotSupp)).otherwise(col("l_suppkey")))
+        case "orders" => graft.tools.SkewClone.oneHot(
+          df, "o_custkey", hotCust, col("o_orderkey"))
+        case "lineitem" => graft.tools.SkewClone.oneHot(
+          df, "l_suppkey", hotSupp,
+          col("l_orderkey"), col("l_linenumber"))
         case _ => df
       }
       n -> s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -21,14 +21,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main():
-    sfdir, oracle_json = sys.argv[1], sys.argv[2]
-    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+def fresh_connection(sfdir):
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return con
+
+
+def main():
+    sfdir, oracle_json = sys.argv[1], sys.argv[2]
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    con = fresh_connection(sfdir)
     sql = json.load(open(oracle_json))
     best = {}
     errors = {}
@@ -44,15 +49,40 @@ def main():
                 continue
             t0 = time.time()
             timer = None
+            fired = threading.Event()
+            done = threading.Event()
             if budget > 0:
-                timer = threading.Timer(budget, con.interrupt)
+                # the done-gate closes the race where the timer fires
+                # AFTER execute() returns but BEFORE cancel() runs —
+                # a bare con.interrupt there would poison the NEXT
+                # query and falsely record it as a timeout
+                cur = con
+
+                def expire():
+                    if not done.is_set():
+                        fired.set()
+                        cur.interrupt()
+
+                timer = threading.Timer(budget, expire)
                 timer.start()
             try:
                 con.execute(sql[name]).fetchall()
             except Exception as e:  # noqa: BLE001 - record and move on
                 msg = str(e)[:200]
                 if "INTERRUPT" in msg.upper():
+                    if not fired.is_set():
+                        # interrupted without OUR timer firing: a stale
+                        # interrupt flag — rebuild the connection and
+                        # don't blame this query
+                        print(f"[duckbench] r{r} {name} stale interrupt"
+                              " — reconnecting", file=sys.stderr,
+                              flush=True)
+                        con = fresh_connection(sfdir)
+                        continue
                     msg = f"timeout: exceeded {budget}s budget"
+                    # the interrupt flag can outlive this statement;
+                    # a clean connection protects the next query
+                    con = fresh_connection(sfdir)
                 errors[name] = msg
                 # a query that succeeded in an earlier round but errors
                 # now must not stay in the total — `value`/`n` cover
@@ -62,6 +92,7 @@ def main():
                       file=sys.stderr, flush=True)
                 continue
             finally:
+                done.set()
                 if timer is not None:
                     timer.cancel()
             dt = time.time() - t0
