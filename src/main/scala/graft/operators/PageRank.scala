@@ -42,12 +42,17 @@ object PageRank {
     * rank rounded to 12 decimals. */
   def run(edges: DataFrame, n: Long, iters: Int = Iters,
       damping: Double = Damping): DataFrame = {
-    val nodes = nodesOf(edges)
+    // checkpoint inputs + each iterate: without truncation the plan
+    // nests `iters` joins deep — Catalyst analysis cost grows
+    // superlinearly and a late-task failure recomputes every
+    // iteration (ConnectedComponents' round discipline, applied here)
+    val nodes = nodesOf(edges).localCheckpoint(false)
+    val e = edges.localCheckpoint(false)
     val invN = 1.0 / n
     var ranks = nodes.select(col("node"), lit(invN).as("rank"))
     for (_ <- 1 to iters) {
       val inflow = ranks
-        .join(edges, ranks("node") === edges("src"))
+        .join(e, ranks("node") === e("src"))
         .select(col("dst"),
           (col("rank") * col("w")).cast(DecimalType(38, 18)).as("c"))
         .groupBy(col("dst"))
@@ -58,6 +63,7 @@ object PageRank {
           round(lit(1.0 - damping) * invN +
             lit(damping) * coalesce(col("inflow"), lit(0.0)), 12)
             .as("rank"))
+        .localCheckpoint(false)
     }
     ranks
   }

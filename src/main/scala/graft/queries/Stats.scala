@@ -738,8 +738,9 @@ object Stats {
   // revenue sums; the cumulative share is a running DECIMAL sum over
   // a TOTAL order (revenue desc, partkey tiebreak), so the class
   // boundary is deterministic. The single-partition window is bounded
-  // by the CATALOG (parts), not the corpus — the same bound as q82's
-  // ntile; a corpus-scale cumulative share would ride q52's sketch.
+  // by the CATALOG (parts), not the corpus (q82's customer frame has
+  // no such bound — it rides DistributedNtile instead); a corpus-
+  // scale cumulative share would ride q52's sketch.
   private val q89: Q = (s, dir) => {
     val rev = t(s, dir, "lineitem")
       .groupBy(col("l_partkey"))

@@ -47,6 +47,41 @@ class DistributedNtileSpec extends SparkSpec {
         s"subtrees:\n$plan")
   }
 
+  test("never silently wrong without exchange reuse: either matches " +
+    "window ntile or raises the boundary-divergence guard") {
+    // With reuse disabled the count and rank subtrees range-partition
+    // independently; RangePartitioner's seed is rdd.id-derived, so the
+    // slicings MAY diverge — the operator's contract is that a
+    // divergence raises (offsets carry per-partition counts; a row
+    // outside its counted slot errors) rather than corrupting ranks.
+    // At spec scale the reservoir keeps every row, so boundaries
+    // coincide and this pins the guard against false positives; the
+    // raise branch is accepted so the pin stays honest if sampling
+    // behavior ever changes underneath.
+    val keys = Seq("spark.sql.exchangeReuseEnabled",
+      "spark.sql.adaptive.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    keys.foreach(spark.conf.set(_, "false"))
+    try {
+      val df = randomFrame(500, seed = 11)
+      try {
+        val got = DistributedNtile
+          .withNtile(df, 4, "t", col("v").desc, col("id"))
+          .select(col("id"), col("t"))
+        val want = df.select(col("id"),
+          ntile(4).over(Window.orderBy(col("v").desc, col("id"))).as("t"))
+        assert(got.except(want).isEmpty && want.except(got).isEmpty,
+          "no-reuse execution returned WRONG tiles without raising " +
+            "the divergence guard")
+      } catch {
+        case e: Throwable if e.getMessage != null &&
+          e.getMessage.contains("range boundaries diverged") => ()
+      }
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("refuses k < 1 and an empty ordering") {
     val df = randomFrame(10, seed = 1)
     intercept[IllegalArgumentException] {
