@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.CountMin
+import org.apache.hadoop.fs.Path
+
+/** SOAK pin for the versioned-state maintainers: across MANY batches
+  * the on-disk footprint must stay BOUNDED — prune after every commit
+  * leaves at most the just-committed version plus the one it read
+  * (the crash-window pair), for every store, at every step. Without
+  * this discipline a long-lived maintainer leaks one parquet
+  * directory per trigger: at 100 TB / minutes-cadence triggers that
+  * is thousands of small-file versions per day on the state volume —
+  * exactly the unbounded-small-files failure the per-batch parity
+  * specs cannot see because they never look at the directory.
+  */
+class StateSoakSpec extends SparkSpec {
+
+  private val Batches = 16
+
+  private def versionDirs(dir: String, store: String): Seq[String] = {
+    val p = new Path(s"$dir/$store")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("state_v"))
+  }
+
+  test("count-min maintainer: 16 batches leave <= 2 versions per " +
+    "store on disk at every step, and the final sketch is exact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("cmssoak").toString
+    val depth = 4
+    var seen = Seq.empty[String]
+    for (b <- 0 until Batches) {
+      val words = (0 until 30).map(i => s"w${(b * 7 + i) % 40}")
+      CountMinStream.updateBatch(
+        words.toDF("w"), "w", out, b.toLong, depth)
+      seen = seen ++ words
+      for (store <- Seq("sketch", "meta")) {
+        val dirs = versionDirs(out, store)
+        // committed current + the version it read; an uncommitted
+        // crash leftover would add one more — steady state must not
+        assert(dirs.size <= 2,
+          s"batch $b: $store holds ${dirs.size} versions " +
+            s"(${dirs.sorted.mkString(", ")}) — prune is leaking")
+      }
+      // prune keeps the version this batch READ (crash insurance):
+      // both the new commit and its read-version stay listed
+      val committed = VersionedState.committed(spark, out, "meta")
+      assert(committed.contains(b.toLong))
+    }
+    val (m, n) = CountMinStream.current(spark, out, depth)
+    assert(n == seen.size.toLong)
+    val truth = new Array[Long](depth * CountMin.Width)
+    for (w <- seen; j <- 0 until depth)
+      truth(j * CountMin.Width + CountMin.bucket(j, w)) += 1
+    assert(m.sameElements(truth),
+      "soaked sketch diverged from the whole-prefix one-shot")
+  }
+
+  test("heavy-hitters maintainer: bounded versions across 16 batches " +
+    "with a replay every 4th batch (replays must not defeat prune)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("hhsoak").toString
+    for (b <- 0 until Batches) {
+      val words = Seq.fill(20)(s"hot${b % 3}") ++
+        (0 until 10).map(i => s"t$b-$i")
+      HeavyHittersStream.updateBatch(
+        words.toDF("w"), "w", out, b.toLong, k = 8)
+      if (b % 4 == 3) // crash-recovery re-delivery of the same batch
+        HeavyHittersStream.updateBatch(
+          words.toDF("w"), "w", out, b.toLong, k = 8)
+      for (store <- Seq("summary", "meta")) {
+        val dirs = versionDirs(out, store)
+        assert(dirs.size <= 2,
+          s"batch $b: $store holds ${dirs.size} versions " +
+            s"(${dirs.sorted.mkString(", ")}) — prune is leaking")
+      }
+    }
+    // 16 batches x 20 occurrences each: the three hot rotating keys
+    // dominate every deletion-free summary of this stream
+    val (summary, n) = HeavyHittersStream.current(spark, out)
+    assert(n == Batches.toLong * 30)
+    for (h <- 0 until 3)
+      assert(summary.contains(s"hot$h"),
+        s"hot$h missing from the soaked summary: $summary")
+  }
+}
