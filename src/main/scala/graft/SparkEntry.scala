@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Curation, Events, Extended, Llm, Multimodal, Relational, Stats}
+import graft.queries.{Curation, Events, Extended, Llm, Multimodal, Profiling, Relational, Stats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Llm.queries ++
     Multimodal.queries ++ Extended.queries ++ Curation.queries ++
-    Stats.queries
+    Stats.queries ++ Profiling.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted for non-SQL-expressible or
@@ -27,5 +27,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Llm.oracles ++
     Multimodal.oracles ++ Extended.oracles ++ Curation.oracles ++
-    Stats.oracles
+    Stats.oracles ++ Profiling.oracles
 }

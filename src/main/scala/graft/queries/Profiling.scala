@@ -1,0 +1,300 @@
+package graft.queries
+
+import graft.{Canon, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset-introspection query pack (SURVEY.md §2.17): per-column
+  * table profiling (the ANALYZE/dbt-profiler shape that precedes
+  * every pipeline onboarding), per-entity mean-shift changepoint
+  * detection (the monitoring primitive behind "did this metric move"),
+  * and decile lift/gains (the model-eval table every ranking score is
+  * judged by — also the second consumer of
+  * [[graft.operators.DistributedNtile]], proving the operator is a
+  * reusable primitive rather than a q82 one-off).
+  *
+  * These extend the reference's inventory the way the rest of the
+  * §2.4 north-star pack does: the reference (distribot) is a dataflow
+  * orchestrator with no relational surface at all, so the profiling
+  * queries have no counterpart to cite; their semantics are pinned
+  * entirely by the DuckDB oracles.
+  *
+  * Determinism discipline (memory: one mirrored expression tree):
+  * every double in the output is produced by ONE final conversion or
+  * division of EXACT operands (BIGINT / DECIMAL sums, 2-decimal cents)
+  * performed identically on both engines, then rounded.
+  */
+object Profiling {
+  import Canon._
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---- q98_profile: per-column table profile --------------------------
+  // One pass over lineitem computes, for every column: row count, null
+  // count, exact distinct count, numeric min/max/mean (NULL for
+  // strings), lexicographic min/max (NULL for numerics). The multi-
+  // distinct aggregate plans as ONE Expand + partial-agg pass: each
+  // expanded replica carries a single column, so the shuffle holds the
+  // per-column distinct partials, never row-count × column-count of
+  // full rows. The 11-struct explode at the end is driver-free — the
+  // report stays a DataFrame. Timestamp min/max ride epoch days so the
+  // representation is numeric on both engines (string formatting of
+  // timestamps/doubles is NOT cross-engine stable; day arithmetic is).
+  private val q98: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    def nulls(c: String) =
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+    // exact mean of an integer key column: DECIMAL(38,0) sum (never
+    // overflows at any corpus size) -> one exact->double conversion,
+    // then one double division — identical on both engines.
+    def meanInt(c: String) =
+      (d(sum(col(c).cast(DecimalType(38, 0)))) / count(lit(1)))
+        .as(s"${c}_mean")
+    // exact mean of a 2-decimal money double: Canon.dec2 sum.
+    def meanDec(c: String) =
+      (d(sum(dec2(col(c)))) / count(lit(1))).as(s"${c}_mean")
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val intCols = Set("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber")
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++
+        (numCols ++ strCols :+ "l_shipdate").map(nulls) ++
+        (numCols ++ strCols :+ "l_shipdate")
+          .map(c => count_distinct(col(c)).as(s"${c}_nd")) ++
+        numCols.flatMap(c => Seq(
+          min(col(c)).cast(DoubleType).as(s"${c}_min"),
+          max(col(c)).cast(DoubleType).as(s"${c}_max"),
+          if (intCols(c)) meanInt(c) else meanDec(c))) ++
+        strCols.flatMap(c => Seq(
+          min(col(c)).as(s"${c}_smin"), max(col(c)).as(s"${c}_smax"))) ++
+        Seq(
+          min(datediff(to_date(col("l_shipdate")), lit("1970-01-01")))
+            .cast(DoubleType).as("l_shipdate_min"),
+          max(datediff(to_date(col("l_shipdate")), lit("1970-01-01")))
+            .cast(DoubleType).as("l_shipdate_max"))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    def num(c: String) = struct(lit(c).as("col_name"),
+      col("n_rows"), col(s"${c}_nulls").as("n_nulls"),
+      col(s"${c}_nd").as("n_distinct"),
+      col(s"${c}_min").as("min_num"), col(s"${c}_max").as("max_num"),
+      round(col(s"${c}_mean"), 6).as("mean"),
+      lit(null).cast(StringType).as("min_str"),
+      lit(null).cast(StringType).as("max_str"))
+    def str(c: String) = struct(lit(c).as("col_name"),
+      col("n_rows"), col(s"${c}_nulls").as("n_nulls"),
+      col(s"${c}_nd").as("n_distinct"),
+      lit(null).cast(DoubleType).as("min_num"),
+      lit(null).cast(DoubleType).as("max_num"),
+      lit(null).cast(DoubleType).as("mean"),
+      col(s"${c}_smin").as("min_str"), col(s"${c}_smax").as("max_str"))
+    val tsRow = struct(lit("l_shipdate").as("col_name"),
+      col("n_rows"), col("l_shipdate_nulls").as("n_nulls"),
+      col("l_shipdate_nd").as("n_distinct"),
+      col("l_shipdate_min").as("min_num"),
+      col("l_shipdate_max").as("max_num"),
+      lit(null).cast(DoubleType).as("mean"),
+      lit(null).cast(StringType).as("min_str"),
+      lit(null).cast(StringType).as("max_str"))
+    one.select(explode(array(
+        (numCols.map(num) ++ strCols.map(str) :+ tsRow): _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("col_name"))
+  }
+
+  private val q98Sql = {
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
+    val intCols = Set("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    def meanExpr(c: String) =
+      if (intCols(c))
+        s"CAST(sum(CAST($c AS DECIMAL(38,0))) AS DOUBLE) / count(*)"
+      else
+        s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*)"
+    val aggCols =
+      Seq("count(*) AS n_rows") ++
+        (numCols ++ strCols :+ "l_shipdate").map(c =>
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)" +
+            s" AS ${c}_nulls") ++
+        (numCols ++ strCols :+ "l_shipdate").map(c =>
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS ${c}_nd") ++
+        numCols.flatMap(c => Seq(
+          s"CAST(min($c) AS DOUBLE) AS ${c}_min",
+          s"CAST(max($c) AS DOUBLE) AS ${c}_max",
+          s"round(${meanExpr(c)}, 6) AS ${c}_mean")) ++
+        strCols.flatMap(c => Seq(
+          s"min($c) AS ${c}_smin", s"max($c) AS ${c}_smax")) ++
+        Seq(
+          "CAST(date_diff('day', DATE '1970-01-01', " +
+            "CAST(min(l_shipdate) AS DATE)) AS DOUBLE) AS l_shipdate_min",
+          "CAST(date_diff('day', DATE '1970-01-01', " +
+            "CAST(max(l_shipdate) AS DATE)) AS DOUBLE) AS l_shipdate_max")
+    def numRow(c: String) =
+      s"SELECT '$c' AS col_name, n_rows, ${c}_nulls AS n_nulls, " +
+        s"${c}_nd AS n_distinct, ${c}_min AS min_num, " +
+        s"${c}_max AS max_num, ${c}_mean AS mean, " +
+        "CAST(NULL AS VARCHAR) AS min_str, " +
+        "CAST(NULL AS VARCHAR) AS max_str FROM a"
+    def strRow(c: String) =
+      s"SELECT '$c', n_rows, ${c}_nulls, ${c}_nd, " +
+        "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+        s"CAST(NULL AS DOUBLE), ${c}_smin, ${c}_smax FROM a"
+    val tsRow =
+      "SELECT 'l_shipdate', n_rows, l_shipdate_nulls, l_shipdate_nd, " +
+        "l_shipdate_min, l_shipdate_max, CAST(NULL AS DOUBLE), " +
+        "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a"
+    s"WITH a AS (SELECT ${aggCols.mkString(", ")} FROM lineitem)\n" +
+      (numCols.map(numRow) ++ strCols.map(strRow) :+ tsRow)
+        .mkString("\n", "\nUNION ALL\n", "\n") +
+      "ORDER BY col_name"
+  }
+
+  // ---- q99_changepoint: per-user mean-shift detection -----------------
+  // Binary-segmentation first split per user: under the cumulative-
+  // deviation statistic S_t = sum_{i<=t}(x_i - mu_u), the most likely
+  // single changepoint is argmax |S_t| (CUSUM). Everything is
+  // partitioned by user — the windows never see a global frame — and
+  // the statistic is computed EXACTLY: 2-decimal values become cents
+  // (exact BIGINT), and n*S_t = n*C_t - t*T (the division-free
+  // multiple of S_t, same argmax) is DECIMAL(18,0)x(18,0) products —
+  // exact at any per-user activity volume, identical on both engines.
+  // Only the final reported magnitude performs double arithmetic:
+  // one decimal->double conversion, one division, one round.
+  private val q99: Q = (s, dir) => {
+    // Events.events rebuilds timestamp_ntz whatever the parquet
+    // physical type (TIMESTAMP(NANOS) legacy-long included)
+    val ev = Events.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val ordered = byUser.orderBy(col("ts"), col("event_id"))
+    val d18 = DecimalType(18, 0)
+    val scored = ev
+      .withColumn("t", row_number().over(ordered))
+      .withColumn("c_t", sum(col("cents")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("tot", sum(col("cents")).over(byUser))
+      .withColumn("score",
+        col("n").cast(d18) * col("c_t").cast(d18) -
+          col("t").cast(d18) * col("tot").cast(d18))
+      .withColumn("ascore", abs(col("score")))
+    scored
+      .withColumn("rk", row_number().over(byUser.orderBy(
+        col("ascore").desc, col("ts"), col("event_id"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n").as("n_events"),
+        col("ts").as("change_ts"),
+        round(d(col("ascore")) / (col("n") * 100.0), 4).as("max_shift"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q99Sql =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |sc AS (
+      |  SELECT user_id, ts, event_id,
+      |    row_number() OVER w AS t,
+      |    CAST(sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS c_t,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+      |    CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |dev AS (
+      |  SELECT user_id, ts, event_id, n,
+      |    abs(CAST(n AS DECIMAL(18,0)) * CAST(c_t AS DECIMAL(18,0)) -
+      |        CAST(t AS DECIMAL(18,0)) * CAST(tot AS DECIMAL(18,0)))
+      |      AS ascore
+      |  FROM sc),
+      |rk AS (
+      |  SELECT user_id, ts, n, ascore, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ascore DESC, ts, event_id) AS rk
+      |  FROM dev)
+      |SELECT user_id, n AS n_events, ts AS change_ts,
+      |  round(CAST(ascore AS DOUBLE) / (n * 100.0), 4) AS max_shift
+      |FROM rk WHERE rk = 1 ORDER BY user_id""".stripMargin
+
+  // ---- q100_decile_lift: gains table over a ranking score -------------
+  // The model-eval table: rank documents by a score (n_chars, doc_id
+  // tiebreak — a TOTAL order, the DistributedNtile contract), cut
+  // into deciles, report each decile's positive rate (lang = 'en'),
+  // lift vs the base rate, and cumulative capture. The decile
+  // assignment is graft.operators.DistributedNtile — no window node
+  // touches the corpus-sized frame; the only Window in the plan runs
+  // over the 10-row decile aggregate (bounded by k forever, the q89
+  // catalog-bounded justification). Ratios are double divisions of
+  // exact integer (DECIMAL) products — identical on both engines.
+  private val q100: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val tiled = graft.operators.DistributedNtile.withNtile(
+      docs, 10, "decile", col("n_chars").desc, col("doc_id"))
+    val perDecile = tiled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
+    val d18 = DecimalType(18, 0)
+    val w = Window.orderBy(col("decile"))
+    perDecile
+      .withColumn("tot_docs", sum(col("n_docs")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("tot_pos", sum(col("n_pos")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("cum_pos", sum(col("n_pos")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile").cast(LongType).as("decile"),
+        col("n_docs"), col("n_pos"),
+        round(d(col("n_pos")) / col("n_docs"), 6).as("pos_rate"),
+        round(d(col("n_pos").cast(d18) * col("tot_docs").cast(d18)) /
+          d(col("n_docs").cast(d18) * col("tot_pos").cast(d18)), 4)
+          .as("lift"),
+        round(d(col("cum_pos")) / col("tot_pos"), 6).as("cum_capture"))
+      .orderBy(col("decile"))
+  }
+
+  private val q100Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+      |    ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+      |  FROM documents),
+      |agg AS (
+      |  SELECT decile, count(*) AS n_docs,
+      |    CAST(sum(pos) AS BIGINT) AS n_pos
+      |  FROM docs GROUP BY decile),
+      |tot AS (
+      |  SELECT decile, n_docs, n_pos,
+      |    CAST(sum(n_docs) OVER () AS BIGINT) AS tot_docs,
+      |    CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos,
+      |    CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+      |  FROM agg)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+      |  round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate,
+      |  round(CAST(CAST(n_pos AS DECIMAL(18,0)) *
+      |      CAST(tot_docs AS DECIMAL(18,0)) AS DOUBLE) /
+      |    CAST(CAST(n_docs AS DECIMAL(18,0)) *
+      |      CAST(tot_pos AS DECIMAL(18,0)) AS DOUBLE), 4) AS lift,
+      |  round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_capture
+      |FROM tot ORDER BY decile""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q98_profile" -> q98,
+    "q99_changepoint" -> q99,
+    "q100_decile_lift" -> q100)
+
+  val oracles: Map[String, String] = Map(
+    "q98_profile" -> q98Sql,
+    "q99_changepoint" -> q99Sql,
+    "q100_decile_lift" -> q100Sql)
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Invariant + brute-force cross-checks for the Profiling pack
+  * (q98_profile, q99_changepoint, q100_decile_lift). The DuckDB
+  * oracles pin exact values; these specs pin the internal consistency
+  * a hash-match alone wouldn't explain, plus a from-scratch Scala
+  * recomputation of the changepoint statistic.
+  */
+class ProfilingSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, dir).collect()
+
+  test("q98: one row per profiled column, counts consistent") {
+    val rows = run("q98_profile")
+    assert(rows.length == 11, s"expected 11 profiled columns, got " +
+      s"${rows.length}")
+    val nRows = rows.head.getAs[Long]("n_rows")
+    assert(nRows > 0)
+    rows.foreach { r =>
+      val name = r.getAs[String]("col_name")
+      assert(r.getAs[Long]("n_rows") == nRows, s"row-count drift: $r")
+      val nulls = r.getAs[Long]("n_nulls")
+      val nd = r.getAs[Long]("n_distinct")
+      assert(nulls >= 0 && nulls <= nRows, s"null count range: $r")
+      assert(nd >= 1 && nd <= nRows - nulls, s"distinct range: $r")
+      val hasNum = !r.isNullAt(r.fieldIndex("min_num"))
+      val hasStr = !r.isNullAt(r.fieldIndex("min_str"))
+      assert(hasNum ^ hasStr, s"exactly one repr must be present: $r")
+      if (hasNum) {
+        val mn = r.getAs[Double]("min_num")
+        val mx = r.getAs[Double]("max_num")
+        assert(mn <= mx, s"min > max: $r")
+        if (!r.isNullAt(r.fieldIndex("mean"))) {
+          val mean = r.getAs[Double]("mean")
+          assert(mean >= mn && mean <= mx, s"mean outside [min,max]: $r")
+        } else assert(name == "l_shipdate",
+          s"only the timestamp row may omit mean: $r")
+      } else {
+        assert(r.getAs[String]("min_str") <= r.getAs[String]("max_str"),
+          s"string min > max: $r")
+      }
+    }
+    // spot-check one distinct count against a direct computation
+    val flagRow = rows.find(_.getAs[String]("col_name") == "l_returnflag").get
+    val direct = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_returnflag").distinct().count()
+    assert(flagRow.getAs[Long]("n_distinct") == direct)
+  }
+
+  test("q99: matches a from-scratch per-user CUSUM recomputation") {
+    val rows = run("q99_changepoint")
+    assert(rows.nonEmpty)
+    // brute force: argmax_t |n*C_t - t*T| per user, earliest tiebreak
+    // the fixture's ts is TIMESTAMP_NTZ → external LocalDateTime;
+    // epoch micros carry the full precision for ordering
+    def micros(t: java.time.LocalDateTime): Long =
+      t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+        t.getNano / 1000L
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "ts", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.time.LocalDateTime]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("cents")))
+    val expected = ev.groupBy(_._1).map { case (u, rs) =>
+      val sorted = rs.sortBy(r => (micros(r._2), r._3))
+      val n = sorted.length
+      val tot = sorted.map(_._4).sum
+      var c = 0L
+      val scored = sorted.zipWithIndex.map { case (r, i) =>
+        c += r._4
+        val score = (BigInt(n) * BigInt(c) - BigInt(i + 1) * BigInt(tot)).abs
+        (r._2, r._3, score)
+      }
+      val best = scored.minBy(s => (-s._3, (micros(s._1), s._2)))
+      val shift = BigDecimal(best._3).toDouble / (n * 100.0)
+      (u, (n.toLong, best._1,
+        BigDecimal(shift).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val (n, ts, shift) = expected(u)
+      assert(r.getAs[Long]("n_events") == n, s"n_events mismatch u=$u")
+      assert(r.getAs[java.time.LocalDateTime]("change_ts") == ts,
+        s"change_ts mismatch u=$u: got " +
+          s"${r.getAs[java.time.LocalDateTime]("change_ts")}, want $ts")
+      assert(math.abs(r.getAs[Double]("max_shift") - shift) < 1e-9,
+        s"max_shift mismatch u=$u: got " +
+          s"${r.getAs[Double]("max_shift")}, want $shift")
+    }
+  }
+
+  test("q100: decile partition covers the corpus; capture/lift algebra") {
+    val rows = run("q100_decile_lift").sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L),
+      "expected exactly deciles 1..10")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val total = docs.count()
+    val pos = docs.filter("lang = 'en'").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(rows.map(_.getAs[Long]("n_pos")).sum == pos)
+    // SQL ntile: first (total mod 10) deciles get one extra row
+    val base = total / 10; val rem = (total % 10).toInt
+    rows.foreach { r =>
+      val want = if (r.getAs[Long]("decile") <= rem) base + 1 else base
+      assert(r.getAs[Long]("n_docs") == want, s"ntile sizing: $r")
+    }
+    val baseRate = pos.toDouble / total
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("pos_rate")
+      val lift = r.getAs[Double]("lift")
+      assert(math.abs(lift - rate / baseRate) < 1e-3,
+        s"lift inconsistent with pos_rate/base: $r")
+    }
+    assert(math.abs(rows.last.getAs[Double]("cum_capture") - 1.0) < 1e-9,
+      "final cumulative capture must be 1.0")
+  }
+}
