@@ -473,8 +473,11 @@ object Stats {
           .as("clustering_coeff"))
   }
 
-  private val q84Sql =
-    """WITH os AS (
+  // the supplier co-occurrence edge construction, shared by the q84
+  // census and the q101 k-core oracles (named constant, not string
+  // surgery — the ADVICE r7 dedupStatsSql lesson)
+  private val supplierEdgesCte =
+    """os AS (
       |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
       |pc AS (
       |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS cnt
@@ -482,8 +485,11 @@ object Stats {
       |    AND a.l_suppkey < b.l_suppkey
       |  GROUP BY 1, 2),
       |thr AS (SELECT quantile_cont(cnt, 0.95) AS thr FROM pc),
-      |edges AS (SELECT u, v FROM pc, thr WHERE cnt >= thr.thr),
-      |deg AS (
+      |edges AS (SELECT u, v FROM pc, thr WHERE cnt >= thr.thr)""".stripMargin
+
+  private val q84Sql =
+    "WITH " + supplierEdgesCte + ",\n" +
+    """deg AS (
       |  SELECT node, count(*) AS deg FROM (
       |    SELECT u AS node FROM edges
       |    UNION ALL SELECT v AS node FROM edges)
@@ -500,6 +506,47 @@ object Stats {
       |  round(3.0 * tri.n_triangles / w.n_wedges, 6)
       |    AS clustering_coeff
       |FROM w, ne, tri""".stripMargin
+
+  // ---- q101_kcore: k-core decomposition of the co-occurrence graph --
+  // The cohesion census beside q84's triangle census: for k in {2, 3},
+  // every supplier in the k-core of the thresholded co-occurrence
+  // graph with its in-core degree. operators.KCore peels the graph to
+  // the unique fixpoint (sequential one-executor peel for
+  // catalog-bounded graphs, round-checkpointed parallel peel at
+  // scale); the oracle mirrors it as a recursive CTE that peels with
+  // per-iteration window degrees — after convergence the alive set is
+  // stable, so the iteration-64 snapshot IS the fixpoint (the engine
+  // raises if a graph ever needed more rounds than its guard; the
+  // shared edge CTE keeps both oracles on the same graph).
+  private val q101: Q = (s, dir) => {
+    val edges = supplierEdgesFor(t(s, dir, "lineitem"))
+    Seq(2, 3).map { k =>
+      graft.operators.KCore.of(edges, k)
+        .select(lit(k.toLong).as("k"), col("id").as("supp_id"),
+          col("core_degree"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("k"), col("supp_id"))
+  }
+
+  private val q101Sql =
+    "WITH RECURSIVE " + supplierEdgesCte + ",\n" +
+    """dir AS (
+      |  SELECT u AS n, v AS m FROM edges
+      |  UNION ALL SELECT v, u FROM edges),
+      |ks AS (SELECT * FROM (VALUES (2), (3)) t(k)),
+      |alive(k, iter, n, m) AS (
+      |  SELECT ks.k, 0, n, m FROM dir, ks
+      |  UNION ALL
+      |  SELECT e.k, e.iter + 1, e.n, e.m FROM (
+      |    SELECT a.k, a.iter, a.n, a.m,
+      |      count(*) OVER (PARTITION BY a.k, a.iter, a.n) AS dn,
+      |      count(*) OVER (PARTITION BY a.k, a.iter, a.m) AS dm
+      |    FROM alive a) e
+      |  WHERE e.dn >= e.k AND e.dm >= e.k AND e.iter < 64)
+      |SELECT CAST(k AS BIGINT) AS k, n AS supp_id,
+      |  CAST(count(*) AS BIGINT) AS core_degree
+      |FROM alive WHERE iter = 64
+      |GROUP BY k, n ORDER BY k, supp_id""".stripMargin
 
   // ---- q85_bitagg: bitwise / boolean aggregates --------------------
   // The flag-folding aggregates (feature masks, permission bits,
@@ -1277,6 +1324,7 @@ object Stats {
       |FROM dedup GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q101_kcore" -> q101,
     "llm_curation_funnel" -> funnel,
     "q95_dq_audit" -> q95,
     "q94_grouped_topk" -> q94,
@@ -1299,6 +1347,7 @@ object Stats {
     "q86_moments" -> q86)
 
   val oracles: Map[String, String] = Map(
+    "q101_kcore" -> q101Sql,
     "llm_curation_funnel" -> funnelSql,
     "q95_dq_audit" -> q95Sql,
     "q94_grouped_topk" -> q94Sql,
