@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, lit, raise_error, when}
+import org.apache.spark.sql.functions.{col, concat, count, lit, raise_error, when}
 
 /** Exact k-core extraction over an undirected edge list: repeatedly
   * delete every node whose degree is below `k` until none remains;
@@ -27,8 +27,21 @@ import org.apache.spark.sql.functions.{col, count, lit, raise_error, when}
   *   shrinks monotonically; per-round localCheckpoint truncates the
   *   lineage (the PageRank/CC round discipline). Deleting ALL sub-k
   *   nodes per round reaches the same fixpoint as sequential peeling
-  *   (uniqueness above) in at most `maxRounds` rounds; exhausting the
-  *   guard THROWS — a truncated peel is not a k-core.
+  *   (uniqueness above).
+  *
+  * `maxRounds` bounds the SYNCHRONOUS round count — the number of
+  * "delete every currently-sub-k node at once" sweeps to the fixpoint
+  * — and is enforced on BOTH paths. Exhausting the guard THROWS: a
+  * truncated peel is not a k-core, and a bounded-iteration oracle
+  * (q101's recursive CTE snapshots at a fixed iteration) would
+  * silently diverge past its cap — the guard makes that divergence
+  * impossible by construction when the caller sets `maxRounds` to the
+  * oracle's iteration budget. The sequential peel counts frontier
+  * LEVELS, which can exceed the edge-changing sweep count by exactly
+  * one (a last level that removes only already-edge-less nodes, which
+  * never changes the output): the guard is conservative in the safe
+  * direction — it can throw one round early on such graphs, never
+  * pass one round late.
   */
 object KCore {
 
@@ -39,16 +52,32 @@ object KCore {
     require(k >= 1, s"k-core needs k >= 1, got $k")
     val spark = edges.sparkSession
     import spark.implicits._
-    // a NULL endpoint is a malformed edge: fail LOUDLY in-row (the
-    // ConnectedComponents discipline), not with a decode NPE or a
-    // silently fabricated null node
-    def req(c: org.apache.spark.sql.Column, side: String) =
-      when(c.isNull, raise_error(lit(
-        s"KCore: NULL $side endpoint in edges")).cast("long"))
-        .otherwise(c)
+    // a malformed endpoint fails LOUDLY in-row (the
+    // ConnectedComponents discipline), each class with its own
+    // message: NULL input, an uncastable value (cast-to-long NULL
+    // would otherwise be misreported as a NULL input), and a
+    // fractional numeric id (cast would silently TRUNCATE, merging
+    // distinct nodes into one). The double round-trip check is exact
+    // for ids below 2^53; long-typed inputs skip it entirely (the
+    // cast is the identity there).
+    def req(name: String) = {
+      val raw = col(name)
+      // try_cast, not cast: ANSI cast would throw its own generic
+      // CAST_INVALID_INPUT before these branches can label the edge
+      val lng = raw.try_cast("long")
+      when(raw.isNull, raise_error(lit(
+        s"KCore: NULL $name endpoint in edges")).cast("long"))
+        .when(lng.isNull, raise_error(concat(lit(
+          s"KCore: uncastable $name endpoint in edges: "),
+          raw.cast("string"))).cast("long"))
+        .when(raw.try_cast("double") =!= lng.cast("double"),
+          raise_error(concat(lit(
+            s"KCore: non-integer $name endpoint in edges: "),
+            raw.cast("string"))).cast("long"))
+        .otherwise(lng)
+    }
     val e = edges
-      .select(req(col(aCol).cast("long"), aCol).as("a"),
-        req(col(bCol).cast("long"), bCol).as("b"))
+      .select(req(aCol).as("a"), req(bCol).as("b"))
       .localCheckpoint(false)
     if (e.count() <= smallEdgeCap) {
       e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
@@ -61,19 +90,31 @@ object KCore {
         val deg = scala.collection.mutable.LongMap.empty[Long]
         adj.foreach { case (n, ns) => deg(n) = ns.length.toLong }
         val removed = scala.collection.mutable.Set.empty[Long]
-        val queue = scala.collection.mutable.Queue.empty[Long]
-        adj.keys.foreach(n => if (deg(n) < k) queue.enqueue(n))
-        while (queue.nonEmpty) {
-          val n = queue.dequeue()
-          if (!removed(n)) {
-            removed += n
+        // level-synchronous peel: each frontier is EXACTLY one
+        // synchronous round (all currently-sub-k nodes removed at
+        // once), so the level count is the same round count the
+        // distributed path and the q101 oracle iterate — total work
+        // stays O(E), every edge is decremented at most twice.
+        var frontier = adj.keys.filter(n => deg(n) < k).toArray
+        var rounds = 0
+        while (frontier.nonEmpty) {
+          rounds += 1
+          if (rounds > maxRounds)
+            throw new IllegalStateException(
+              s"KCore: synchronous peel needs more than $maxRounds " +
+                "rounds — a fixed-iteration oracle would diverge " +
+                "here; raise maxRounds")
+          frontier.foreach(removed += _)
+          val dropped = scala.collection.mutable.Set.empty[Long]
+          frontier.foreach { n =>
             adj(n).foreach { m =>
               if (!removed(m)) {
                 deg(m) -= 1
-                if (deg(m) < k) queue.enqueue(m)
+                if (deg(m) < k) dropped += m
               }
             }
           }
+          frontier = dropped.toArray
         }
         adj.keys.toArray.iterator
           .filterNot(removed)
@@ -87,10 +128,6 @@ object KCore {
       var converged = edgeCount == 0L
       while (!converged) {
         rounds += 1
-        if (rounds > maxRounds)
-          throw new IllegalStateException(
-            s"KCore: no fixpoint after $maxRounds rounds " +
-              s"($edgeCount directed edges left) — raise maxRounds")
         val keep = dir.groupBy(col("a")).agg(count(lit(1)).as("d"))
           .filter(col("d") >= k).select(col("a"))
         val next = dir
@@ -99,7 +136,16 @@ object KCore {
           .select(col("a"), col("b"))
           .localCheckpoint(false)
         val c = next.count()
-        converged = c == edgeCount || c == 0L
+        val changed = c != edgeCount
+        // the guard bounds SYNCHRONOUS rounds that change the graph;
+        // a final no-change sweep past the budget is the fixpoint
+        // CONFIRMATION at round maxRounds and must not throw (it is
+        // exactly the state a maxRounds-iteration oracle snapshots)
+        if (changed && rounds > maxRounds)
+          throw new IllegalStateException(
+            s"KCore: no fixpoint after $maxRounds rounds " +
+              s"($c directed edges left) — raise maxRounds")
+        converged = !changed || c == 0L
         dir = next
         edgeCount = c
       }

@@ -49,13 +49,18 @@ object Profiling {
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
     // exact mean of an integer key column: DECIMAL(38,0) sum (never
     // overflows at any corpus size) -> one exact->double conversion,
-    // then one double division — identical on both engines.
+    // then one double division — identical on both engines. The
+    // denominator is the NON-NULL count (count(col), not count(*)):
+    // a mean over values must ignore nulls, or it falls below min on
+    // null-bearing data and disagrees with ProfileStream.current's
+    // sum/(n_rows - n_nulls) — the batch/stream pair must report the
+    // SAME statistic.
     def meanInt(c: String) =
-      (d(sum(col(c).cast(DecimalType(38, 0)))) / count(lit(1)))
+      (d(sum(col(c).cast(DecimalType(38, 0)))) / count(col(c)))
         .as(s"${c}_mean")
     // exact mean of a 2-decimal money double: Canon.dec2 sum.
     def meanDec(c: String) =
-      (d(sum(dec2(col(c)))) / count(lit(1))).as(s"${c}_mean")
+      (d(sum(dec2(col(c)))) / count(col(c))).as(s"${c}_mean")
     val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
       "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
       "l_tax")
@@ -116,9 +121,9 @@ object Profiling {
     val strCols = Seq("l_returnflag", "l_linestatus")
     def meanExpr(c: String) =
       if (intCols(c))
-        s"CAST(sum(CAST($c AS DECIMAL(38,0))) AS DOUBLE) / count(*)"
+        s"CAST(sum(CAST($c AS DECIMAL(38,0))) AS DOUBLE) / count($c)"
       else
-        s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*)"
+        s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count($c)"
     val aggCols =
       Seq("count(*) AS n_rows") ++
         (numCols ++ strCols :+ "l_shipdate").map(c =>

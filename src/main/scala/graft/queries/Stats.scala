@@ -514,14 +514,20 @@ object Stats {
   // the unique fixpoint (sequential one-executor peel for
   // catalog-bounded graphs, round-checkpointed parallel peel at
   // scale); the oracle mirrors it as a recursive CTE that peels with
-  // per-iteration window degrees — after convergence the alive set is
-  // stable, so the iteration-64 snapshot IS the fixpoint (the engine
-  // raises if a graph ever needed more rounds than its guard; the
-  // shared edge CTE keeps both oracles on the same graph).
+  // per-iteration window degrees. After convergence the alive set is
+  // stable, so the oracle's fixed-iteration snapshot IS the fixpoint
+  // PROVIDED the peel converges within that budget — which the engine
+  // ENFORCES: `maxRounds = kcoreOracleRounds` makes KCore raise (on
+  // both execution paths — the sequential peel counts frontier
+  // levels) for any graph whose synchronous peel needs more rounds
+  // than the oracle iterates, so engine and oracle can disagree only
+  // by BOTH failing loudly, never silently (the shared edge CTE keeps
+  // both oracles on the same graph).
+  private val kcoreOracleRounds = 64
   private val q101: Q = (s, dir) => {
     val edges = supplierEdgesFor(t(s, dir, "lineitem"))
     Seq(2, 3).map { k =>
-      graft.operators.KCore.of(edges, k)
+      graft.operators.KCore.of(edges, k, maxRounds = kcoreOracleRounds)
         .select(lit(k.toLong).as("k"), col("id").as("supp_id"),
           col("core_degree"))
     }.reduce(_ unionByName _)
@@ -542,11 +548,13 @@ object Stats {
       |      count(*) OVER (PARTITION BY a.k, a.iter, a.n) AS dn,
       |      count(*) OVER (PARTITION BY a.k, a.iter, a.m) AS dm
       |    FROM alive a) e
-      |  WHERE e.dn >= e.k AND e.dm >= e.k AND e.iter < 64)
+      |  WHERE e.dn >= e.k AND e.dm >= e.k
+      |    AND e.iter < $ROUNDS)
       |SELECT CAST(k AS BIGINT) AS k, n AS supp_id,
       |  CAST(count(*) AS BIGINT) AS core_degree
-      |FROM alive WHERE iter = 64
+      |FROM alive WHERE iter = $ROUNDS
       |GROUP BY k, n ORDER BY k, supp_id""".stripMargin
+      .replace("$ROUNDS", kcoreOracleRounds.toString)
 
   // ---- q85_bitagg: bitwise / boolean aggregates --------------------
   // The flag-folding aggregates (feature masks, permission bits,

@@ -58,7 +58,13 @@ object ProfileStream {
     val aggs: Seq[org.apache.spark.sql.Column] =
       Seq(count(lit(1)).as("n_rows")) ++ Columns.flatMap { case (c, num) =>
         Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          // coalesce: sum() over an EMPTY batch is NULL, but a null
+          // COUNT must commit as 0 — an empty batch 0 would otherwise
+          // write NULL counts into version 0 of the state (min/max/
+          // sum_num stay NULL: they are the lattice/additive
+          // identities sum()/min()/max() already skip on merge)
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"${c}_nulls"),
           hll_sketch_agg(col(c), lit(LgK)).as(s"${c}_sk")) ++
           (if (num) Seq(
             min(col(c)).cast(LongType).as(s"${c}_min"),
@@ -106,7 +112,17 @@ object ProfileStream {
     if (VersionedState.isCommitted(spark, dir, batchId))
       return // replay of a committed batch
     val prevV = VersionedState.latestBefore(spark, dir, batchId)
-    val batchProfile = profileRows(batch)
+    // persist across the two actions (the n_rows read and the state
+    // write): without it the head() and the parquet write would each
+    // re-aggregate the whole batch — two full scans per trigger
+    val batchProfile = profileRows(batch).persist()
+    try {
+      updateFrom(spark, batchProfile, dir, batchId, prevV)
+    } finally batchProfile.unpersist(false)
+  }
+
+  private def updateFrom(spark: SparkSession, batchProfile: DataFrame,
+      dir: String, batchId: Long, prevV: Option[Long]): Unit = {
     val batchRows = batchProfile.select("n_rows").head().getLong(0)
     val delta = batchProfile.drop("n_rows")
     val (mergedProfile, totalRows) = prevV match {
@@ -152,7 +168,10 @@ object ProfileStream {
     spark.read.parquet(VersionedState.path(dir, "profile", v))
       .select(col("col_name"), lit(nRows).as("n_rows"),
         col("n_nulls"),
-        hll_sketch_estimate(col("sk")).as("n_distinct_est"),
+        // sk is NULL when no non-null value was EVER sketched (e.g.
+        // an all-empty prefix): the distinct estimate is 0, not NULL
+        coalesce(hll_sketch_estimate(col("sk")), lit(0L))
+          .as("n_distinct_est"),
         col("min_num"), col("max_num"),
         when(lit(nRows) > col("n_nulls"),
           col("sum_num").cast(DoubleType) /

@@ -57,6 +57,21 @@ class KCoreSpec extends SparkSpec {
       KCore.of(edgesDf(chain), 2, smallEdgeCap = 0L, maxRounds = 3)
         .count())
     assert(ex.getMessage.contains("no fixpoint"))
+    // exactly-at-budget is NOT an overrun: the 21-node chain's 2-core
+    // needs 10 edge-changing sweeps (distributed) and 11 node levels
+    // (sequential — the final level removes only the edge-less center
+    // node, the documented ≤ +1 conservatism); each path must succeed
+    // at its own exact budget and throw one below it
+    assert(KCore.of(edgesDf(chain), 2, smallEdgeCap = 0L,
+      maxRounds = 10).count() == 0L)
+    assert(KCore.of(edgesDf(chain), 2, maxRounds = 11).count() == 0L)
+    intercept[IllegalStateException](
+      KCore.of(edgesDf(chain), 2, smallEdgeCap = 0L, maxRounds = 9)
+        .count())
+    val seq = intercept[Exception](
+      KCore.of(edgesDf(chain), 2, maxRounds = 10).count())
+    assert(seq.getMessage.contains("synchronous peel"),
+      s"sequential path must enforce the same round budget: $seq")
   }
 
   test("NULL endpoints fail loudly on both paths") {
@@ -68,5 +83,22 @@ class KCoreSpec extends SparkSpec {
     val e2 = intercept[Exception](
       KCore.of(bad, 2, smallEdgeCap = 0L).count())
     assert(e2.getMessage.contains("NULL"))
+  }
+
+  test("uncastable and fractional endpoints fail with their own " +
+    "messages instead of a misleading NULL report or silent merge") {
+    import spark.implicits._
+    val strBad = Seq(("1", "2"), ("S123", "2")).toDF("u", "v")
+    val e1 = intercept[Exception](KCore.of(strBad, 1).count())
+    assert(e1.getMessage.contains("uncastable"), s"got: $e1")
+    // doubles 1.3 and 1.9 would BOTH truncate to node 1 — the cast
+    // may never silently merge two distinct nodes
+    val fracBad = Seq((1.3, 2.0), (1.9, 2.0)).toDF("u", "v")
+    val e2 = intercept[Exception](KCore.of(fracBad, 1).count())
+    assert(e2.getMessage.contains("non-integer"), s"got: $e2")
+    // integral-valued doubles and numeric strings are legitimate ids
+    val ok = Seq(("1", "2"), ("2", "3")).toDF("u", "v")
+    assert(collectCore(KCore.of(ok, 1)) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 }

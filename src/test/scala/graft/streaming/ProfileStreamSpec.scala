@@ -113,4 +113,31 @@ class ProfileStreamSpec extends SparkSpec {
     for (c <- Seq("doc_id", "n_chars"))
       assert(byCol(c).isNullAt(byCol(c).fieldIndex("min_str")))
   }
+
+  test("an EMPTY batch 0 commits zero counts, not NULLs, and a later " +
+    "batch merges cleanly on top of it") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("profempty").toString
+    ProfileStream.updateBatch(
+      Seq.empty[Doc].toDF(), out, 0L)
+    val empty = ProfileStream.current(spark, out).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    empty.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == 0L, s"n_rows: $r")
+      // sum() over zero rows is NULL — the committed state must
+      // coalesce counts to 0 and serve estimate 0, never NULL
+      assert(!r.isNullAt(r.fieldIndex("n_nulls")) &&
+        r.getAs[Long]("n_nulls") == 0L, s"NULL n_nulls committed: $r")
+      assert(!r.isNullAt(r.fieldIndex("n_distinct_est")) &&
+        r.getAs[Long]("n_distinct_est") == 0L, s"estimate: $r")
+      assert(r.isNullAt(r.fieldIndex("mean")), s"mean of nothing: $r")
+    }
+    // state stays mergeable: the next real batch lands on top
+    ProfileStream.updateBatch(docs(0 until 25, 5).toDF(), out, 1L)
+    val after = ProfileStream.current(spark, out).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(after("doc_id").getAs[Long]("n_rows") == 25L)
+    assert(after("doc_id").getAs[Long]("n_distinct_est") == 25L)
+    assert(after("lang").getAs[Long]("n_nulls") == 5L)
+  }
 }
