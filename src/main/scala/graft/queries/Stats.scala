@@ -330,6 +330,11 @@ object Stats {
       .agg(max(col("o_orderdate").cast(DateType)).as("last_day"),
         count(lit(1)).as("frequency"),
         sum(dec2(col("o_totalprice"))).as("monetary"))
+      // seven consumers read this aggregate (the base join + 3 tile
+      // axes x 2 subtrees each): checkpoint it once instead of
+      // re-running the orders scan+agg per subtree (the r6 artifact
+      // lesson) — partition-count-preserving, executor-local storage
+      .localCheckpoint(false)
     val nt = graft.operators.DistributedNtile
     // three INDEPENDENT tile axes as parallel subtrees re-joined on
     // the customer key (see DistributedNtile.tiles: chaining them
