@@ -612,8 +612,93 @@ object Events {
       |    AS ewma
       |FROM s ORDER BY user_id""".stripMargin
 
+  // q102: Holt double exponential smoothing per user — q97's recursive
+  // smoothing extended with a TREND term, the level/trend forecasting
+  // primitive (Holt '57) behind capacity planning and metric
+  // projection: l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
+  // b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, init l_1 = x_1, b_1 = 0,
+  // α = 0.3, β = 0.1; reported with the one-step-ahead forecast
+  // l + b. Same scale shape and cap as q97 (one user-keyed
+  // aggregation, row-local sorted fold; the hot-user guard points at
+  // the O(1)-state streaming twin EventPipelines.holt).
+  //
+  // Cross-engine determinism is structural like q97's, but the state
+  // is a PAIR, which rules the oracle out of list_reduce: DuckDB
+  // v1.0.0 evaluates struct_pack fields SEQUENTIALLY against an
+  // in-place-updated accumulator (probed: the b field sees the new l
+  // — a quirk an oracle must not encode). The oracle instead carries
+  // (rest, l, b) as recursive-CTE state — the remaining series is a
+  // recursion-state COLUMN, so nothing outside the base branch is
+  // re-evaluated per step (the PCA-oracle lesson) — stepping the SAME
+  // double expression tree Spark's immutable struct fold steps.
+  private val q102: Q = (s, dir) => holtBatch(events(s, dir), MaxEwmaSeries)
+
+  /** q102's body with an injectable cap (failure path pinned in
+    * DriverBoundsSpec, mirroring ewmaBatch). */
+  private[graft] def holtBatch(events: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.Column
+    def l(acc: Column) = acc.getField("l")
+    def b(acc: Column) = acc.getField("b")
+    def lNext(acc: Column, x: Column) =
+      lit(0.3) * x + lit(0.7) * (l(acc) + b(acc))
+    val hw = aggregate(
+      slice(col("vals"), lit(2),
+        greatest(size(col("vals")) - 1, lit(0))),
+      struct(element_at(col("vals"), 1).as("l"), lit(0.0).as("b")),
+      // both fields evaluate against the SAME immutable acc (Spark
+      // CreateNamedStruct semantics — no sequential-update quirk);
+      // l_t is spelled out twice instead of referenced so the oracle
+      // can spell the identical tree
+      (acc, x) => struct(
+        lNext(acc, x).as("l"),
+        (lit(0.1) * (lNext(acc, x) - l(acc)) + lit(0.9) * b(acc))
+          .as("b")))
+    events
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("value")))),
+        e => e.getField("value")).as("vals"))
+      .withColumn("vals",
+        when(size(col("vals")) > cap, raise_error(concat(
+          lit(s"q102_holt: a user's series exceeds the $cap-reading " +
+            "batch cap (user "),
+          col("user_id").cast(StringType),
+          lit("); run the O(1)-state streaming twin " +
+            "EventPipelines.holt instead"))))
+          .otherwise(col("vals")))
+      .withColumn("hw", hw)
+      .select(col("user_id"),
+        size(col("vals")).cast(LongType).as("n_readings"),
+        round(col("hw").getField("l"), 6).as("level"),
+        round(col("hw").getField("b"), 6).as("trend"),
+        round(col("hw").getField("l") + col("hw").getField("b"), 6)
+          .as("forecast"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q102Sql =
+    """WITH RECURSIVE s AS (
+      |  SELECT user_id,
+      |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      |rec(user_id, n, rest, l, b) AS (
+      |  SELECT user_id, len(vals), vals[2:],
+      |    CAST(vals[1] AS DOUBLE), CAST(0.0 AS DOUBLE) FROM s
+      |  UNION ALL
+      |  SELECT user_id, n, rest[2:],
+      |    0.3*rest[1] + 0.7*(l + b),
+      |    0.1*(0.3*rest[1] + 0.7*(l + b) - l) + 0.9*b
+      |  FROM rec WHERE len(rest) > 0)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_readings,
+      |  round(l, 6) AS level, round(b, 6) AS trend,
+      |  round(l + b, 6) AS forecast
+      |FROM rec WHERE len(rest) = 0 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q97_ewma" -> q97,
+    "q102_holt" -> q102,
     "q16_lag_lead" -> q16,
     "q71_gap_fill" -> q71,
     "q72_scd2" -> q72,
@@ -633,6 +718,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q97_ewma" -> q97Sql,
+    "q102_holt" -> q102Sql,
     "q16_lag_lead" -> q16Sql,
     "q71_gap_fill" -> q71Sql,
     "q72_scd2" -> q72Sql,

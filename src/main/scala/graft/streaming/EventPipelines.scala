@@ -219,6 +219,50 @@ object EventPipelines {
       .toDF("user_id", "n_readings", "ewma")
   }
 
+  /** q102 twin: per-user Holt double exponential smoothing with the
+    * (n, level, trend) PAIR-state carried across batches — the same
+    * sequential-fold-continuation argument as [[ewma]] (the
+    * recurrence is a left fold, so resuming it from state over any
+    * prefix split is bit-identical to folding the whole prefix;
+    * parity pinned in StreamingSpec). α = 0.3, β = 0.1, init
+    * l₁ = x₁, b₁ = 0 — the q102_holt constants; l_t is computed once
+    * per step into a local so the batch and stream step the identical
+    * double tree. State is O(1) per user regardless of series
+    * length — the target of q102's hot-user cap message. */
+  def holt(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .filter(col("value").isNotNull)
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double, Double),
+          (Long, Long, Double, Double, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val sorted = it.toSeq.sortBy(e =>
+            (e._2.toInstant.getEpochSecond, e._2.getNanos, e._3))
+          var (n, l, b) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          sorted.foreach { e =>
+            if (n == 0L) { l = e._4; b = 0.0 }
+            else {
+              val lNext = 0.3 * e._4 + 0.7 * (l + b)
+              b = 0.1 * (lNext - l) + 0.9 * b
+              l = lNext
+            }
+            n += 1
+          }
+          if (n > 0L) state.update((n, l, b))
+          def r6(v: Double) = BigDecimal(v)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (uid, n, r6(l), r6(b), r6(l + b))
+      }
+      .toDF("user_id", "n_readings", "level", "trend", "forecast")
+  }
+
   private def attributed(clicks: DataFrame, purchases: DataFrame,
       watermark: String, joinType: String): DataFrame = {
     val c = clicks

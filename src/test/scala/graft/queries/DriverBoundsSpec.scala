@@ -119,6 +119,21 @@ class DriverBoundsSpec extends SparkSpec {
     assert(Events.ewmaBatch(events, cap = 4).collect().length == 1)
   }
 
+  test("q102 batch form raises on a user series past the per-task " +
+    "cap, pointing at the streaming twin") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = (1 to 4)
+      .map(i => (7L, ts, i.toLong, 1.5))
+      .toDF("user_id", "ts", "event_id", "value")
+    val ex = intercept[Exception] {
+      Events.holtBatch(events, cap = 3).collect()
+    }
+    assert(ex.getMessage.contains("EventPipelines.holt"),
+      s"guard must route to the streaming twin: ${ex.getMessage}")
+    assert(Events.holtBatch(events, cap = 4).collect().length == 1)
+  }
+
   test("bigram LM model build refuses an over-cap vocabulary before " +
     "collecting it") {
     import spark.implicits._
