@@ -1583,7 +1583,11 @@ object Curation {
     })
   }
 
-  private[queries] def bm25For(documents: DataFrame): DataFrame = {
+  /** The full (doc_id, bm25) scored frame — shared by llm_bm25 (which
+    * top-10s it) and llm_hybrid_rrf (which ranks its top-20 as the
+    * lexical leg). Scores are rounded to 4 BEFORE any ranking so both
+    * consumers (and both engines) order the identical values. */
+  private[queries] def bm25ScoredFor(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
     val model = bm25StatsFor(documents)
@@ -1608,14 +1612,21 @@ object Curation {
           .cast(DecimalType(20, 10)).as("c"))
     contrib.groupBy(col("doc_id"))
       .agg(round(sum(col("c")).cast(DoubleType), 4).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
   }
+
+  private[queries] def bm25For(documents: DataFrame): DataFrame =
+    bm25ScoredFor(documents)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
 
   private val bm25: Q = (s, dir) => bm25For(t(s, dir, "documents"))
 
-  private val bm25Sql = {
+  /** The BM25 CTE chain up to the scored `bm25s` frame — a NAMED
+    * constant both the llm_bm25 and llm_hybrid_rrf oracles
+    * interpolate (the ADVICE-r7 discipline: shared SQL is factored,
+    * never substring-sliced out of a finished statement). */
+  private val bm25CoreCte = {
     val terms = Bm25Terms.map(t0 => s"'$t0'").mkString(", ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok),
        |stats AS (
@@ -1640,11 +1651,101 @@ object Curation {
        |        (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
        |      AS DECIMAL(20,10)) AS c
        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
-       |  JOIN dft ON tf.w = dft.w CROSS JOIN stats)
-       |SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS bm25
-       |FROM contrib GROUP BY doc_id
-       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+       |  JOIN dft ON tf.w = dft.w CROSS JOIN stats),
+       |bm25s AS (
+       |  SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+       |  FROM contrib GROUP BY doc_id)""".stripMargin
   }
+
+  private val bm25Sql =
+    s"""WITH $bm25CoreCte
+       |SELECT doc_id, bm25 FROM bm25s
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---- llm_hybrid_rrf: reciprocal-rank-fusion hybrid retrieval -------
+  // The fusion step of a modern two-leg retrieval stack (lexical BM25
+  // + dense cosine, Cormack et al. '09): each leg contributes
+  // 1/(K + rank) for its top-`RrfDepth` hits, K = 60; documents found
+  // by both legs rise above documents found by one. Doc 0 is the
+  // query document (its embedding is the q29 query vector), so both
+  // legs exclude it.
+  //
+  // Scale shape: each leg ends in a distributed TakeOrdered top-20 —
+  // the only window in the plan ranks a 20-row frame (bounded by
+  // RrfDepth forever, the q89/q100 justification); the fusion is a
+  // full-outer join of two ≤20-row frames. The lexical leg rides the
+  // session BM25 index stats (bm25ScoredFor), the dense leg the same
+  // broadcast-query dot product as q29. Determinism: both legs rank
+  // scores ALREADY rounded to 4 with the doc id as final tiebreak;
+  // rrf = sum of 1/(60+rank) — IEEE divisions of exact small
+  // integers, identical on both engines, one final round(6).
+  private val RrfK = 60
+  private val RrfDepth = 20
+
+  private val hybridRrf: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val vo = graft.functions.VectorOps
+    val lexTop = bm25ScoredFor(docs)
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(RrfDepth)
+    val lex = lexTop
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast(LongType))
+      .select(col("doc_id"), col("lex_rank"))
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val vecTop = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(vo.dot_product(col("embedding"), col("qe")) /
+          (sqrt(vo.norm2(col("embedding"))) * sqrt(vo.norm2(col("qe")))),
+          4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(RrfDepth)
+    val vec = vecTop
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))).cast(LongType))
+      .select(col("doc_id"), col("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+  }
+
+  private val hybridRrfSql =
+    s"""WITH $bm25CoreCte,
+       |lexall AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+       |    AS lex_rank
+       |  FROM bm25s WHERE doc_id <> 0),
+       |lex AS (SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank
+       |        FROM lexall WHERE lex_rank <= $RrfDepth),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cosx AS (
+       |  SELECT vec_id AS doc_id,
+       |    round(
+       |      list_sum([CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+       |                for i in generate_series(1, len(embedding))]) /
+       |      (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                      for x in embedding])) *
+       |       sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                      for x in qe]))), 4) AS cos
+       |  FROM embeddings, q WHERE vec_id <> 0),
+       |vecall AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
+       |    AS vec_rank
+       |  FROM cosx),
+       |vec AS (SELECT doc_id, CAST(vec_rank AS BIGINT) AS vec_rank
+       |        FROM vecall WHERE vec_rank <= $RrfDepth)
+       |SELECT doc_id, lex_rank, vec_rank,
+       |  round(COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + lex_rank), 0.0) +
+       |        COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + vec_rank), 0.0),
+       |    6) AS rrf
+       |FROM lex FULL JOIN vec USING (doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
   // ---- llm_quality_buckets: CCNet-style perplexity tiers -------------
   // The head/middle/tail split a curation pipeline applies before
@@ -1711,6 +1812,7 @@ object Curation {
   val queries: Map[String, Q] = Map(
     "llm_quality_buckets" -> qualityBuckets,
     "llm_bm25" -> bm25,
+    "llm_hybrid_rrf" -> hybridRrf,
     "llm_bigram_lm" -> bigramLm,
     "llm_pmi_bigrams" -> pmi,
     "llm_stratified_sample" -> stratified,
@@ -1746,6 +1848,7 @@ object Curation {
     // identical double-expression tree + decimal per-doc sum -> the
     // rounded BM25 hashes exactly (the PMI discipline)
     "llm_bm25" -> bm25Sql,
+    "llm_hybrid_rrf" -> hybridRrfSql,
     "llm_quality_buckets" -> qualityBucketsSql,
     "llm_pmi_bigrams" -> pmiSql,
     "llm_stratified_sample" -> stratifiedSql,

@@ -208,6 +208,30 @@ class QueriesSpec extends SparkSpec {
     Curation.clearTermStats()
   }
 
+  test("llm_hybrid_rrf fuses the two legs by reciprocal rank: scores " +
+    "reconstruct from the reported ranks, both-leg docs dominate") {
+    val rows = SparkEntry.queries("llm_hybrid_rrf")(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val vec = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(lex.nonEmpty || vec.nonEmpty, s"rankless row: $r")
+      // ranks stay within the per-leg fusion depth
+      (lex.toSeq ++ vec.toSeq).foreach(k => assert(k >= 1 && k <= 20))
+      // the fused score is exactly the sum of the legs' contributions
+      val want = BigDecimal(
+        lex.map(k => 1.0 / (60 + k)).getOrElse(0.0) +
+          vec.map(k => 1.0 / (60 + k)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == want, s"rrf != sum of legs: $r")
+    }
+    // descending fused order with doc_id tiebreak (total order)
+    val keys = rows.map(r => (-r.getDouble(3), r.getLong(0))).toSeq
+    assert(keys == keys.sorted, "output not ordered by (rrf desc, id)")
+    // the query doc never retrieves itself
+    assert(!rows.exists(_.getLong(0) == 0L), "doc 0 is the query")
+  }
+
   test("llm_quality_buckets tiers partition the scored corpus by the " +
     "LM-score quartiles") {
     val docs = graft.Tables(spark, dir, "documents")
