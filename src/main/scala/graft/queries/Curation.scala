@@ -1662,6 +1662,56 @@ object Curation {
        |SELECT doc_id, bm25 FROM bm25s
        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
+  // ---- llm_bpe_pairs: the first BPE merge decision --------------------
+  // Byte-pair-encoding tokenizer training's inner loop (Sennrich '16):
+  // count adjacent SYMBOL pairs across the corpus (initially
+  // characters), weighted by word frequency — the top pair is the
+  // first merge. Reported: the top-20 candidate merges.
+  //
+  // Scale shape — the reason real BPE trainers scale at all: the pair
+  // census runs over the WORD-COUNT TABLE (the session unigram
+  // artifact, vocabulary-sized), never the corpus; each vocab word
+  // explodes into len−1 weighted pairs, so the exchange carries
+  // Σ|w| over the VOCABULARY. Counts are exact integer sums; no
+  // doubles anywhere.
+  //
+  // The length≥2 filter is load-bearing on the engine side:
+  // sequence(1, 0) in Spark INFERS step −1 and yields [1, 0] — a
+  // single-char word would fabricate pairs without it (DuckDB's
+  // generate_series(1, 0) is empty, so the filter is belt-and-braces
+  // there).
+  private val bpePairs: Q = (s, dir) =>
+    bpePairsFor(t(s, dir, "documents"))
+
+  private[queries] def bpePairsFor(documents: DataFrame): DataFrame = {
+    val uni = unigramCounts(documents)
+    uni
+      .filter(length(col("w")) >= 2)
+      .select(col("u"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(substring(col("pair"), 1, 1).as("left_sym"),
+        substring(col("pair"), 2, 1).as("right_sym"))
+      .agg(sum(col("u")).cast(LongType).as("cnt"))
+      .orderBy(col("cnt").desc, col("left_sym"), col("right_sym"))
+      .limit(20)
+  }
+
+  private val bpePairsSql =
+    """WITH uni AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS u
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |pr AS (
+      |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, u
+      |  FROM uni, unnest(generate_series(1, length(w) - 1)) AS t(i)
+      |  WHERE length(w) >= 2)
+      |SELECT substring(pair, 1, 1) AS left_sym,
+      |  substring(pair, 2, 1) AS right_sym,
+      |  CAST(sum(u) AS BIGINT) AS cnt
+      |FROM pr GROUP BY 1, 2
+      |ORDER BY cnt DESC, left_sym, right_sym LIMIT 20""".stripMargin
+
   // ---- llm_hybrid_rrf: reciprocal-rank-fusion hybrid retrieval -------
   // The fusion step of a modern two-leg retrieval stack (lexical BM25
   // + dense cosine, Cormack et al. '09): each leg contributes
@@ -1813,6 +1863,7 @@ object Curation {
     "llm_quality_buckets" -> qualityBuckets,
     "llm_bm25" -> bm25,
     "llm_hybrid_rrf" -> hybridRrf,
+    "llm_bpe_pairs" -> bpePairs,
     "llm_bigram_lm" -> bigramLm,
     "llm_pmi_bigrams" -> pmi,
     "llm_stratified_sample" -> stratified,
@@ -1849,6 +1900,7 @@ object Curation {
     // rounded BM25 hashes exactly (the PMI discipline)
     "llm_bm25" -> bm25Sql,
     "llm_hybrid_rrf" -> hybridRrfSql,
+    "llm_bpe_pairs" -> bpePairsSql,
     "llm_quality_buckets" -> qualityBucketsSql,
     "llm_pmi_bigrams" -> pmiSql,
     "llm_stratified_sample" -> stratifiedSql,

@@ -208,6 +208,22 @@ class QueriesSpec extends SparkSpec {
     Curation.clearTermStats()
   }
 
+  test("llm_bpe_pairs counts corpus-weighted adjacent character pairs " +
+    "(hand-computed; single-char words contribute nothing)") {
+    import spark.implicits._
+    Curation.clearTermStats()
+    // corpus: "aab aab ab x" -> word counts: aab=2, ab=1, x=1
+    // pairs: aa from aab (1/occurrence * 2) = 2
+    //        ab from aab (1 * 2) + ab (1 * 1) = 3; x contributes none
+    val docs = Seq((1L, "aab aab ab", "web"), (2L, "x", "web"))
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.bpePairsFor(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows == Map(("a", "b") -> 3L, ("a", "a") -> 2L),
+      s"got $rows")
+    Curation.clearTermStats()
+  }
+
   test("llm_hybrid_rrf fuses the two legs by reciprocal rank: scores " +
     "reconstruct from the reported ranks, both-leg docs dominate") {
     val rows = SparkEntry.queries("llm_hybrid_rrf")(spark, dir).collect()
