@@ -678,6 +678,84 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  // q103: debounce — keep an event only if ≥ 30 min passed since the
+  // last KEPT event of the same (user, type): the alert-throttling /
+  // notification-dedup primitive. NOT expressible with lag/windows:
+  // suppression is relative to the last SURVIVOR, not the previous
+  // row (events at 0/3/6/9 min with a 5-min window keep {0, 6}, while
+  // the q24 gap-to-previous formulation would keep only {0}) — the
+  // recurrence needs the q97/q102 sorted-fold shape. Entirely INTEGER
+  // arithmetic (timestamp_ntz micros; DuckDB epoch_us), so the oracle
+  // hashes exactly with no rounding discipline at all. Same per-group
+  // cap as q97/q102; the streaming twin EventPipelines.debounce
+  // carries (n, last-kept, kept) in O(1) state per key.
+  private val DebounceGapMicros = 1800000000L
+
+  private val q103: Q = (s, dir) =>
+    debounceBatch(events(s, dir), MaxEwmaSeries)
+
+  /** q103's body with an injectable cap (DriverBoundsSpec). */
+  private[graft] def debounceBatch(events: DataFrame, cap: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.Column
+    def last(acc: Column) = acc.getField("last")
+    def kept(acc: Column) = acc.getField("kept")
+    val deb = aggregate(
+      slice(col("vals"), lit(2),
+        greatest(size(col("vals")) - 1, lit(0))),
+      struct(element_at(col("vals"), 1).as("last"), lit(1L).as("kept")),
+      (acc, x) => struct(
+        when(x - last(acc) > lit(DebounceGapMicros), x)
+          .otherwise(last(acc)).as("last"),
+        when(x - last(acc) > lit(DebounceGapMicros), kept(acc) + 1)
+          .otherwise(kept(acc)).as("kept")))
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        // wall-clock micros (timestampdiff on ntz never routes
+        // through the session timezone — the q24 discipline); exact
+        // integers, monotone in ts, so sorting (m, event_id) ≡
+        // sorting (ts, event_id)
+        expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").as("m"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("m"), col("event_id")))),
+        e => e.getField("m")).as("vals"))
+      .withColumn("vals",
+        when(size(col("vals")) > cap, raise_error(concat(
+          lit(s"q103_debounce: a (user, type) series exceeds the " +
+            s"$cap-event batch cap (user "),
+          col("user_id").cast(StringType),
+          lit("); run the O(1)-state streaming twin " +
+            "EventPipelines.debounce instead"))))
+          .otherwise(col("vals")))
+      .withColumn("deb", deb)
+      .select(col("user_id"), col("event_type"),
+        size(col("vals")).cast(LongType).as("n_events"),
+        col("deb").getField("kept").as("n_kept"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val q103Sql =
+    """WITH RECURSIVE s AS (
+      |  SELECT user_id, event_type,
+      |    list(epoch_us(ts) ORDER BY ts, event_id) AS vals
+      |  FROM events GROUP BY user_id, event_type),
+      |rec(user_id, event_type, n, rest, last, kept) AS (
+      |  SELECT user_id, event_type, len(vals), vals[2:], vals[1],
+      |    CAST(1 AS BIGINT) FROM s
+      |  UNION ALL
+      |  SELECT user_id, event_type, n, rest[2:],
+      |    CASE WHEN rest[1] - last > 1800000000
+      |         THEN rest[1] ELSE last END,
+      |    CASE WHEN rest[1] - last > 1800000000
+      |         THEN kept + 1 ELSE kept END
+      |  FROM rec WHERE len(rest) > 0)
+      |SELECT user_id, event_type, CAST(n AS BIGINT) AS n_events,
+      |  kept AS n_kept
+      |FROM rec WHERE len(rest) = 0
+      |ORDER BY user_id, event_type""".stripMargin
+
   private val q102Sql =
     """WITH RECURSIVE s AS (
       |  SELECT user_id,
@@ -699,6 +777,7 @@ object Events {
   val queries: Map[String, Q] = Map(
     "q97_ewma" -> q97,
     "q102_holt" -> q102,
+    "q103_debounce" -> q103,
     "q16_lag_lead" -> q16,
     "q71_gap_fill" -> q71,
     "q72_scd2" -> q72,
@@ -719,6 +798,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "q97_ewma" -> q97Sql,
     "q102_holt" -> q102Sql,
+    "q103_debounce" -> q103Sql,
     "q16_lag_lead" -> q16Sql,
     "q71_gap_fill" -> q71Sql,
     "q72_scd2" -> q72Sql,

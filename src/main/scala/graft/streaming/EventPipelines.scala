@@ -263,6 +263,43 @@ object EventPipelines {
       .toDF("user_id", "n_readings", "level", "trend", "forecast")
   }
 
+  /** q103 twin: per-(user, type) debounce with (n, last-kept-micros,
+    * kept) carried in state — suppression relative to the last
+    * SURVIVOR resumes across any batch split because the fold's state
+    * is exactly the survivor frontier (StreamingSpec parity pin).
+    * Integer micros arithmetic throughout; 30-min gap, the q103
+    * constant. O(1) state per key — the target of q103's hot-key cap
+    * message. */
+  def debounce(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val gap = 1800000000L
+    events
+      .select(col("user_id").cast("long"),
+        col("event_type").cast("string"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .groupByKey(e => (e._1, e._2))
+      .mapGroupsWithState[(Long, Long, Long),
+          (Long, String, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), it, state) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+          val sorted = it.toSeq.sortBy(e => (micros(e._3), e._4))
+          var (n, last, kept) = state.getOption.getOrElse((0L, 0L, 0L))
+          sorted.foreach { e =>
+            val m = micros(e._3)
+            if (n == 0L) { last = m; kept = 1L }
+            else if (m - last > gap) { last = m; kept += 1L }
+            n += 1
+          }
+          if (n > 0L) state.update((n, last, kept))
+          (uid, etype, n, kept)
+      }
+      .toDF("user_id", "event_type", "n_events", "n_kept")
+  }
+
   private def attributed(clicks: DataFrame, purchases: DataFrame,
       watermark: String, joinType: String): DataFrame = {
     val c = clicks

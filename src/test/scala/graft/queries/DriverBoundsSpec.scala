@@ -134,6 +134,30 @@ class DriverBoundsSpec extends SparkSpec {
     assert(Events.holtBatch(events, cap = 4).collect().length == 1)
   }
 
+  test("q103 batch form raises on a (user, type) series past the " +
+    "per-task cap, pointing at the streaming twin; and suppression " +
+    "is relative to the last KEPT event, not the previous row") {
+    import spark.implicits._
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // events at 0/20/40/60 min, 30-min window: 0 kept; 20 suppressed
+    // (gap 20 from survivor 0); 40 kept (gap 40 > 30 from survivor 0
+    // — a gap-to-previous-ROW formulation would suppress it, gap 20);
+    // 60 suppressed (gap 20 from survivor 40)
+    val events = Seq(0, 20, 40, 60).zipWithIndex
+      .map { case (m, i) => (7L, "click", ts(m), i.toLong) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val rows = Events.debounceBatch(events, cap = 10).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(2) == 4L && rows.head.getLong(3) == 2L,
+      s"debounce must keep {0, 40min}: ${rows.head}")
+    val ex = intercept[Exception] {
+      Events.debounceBatch(events, cap = 3).collect()
+    }
+    assert(ex.getMessage.contains("EventPipelines.debounce"),
+      s"guard must route to the streaming twin: ${ex.getMessage}")
+  }
+
   test("bigram LM model build refuses an over-cap vocabulary before " +
     "collecting it") {
     import spark.implicits._

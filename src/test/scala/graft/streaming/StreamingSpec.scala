@@ -243,6 +243,36 @@ class StreamingSpec extends SparkSpec {
         s"${batch.toSeq.sortBy(_._1).take(3)}")
   }
 
+  test("stateful debounce reproduces the batch q103 survivor counts " +
+    "across a batch split (the survivor frontier carries in state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sorted = fixtureRows.sortBy(e => (e.ts.getTime, e.event_id))
+    val (batch1, batch2) = sorted.splitAt(sorted.size / 2)
+    val mem = MemoryStream[Ev]
+    val out = EventPipelines.debounce(
+      mem.toDF().withColumn("ts", col("ts").cast("timestamp")))
+    val qName = s"deb_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qName)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(qName).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap // Update mode: later rows overwrite earlier
+    val batch = graft.SparkEntry.queries("q103_debounce")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch,
+      s"streamed debounce diverges from the batch fold: " +
+        s"${streamed.toSeq.sortBy(_._1).take(3)} vs " +
+        s"${batch.toSeq.sortBy(_._1).take(3)}")
+  }
+
   test("streaming SCD2 maintenance reproduces the batch q72 closed " +
     "intervals, with intervals spanning the batch boundary via state") {
     import spark.implicits._
