@@ -293,13 +293,90 @@ object Profiling {
       |  round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_capture
       |FROM tot ORDER BY decile""".stripMargin
 
+  // ---- q104_psi: population stability index per source ----------------
+  // The distribution-drift monitor every scoring/ingest pipeline runs:
+  // PSI(source ‖ corpus) = Σ_i (p_i − q_i)·ln(p_i/q_i) over n_chars
+  // buckets, p = the source's bucket shares, q = the whole blend's.
+  // PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 action — reported per
+  // source so a drifting ingest stream is named directly.
+  //
+  // Buckets are FIXED-WIDTH (floor(n_chars/500), clamped to 0..9):
+  // scale-free per-row arithmetic — no sort, no ntile, no cutoff
+  // model to broadcast. Conventional zero-handling: buckets where the
+  // source has no mass are skipped (their limit contribution is the
+  // q-side mass only and diverges under the strict formula; p_i > 0
+  // implies q_i > 0 since the source is part of the blend) — the
+  // oracle applies the identical rule by construction of the join.
+  //
+  // Scale shape: ONE corpus pass to (source, bucket) counts; every
+  // frame after that is ≤ sources×10 rows. Determinism: p and q are
+  // single divisions of exact integers; each bucket's contribution is
+  // one mirrored double tree cast to DECIMAL(20,10) BEFORE the
+  // per-source sum (the bm25 discipline — the sum is then independent
+  // of Spark's partial-aggregation order), one final round.
+  private val q104: Q = (s, dir) => {
+    val d18 = DecimalType(20, 10)
+    val docs = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+    val cell = docs
+      .groupBy(col("source"),
+        least(floor(col("n_chars") / 500), lit(9L)).cast(LongType)
+          .as("b"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = cell.groupBy(col("source"))
+      .agg(sum(col("c")).cast(LongType).as("n_src"))
+    val blend = cell.groupBy(col("b"))
+      .agg(sum(col("c")).cast(LongType).as("cb"))
+    val tot = docs.agg(count(lit(1)).as("n_all"))
+    val p = col("c").cast(DoubleType) / col("n_src").cast(DoubleType)
+    val q = col("cb").cast(DoubleType) / col("n_all").cast(DoubleType)
+    cell
+      .join(broadcast(srcTot), "source")
+      .join(broadcast(blend), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_src"),
+        ((p - q) * log(p / q)).cast(d18).as("contrib"))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"),
+        round(sum(col("contrib")).cast(DoubleType), 6).as("psi"))
+      .orderBy(col("source"))
+  }
+
+  private val q104Sql =
+    """WITH docs AS (
+      |  SELECT source, least(CAST(floor(n_chars / 500) AS BIGINT), 9)
+      |    AS b
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |cell AS (
+      |  SELECT source, b, CAST(count(*) AS BIGINT) AS c
+      |  FROM docs GROUP BY source, b),
+      |srct AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n_src
+      |  FROM cell GROUP BY source),
+      |blend AS (
+      |  SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cell GROUP BY b),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM docs),
+      |contribs AS (
+      |  SELECT source, n_src,
+      |    CAST((CAST(c AS DOUBLE) / CAST(n_src AS DOUBLE)
+      |          - CAST(cb AS DOUBLE) / CAST(n_all AS DOUBLE)) *
+      |      ln((CAST(c AS DOUBLE) / CAST(n_src AS DOUBLE)) /
+      |         (CAST(cb AS DOUBLE) / CAST(n_all AS DOUBLE)))
+      |      AS DECIMAL(20,10)) AS contrib
+      |  FROM cell JOIN srct USING (source) JOIN blend USING (b)
+      |  CROSS JOIN tot)
+      |SELECT source, max(n_src) AS n_docs,
+      |  round(CAST(sum(contrib) AS DOUBLE), 6) AS psi
+      |FROM contribs GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q98_profile" -> q98,
     "q99_changepoint" -> q99,
-    "q100_decile_lift" -> q100)
+    "q100_decile_lift" -> q100,
+    "q104_psi" -> q104)
 
   val oracles: Map[String, String] = Map(
     "q98_profile" -> q98Sql,
     "q99_changepoint" -> q99Sql,
-    "q100_decile_lift" -> q100Sql)
+    "q100_decile_lift" -> q100Sql,
+    "q104_psi" -> q104Sql)
 }

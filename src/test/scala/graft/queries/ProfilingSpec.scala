@@ -121,4 +121,23 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(rows.last.getAs[Double]("cum_capture") - 1.0) < 1e-9,
       "final cumulative capture must be 1.0")
   }
+
+  test("q104: one PSI row per source, each non-negative (every " +
+    "(p-q)ln(p/q) term has matching signs), doc counts tile the corpus") {
+    val rows = run("q104_psi")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("n_chars IS NOT NULL")
+    assert(rows.length ==
+      docs.select("source").distinct().count().toInt,
+      "every source must get a PSI row")
+    rows.foreach { r =>
+      // sign(p-q) = sign(ln(p/q)), so every included bucket term is
+      // >= 0 and so is the sum (up to the DECIMAL(20,10) cast, which
+      // can shave at most 1e-10 per bucket below zero)
+      assert(r.getAs[Double]("psi") >= -1e-9, s"negative PSI: $r")
+      assert(r.getAs[Long]("n_docs") > 0)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "per-source doc counts must tile the corpus")
+  }
 }
