@@ -1735,7 +1735,6 @@ object Curation {
   private val hybridRrf: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val emb = t(s, dir, "embeddings")
-    val vo = graft.functions.VectorOps
     val lexTop = bm25ScoredFor(docs)
       .filter(col("doc_id") =!= 0)
       .orderBy(col("bm25").desc, col("doc_id")).limit(RrfDepth)
@@ -1743,14 +1742,10 @@ object Curation {
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))).cast(LongType))
       .select(col("doc_id"), col("lex_rank"))
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"))
-    val vecTop = emb.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(qv))
-      .select(col("vec_id").as("doc_id"),
-        round(vo.dot_product(col("embedding"), col("qe")) /
-          (sqrt(vo.norm2(col("embedding"))) * sqrt(vo.norm2(col("qe")))),
-          4).as("cos"))
+    // the dense leg IS q29's scored frame (Llm.cosineVsQueryFor —
+    // the single cosine expression tree both consumers share)
+    val vecTop = Llm.cosineVsQueryFor(emb)
+      .select(col("vec_id").as("doc_id"), col("cos"))
       .orderBy(col("cos").desc, col("doc_id")).limit(RrfDepth)
     val vec = vecTop
       .withColumn("vec_rank", row_number().over(
@@ -1773,20 +1768,10 @@ object Curation {
        |  FROM bm25s WHERE doc_id <> 0),
        |lex AS (SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank
        |        FROM lexall WHERE lex_rank <= $RrfDepth),
-       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |cosx AS (
-       |  SELECT vec_id AS doc_id,
-       |    round(
-       |      list_sum([CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-       |                for i in generate_series(1, len(embedding))]) /
-       |      (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-       |                      for x in embedding])) *
-       |       sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-       |                      for x in qe]))), 4) AS cos
-       |  FROM embeddings, q WHERE vec_id <> 0),
+       |${Llm.cosineVsQueryCte},
        |vecall AS (
-       |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
-       |    AS vec_rank
+       |  SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, vec_id) AS vec_rank
        |  FROM cosx),
        |vec AS (SELECT doc_id, CAST(vec_rank AS BIGINT) AS vec_rank
        |        FROM vecall WHERE vec_rank <= $RrfDepth)

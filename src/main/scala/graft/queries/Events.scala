@@ -678,8 +678,10 @@ object Events {
       .orderBy(col("user_id"))
   }
 
-  // q103: debounce — keep an event only if ≥ 30 min passed since the
-  // last KEPT event of the same (user, type): the alert-throttling /
+  // q103: debounce — keep an event only if MORE than 30 min passed
+  // since the last KEPT event of the same (user, type) (strict >, on
+  // all three forms: batch, oracle, streaming twin — an event at
+  // exactly 30:00.000000 is suppressed): the alert-throttling /
   // notification-dedup primitive. NOT expressible with lag/windows:
   // suppression is relative to the last SURVIVOR, not the previous
   // row (events at 0/3/6/9 min with a 5-min window keep {0, 6}, while

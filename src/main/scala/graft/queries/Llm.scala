@@ -241,30 +241,47 @@ object Llm {
 
   // ---- q29: similarity search — brute-force cosine top-k --------------
 
-  private val q29: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") === 0)
+  /** (vec_id, cos): rounded-4 cosine of every non-query vector against
+    * the vec_id = 0 query embedding — the ONE derivation q29 and
+    * llm_hybrid_rrf's dense leg share. The cross-engine hash guarantee
+    * depends on this double-expression tree staying identical across
+    * its consumers, so it exists exactly once on each engine (this
+    * helper + [[cosineVsQueryCte]]), the bm25CoreCte discipline. */
+  private[queries] def cosineVsQueryFor(emb: DataFrame): DataFrame = {
+    val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"))
-    e.filter(col("vec_id") =!= 0)
+    emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(dot(col("embedding"), col("qe")) /
           (sqrt(norm2(col("embedding"))) * sqrt(norm2(col("qe")))), 4)
-          .as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(10)
+          .as("cos"))
   }
 
+  /** The DuckDB twin of [[cosineVsQueryFor]]: CTEs `q` (the query
+    * vector) and `cosx` (vec_id, cos) — a named constant every
+    * consumer oracle interpolates. */
+  private[queries] val cosineVsQueryCte =
+    """q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |cosx AS (
+      |  SELECT vec_id,
+      |    round(
+      |      list_sum([CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+      |                for i in generate_series(1, len(embedding))]) /
+      |      (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) *
+      |       sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in qe]))),
+      |    4) AS cos
+      |  FROM embeddings, q WHERE vec_id <> 0)""".stripMargin
+
+  private val q29: Q = (s, dir) =>
+    cosineVsQueryFor(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("cos").as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+
   private val q29Sql =
-    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-      |SELECT vec_id,
-      |  round(
-      |    list_sum([CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-      |              for i in generate_series(1, len(embedding))]) /
-      |    (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) *
-      |     sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in qe]))),
-      |  4) AS score
-      |FROM embeddings, q WHERE vec_id <> 0
+    s"""WITH $cosineVsQueryCte
+      |SELECT vec_id, cos AS score FROM cosx
       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
   // ---- q30: near-dup similarity join (cosine > 0.5) -------------------

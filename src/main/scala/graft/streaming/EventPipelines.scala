@@ -267,9 +267,16 @@ object EventPipelines {
     * kept) carried in state — suppression relative to the last
     * SURVIVOR resumes across any batch split because the fold's state
     * is exactly the survivor frontier (StreamingSpec parity pin).
-    * Integer micros arithmetic throughout; 30-min gap, the q103
-    * constant. O(1) state per key — the target of q103's hot-key cap
-    * message. */
+    * Integer micros arithmetic throughout; strict-> 30-min gap, the
+    * q103 constant. O(1) state per key — the target of q103's hot-key
+    * cap message.
+    *
+    * Micros are WALL-CLOCK (timestamp_ntz diff, computed in the plan
+    * before the typed fold) — the same representation the batch form
+    * diffs. An Instant-based recipe would make parity conditional on
+    * a UTC session: gaps compare against a threshold here, so a DST
+    * jump between two events would shift an instant-difference by an
+    * hour while the ntz difference (what q103 measures) doesn't. */
   def debounce(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -277,21 +284,21 @@ object EventPipelines {
     val gap = 1800000000L
     events
       .select(col("user_id").cast("long"),
-        col("event_type").cast("string"), col("ts").cast("timestamp"),
+        col("event_type").cast("string"),
+        expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
+          "CAST(ts AS TIMESTAMP_NTZ))").as("m"),
         col("event_id").cast("long"))
-      .as[(Long, String, java.sql.Timestamp, Long)]
+      .as[(Long, String, Long, Long)]
       .groupByKey(e => (e._1, e._2))
       .mapGroupsWithState[(Long, Long, Long),
           (Long, String, Long, Long)](GroupStateTimeout.NoTimeout) {
         case ((uid, etype), it, state) =>
-          def micros(t: java.sql.Timestamp): Long =
-            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
-          val sorted = it.toSeq.sortBy(e => (micros(e._3), e._4))
+          val sorted = it.toSeq.sortBy(e => (e._3, e._4))
           var (n, last, kept) = state.getOption.getOrElse((0L, 0L, 0L))
           sorted.foreach { e =>
-            val m = micros(e._3)
-            if (n == 0L) { last = m; kept = 1L }
-            else if (m - last > gap) { last = m; kept += 1L }
+            if (n == 0L) { last = e._3; kept = 1L }
+            else if (e._3 - last > gap) { last = e._3; kept += 1L }
             n += 1
           }
           if (n > 0L) state.update((n, last, kept))
