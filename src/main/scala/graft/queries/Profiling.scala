@@ -314,9 +314,14 @@ object Profiling {
   // one mirrored double tree cast to DECIMAL(20,10) BEFORE the
   // per-source sum (the bm25 discipline — the sum is then independent
   // of Spark's partial-aggregation order), one final round.
-  private val q104: Q = (s, dir) => {
+  private val q104: Q = (s, dir) => psiFor(t(s, dir, "documents"))
+
+  /** q104's body over any documents frame — also the parity target of
+    * the incremental maintainer (HistStreamSpec serves its PSI from
+    * streamed state and requires byte-identical rows). */
+  private[graft] def psiFor(documents: DataFrame): DataFrame = {
     val d18 = DecimalType(20, 10)
-    val docs = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+    val docs = documents.filter(col("n_chars").isNotNull)
     val cell = docs
       .groupBy(col("source"),
         least(floor(col("n_chars") / 500), lit(9L)).cast(LongType)

@@ -88,4 +88,32 @@ class StateSoakSpec extends SparkSpec {
       assert(summary.contains(s"hot$h"),
         s"hot$h missing from the soaked summary: $summary")
   }
+
+  test("histogram/PSI maintainer: bounded versions across 16 batches " +
+    "with a replay every 4th batch; final PSI equals the one-shot") {
+    import spark.implicits._
+    import ProfileStreamSpec.Doc
+    val out = Files.createTempDirectory("histsoak").toString
+    var seen = Seq.empty[Doc]
+    for (b <- 0 until Batches) {
+      val batch = (0 until 25).map(i => Doc((b * 25 + i).toLong,
+        "t", Some("en"), s"src${(b + i) % 5}", ((b * 25 + i) % 19) * 400L))
+      HistStream.updateBatch(batch.toDF(), out, b.toLong)
+      if (b % 4 == 3) // crash-recovery re-delivery of the same batch
+        HistStream.updateBatch(batch.toDF(), out, b.toLong)
+      seen = seen ++ batch
+      for (store <- Seq("hist", "meta")) {
+        val dirs = versionDirs(out, store)
+        assert(dirs.size <= 2,
+          s"batch $b: $store holds ${dirs.size} versions " +
+            s"(${dirs.sorted.mkString(", ")}) — prune is leaking")
+      }
+    }
+    val served = HistStream.currentPsi(spark, out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val oneShot = graft.queries.Profiling.psiFor(seen.toDF()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(served == oneShot,
+      "soaked PSI diverged from the whole-prefix one-shot")
+  }
 }
