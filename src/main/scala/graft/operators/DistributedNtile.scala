@@ -56,11 +56,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object DistributedNtile {
 
-  /** Adds `out` = exact ntile(k) under the total order `order`. */
-  def withNtile(df: DataFrame, k: Int, out: String,
-      order: Column*): DataFrame = {
-    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
-    require(order.nonEmpty, "ntile needs at least one ordering column")
+  /** The shared machinery: df + `out` = exact 1-based global rank
+    * (LongType, boundary-divergence guard folded into the rank
+    * expression) + a hidden total-row-count column, whose name is
+    * returned for consumers that need n (withNtile's tile
+    * arithmetic). */
+  private def rankedWithTotal(df: DataFrame, out: String,
+      order: Column*): (DataFrame, String) = {
+    require(order.nonEmpty, "ranking needs at least one ordering column")
     val mid = s"__${out}_mid"; val pid = s"__${out}_pid"
     val lrn = s"__${out}_lrn"; val off = s"__${out}_off"
     val nTot = s"__${out}_n"
@@ -97,11 +100,7 @@ object DistributedNtile {
       .select(col(nTot), col("e.p").as(pid), col("e.o").as(off),
         col("e.c").as(cnt))
 
-    val rank = col(off) + col(lrn)
-    val base = floor(col(nTot) / k).cast(LongType)
-    val rem = col(nTot) % k
-    val cut = rem * (base + 1)
-    local
+    val ranked = local
       .join(broadcast(offs), Seq(pid), "left")
       .withColumn(out,
         // boundary-divergence guard (see scaladoc): a row outside its
@@ -110,11 +109,38 @@ object DistributedNtile {
         when(col(cnt).isNull || col(lrn) > col(cnt), raise_error(lit(
           s"DistributedNtile($out): range boundaries diverged between " +
             "the count and rank subtrees (exchange not reused?)"))
-          .cast(IntegerType))
-        .when(rank <= cut, ceil(rank / (base + 1)))
+          .cast(LongType))
+          .otherwise(col(off) + col(lrn)))
+      .drop(pid, lrn, off, cnt)
+    (ranked, nTot)
+  }
+
+  /** Adds `out` = the exact 1-based GLOBAL ROW RANK (LongType) under
+    * the total order — `row_number().over(Window.orderBy(...))`
+    * without the single-partition window; min-rank/midrank tie
+    * handling is a per-key aggregation on top (q105_auc). */
+  def withGlobalRank(df: DataFrame, out: String,
+      order: Column*): DataFrame = {
+    val (ranked, nTot) = rankedWithTotal(df, out, order: _*)
+    ranked.drop(nTot)
+  }
+
+  /** Adds `out` = exact ntile(k) under the total order `order`. */
+  def withNtile(df: DataFrame, k: Int, out: String,
+      order: Column*): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    val rk = s"__${out}_rank"
+    val (ranked, nTot) = rankedWithTotal(df, rk, order: _*)
+    val rank = col(rk)
+    val base = floor(col(nTot) / k).cast(LongType)
+    val rem = col(nTot) % k
+    val cut = rem * (base + 1)
+    ranked
+      .withColumn(out,
+        when(rank <= cut, ceil(rank / (base + 1)))
           .otherwise(rem + ceil((rank - cut) / base))
           .cast(IntegerType))
-      .drop(pid, lrn, off, nTot, cnt)
+      .drop(rk, nTot)
   }
 
   /** The (key, tile) projection of [[withNtile]] — for computing

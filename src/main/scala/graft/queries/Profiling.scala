@@ -373,15 +373,92 @@ object Profiling {
       |  round(CAST(sum(contrib) AS DOUBLE), 6) AS psi
       |FROM contribs GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q105_auc: exact ROC AUC / Gini of a ranking score ---------------
+  // The Mann-Whitney formulation: AUC = (Σ midranks over positives −
+  // n₊(n₊+1)/2) / (n₊·n₋), with MIDRANK tie handling (every member of
+  // a score-tie group gets the group's average rank — the standard
+  // estimator; min- or tiebreak-rank would bias AUC on tied scores).
+  // Scores here: n_chars predicting lang = 'en' (q100's axis, so the
+  // two eval tables grade the same ranker).
+  //
+  // Scale shape: global ranks come from DistributedNtile
+  // .withGlobalRank (THIRD consumer of the range-exchange rank
+  // machinery — no single-partition window anywhere); tie stats are
+  // one aggregation by score; everything else is exact-integer
+  // algebra. 2·midrank = 2·minrank + ties − 1 is an INTEGER, so the
+  // positive-rank mass sums exactly in DECIMAL(38,0) (rank sums reach
+  // n² — past 2^63 at corpus scale, so BIGINT would overflow where
+  // DECIMAL cannot); ONE double division at the end, mirrored.
+  private val q105: Q = (s, dir) => {
+    val d38 = DecimalType(38, 0)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val ranked = graft.operators.DistributedNtile
+      .withGlobalRank(docs, "rk", col("score"), col("doc_id"))
+    val ties = ranked.groupBy(col("score"))
+      .agg(min(col("rk")).as("mn"), count(lit(1)).as("ts"))
+    val sums = ranked
+      .join(ties, "score")
+      .agg(
+        sum(when(col("pos") === 1,
+          (lit(2) * col("mn") + col("ts") - 1).cast(d38))).as("smr2"),
+        sum(col("pos")).cast(LongType).as("np"),
+        count(lit(1)).cast(LongType).as("nt"))
+    val num = (col("smr2") -
+      col("np").cast(d38) * (col("np") + 1).cast(d38)).cast(DoubleType)
+    val den = lit(2.0) * col("np").cast(DoubleType) *
+      (col("nt") - col("np")).cast(DoubleType)
+    sums.select(col("np").as("n_pos"),
+      (col("nt") - col("np")).as("n_neg"),
+      round(num / den, 6).as("auc"),
+      round(lit(2.0) * (num / den) - 1, 6).as("gini"))
+  }
+
+  private val q105Sql =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents),
+      |r AS (
+      |  SELECT score, pos,
+      |    rank() OVER (ORDER BY score) AS mn,
+      |    count(*) OVER (PARTITION BY score) AS ts
+      |  FROM d),
+      |s AS (
+      |  -- HUGEINT, not DECIMAL(38,0): DuckDB's decimal multiply caps
+      |  -- at combined width 38 (the q86 lesson), and sum(BIGINT)
+      |  -- already returns HUGEINT — the same exact integers Spark
+      |  -- carries in DECIMAL(38,0)
+      |  SELECT
+      |    sum(CASE WHEN pos = 1
+      |        THEN CAST(2 * mn + ts - 1 AS HUGEINT) END) AS smr2,
+      |    CAST(sum(pos) AS BIGINT) AS np,
+      |    CAST(count(*) AS BIGINT) AS nt
+      |  FROM r)
+      |SELECT np AS n_pos, nt - np AS n_neg,
+      |  round(CAST(smr2 - CAST(np AS HUGEINT) *
+      |      CAST(np + 1 AS HUGEINT) AS DOUBLE) /
+      |    (CAST(2.0 AS DOUBLE) * CAST(np AS DOUBLE) *
+      |     CAST(nt - np AS DOUBLE)), 6) AS auc,
+      |  round(CAST(2.0 AS DOUBLE) *
+      |    (CAST(smr2 - CAST(np AS HUGEINT) *
+      |        CAST(np + 1 AS HUGEINT) AS DOUBLE) /
+      |     (CAST(2.0 AS DOUBLE) * CAST(np AS DOUBLE) *
+      |      CAST(nt - np AS DOUBLE))) - 1, 6) AS gini
+      |FROM s""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q98_profile" -> q98,
     "q99_changepoint" -> q99,
     "q100_decile_lift" -> q100,
-    "q104_psi" -> q104)
+    "q104_psi" -> q104,
+    "q105_auc" -> q105)
 
   val oracles: Map[String, String] = Map(
     "q98_profile" -> q98Sql,
     "q99_changepoint" -> q99Sql,
     "q100_decile_lift" -> q100Sql,
-    "q104_psi" -> q104Sql)
+    "q104_psi" -> q104Sql,
+    "q105_auc" -> q105Sql)
 }

@@ -140,4 +140,25 @@ class ProfilingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(),
       "per-source doc counts must tile the corpus")
   }
+
+  test("q105: AUC equals brute-force pairwise concordance " +
+    "(ties at half weight) and gini = 2*auc - 1") {
+    val r = run("q105_auc").head
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("n_chars AS score",
+        "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS pos")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val posS = docs.filter(_._2 == 1L).map(_._1)
+    val negS = docs.filter(_._2 == 0L).map(_._1)
+    assert(r.getAs[Long]("n_pos") == posS.length.toLong)
+    assert(r.getAs[Long]("n_neg") == negS.length.toLong)
+    var num = 0.0 // concordant + half-weight ties, the AUC definition
+    for (p <- posS; n <- negS)
+      num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val want = num / (posS.length.toDouble * negS.length)
+    assert(math.abs(r.getAs[Double]("auc") - want) < 1e-6,
+      s"AUC ${r.getAs[Double]("auc")} != brute $want")
+    assert(math.abs(r.getAs[Double]("gini") -
+      (2 * r.getAs[Double]("auc") - 1)) < 2e-6, s"gini algebra: $r")
+  }
 }
