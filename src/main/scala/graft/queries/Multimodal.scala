@@ -13,6 +13,13 @@ final case class MediaRow(doc_id: Long, source: String, blob: Array[Byte])
 /** A real PNG blob mid-pipeline (the encode stage's output). */
 final case class PngRow(doc_id: Long, png: Array[Byte])
 
+/** One document's real WAV container bytes (mm_audio_roundtrip). */
+final case class WavRow(doc_id: Long, wav: Array[Byte])
+
+/** Metadata decoded from real WAV bytes by javax.sound.sampled. */
+final case class AudioMeta(doc_id: Long, n_samples: Long,
+  sample_rate: Long, channels: Long, sample_sum: Long)
+
 /** Decoded-image metadata from the REAL codec stage. */
 final case class ImageMeta(doc_id: Long, width: Long, height: Long,
     pixel_sum: Long)
@@ -29,13 +36,15 @@ final case class MediaMeta(doc_id: Long, source: String, byte_len: Long,
   * `mapInPandas` batch UDF: schema in, iterator of batches, schema
   * out. The IMAGE leg runs a REAL codec (mm_image_roundtrip: the
   * JDK's javax.imageio PNG encode + decode, pixel-exact against the
-  * oracle's generation formula); the video/audio legs remain
-  * deterministic stubs (byte length, modulo-derived dimensions, md5
-  * checksum — no video/audio codec exists in this environment), so
-  * the Spark-side plumbing (binary column, typed Encoders,
+  * oracle's generation formula) and so does the AUDIO leg
+  * (mm_audio_roundtrip: javax.sound.sampled WAV encode + parse,
+  * sample-exact); only the VIDEO leg remains a deterministic stub
+  * (byte length, modulo-derived dimensions, md5 checksum — the JDK
+  * ships no video codec and the sandbox has no codec jars), so the
+  * Spark-side plumbing (binary column, typed Encoders,
   * partition-wise batching, metadata schema) is real and
   * oracle-checked everywhere while only the genuinely unavailable
-  * codec calls are clearly-marked fakes.
+  * codec call is a clearly-marked fake.
   *
   * ANN-IVF: an inverted-file index with a deterministic coarse
   * quantizer — the 8 centroids are a deterministic hash sample (the 8
@@ -198,6 +207,106 @@ object Multimodal {
       |    + 3 * ((doc_id * 11 + x + y * 13) % 256)) AS BIGINT)
       |    AS pixel_sum
       |FROM pxy GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
+  // ---- mm_audio_roundtrip: REAL audio codec in the pipeline ---------
+  // The audio counterpart of mm_image_roundtrip: javax.sound.sampled
+  // parses real WAV containers with zero new jars (headless-safe — it
+  // is a parser, not a playback device), so the audio leg of the
+  // decode stage need not be a stub either. Each document
+  // deterministically synthesizes a mono 16-bit 8 kHz PCM clip whose
+  // sample values are a pure INTEGER function of (doc_id, i) — no
+  // trig, so the oracle is exact arithmetic — the ENCODE stage writes
+  // real WAV bytes into a binary column, and the DECODE stage parses
+  // them back (format + frame count from the container header, the
+  // samples from the payload) and reports n_samples / sample_rate /
+  // channels / a POSITION-WEIGHTED exact checksum Σ(i+1)·s_i from the
+  // DECODED samples. WAV PCM is lossless, so everything must equal
+  // the generation formula — which is exactly what the DuckDB oracle
+  // computes, making the codec itself oracle-checked: a decoder that
+  // dropped a frame, swapped endianness, or reordered samples would
+  // hash-mismatch (the position weight catches pure reorders a plain
+  // sum would miss). Both stages are narrow typed mapPartitions
+  // passes; only video remains stubbed (the JDK ships no video
+  // codec).
+  private val WavRate = 8000f
+
+  private def wavSamples(id: Long): Array[Short] = {
+    val n = 400 + (id % 200).toInt
+    Array.tabulate(n)(i => (((id * 7 + i.toLong * 31) % 2001) - 1000).toShort)
+  }
+
+  private def encodeWav(id: Long): WavRow = {
+    val samples = wavSamples(id)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // 16-bit little-endian PCM payload
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      WavRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    WavRow(id, bos.toByteArray)
+  }
+
+  private def decodeWav(r: WavRow): AudioMeta = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.wav))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"doc ${r.doc_id}: unexpected WAV payload format $fmt")
+    val nFrames = ais.getFrameLength
+    val bytes = ais.readAllBytes()
+    require(bytes.length == nFrames * fmt.getFrameSize,
+      s"doc ${r.doc_id}: truncated WAV payload")
+    var sum = 0L
+    var i = 0
+    while (i < nFrames) {
+      val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+      sum += (i + 1L) * s
+      i += 1
+    }
+    AudioMeta(r.doc_id, nFrames,
+      math.round(fmt.getSampleRate.toDouble), fmt.getChannels.toLong, sum)
+  }
+
+  /** The DECODE stage alone — a (doc_id, wav binary) frame through
+    * the real javax.sound parse (failure path pinned in
+    * MultimodalSpec). */
+  private[queries] def decodeWavBlobs(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id"), col("wav")).as[WavRow]
+      .mapPartitions(_.map(decodeWav))
+      .toDF()
+  }
+
+  private val audioRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    decodeWavBlobs( // DECODE: real javax.sound WAV parse
+      t(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(encodeWav)) // ENCODE: real WAV bytes
+        .toDF())
+      .orderBy(col("doc_id"))
+  }
+
+  private val audioRoundtripSql =
+    """WITH m AS (
+      |  SELECT doc_id, 400 + doc_id % 200 AS n FROM documents),
+      |sm AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+      |  FROM m)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels,
+      |  CAST(sum((i + 1) * ((doc_id * 7 + i * 31) % 2001 - 1000))
+      |    AS BIGINT) AS sample_sum
+      |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
   // frame sampling over the stubbed video metadata: every k-th frame
   private val frameSample: Q = (s, dir) => {
@@ -1083,6 +1192,7 @@ object Multimodal {
     "llm_ann_sq8" -> annSq8,
     "mm_decode_meta" -> decodeMeta,
     "mm_image_roundtrip" -> imageRoundtrip,
+    "mm_audio_roundtrip" -> audioRoundtrip,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resize,
     "mm_feature_extract" -> featureExtract,
@@ -1101,6 +1211,7 @@ object Multimodal {
     "llm_ann_sq8" -> annSq8Sql,
     "mm_decode_meta" -> decodeMetaSql,
     "mm_image_roundtrip" -> imageRoundtripSql,
+    "mm_audio_roundtrip" -> audioRoundtripSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize" -> resizeSql,
     "mm_feature_extract" -> featureExtractSql,

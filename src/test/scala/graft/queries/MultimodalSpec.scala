@@ -42,6 +42,18 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage.contains("undecodable"), ex.getMessage)
   }
 
+  test("a non-WAV blob fails the audio decode stage loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+      .toDF("doc_id", "wav")
+    val ex = intercept[Exception] {
+      Multimodal.decodeWavBlobs(bad).collect()
+    }
+    // javax.sound raises UnsupportedAudioFileException for a
+    // container it cannot parse — the task fails, nothing is faked
+    assert(ex.getMessage != null, ex.toString)
+  }
+
   test("IVF recall@10 curve vs brute force: above the random-probe " +
     "floor at the shipped nProbe=2, monotone in probe width, exact " +
     "at full probe") {
