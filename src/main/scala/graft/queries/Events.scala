@@ -758,6 +758,103 @@ object Events {
       |FROM rec WHERE len(rest) = 0
       |ORDER BY user_id, event_type""".stripMargin
 
+  // q106: Kaplan-Meier survival — churn analysis with CENSORING, the
+  // statistic q57's retention matrix cannot express: users still
+  // active at the observation end are not churn-at-their-last-day,
+  // they are censored, and KM is the standard estimator that uses
+  // them correctly (they leave the at-risk set without counting as
+  // deaths). Lifetime = full hours between a user's first and last
+  // event (exact micros floor-division — NOT date_diff('hour'),
+  // which counts boundary crossings and differs between engines);
+  // churned = went quiet more than 24h before the corpus's last
+  // event (strict >, micros). S(t) = Π_{s≤t}(1 − d_s/n_s) over event
+  // times, computed as exp(Σ ln(1 − d/n)) with each term cast
+  // DECIMAL(20,10) before the cumulative sum (order-independent, the
+  // PSI discipline); an all-at-risk-die row (d = n) would be ln(0),
+  // so it carries NULL and a cumulative flag pins survival to
+  // exactly 0 from there on.
+  //
+  // Scale shape: one corpus pass to per-user lifetimes, one exchange
+  // to distinct-duration counts; the unpartitioned windows run over
+  // the distinct-lifetime frame, bounded by the observation span in
+  // HOURS (a calendar bound, not a corpus bound — the q89
+  // justification).
+  private val q106: Q = (s, dir) => {
+    val d20 = DecimalType(20, 10)
+    val us = expr("timestampdiff(MICROSECOND, " +
+      "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    val life = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(us).as("a"), max(us).as("b"))
+    val mx = life.agg(max(col("b")).as("mx"))
+    val lt = life.crossJoin(broadcast(mx))
+      .select(expr("(b - a) div 3600000000").as("dur"),
+        when(col("mx") - col("b") > lit(86400000000L), 1L)
+          .otherwise(0L).as("ch"))
+    val byDur = lt.groupBy(col("dur"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("ch")).cast(LongType).as("d"))
+    val w = Window.orderBy(col("dur"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byDur
+      .withColumn("n_risk",
+        sum(col("cnt")).over(all) - sum(col("cnt")).over(cum) +
+          col("cnt"))
+      .withColumn("term",
+        when(col("d") === col("n_risk"), lit(null).cast(d20))
+          .otherwise(log(lit(1.0) -
+            col("d").cast(DoubleType) / col("n_risk").cast(DoubleType))
+            .cast(d20)))
+      .withColumn("z", max(when(col("d") === col("n_risk"), 1L)
+        .otherwise(0L)).over(cum))
+      .withColumn("cs", sum(col("term")).over(cum))
+      .withColumn("survival",
+        round(when(col("z") === 1, lit(0.0))
+          .otherwise(exp(col("cs").cast(DoubleType))), 6))
+      .filter(col("d") > 0)
+      .select(col("dur").as("dur_hours"), col("n_risk"),
+        col("d").as("n_churn"), col("survival"))
+      .orderBy(col("dur_hours"))
+  }
+
+  private val q106Sql =
+    """WITH life AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS a, max(epoch_us(ts)) AS b
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(b) AS mx FROM life),
+      |lt AS (
+      |  SELECT (b - a) // 3600000000 AS dur,
+      |    CASE WHEN mx - b > 86400000000 THEN 1 ELSE 0 END AS ch
+      |  FROM life CROSS JOIN mx),
+      |bydur AS (
+      |  SELECT dur, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(ch) AS BIGINT) AS d
+      |  FROM lt GROUP BY dur),
+      |km AS (
+      |  SELECT dur, cnt, d,
+      |    CAST(sum(cnt) OVER () AS BIGINT)
+      |      - CAST(sum(cnt) OVER w AS BIGINT) + cnt AS n_risk
+      |  FROM bydur WINDOW w AS (ORDER BY dur
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |terms AS (
+      |  SELECT dur, cnt, d, n_risk,
+      |    CASE WHEN d = n_risk THEN NULL
+      |      ELSE CAST(ln(1.0 - CAST(d AS DOUBLE) /
+      |        CAST(n_risk AS DOUBLE)) AS DECIMAL(20,10)) END AS term,
+      |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zr
+      |  FROM km),
+      |curve AS (
+      |  SELECT dur, d, n_risk,
+      |    max(zr) OVER w AS z, sum(term) OVER w AS cs
+      |  FROM terms WINDOW w AS (ORDER BY dur
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT dur AS dur_hours, n_risk, d AS n_churn,
+      |  round(CASE WHEN z = 1 THEN 0.0
+      |    ELSE exp(CAST(cs AS DOUBLE)) END, 6) AS survival
+      |FROM curve WHERE d > 0 ORDER BY dur_hours""".stripMargin
+
   private val q102Sql =
     """WITH RECURSIVE s AS (
       |  SELECT user_id,
@@ -780,6 +877,7 @@ object Events {
     "q97_ewma" -> q97,
     "q102_holt" -> q102,
     "q103_debounce" -> q103,
+    "q106_survival" -> q106,
     "q16_lag_lead" -> q16,
     "q71_gap_fill" -> q71,
     "q72_scd2" -> q72,
@@ -801,6 +899,7 @@ object Events {
     "q97_ewma" -> q97Sql,
     "q102_holt" -> q102Sql,
     "q103_debounce" -> q103Sql,
+    "q106_survival" -> q106Sql,
     "q16_lag_lead" -> q16Sql,
     "q71_gap_fill" -> q71Sql,
     "q72_scd2" -> q72Sql,

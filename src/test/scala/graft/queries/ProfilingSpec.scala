@@ -161,4 +161,54 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("gini") -
       (2 * r.getAs[Double]("auc") - 1)) < 2e-6, s"gini algebra: $r")
   }
+
+  test("q106: Kaplan-Meier curve matches a from-scratch product-form " +
+    "recomputation; survival is monotone non-increasing") {
+    val rows = SparkEntry.queries("q106_survival")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // brute force: per-user lifetimes in full hours + 24h churn flag
+    def micros(t: java.time.LocalDateTime): Long =
+      t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+        t.getNano / 1000L
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id",
+        "CAST(ts AS TIMESTAMP_NTZ) AS ts").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        micros(r.getAs[java.time.LocalDateTime]("ts"))))
+    val mx = ev.map(_._2).max
+    val lives = ev.groupBy(_._1).values.map { es =>
+      val (a, b) = (es.map(_._2).min, es.map(_._2).max)
+      ((b - a) / 3600000000L, if (mx - b > 86400000000L) 1 else 0)
+    }.toSeq
+    var atRisk = lives.size.toLong
+    var surv = 1.0
+    val want = lives.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (dur, ls) =>
+        val d = ls.count(_._2 == 1).toLong
+        val row = if (d > 0) {
+          surv *= (1.0 - d.toDouble / atRisk)
+          Some((dur, atRisk, d))
+        } else None
+        atRisk -= ls.size
+        row
+    }
+    assert(rows.length == want.length)
+    rows.zip(want).foreach { case (r, (dur, n, d)) =>
+      assert(r.getLong(0) == dur && r.getLong(1) == n &&
+        r.getLong(2) == d, s"KM step mismatch: $r vs ($dur,$n,$d)")
+    }
+    val survs = rows.map(_.getDouble(3)).toSeq
+    assert(survs == survs.sorted.reverse,
+      "survival must be monotone non-increasing")
+    assert(survs.head <= 1.0 && survs.last >= 0.0)
+    // survival values match the product form to rounding precision
+    // (the engine sums DECIMAL-cast logs; product vs exp-sum agree
+    // well within the 1e-6 output rounding on these magnitudes)
+    var s2 = 1.0
+    rows.foreach { r =>
+      s2 *= (1.0 - r.getLong(2).toDouble / r.getLong(1))
+      assert(math.abs(r.getDouble(3) - s2) < 1e-5,
+        s"survival drifted from the product form: $r vs $s2")
+    }
+  }
 }
