@@ -258,7 +258,11 @@ object Multimodal {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(r.wav))
     val fmt = ais.getFormat
-    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+    // channels == 1 is part of the contract: the checksum loop below
+    // reads 2 bytes per frame, so an interleaved multi-channel payload
+    // must fail LOUDLY here, never sum half its samples as if mono
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+      fmt.getChannels == 1,
       s"doc ${r.doc_id}: unexpected WAV payload format $fmt")
     val nFrames = ais.getFrameLength
     val bytes = ais.readAllBytes()

@@ -319,19 +319,31 @@ object Profiling {
   /** q104's body over any documents frame — also the parity target of
     * the incremental maintainer (HistStreamSpec serves its PSI from
     * streamed state and requires byte-identical rows). */
-  private[graft] def psiFor(documents: DataFrame): DataFrame = {
-    val d18 = DecimalType(20, 10)
-    val docs = documents.filter(col("n_chars").isNotNull)
-    val cell = docs
+  private[graft] def psiFor(documents: DataFrame): DataFrame =
+    psiOfCells(bucketCells(documents))
+
+  /** q104's bucketing — the ONE definition the batch/stream pair
+    * shares (HistStream maintains exactly these cells). */
+  private[graft] def bucketCells(documents: DataFrame): DataFrame =
+    documents.filter(col("n_chars").isNotNull)
       .groupBy(col("source"),
         least(floor(col("n_chars") / 500), lit(9L)).cast(LongType)
           .as("b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).cast(LongType).as("c"))
+
+  /** The (source, b, c) cells → PSI report derivation — the ONE
+    * expression tree both q104 and `HistStream.currentPsi` serve, so
+    * the batch/stream parity is identical by construction rather than
+    * by two hand-synchronized copies (the cosineVsQueryFor
+    * discipline). n_all = Σ cells ≡ the filtered doc count: every
+    * non-null-n_chars row lands in exactly one cell. */
+  private[graft] def psiOfCells(cell: DataFrame): DataFrame = {
+    val d18 = DecimalType(20, 10)
     val srcTot = cell.groupBy(col("source"))
       .agg(sum(col("c")).cast(LongType).as("n_src"))
     val blend = cell.groupBy(col("b"))
       .agg(sum(col("c")).cast(LongType).as("cb"))
-    val tot = docs.agg(count(lit(1)).as("n_all"))
+    val tot = cell.agg(sum(col("c")).cast(LongType).as("n_all"))
     val p = col("c").cast(DoubleType) / col("n_src").cast(DoubleType)
     val q = col("cb").cast(DoubleType) / col("n_all").cast(DoubleType)
     cell
@@ -391,7 +403,12 @@ object Profiling {
   // DECIMAL cannot); ONE double division at the end, mirrored.
   private val q105: Q = (s, dir) => {
     val d38 = DecimalType(38, 0)
+    // NULL scores are excluded like q104's: engines disagree on NULL
+    // placement in rank orders (Spark range-sorts NULL first, DuckDB
+    // ranks them last) AND on whether the tie join keeps them — the
+    // only cross-engine-stable semantics is to score non-null rows
     val docs = t(s, dir, "documents")
+      .filter(col("n_chars").isNotNull)
       .select(col("doc_id"), col("n_chars").as("score"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
     val ranked = graft.operators.DistributedNtile
@@ -419,7 +436,7 @@ object Profiling {
     """WITH d AS (
       |  SELECT doc_id, n_chars AS score,
       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-      |  FROM documents),
+      |  FROM documents WHERE n_chars IS NOT NULL),
       |r AS (
       |  SELECT score, pos,
       |    rank() OVER (ORDER BY score) AS mn,

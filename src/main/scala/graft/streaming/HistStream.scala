@@ -26,13 +26,10 @@ import org.apache.spark.sql.types._
   */
 object HistStream {
 
-  /** q104's bucketing, the single shared definition for this pair. */
+  /** q104's bucketing — DELEGATED to the query pack so the pair
+    * shares one definition by construction. */
   private[streaming] def bucketed(df: DataFrame): DataFrame =
-    df.filter(col("n_chars").isNotNull)
-      .groupBy(col("source"),
-        least(floor(col("n_chars") / 500), lit(9L)).cast(LongType)
-          .as("b"))
-      .agg(count(lit(1)).cast(LongType).as("c"))
+    graft.queries.Profiling.bucketCells(df)
 
   /** One incremental histogram update over `batch`. */
   def updateBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
@@ -40,29 +37,39 @@ object HistStream {
     if (VersionedState.isCommitted(spark, dir, batchId))
       return // replay of a committed batch
     val prevV = VersionedState.latestBefore(spark, dir, batchId)
-    val delta = bucketed(batch)
-    val merged = prevV match {
-      case None => delta
-      case Some(v) =>
-        spark.read.parquet(VersionedState.path(dir, "hist", v))
-          .unionByName(delta)
-          .groupBy(col("source"), col("b"))
-          .agg(sum(col("c")).cast(LongType).as("c"))
-    }
-    // cell table is ≤ sources × 10 rows — a coalesce(1) rewrite per
-    // trigger, independent of corpus size (the ProfileStream bound);
-    // counts over an empty batch produce no delta rows, which is the
-    // additive identity (nothing to coalesce — unlike sums, an absent
-    // cell IS zero)
-    merged.coalesce(1).write.mode("overwrite")
-      .parquet(VersionedState.path(dir, "hist", batchId))
-    import spark.implicits._
-    val total = merged.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
-    Seq(total).toDF("n_rows").coalesce(1)
-      .write.mode("overwrite") // meta LAST = the commit point
-      .parquet(VersionedState.path(dir, "meta", batchId))
-    VersionedState.prune(spark, dir, Seq("hist", "meta"),
-      batchId, prevV)
+    // persist the batch's cells across the two consumers (the merge
+    // write and the meta-total read): without it each action would
+    // re-aggregate the whole batch (the ProfileStream lesson)
+    val delta = bucketed(batch).persist()
+    try {
+      val batchRows = delta
+        .agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+      val (merged, total) = prevV match {
+        case None => (delta, batchRows)
+        case Some(v) =>
+          val prevTotal = spark.read
+            .parquet(VersionedState.path(dir, "meta", v))
+            .head().getLong(0)
+          (spark.read.parquet(VersionedState.path(dir, "hist", v))
+            .unionByName(delta)
+            .groupBy(col("source"), col("b"))
+            .agg(sum(col("c")).cast(LongType).as("c")),
+            prevTotal + batchRows) // additive, never re-derived
+      }
+      // cell table is ≤ sources × 10 rows — a coalesce(1) rewrite per
+      // trigger, independent of corpus size (the ProfileStream bound);
+      // counts over an empty batch produce no delta rows, which is the
+      // additive identity (nothing to coalesce — unlike sums, an
+      // absent cell IS zero)
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(VersionedState.path(dir, "hist", batchId))
+      import spark.implicits._
+      Seq(total).toDF("n_rows").coalesce(1)
+        .write.mode("overwrite") // meta LAST = the commit point
+        .parquet(VersionedState.path(dir, "meta", batchId))
+      VersionedState.prune(spark, dir, Seq("hist", "meta"),
+        batchId, prevV)
+    } finally delta.unpersist(false)
   }
 
   /** The streaming entry point: maintain the histogram under `dir`. */
@@ -72,32 +79,16 @@ object HistStream {
         updateBatch(batch.toDF(), dir, batchId)
     }
 
-  /** The served drift report: q104's PSI per source, computed from
-    * the maintained cells with q104's EXACT expression tree
-    * (contributions DECIMAL(20,10)-cast before the per-source sum),
-    * so serving from state hashes identically to the batch query over
-    * the same prefix. Throws if nothing is committed. */
+  /** The served drift report: the maintained cells through
+    * `Profiling.psiOfCells` — the SAME expression tree q104 runs, so
+    * serving from state is identical to the batch query over the same
+    * prefix BY CONSTRUCTION, not by two hand-synchronized copies.
+    * Throws if nothing is committed. */
   def currentPsi(spark: SparkSession, dir: String): DataFrame = {
     val v = VersionedState.latestBefore(spark, dir, Long.MaxValue)
       .getOrElse(throw new IllegalStateException(
         s"no committed histogram under $dir"))
-    val cell = spark.read.parquet(VersionedState.path(dir, "hist", v))
-    val srcTot = cell.groupBy(col("source"))
-      .agg(sum(col("c")).cast(LongType).as("n_src"))
-    val blend = cell.groupBy(col("b"))
-      .agg(sum(col("c")).cast(LongType).as("cb"))
-    val tot = cell.agg(sum(col("c")).cast(LongType).as("n_all"))
-    val p = col("c").cast(DoubleType) / col("n_src").cast(DoubleType)
-    val q = col("cb").cast(DoubleType) / col("n_all").cast(DoubleType)
-    cell
-      .join(broadcast(srcTot), "source")
-      .join(broadcast(blend), "b")
-      .crossJoin(broadcast(tot))
-      .select(col("source"), col("n_src"),
-        ((p - q) * log(p / q)).cast(DecimalType(20, 10)).as("contrib"))
-      .groupBy(col("source"))
-      .agg(max(col("n_src")).as("n_docs"),
-        round(sum(col("contrib")).cast(DoubleType), 6).as("psi"))
-      .orderBy(col("source"))
+    graft.queries.Profiling.psiOfCells(
+      spark.read.parquet(VersionedState.path(dir, "hist", v)))
   }
 }

@@ -51,9 +51,12 @@ class HistStreamSpec extends SparkSpec {
             s"$served vs $batchPsi")
       }
     } finally q.stop()
-    // deterministic replay of batch 0 with DIFFERENT data: no-op
+    // replay the LATEST committed batch (id 2) with DIFFERENT data —
+    // the genuinely replayable case after a crash (earlier versions
+    // are pruned, so only the newest commit's guard is load-bearing);
+    // isCommitted must make it a no-op
     val before = collectPsi(HistStream.currentPsi(spark, out))
-    HistStream.updateBatch(docs(500 until 600).toDF(), out, 0L)
+    HistStream.updateBatch(docs(500 until 600).toDF(), out, 2L)
     assert(collectPsi(HistStream.currentPsi(spark, out)) == before,
       "replayed batch mutated committed state")
   }
