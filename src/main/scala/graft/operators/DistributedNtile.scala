@@ -98,7 +98,18 @@ object DistributedNtile {
         .as("st"))
       .select(col("st.run").as(nTot), explode(col("st.acc")).as("e"))
       .select(col(nTot), col("e.p").as(pid), col("e.o").as(off),
-        col("e.c").as(cnt))
+        // loud overflow check: the packed (pid << 33 | offset) id
+        // gives each range partition 2^33 local slots. A partition at
+        // or past that bleeds its offset into the pid bits, and since
+        // BOTH subtrees derive pids from the same corrupted packing,
+        // per-pid counts still agree and the boundary-divergence
+        // guard below would never fire — so enforce the premise here,
+        // one predicate over a cluster-width frame.
+        when(col("e.c") >= lit(1L << 33), raise_error(lit(
+          s"DistributedNtile($out): a range partition holds >= 2^33 " +
+            "rows — the packed local-rank encoding would overflow " +
+            "into the partition id; raise the partition count")))
+          .otherwise(col("e.c")).as(cnt))
 
     val ranked = local
       .join(broadcast(offs), Seq(pid), "left")

@@ -663,6 +663,14 @@ object Multimodal {
   private val ivfBalance: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val ix = ivfIndex(emb)
+    // share divides by the TOTAL assigned count, broadcast as a
+    // one-row frame (q104's psiOfCells pattern) — never a
+    // Window.partitionBy() over the per-cell frame, whose k = ceil(sqrt n)
+    // rows grow with the corpus and would single-partition at scale.
+    // Every vector lands in exactly one cell, so the total reads
+    // straight off the persisted assignment.
+    val tot = ix.assign
+      .agg(count(lit(1)).cast(DoubleType).as("__n_all"))
     ix.assign
       .join(broadcast(ix.cents), Seq("cid"))
       .select(col("cid"),
@@ -671,10 +679,9 @@ object Multimodal {
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vectors"),
         round(avg(col("cs")), 4).as("mean_cohesion"))
+      .crossJoin(broadcast(tot))
       .withColumn("share",
-        round(col("n_vectors").cast(DoubleType) /
-          sum(col("n_vectors")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy()), 4))
+        round(col("n_vectors").cast(DoubleType) / col("__n_all"), 4))
       .select(col("cid"), col("n_vectors"), col("share"),
         col("mean_cohesion"))
       .orderBy(col("cid"))

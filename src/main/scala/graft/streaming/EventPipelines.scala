@@ -234,17 +234,24 @@ object EventPipelines {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     events
-      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+      .select(col("user_id").cast("long"),
+        // WALL-CLOCK micros (timestamp_ntz diff, computed in the plan
+        // before the typed fold) — the debounce discipline: the batch
+        // q102 fold orders by TIMESTAMP_NTZ, and an Instant-based
+        // sort here would make stream/batch parity conditional on a
+        // UTC session (a DST fold can reorder adjacent events).
+        expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
+          "CAST(ts AS TIMESTAMP_NTZ))").as("m"),
         col("event_id").cast("long"), col("value").cast("double"))
       .filter(col("value").isNotNull)
-      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Double, Double),
           (Long, Long, Double, Double, Double)](
         GroupStateTimeout.NoTimeout) {
         case (uid, it, state) =>
-          val sorted = it.toSeq.sortBy(e =>
-            (e._2.toInstant.getEpochSecond, e._2.getNanos, e._3))
+          val sorted = it.toSeq.sortBy(e => (e._2, e._3))
           var (n, l, b) = state.getOption.getOrElse((0L, 0.0, 0.0))
           sorted.foreach { e =>
             if (n == 0L) { l = e._4; b = 0.0 }

@@ -47,58 +47,68 @@ def main():
         for name in sorted(sql):
             if name in errors:
                 continue
-            t0 = time.time()
-            timer = None
-            fired = threading.Event()
-            done = threading.Event()
-            if budget > 0:
-                # the done-gate closes the race where the timer fires
-                # AFTER execute() returns but BEFORE cancel() runs —
-                # a bare con.interrupt there would poison the NEXT
-                # query and falsely record it as a timeout
-                cur = con
+            # attempt 1 is reached only on a stale interrupt: the
+            # query must end up in `best` or `errors` either way, so
+            # the published total/n never silently under-count it
+            for attempt in range(2):
+                t0 = time.time()
+                timer = None
+                fired = threading.Event()
+                done = threading.Event()
+                if budget > 0:
+                    # the done-gate closes the race where the timer
+                    # fires AFTER execute() returns but BEFORE
+                    # cancel() runs — a bare con.interrupt there would
+                    # poison the NEXT query and falsely record it as a
+                    # timeout
+                    cur = con
 
-                def expire():
-                    if not done.is_set():
-                        fired.set()
-                        cur.interrupt()
+                    def expire():
+                        if not done.is_set():
+                            fired.set()
+                            cur.interrupt()
 
-                timer = threading.Timer(budget, expire)
-                timer.start()
-            try:
-                con.execute(sql[name]).fetchall()
-            except Exception as e:  # noqa: BLE001 - record and move on
-                msg = str(e)[:200]
-                if "INTERRUPT" in msg.upper():
-                    if not fired.is_set():
-                        # interrupted without OUR timer firing: a stale
-                        # interrupt flag — rebuild the connection and
-                        # don't blame this query
-                        print(f"[duckbench] r{r} {name} stale interrupt"
-                              " — reconnecting", file=sys.stderr,
-                              flush=True)
-                        con = fresh_connection(sfdir)
-                        continue
-                    msg = f"timeout: exceeded {budget}s budget"
-                    # the interrupt flag can outlive this statement;
-                    # a clean connection protects the next query
-                    con = fresh_connection(sfdir)
-                errors[name] = msg
-                # a query that succeeded in an earlier round but errors
-                # now must not stay in the total — `value`/`n` cover
-                # exactly the error-free set (r6 ADVICE)
-                best.pop(name, None)
-                print(f"[duckbench] r{r} {name} ERROR {msg}",
+                    timer = threading.Timer(budget, expire)
+                    timer.start()
+                try:
+                    con.execute(sql[name]).fetchall()
+                except Exception as e:  # noqa: BLE001 - record, move on
+                    msg = str(e)[:200]
+                    if "INTERRUPT" in msg.upper():
+                        if not fired.is_set():
+                            # interrupted without OUR timer firing: a
+                            # stale flag — rebuild the connection and
+                            # retry THIS query once in place
+                            con = fresh_connection(sfdir)
+                            if attempt == 0:
+                                print(f"[duckbench] r{r} {name} stale"
+                                      " interrupt — reconnect + retry",
+                                      file=sys.stderr, flush=True)
+                                continue
+                            msg = "stale interrupt twice"
+                        else:
+                            msg = f"timeout: exceeded {budget}s budget"
+                            # the interrupt flag can outlive this
+                            # statement; a clean connection protects
+                            # the next query
+                            con = fresh_connection(sfdir)
+                    errors[name] = msg
+                    # a query that succeeded in an earlier round but
+                    # errors now must not stay in the total —
+                    # `value`/`n` cover exactly the error-free set
+                    best.pop(name, None)
+                    print(f"[duckbench] r{r} {name} ERROR {msg}",
+                          file=sys.stderr, flush=True)
+                    break
+                finally:
+                    done.set()
+                    if timer is not None:
+                        timer.cancel()
+                dt = time.time() - t0
+                best[name] = min(best.get(name, float("inf")), dt)
+                print(f"[duckbench] r{r} {name} {dt:.3f}s",
                       file=sys.stderr, flush=True)
-                continue
-            finally:
-                done.set()
-                if timer is not None:
-                    timer.cancel()
-            dt = time.time() - t0
-            best[name] = min(best.get(name, float("inf")), dt)
-            print(f"[duckbench] r{r} {name} {dt:.3f}s",
-                  file=sys.stderr, flush=True)
+                break
     out = {
         "metric": "duckdb_total",
         "value": round(sum(best.values()), 4),
