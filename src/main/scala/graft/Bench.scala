@@ -229,10 +229,35 @@ object Bench {
     // than publish an overstated speedup
     val seqErr = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val concErr = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // per-pass result fingerprints (row count, order-insensitive
+    // bit_xor of per-row xxhash64): the serving story's realistic
+    // failure mode is 8 submitter threads racing the shared session
+    // artifacts (PlanCache, IVF index, term stats) into a corrupted
+    // state — a speedup number with matching error COUNTS but
+    // silently different ANSWERS would hide exactly that, so every
+    // query's concurrent result is hash-compared to its sequential
+    // one (VERDICT r8 #2). The fingerprint is one extra aggregate on
+    // the same plan — no driver-side row materialization.
+    val seqFp =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val concFp =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
     def runOne(name: String, fn: (SparkSession,
         String) => org.apache.spark.sql.DataFrame,
-        errs: java.util.Set[String]): Unit =
-      try { fn(spark, sfDir).count(); () }
+        errs: java.util.Set[String],
+        fps: java.util.concurrent.ConcurrentHashMap[String, (Long, Long)])
+        : Unit =
+      try {
+        val row = fn(spark, sfDir)
+          .selectExpr("xxhash64(struct(*)) AS __h")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.expr("bit_xor(__h)"))
+          .head()
+        fps.put(name,
+          (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)))
+        ()
+      }
       catch { case e: Throwable =>
         errs.add(name)
         note(s"ERROR $name: ${e.getMessage}")
@@ -240,10 +265,12 @@ object Bench {
 
     note("concurrent mode: warm round")
     val warmErr = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    for ((name, fn) <- ordered) runOne(name, fn, warmErr)
+    val warmFp =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    for ((name, fn) <- ordered) runOne(name, fn, warmErr, warmFp)
 
     val t0 = System.nanoTime()
-    for ((name, fn) <- ordered) runOne(name, fn, seqErr)
+    for ((name, fn) <- ordered) runOne(name, fn, seqErr, seqFp)
     val seq = (System.nanoTime() - t0) / 1e9
     note(f"sequential pass: $seq%.2f s")
 
@@ -258,7 +285,7 @@ object Bench {
           "spark.scheduler.pool", s"bench-$i")
         var item = queue.poll()
         while (item != null) {
-          runOne(item._1, item._2, concErr)
+          runOne(item._1, item._2, concErr, concFp)
           item = queue.poll()
         }
       })
@@ -269,11 +296,23 @@ object Bench {
     pool.foreach(_.join())
     val conc = (System.nanoTime() - t1) / 1e9
     note(f"concurrent pass ($threads threads): $conc%.2f s")
+    val mismatches = ordered.map(_._1).filter { name =>
+      val a = Option(seqFp.get(name)); val b = Option(concFp.get(name))
+      a.isDefined && b.isDefined && a != b
+    }
+    mismatches.foreach { name =>
+      note(s"HASH MISMATCH $name: sequential=${seqFp.get(name)} " +
+        s"concurrent=${concFp.get(name)}")
+    }
+    val compared = ordered.map(_._1).count(name =>
+      seqFp.containsKey(name) && concFp.containsKey(name))
     println(s"""{"metric":"concurrent","threads":$threads,""" +
       s""""sequential_sec":${j(seq)},"concurrent_sec":${j(conc)},""" +
       s""""speedup":${j(seq / conc)},"n":${ordered.size},""" +
       s""""seq_errors":${seqErr.size},"conc_errors":${concErr.size},""" +
       s""""equal_work":${seqErr.equals(concErr)},""" +
+      s""""hash_compared":$compared,""" +
+      s""""hash_mismatches":${mismatches.size},""" +
       s""""sf":"$sfDir"}""")
   }
 }

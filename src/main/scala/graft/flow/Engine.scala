@@ -130,6 +130,7 @@ final class Engine(
     val run = new FlowRun(this, UUID.randomUUID().toString, spec, resolved)
     active.put(run.id, run) // O1: register in active set
     runningGauge.incrementAndGet()
+    journalSubmit(run) // durable spec BEFORE the first transition
     run.start()
     run
   }
@@ -159,6 +160,9 @@ final class Engine(
       appendEventLog(run)
       rememberTerminal(run.id)
       clearControls(run.id)
+      clearInflight(run.id) // terminal: the event-log parquet is now
+      // the record; the in-flight journal would otherwise re-run a
+      // finished flow at the next recovery scan
       flushing.remove(run.id)
     }
 
@@ -304,6 +308,161 @@ final class Engine(
     * marker). The owning engine cleans up automatically on terminal;
     * this is the manual path for everything else. */
   def clearControlIntents(flowId: String): Unit = clearControls(flowId)
+
+  // ---- crash recovery: durable in-flight journal ----
+  // In the reference every flow's state outlives every process — any
+  // daemon can `Flow.find(id)` and continue it, because the FSM lives
+  // in the shared Redis store (`flow.rb:54-60,126-143`). The terminal
+  // event log alone cannot give that: a flow killed mid-phase has
+  // written nothing durable. The journal is the in-flight twin of the
+  // controls markers: under `$eventLogDir/inflight/<flowId>/`,
+  //   spec.json       — the parsed FlowSpec, written once at submit
+  //   t!<seq>!<ts>!<encFrom>!<encTo>
+  //                   — one empty marker per transition (phase
+  //                     boundaries only, never per task)
+  //   h!<encPhase>!<encHandler>
+  //                   — mid-phase handler checkpoint; dropped when the
+  //                     phase completes (mirrors `completedHandlers`,
+  //                     so an error loop-back still re-runs in full)
+  // and the whole directory is deleted on terminal (the event-log
+  // parquet is then the record). '!' is the separator because
+  // URLEncoder always escapes it, so encoded names can never collide
+  // with it. Cost model: a handful of tiny FS metadata ops per PHASE,
+  // exactly the controls-marker budget — nothing on the task path.
+  // Journal IO must never fail the flow: errors are noted + swallowed
+  // (the flow still runs; it just can't be crash-recovered).
+
+  private def inflightDir(flowId: String): Option[org.apache.hadoop.fs.Path] =
+    config.eventLogDir.map(d =>
+      new org.apache.hadoop.fs.Path(s"$d/inflight/$flowId"))
+
+  private def journalNote(flowId: String, e: Throwable): Unit =
+    System.err.println(s"[engine] inflight journal write failed for " +
+      s"$flowId: $e")
+
+  private[flow] def journalSubmit(run: FlowRun): Unit =
+    inflightDir(run.id).foreach { dir =>
+      Try {
+        val fs = controlFs(dir)
+        fs.mkdirs(dir)
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(dir, "spec.json"), true)
+        try out.write(FlowSpec.render(run.spec).getBytes("UTF-8"))
+        finally out.close()
+      }.failed.foreach(journalNote(run.id, _))
+    }
+
+  private[flow] def journalTransition(flowId: String, seq: Int,
+      t: Transition): Unit =
+    inflightDir(flowId).foreach { dir =>
+      Try {
+        val fs = controlFs(dir)
+        if (fs.exists(dir)) { // no orphan journal after terminal cleanup
+          val name = s"t!$seq!${t.timestampMs}!${enc(t.from)}!${enc(t.to)}"
+          fs.create(new org.apache.hadoop.fs.Path(dir, name), true).close()
+        }
+      }.failed.foreach(journalNote(flowId, _))
+    }
+
+  private[flow] def journalHandlerDone(flowId: String, phase: String,
+      handler: String): Unit =
+    inflightDir(flowId).foreach { dir =>
+      Try {
+        val fs = controlFs(dir)
+        if (fs.exists(dir)) {
+          val name = s"h!${enc(phase)}!${enc(handler)}"
+          fs.create(new org.apache.hadoop.fs.Path(dir, name), true).close()
+        }
+      }.failed.foreach(journalNote(flowId, _))
+    }
+
+  private[flow] def journalPhaseClear(flowId: String, phase: String): Unit =
+    inflightDir(flowId).foreach { dir =>
+      Try {
+        val fs = controlFs(dir)
+        val prefix = s"h!${enc(phase)}!"
+        if (fs.exists(dir))
+          fs.listStatus(dir).foreach { st =>
+            if (st.getPath.getName.startsWith(prefix))
+              fs.delete(st.getPath, false)
+          }
+      }.failed.foreach(journalNote(flowId, _))
+    }
+
+  private def clearInflight(flowId: String): Unit =
+    inflightDir(flowId).foreach { dir =>
+      Try { controlFs(dir).delete(dir, true); () }
+        .failed.foreach(journalNote(flowId, _))
+    }
+
+  /** Crash recovery (the reference's any-daemon-picks-it-up model,
+    * `flow.rb:54-60`): scan the shared store for flows with an
+    * in-flight journal but no terminal record, and resume each from
+    * its last journaled phase — pre-seeding the transition log (so
+    * the log stays coherent across the death) and the mid-phase
+    * handler checkpoints (so handlers that completed before the crash
+    * are not re-run; the ones that didn't re-run in full, the
+    * reference's requeue semantics, `worker.rb:133-137`).
+    *
+    * This is an explicit operator action on a dead engine's store:
+    * like the reference's Redis state it carries no liveness fencing,
+    * so don't point two LIVE engines' recovery at one directory.
+    * Flows this engine already owns (active or flushing) or knows
+    * terminal are skipped; a journal that fails to parse is noted and
+    * left in place for inspection. Returns the resumed runs. */
+  def recoverInflight(): Seq[FlowRun] =
+    config.eventLogDir.toSeq.flatMap { d =>
+      val base = new org.apache.hadoop.fs.Path(s"$d/inflight")
+      val fs = controlFs(base)
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+        val flowId = st.getPath.getName
+        if (active.contains(flowId) || flushing.contains(flowId) ||
+          knownTerminal(flowId)) None
+        else {
+          val attempt = Try {
+            val sp = new org.apache.hadoop.fs.Path(st.getPath, "spec.json")
+            val in = fs.open(sp)
+            val specJson =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            val spec = FlowSpec.parse(specJson)
+            val names = fs.listStatus(st.getPath).map(_.getPath.getName)
+            val seedLog = names.filter(_.startsWith("t!")).flatMap { n =>
+              n.split('!') match {
+                case Array(_, seq, ts, from, to) =>
+                  Some((seq.toInt,
+                    Transition(flowId, dec(from), dec(to), ts.toLong)))
+                case Array(_, seq, ts, to) => // from = "" (flow created)
+                  Some((seq.toInt, Transition(flowId, "", dec(to), ts.toLong)))
+                case _ => None
+              }
+            }.sortBy(_._1).map(_._2).toSeq
+            val seedCheckpoints = names.filter(_.startsWith("h!"))
+              .flatMap(_.split('!') match {
+                case Array(_, ph, h) => Some((dec(ph), dec(h)))
+                case _ => None
+              }).toSet
+            val resolved: Map[(String, String), Handler] = (for {
+              p <- spec.phases
+              ref <- p.handlers
+            } yield (p.name, ref.name) -> registry.resolve(ref).getOrElse(
+              throw FlowSpec.InvalidFlow(
+                s"recovery of $flowId: no registered handler " +
+                  s"${ref.name} ${ref.version.getOrElse("(any)")}"))).toMap
+            val run = new FlowRun(this, flowId, spec, resolved,
+              seedLog, seedCheckpoints)
+            active.put(run.id, run)
+            runningGauge.incrementAndGet()
+            run.start()
+            run
+          }
+          attempt.failed.foreach(e => System.err.println(
+            s"[engine] could not recover inflight flow $flowId: $e"))
+          attempt.toOption
+        }
+      }
+    }
 
   /** Pending durable control intents — observability twin of
     * `transitionLog()` for the control plane. */
@@ -497,15 +656,28 @@ final class FlowRun private[flow] (
     engine: Engine,
     val id: String,
     val spec: FlowSpec,
-    resolved: Map[(String, String), Handler]) {
+    resolved: Map[(String, String), Handler],
+    // crash recovery (Engine.recoverInflight): the pre-death
+    // transition history and mid-phase handler checkpoints read back
+    // from the in-flight journal — the run resumes at the last
+    // journaled real phase with its completed handlers pre-seeded
+    seedLog: Seq[Transition] = Nil,
+    seedCheckpoints: Set[(String, String)] = Set.empty) {
   import FlowRun._
 
   private val log = mutable.ArrayBuffer.empty[Transition] // O4
+  log ++= seedLog
   private val lock = new Object
   @volatile private var state: State = Running
   @volatile private var pauseRequested = false
   @volatile private var phaseStartedAt = System.currentTimeMillis()
-  @volatile private var currentPhaseName: String = spec.initialPhase.name
+  // recovery resumes at the last journaled REAL phase ("paused" and
+  // other pseudo-phases are not spec phases; a journal whose tail is
+  // a pseudo-phase resumes at the last real one before it)
+  private val resumePhaseName: Option[String] =
+    seedLog.reverseIterator.map(_.to).find(spec.phase(_).isDefined)
+  @volatile private var currentPhaseName: String =
+    resumePhaseName.getOrElse(spec.initialPhase.name)
   private val counters =
     TrieMap.empty[(String, String), (Long, LongAccumulator)]
   // Mid-phase checkpoint (O6/O7 upgrade): handlers that completed in
@@ -514,6 +686,7 @@ final class FlowRun private[flow] (
   // handlers not recorded here — the reference's per-task requeue
   // semantics (`worker.rb:133-137`) at handler granularity.
   private val completedHandlers = TrieMap.empty[(String, String), Unit]
+  seedCheckpoints.foreach(k => completedHandlers.put(k, ()))
 
   /** Current (phase, handler) checkpoints — test/observability hook. */
   private[flow] def checkpointedHandlers: Set[(String, String)] =
@@ -626,6 +799,10 @@ final class FlowRun private[flow] (
   private def transitionTo(from: String, to: String): Unit =
     lock.synchronized { // O3
       log += Transition(id, from, to, System.currentTimeMillis())
+      // durable twin (crash recovery): seq continues past any seeded
+      // prefix, so a resumed flow's markers never collide with the
+      // dead engine's. Phase-boundary granularity — never per task.
+      engine.journalTransition(id, log.size, log.last)
       currentPhaseName = to
       phaseStartedAt = System.currentTimeMillis()
     }
@@ -639,8 +816,12 @@ final class FlowRun private[flow] (
   }
 
   private def runLoop(): Unit = {
-    var phase = spec.initialPhase
-    transitionTo("", phase.name) // O18: flow.created → first phase
+    var phase = resumePhaseName.flatMap(spec.phase)
+      .getOrElse(spec.initialPhase)
+    // O18: flow.created → first phase; a recovered run is already IN
+    // its resume phase (the seeded log ends there) — re-recording the
+    // entry would duplicate the dead engine's transition
+    if (resumePhaseName.isEmpty) transitionTo("", phase.name)
     var done = false
     // belt-and-braces against error-transition ping-pong: validation
     // guarantees every error chain terminates, but a phase pair whose
@@ -690,6 +871,7 @@ final class FlowRun private[flow] (
             Future {
               runHandler(phase, h)
               completedHandlers.put((phase.name, ref.name), ())
+              engine.journalHandlerDone(id, phase.name, ref.name)
             }.transform(Success(_))
           }
           // O15: phase barrier = every handler future SETTLED (not
@@ -708,6 +890,7 @@ final class FlowRun private[flow] (
           // (error path cycling back) re-runs it in full
           completedHandlers.keys
             .filter(_._1 == phase.name).foreach(completedHandlers.remove)
+          engine.journalPhaseClear(id, phase.name)
           if (phase.isFinal) { // O16/O17: flow finish
             state = Finished
             engine.deregister(this)

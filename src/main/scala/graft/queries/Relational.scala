@@ -46,33 +46,46 @@ object Relational {
       |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate"""
       .stripMargin
 
-  // q02: TPC-H Q1 shape — hash aggregate, multi-aggregate w/ partials
+  // q02: TPC-H Q1 shape — hash aggregate, multi-aggregate w/ partials.
+  // Money SUMS stay DECIMAL end-to-end, explicitly cast to the same
+  // width on both engines: the sf1 hash run caught DuckDB's
+  // DECIMAL(38,6)→DOUBLE cast rounding 1 ULP off the correct value
+  // (43579985256.93967 vs ...674 — not correctly rounded; Spark's
+  // BigDecimal.doubleValue is), so any cast-to-double of an exact
+  // decimal is a latent cross-engine landmine that only fires when
+  // the sum's magnitude crosses a mantissa boundary. AVGs keep the
+  // mirrored double tree but round(4) — rounding granularity 1e-4 at
+  // ~1e4 magnitude dwarfs a cast ULP (~1e-12 after the /count).
   private val q02: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= ts("2000-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        d(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
-        d(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))))
-          .as("sum_disc_price"),
-        d(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
-          * (lit(1) + dec2(col("l_tax"))))).as("sum_charge"),
+        sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2))
+          .as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+          * (lit(1) + dec2(col("l_tax")))).cast(DecimalType(38, 6))
+          .as("sum_charge"),
         avg(col("l_quantity")).as("avg_qty"),
-        (d(sum(dec2(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
-        (d(sum(dec2(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+        round(d(sum(dec2(col("l_extendedprice")))) / count(lit(1)), 4)
+          .as("avg_price"),
+        round(d(sum(dec2(col("l_discount")))) / count(lit(1)), 4)
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   private val q02Sql =
     """SELECT l_returnflag, l_linestatus,
       |  sum(l_quantity) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
       |  avg(l_quantity) AS avg_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
       |GROUP BY l_returnflag, l_linestatus
