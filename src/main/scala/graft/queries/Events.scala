@@ -509,8 +509,17 @@ object Events {
   // 1.5·IQR, the standard robust anomaly screen a metrics pipeline
   // runs before alerting on raw extremes. Exact quartiles ride the
   // q39 discipline (Spark `percentile` ≡ DuckDB `quantile_cont`,
-  // identical interpolation); the fences are the same double ops on
-  // identical quartiles, and outlier values pass through untouched.
+  // identical interpolation); the FILTER uses the raw double fences
+  // (same tree, same quartile doubles → same decisions), and the
+  // PRESENTED fences are exact DECIMAL: value is on a 0.01 grid and
+  // the interpolation fractions are quarters, so quartiles live on a
+  // 0.0025 grid — cast(dec(18,4)) recovers them exactly, the ±1.5·IQR
+  // arithmetic stays exact at scale 5, and round(,2) ties (fences DO
+  // land on x.xx500 at some volumes — the sf1 hash run caught 'click'
+  // at 151.79500) resolve half-away-from-zero on BOTH engines.
+  // round(double,2) here was the sf1 bug: Spark rounds the SHORTEST
+  // DECIMAL REPR of the double (151.7949…93 → "151.795" → 151.80)
+  // while DuckDB rounds the binary value (→ 151.79).
   // Scale: quartiles are per-TYPE (bounded alphabet → bounded sort
   // buffers; the corpus-scale path is q52's mergeable sketch), fences
   // ship broadcast, the outlier scan is one filter pass.
@@ -519,18 +528,23 @@ object Events {
       .groupBy(col("event_type"))
       .agg(expr("percentile(value, 0.25)").as("q1"),
         expr("percentile(value, 0.75)").as("q3"))
+    val qd1 = col("q1").cast(DecimalType(18, 4))
+    val qd3 = col("q3").cast(DecimalType(18, 4))
+    val k = expr("CAST(1.5 AS DECIMAL(2,1))")
     events(s, dir)
       .join(broadcast(b), Seq("event_type"))
       .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
       .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("lo_fence",
+        round(qd1 - k * (qd3 - qd1), 2).cast(DecimalType(18, 2)))
+      .withColumn("hi_fence",
+        round(qd3 + k * (qd3 - qd1), 2).cast(DecimalType(18, 2)))
       .filter(col("value") < col("lo") || col("value") > col("hi"))
-      .groupBy(col("event_type"), col("lo"), col("hi"))
+      .groupBy(col("event_type"), col("lo_fence"), col("hi_fence"))
       .agg(count(lit(1)).as("n_outliers"),
         min(col("value")).as("min_outlier"),
         max(col("value")).as("max_outlier"))
-      .select(col("event_type"),
-        round(col("lo"), 2).as("lo_fence"),
-        round(col("hi"), 2).as("hi_fence"),
+      .select(col("event_type"), col("lo_fence"), col("hi_fence"),
         col("n_outliers"), col("min_outlier"), col("max_outlier"))
       .orderBy(col("event_type"))
   }
@@ -543,14 +557,17 @@ object Events {
       |  FROM events GROUP BY 1),
       |o AS (
       |  SELECT e.event_type, e.value,
-      |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+      |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi,
+      |    CAST(round(CAST(q1 AS DECIMAL(18,4))
+      |      - CAST(1.5 AS DECIMAL(2,1)) * (CAST(q3 AS DECIMAL(18,4)) - CAST(q1 AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS lo_fence,
+      |    CAST(round(CAST(q3 AS DECIMAL(18,4))
+      |      + CAST(1.5 AS DECIMAL(2,1)) * (CAST(q3 AS DECIMAL(18,4)) - CAST(q1 AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS hi_fence
       |  FROM events e JOIN b USING (event_type))
-      |SELECT event_type, round(lo, 2) AS lo_fence,
-      |  round(hi, 2) AS hi_fence,
+      |SELECT event_type, lo_fence, hi_fence,
       |  count(*) AS n_outliers, min(value) AS min_outlier,
       |  max(value) AS max_outlier
       |FROM o WHERE value < lo OR value > hi
-      |GROUP BY event_type, lo, hi ORDER BY event_type""".stripMargin
+      |GROUP BY event_type, lo_fence, hi_fence ORDER BY event_type""".stripMargin
 
   // q97: exponentially-weighted moving average per user — the
   // RECURSIVE smoothing no window frame can express (each output

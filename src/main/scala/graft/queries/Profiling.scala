@@ -171,8 +171,14 @@ object Profiling {
   // (exact BIGINT), and n*S_t = n*C_t - t*T (the division-free
   // multiple of S_t, same argmax) is DECIMAL(18,0)x(18,0) products —
   // exact at any per-user activity volume, identical on both engines.
-  // Only the final reported magnitude performs double arithmetic:
-  // one decimal->double conversion, one division, one round.
+  // The reported magnitude max_shift = ascore/(n·100) rounded to 4 is
+  // ALSO computed exactly: the quotient is rational and does land on
+  // 1e-4 halves (the sf1 hash run caught 272.93375 — Spark's
+  // string-repr round and DuckDB's binary round split it), so the
+  // HALF_UP round runs in integer arithmetic — floor((2p+q)/(2q)) ==
+  // round-half-up(p/q) for p>=0 — and the only double op left is one
+  // division of exact integers by 10000.0, correctly rounded and
+  // bit-identical on both engines.
   private val q99: Q = (s, dir) => {
     // Events.events rebuilds timestamp_ntz whatever the parquet
     // physical type (TIMESTAMP(NANOS) legacy-long included)
@@ -196,9 +202,12 @@ object Profiling {
       .withColumn("rk", row_number().over(byUser.orderBy(
         col("ascore").desc, col("ts"), col("event_id"))))
       .filter(col("rk") === 1)
+      .withColumn("nq", (col("n") * 100L).cast(d18))
+      .withColumn("shift4",
+        expr("(2 * ascore * 10000 + nq) DIV (2 * nq)"))
       .select(col("user_id"), col("n").as("n_events"),
         col("ts").as("change_ts"),
-        round(d(col("ascore")) / (col("n") * 100.0), 4).as("max_shift"))
+        (d(col("shift4")) / 10000.0).as("max_shift"))
       .orderBy(col("user_id"))
   }
 
@@ -227,7 +236,8 @@ object Profiling {
       |    PARTITION BY user_id ORDER BY ascore DESC, ts, event_id) AS rk
       |  FROM dev)
       |SELECT user_id, n AS n_events, ts AS change_ts,
-      |  round(CAST(ascore AS DOUBLE) / (n * 100.0), 4) AS max_shift
+      |  CAST((2 * CAST(ascore AS HUGEINT) * 10000 + CAST(n AS HUGEINT) * 100)
+      |    // (2 * CAST(n AS HUGEINT) * 100) AS DOUBLE) / 10000.0 AS max_shift
       |FROM rk WHERE rk = 1 ORDER BY user_id""".stripMargin
 
   // ---- q100_decile_lift: gains table over a ranking score -------------
