@@ -28,6 +28,13 @@ final case class ImageMeta(doc_id: Long, width: Long, height: Long,
 final case class MediaMeta(doc_id: Long, source: String, byte_len: Long,
     width: Long, height: Long, n_frames: Long, checksum: String)
 
+/** One document's real animated-GIF container bytes (mm_frame_sample). */
+final case class GifRow(doc_id: Long, gif: Array[Byte])
+
+/** One SAMPLED frame decoded from real animated-GIF bytes. */
+final case class FrameMeta(doc_id: Long, n_frames: Long, frame_idx: Long,
+    width: Long, height: Long, pixel_sum: Long)
+
 /** Multimodal-column plumbing + ANN similarity (SURVEY.md §2.4).
   *
   * Multimodal: image/audio/video are opaque `binary` columns with
@@ -36,11 +43,14 @@ final case class MediaMeta(doc_id: Long, source: String, byte_len: Long,
   * `mapInPandas` batch UDF: schema in, iterator of batches, schema
   * out. The IMAGE leg runs a REAL codec (mm_image_roundtrip: the
   * JDK's javax.imageio PNG encode + decode, pixel-exact against the
-  * oracle's generation formula) and so does the AUDIO leg
+  * oracle's generation formula), so does the AUDIO leg
   * (mm_audio_roundtrip: javax.sound.sampled WAV encode + parse,
-  * sample-exact); only the VIDEO leg remains a deterministic stub
-  * (byte length, modulo-derived dimensions, md5 checksum — the JDK
-  * ships no video codec and the sandbox has no codec jars), so the
+  * sample-exact), and the FRAME-SAMPLING leg runs a real multi-frame
+  * container (mm_frame_sample: animated GIF through javax.imageio's
+  * sequence writer/reader, frame- and pixel-exact). Only true video
+  * codecs (H.264/VP9…) are out of sandbox reach, so mm_decode_meta's
+  * video branch remains a deterministic stub (byte length,
+  * modulo-derived dimensions, md5 checksum), and the
   * Spark-side plumbing (binary column, typed Encoders,
   * partition-wise batching, metadata schema) is real and
   * oracle-checked everywhere while only the genuinely unavailable
@@ -111,9 +121,10 @@ object Multimodal {
   // decoder that mangled a channel or a row would hash-mismatch.
   // Both stages are narrow typed mapPartitions passes (the mapInPandas
   // batch shape); the binary column between them is a real
-  // executor-resident blob column, never collected. The video leg
-  // (n_frames) remains stubbed in mm_decode_meta — the sandbox has no
-  // video codec.
+  // executor-resident blob column, never collected. Multi-frame
+  // containers are real too (mm_frame_sample, animated GIF); only
+  // mm_decode_meta's video branch stays stubbed — the sandbox has no
+  // true video codec (H.264/VP9…).
   private def imgDims(id: Long): (Int, Int) =
     (16 + (id % 32).toInt, 16 + ((id * 3) % 24).toInt)
 
@@ -226,8 +237,8 @@ object Multimodal {
   // dropped a frame, swapped endianness, or reordered samples would
   // hash-mismatch (the position weight catches pure reorders a plain
   // sum would miss). Both stages are narrow typed mapPartitions
-  // passes; only video remains stubbed (the JDK ships no video
-  // codec).
+  // passes; frame sampling runs a real multi-frame container too
+  // (mm_frame_sample) — only true video codecs remain stubbed.
   private val WavRate = 8000f
 
   private def wavSamples(id: Long): Array[Short] = {
@@ -312,24 +323,138 @@ object Multimodal {
       |    AS BIGINT) AS sample_sum
       |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
-  // frame sampling over the stubbed video metadata: every k-th frame
+  // ---- mm_frame_sample: REAL multi-frame container in the pipeline --
+  // VERDICT r8 #5 closes the video-leg stub as far as the sandbox
+  // allows: javax.imageio decodes MULTI-FRAME ANIMATED GIF with zero
+  // new jars, so the frame-sampling stage now runs against a real
+  // container with real frames. Each document deterministically
+  // renders a small grayscale animation (frame count, dims, and every
+  // pixel are pure integer functions of doc_id — the formulas below),
+  // the ENCODE stage writes real GIF89a bytes through the sequence
+  // writer, and the SAMPLE stage opens the container, takes the frame
+  // COUNT from the image descriptors, decodes every 5th frame, and
+  // reports its dims + exact integer pixel checksum FROM THE DECODED
+  // PIXELS. The GIF palette holds all 256 grays, so the roundtrip is
+  // lossless and the DuckDB oracle recomputes everything from the
+  // generation formulas — a sampler that miscounted frames, read a
+  // delta-composited frame, or mangled the palette would
+  // hash-mismatch. Both stages are narrow typed mapPartitions passes;
+  // the binary column between them is executor-resident, never
+  // collected. Only true video codecs (H.264/VP9…) remain out of
+  // sandbox reach.
+  private def gifFrames(id: Long): Int = 4 + (id % 23).toInt
+  private def gifDims(id: Long): (Int, Int) =
+    (8 + (id % 9).toInt, 8 + ((id * 5) % 7).toInt)
+  private def gifGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 13 + f * 31 + x * 5 + y * 7) % 256).toInt
+
+  private def encodeGif(id: Long): GifRow = {
+    imageIoInMemory
+    val (w, h) = gifDims(id)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < gifFrames(id)) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, gifGray(id, f, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    GifRow(id, bos.toByteArray)
+  }
+
+  private def sampleGif(r: GifRow): Iterator[FrameMeta] = {
+    imageIoInMemory
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.gif))
+    val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    require(n > 0, s"doc ${r.doc_id}: GIF container holds no frames")
+    // materialize before dispose — the reader cannot outlive this call
+    val sampled = (0 until n by 5).map { f =>
+      val img = reader.read(f)
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          sum += (img.getRGB(x, y) & 0xff).toLong
+          x += 1
+        }
+        y += 1
+      }
+      FrameMeta(r.doc_id, n.toLong, f.toLong,
+        img.getWidth.toLong, img.getHeight.toLong, sum)
+    }.toVector
+    reader.dispose()
+    iis.close()
+    sampled.iterator
+  }
+
+  /** The SAMPLE stage alone — a (doc_id, gif binary) frame through the
+    * real javax.imageio multi-frame parse (failure path pinned in
+    * MultimodalSpec). */
+  private[queries] def sampleGifBlobs(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id"), col("gif")).as[GifRow]
+      .mapPartitions(_.flatMap(sampleGif))
+      .toDF()
+  }
+
   private val frameSample: Q = (s, dir) => {
     import s.implicits._
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        encode(col("text"), "UTF-8").as("blob"))
-      .as[MediaRow]
-      .mapPartitions(_.map(decodeStub))
-      .toDF()
-      .select(col("doc_id"),
-        explode(sequence(lit(0L), col("n_frames") - 1, lit(5L)))
-          .as("frame_idx"))
+    sampleGifBlobs( // SAMPLE: real javax.imageio multi-frame decode
+      t(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(encodeGif)) // ENCODE: real GIF89a bytes
+        .toDF())
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   private val frameSampleSql =
-    """SELECT doc_id, unnest(range(0, 1 + strlen(text) % 30, 5)) AS frame_idx
-      |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+    """WITH m AS (
+      |  SELECT doc_id, 4 + doc_id % 23 AS n,
+      |    8 + doc_id % 9 AS w, 8 + (doc_id * 5) % 7 AS h
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, n, w, h,
+      |    unnest(range(0, CAST(n AS BIGINT), 5)) AS f
+      |  FROM m),
+      |px AS (
+      |  SELECT doc_id, n, w, h, f,
+      |    unnest(generate_series(0, w - 1)) AS x
+      |  FROM fr),
+      |pxy AS (
+      |  SELECT doc_id, n, w, h, f, x,
+      |    unnest(generate_series(0, h - 1)) AS y
+      |  FROM px)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+      |  CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(sum((doc_id * 13 + f * 31 + x * 5 + y * 7) % 256)
+      |    AS BIGINT) AS pixel_sum
+      |FROM pxy GROUP BY doc_id, n, f, w, h
+      |ORDER BY doc_id, frame_idx""".stripMargin
 
   // resize: scale stubbed media dimensions into a bounding box with
   // integer math (aspect-preserving, floor semantics on both engines)

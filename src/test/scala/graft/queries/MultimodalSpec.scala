@@ -54,6 +54,49 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage != null, ex.toString)
   }
 
+  test("a non-GIF blob fails the frame-sample stage loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+      .toDF("doc_id", "gif")
+    val ex = intercept[Exception] {
+      Multimodal.sampleGifBlobs(bad).collect()
+    }
+    // javax.imageio either refuses the container (no frames) or
+    // throws on read — the task fails, nothing is faked
+    assert(ex.getMessage != null, ex.toString)
+  }
+
+  test("GIF frame sampling decodes real frames: count, every-5th " +
+    "sampling, lossless pixels") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("mm_frame_sample")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 20)
+      .collect()
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      val n = 4 + (id % 23)
+      val w = 8 + (id % 9)
+      val h = 8 + ((id * 5) % 7)
+      assert(r.getAs[Long]("n_frames") == n, s"frame count at doc $id: $r")
+      val f = r.getAs[Long]("frame_idx")
+      assert(f % 5 == 0 && f < n, s"sampled index off-grid at doc $id: $r")
+      assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h,
+        s"decoded dims disagree with the formula at doc $id: $r")
+      var sum = 0L
+      for (y <- 0 until h.toInt; x <- 0 until w.toInt)
+        sum += (id * 13 + f * 31 + x * 5 + y * 7) % 256
+      assert(r.getAs[Long]("pixel_sum") == sum,
+        s"decoded pixel checksum disagrees at doc $id frame $f: $r vs $sum")
+    }
+    // every doc below the cutoff contributed ceil(n/5) sampled frames
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    for ((id, rs) <- perDoc) {
+      val n = 4 + (id % 23)
+      assert(rs.length == (n + 4) / 5,
+        s"doc $id: expected ${(n + 4) / 5} sampled frames, got ${rs.length}")
+    }
+  }
+
   test("IVF recall@10 curve vs brute force: above the random-probe " +
     "floor at the shipped nProbe=2, monotone in probe width, exact " +
     "at full probe") {
