@@ -432,14 +432,23 @@ object Profiling {
           (lit(2) * col("mn") + col("ts") - 1).cast(d38))).as("smr2"),
         sum(col("pos")).cast(LongType).as("np"),
         count(lit(1)).cast(LongType).as("nt"))
-    val num = (col("smr2") -
-      col("np").cast(d38) * (col("np") + 1).cast(d38)).cast(DoubleType)
-    val den = lit(2.0) * col("np").cast(DoubleType) *
-      (col("nt") - col("np")).cast(DoubleType)
-    sums.select(col("np").as("n_pos"),
-      (col("nt") - col("np")).as("n_neg"),
-      round(num / den, 6).as("auc"),
-      round(lit(2.0) * (num / den) - 1, 6).as("gini"))
+    // AUC = num/den is a rational of exact integers (rank sums over
+    // counts) — round(double, 6) ties split Spark's string-repr round
+    // against DuckDB's binary round (the q99 disease), so the HALF_UP
+    // round runs in exact integer arithmetic (floor((2p+q)/(2q)) ==
+    // round-half-up(p/q), p >= 0 since the rank sum is at least the
+    // positives' minimum) and gini derives from the SAME rounded
+    // integer; the only double ops are divisions by 10⁶.
+    sums
+      .withColumn("num", col("smr2") -
+        col("np").cast(d38) * (col("np") + 1).cast(d38))
+      .withColumn("den", lit(2).cast(d38) * col("np").cast(d38) *
+        (col("nt") - col("np")).cast(d38))
+      .withColumn("auc6", expr("(2 * num * 1000000 + den) DIV (2 * den)"))
+      .select(col("np").as("n_pos"),
+        (col("nt") - col("np")).as("n_neg"),
+        (d(col("auc6")) / 1000000.0).as("auc"),
+        (d(lit(2L) * col("auc6") - lit(1000000L)) / 1000000.0).as("gini"))
   }
 
   private val q105Sql =
@@ -462,18 +471,22 @@ object Profiling {
       |        THEN CAST(2 * mn + ts - 1 AS HUGEINT) END) AS smr2,
       |    CAST(sum(pos) AS BIGINT) AS np,
       |    CAST(count(*) AS BIGINT) AS nt
-      |  FROM r)
+      |  FROM r),
+      |x AS (
+      |  -- exact-integer HALF_UP of the rational num/den (the q99
+      |  -- floor((2p+q)/(2q)) discipline): round(double, 6) ties
+      |  -- would split the two engines' rounding modes
+      |  SELECT np, nt,
+      |    (2 * (smr2 - CAST(np AS HUGEINT) * CAST(np + 1 AS HUGEINT))
+      |       * 1000000
+      |     + 2 * CAST(np AS HUGEINT) * CAST(nt - np AS HUGEINT))
+      |    // (2 * 2 * CAST(np AS HUGEINT) * CAST(nt - np AS HUGEINT))
+      |      AS auc6
+      |  FROM s)
       |SELECT np AS n_pos, nt - np AS n_neg,
-      |  round(CAST(smr2 - CAST(np AS HUGEINT) *
-      |      CAST(np + 1 AS HUGEINT) AS DOUBLE) /
-      |    (CAST(2.0 AS DOUBLE) * CAST(np AS DOUBLE) *
-      |     CAST(nt - np AS DOUBLE)), 6) AS auc,
-      |  round(CAST(2.0 AS DOUBLE) *
-      |    (CAST(smr2 - CAST(np AS HUGEINT) *
-      |        CAST(np + 1 AS HUGEINT) AS DOUBLE) /
-      |     (CAST(2.0 AS DOUBLE) * CAST(np AS DOUBLE) *
-      |      CAST(nt - np AS DOUBLE))) - 1, 6) AS gini
-      |FROM s""".stripMargin
+      |  CAST(auc6 AS DOUBLE) / 1000000.0 AS auc,
+      |  CAST(2 * auc6 - 1000000 AS DOUBLE) / 1000000.0 AS gini
+      |FROM x""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q98_profile" -> q98,

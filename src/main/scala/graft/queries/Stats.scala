@@ -690,6 +690,10 @@ object Stats {
       graft.streaming.SeasonalProfileStream.batchProfile(ev)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val prof = profBase
+      // mean4: round-half-up(sx/n · 10⁴) in exact integer arithmetic
+      // (sx is DECIMAL scale 2, so 2·sx·10⁴ is integral) — computed
+      // BEFORE sx degrades to double for the predicate tree
+      .withColumn("mean4", expr("(2 * sx * 10000 + n) DIV (2 * n)"))
       .withColumn("sx", d(col("sx")))
       .withColumn("sxx", d(col("sxx")))
       .withColumn("mean", col("sx") / col("n"))
@@ -699,12 +703,19 @@ object Stats {
       .withColumn("hr", hour(col("ts")))
       .join(broadcast(prof), Seq("event_type", "hr"))
       .groupBy(col("event_type"), col("hr"), col("n"), col("mean"),
-        col("std"))
+        col("std"), col("mean4"))
       .agg(sum(when(abs(col("value") - col("mean")) >
           lit(3.0) * col("std"), 1L).otherwise(0L)).as("n_anomalies"))
       .select(col("event_type"), col("hr").cast(LongType).as("hr"),
         col("n").as("n_events"),
-        round(col("mean"), 4).as("season_mean"),
+        // presented mean: exact-integer HALF_UP of the rational
+        // sx/n (the q99 floor((2p+q)/(2q)) discipline — sx is a
+        // cents-grid decimal over a modest denominator, so round(
+        // double, 4) ties are INEVITABLE at some volume and Spark's
+        // string-repr round splits them against DuckDB's binary
+        // round); the anomaly PREDICATE keeps the raw double
+        // mean/std (one mirrored tree, same decisions both engines)
+        (d(col("mean4")) / 10000.0).as("season_mean"),
         round(col("std"), 4).as("season_std"),
         col("n_anomalies"))
       .orderBy(col("event_type"), col("hr"))
@@ -713,23 +724,26 @@ object Stats {
   private val q87Sql =
     """WITH prof AS (
       |  SELECT event_type, hour(ts) AS hr, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS HUGEINT)
+      |      AS sxc,
       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
       |    CAST(sum(CAST(value AS DECIMAL(18,2)) *
       |             CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
       |  FROM events GROUP BY 1, 2),
       |p AS (
       |  SELECT event_type, hr, n, sx / n AS mean,
+      |    (2 * sxc * 100 + n) // (2 * n) AS mean4,
       |    sqrt((sxx - sx * sx / n) / (n - 1)) AS std
       |  FROM prof)
       |SELECT e.event_type, CAST(p.hr AS BIGINT) AS hr,
       |  p.n AS n_events,
-      |  round(p.mean, 4) AS season_mean,
+      |  CAST(p.mean4 AS DOUBLE) / 10000.0 AS season_mean,
       |  round(p.std, 4) AS season_std,
       |  CAST(sum(CASE WHEN abs(e.value - p.mean) > 3.0 * p.std
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
       |FROM events e JOIN p
       |  ON e.event_type = p.event_type AND hour(e.ts) = p.hr
-      |GROUP BY e.event_type, p.hr, p.n, p.mean, p.std
+      |GROUP BY e.event_type, p.hr, p.n, p.mean, p.mean4, p.std
       |ORDER BY e.event_type, hr""".stripMargin
 
   // ---- q88_cohort_matrix: purchase-cohort / day-offset retention ----
