@@ -845,7 +845,9 @@ class QueriesSpec extends SparkSpec {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+      // fences are exact DECIMAL(18,2) since the sf1 rounding-tie fix
+      val lo = r.getDecimal(1).doubleValue()
+      val hi = r.getDecimal(2).doubleValue()
       assert(lo < hi, s"${r.getString(0)}: fences inverted")
       assert(r.getLong(3) > 0)
       // min/max outlier must be outside the (rounded) fence band up
