@@ -357,7 +357,12 @@ final class Engine(
     inflightDir(flowId).foreach { dir =>
       Try {
         val fs = controlFs(dir)
-        if (fs.exists(dir)) { // no orphan journal after terminal cleanup
+        // exists-then-create is a TOCTOU window against a concurrent
+        // terminal cleanup (create() recreates missing parents): a
+        // lost race leaves a spec-less dir, which recoverInflight
+        // self-heals (deletes) on its next scan — bounded orphan, not
+        // a permanent one
+        if (fs.exists(dir)) {
           val name = s"t!$seq!${t.timestampMs}!${enc(t.from)}!${enc(t.to)}"
           fs.create(new org.apache.hadoop.fs.Path(dir, name), true).close()
         }
@@ -415,51 +420,82 @@ final class Engine(
       val base = new org.apache.hadoop.fs.Path(s"$d/inflight")
       val fs = controlFs(base)
       if (!fs.exists(base)) Seq.empty
-      else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
-        val flowId = st.getPath.getName
-        if (active.contains(flowId) || flushing.contains(flowId) ||
-          knownTerminal(flowId)) None
-        else {
-          val attempt = Try {
-            val sp = new org.apache.hadoop.fs.Path(st.getPath, "spec.json")
-            val in = fs.open(sp)
-            val specJson =
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            val spec = FlowSpec.parse(specJson)
-            val names = fs.listStatus(st.getPath).map(_.getPath.getName)
-            val seedLog = names.filter(_.startsWith("t!")).flatMap { n =>
-              n.split('!') match {
-                case Array(_, seq, ts, from, to) =>
-                  Some((seq.toInt,
-                    Transition(flowId, dec(from), dec(to), ts.toLong)))
-                case Array(_, seq, ts, to) => // from = "" (flow created)
-                  Some((seq.toInt, Transition(flowId, "", dec(to), ts.toLong)))
-                case _ => None
+      else {
+        // the DURABLE terminal set, not just this engine's in-memory
+        // one: a crash in the window between appendEventLog and
+        // clearInflight leaves a terminal flow's journal behind, and
+        // resuming it would re-run final-phase handlers and append a
+        // second terminal record. One event-log read per recovery
+        // scan (an explicit operator action, not a hot path).
+        val durableTerminal: Set[String] =
+          Try(logTable("flows").fold(Set.empty[String])(
+            _.select("flow_id").collect().map(_.getString(0)).toSet))
+            .getOrElse(Set.empty)
+        fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+          val flowId = st.getPath.getName
+          if (active.contains(flowId) || flushing.contains(flowId) ||
+            knownTerminal(flowId)) None
+          else if (durableTerminal.contains(flowId)) {
+            // terminal-but-uncleaned journal (crash mid-deregister):
+            // finish the dead engine's cleanup instead of resurrecting
+            Try { fs.delete(st.getPath, true); () }
+            None
+          } else {
+            val attempt = Try {
+              val sp = new org.apache.hadoop.fs.Path(st.getPath, "spec.json")
+              if (!fs.exists(sp)) {
+                // spec-less journal: a marker write raced terminal
+                // cleanup and recreated the dir (or submit died before
+                // the spec landed) — nothing recoverable lives here,
+                // so self-heal instead of re-logging it forever
+                fs.delete(st.getPath, true)
+                throw FlowSpec.InvalidFlow(
+                  s"recovery of $flowId: no spec.json — orphan journal" +
+                    " removed")
               }
-            }.sortBy(_._1).map(_._2).toSeq
-            val seedCheckpoints = names.filter(_.startsWith("h!"))
-              .flatMap(_.split('!') match {
-                case Array(_, ph, h) => Some((dec(ph), dec(h)))
-                case _ => None
-              }).toSet
-            val resolved: Map[(String, String), Handler] = (for {
-              p <- spec.phases
-              ref <- p.handlers
-            } yield (p.name, ref.name) -> registry.resolve(ref).getOrElse(
-              throw FlowSpec.InvalidFlow(
-                s"recovery of $flowId: no registered handler " +
-                  s"${ref.name} ${ref.version.getOrElse("(any)")}"))).toMap
-            val run = new FlowRun(this, flowId, spec, resolved,
-              seedLog, seedCheckpoints)
-            active.put(run.id, run)
-            runningGauge.incrementAndGet()
-            run.start()
-            run
+              val in = fs.open(sp)
+              val specJson =
+                try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+              val spec = FlowSpec.parse(specJson)
+              val names = fs.listStatus(st.getPath).map(_.getPath.getName)
+              val seedLog = names.filter(_.startsWith("t!")).flatMap { n =>
+                // t!<seq>!<ts>!<encFrom>!<encTo>; enc("") is "" for the
+                // created transition, and split('!') keeps interior
+                // empty strings, so every well-formed marker is 5-ary
+                n.split('!') match {
+                  case Array(_, seq, ts, from, to) =>
+                    Some((seq.toInt,
+                      Transition(flowId, dec(from), dec(to), ts.toLong)))
+                  case _ => None
+                }
+              }.sortBy(_._1).map(_._2).toSeq
+              val seedCheckpoints = names.filter(_.startsWith("h!"))
+                .flatMap(_.split('!') match {
+                  case Array(_, ph, h) => Some((dec(ph), dec(h)))
+                  case _ => None
+                }).toSet
+              val resolved: Map[(String, String), Handler] = (for {
+                p <- spec.phases
+                ref <- p.handlers
+              } yield (p.name, ref.name) -> registry.resolve(ref).getOrElse(
+                throw FlowSpec.InvalidFlow(
+                  s"recovery of $flowId: no registered handler " +
+                    s"${ref.name} ${ref.version.getOrElse("(any)")}"))).toMap
+              val run = new FlowRun(this, flowId, spec, resolved,
+                seedLog, seedCheckpoints)
+              // putIfAbsent: two concurrent recovery calls (an operator
+              // racing a janitor) must not both start the same flow
+              if (active.putIfAbsent(run.id, run).isEmpty) {
+                runningGauge.incrementAndGet()
+                run.start()
+                Some(run)
+              } else None
+            }
+            attempt.failed.foreach(e => System.err.println(
+              s"[engine] could not recover inflight flow $flowId: $e"))
+            attempt.toOption.flatten
           }
-          attempt.failed.foreach(e => System.err.println(
-            s"[engine] could not recover inflight flow $flowId: $e"))
-          attempt.toOption
         }
       }
     }
@@ -796,16 +832,22 @@ final class FlowRun private[flow] (
         HandlerProgress(h, total, acc.value)
     })
 
-  private def transitionTo(from: String, to: String): Unit =
-    lock.synchronized { // O3
+  private def transitionTo(from: String, to: String): Unit = {
+    val (seq, t) = lock.synchronized { // O3
       log += Transition(id, from, to, System.currentTimeMillis())
-      // durable twin (crash recovery): seq continues past any seeded
-      // prefix, so a resumed flow's markers never collide with the
-      // dead engine's. Phase-boundary granularity — never per task.
-      engine.journalTransition(id, log.size, log.last)
       currentPhaseName = to
       phaseStartedAt = System.currentTimeMillis()
+      (log.size, log.last)
     }
+    // durable twin (crash recovery), written OUTSIDE the lock: a slow
+    // shared-store metadata op must not block status()/pause()/cancel()
+    // for its latency. Safe unlocked: transitions are driven only by
+    // this flow's single runLoop thread, so seq order is already
+    // serial. Seq continues past any seeded prefix, so a resumed
+    // flow's markers never collide with the dead engine's.
+    // Phase-boundary granularity — never per task.
+    engine.journalTransition(id, seq, t)
+  }
 
   // Any escape path out of runLoop (including bugs in the loop itself)
   // must deregister, or the flow leaks in the active set and the

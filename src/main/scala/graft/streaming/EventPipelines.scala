@@ -96,25 +96,29 @@ object EventPipelines {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
-      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+      .select(col("user_id").cast("long"),
+        // WALL-CLOCK micros computed in the plan (the debounce/holt
+        // discipline): the batch q68 lead() orders by TIMESTAMP_NTZ,
+        // so an Instant sort would make parity conditional on a UTC
+        // session across a DST fold. Full precision — micros, never
+        // getTime millis, which would diverge on sub-ms data.
+        expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
+          "CAST(ts AS TIMESTAMP_NTZ))").as("m"),
         col("event_id").cast("long"), col("event_type"))
-      .as[(Long, java.sql.Timestamp, Long, String)]
+      .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, String), (String, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, it, state) =>
-          // full-precision ordering (epoch second, nanos, event_id):
-          // getTime alone is millis and would diverge from the batch
-          // lead()'s timestamp order on sub-millisecond data. The
-          // toSeq materializes ONE user's batch slice (bounded by the
-          // trigger interval), not the stream.
-          val sorted = it.toSeq.sortBy(e =>
-            (e._2.toInstant.getEpochSecond, e._2.getNanos, e._3))
+          // The toSeq materializes ONE user's batch slice (bounded by
+          // the trigger interval), not the stream.
+          val sorted = it.toSeq.sortBy(e => (e._2, e._3))
           val out = Seq.newBuilder[(String, String)]
           var last = state.getOption
           sorted.foreach { e =>
             last.foreach(l => out += ((l._3, e._4)))
-            last = Some((e._2.getTime, e._3, e._4))
+            last = Some((e._2, e._3, e._4)) // (ntz micros, id, type)
           }
           last.foreach(state.update)
           out.result().iterator
@@ -142,17 +146,22 @@ object EventPipelines {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        // SORT key: wall-clock micros in the plan (debounce/holt
+        // discipline) — the batch q72 window orders by TIMESTAMP_NTZ,
+        // so an Instant sort would flip adjacent events across a DST
+        // fold in a non-UTC session; the Timestamp column itself is
+        // kept only as the emitted valid_from/valid_to VALUE
+        expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
+          "CAST(ts AS TIMESTAMP_NTZ))").as("m"),
         col("event_id").cast("long"), col("event_type"))
-      .as[(Long, java.sql.Timestamp, Long, String)]
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(String, Long, Int),
         (Long, String, java.sql.Timestamp, java.sql.Timestamp)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, it, state) =>
-          // (epoch second, nanos, event_id): the full-precision order
-          // the batch window uses (transitionPairs note)
-          val sorted = it.toSeq.sortBy(e =>
-            (e._2.toInstant.getEpochSecond, e._2.getNanos, e._3))
+          val sorted = it.toSeq.sortBy(e => (e._3, e._4))
           def ts(sec: Long, nanos: Int): java.sql.Timestamp = {
             val t = new java.sql.Timestamp(sec * 1000L)
             t.setNanos(nanos)
@@ -163,12 +172,12 @@ object EventPipelines {
           var cur = state.getOption
           sorted.foreach { e =>
             cur match {
-              case Some((st, sec, nanos)) if st != e._4 =>
+              case Some((st, sec, nanos)) if st != e._5 =>
                 out += ((uid, st, ts(sec, nanos), e._2))
-                cur = Some((e._4,
+                cur = Some((e._5,
                   e._2.toInstant.getEpochSecond, e._2.getNanos))
               case None =>
-                cur = Some((e._4,
+                cur = Some((e._5,
                   e._2.toInstant.getEpochSecond, e._2.getNanos))
               case _ => () // same state: interval continues
             }
@@ -196,16 +205,23 @@ object EventPipelines {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
-      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+      .select(col("user_id").cast("long"),
+        // WALL-CLOCK micros in the plan before the typed fold (the
+        // debounce/holt discipline): the batch q97 fold orders by
+        // TIMESTAMP_NTZ, so an Instant-based sort here would make
+        // stream/batch parity conditional on a UTC session across a
+        // DST fold — and the recurrence is order-sensitive
+        expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
+          "CAST(ts AS TIMESTAMP_NTZ))").as("m"),
         col("event_id").cast("long"), col("value").cast("double"))
       .filter(col("value").isNotNull)
-      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
         GroupStateTimeout.NoTimeout) {
         case (uid, it, state) =>
-          val sorted = it.toSeq.sortBy(e =>
-            (e._2.toInstant.getEpochSecond, e._2.getNanos, e._3))
+          val sorted = it.toSeq.sortBy(e => (e._2, e._3))
           var (n, acc) = state.getOption.getOrElse((0L, 0.0))
           sorted.foreach { e =>
             acc = if (n == 0L) e._4 else 0.2 * e._4 + 0.8 * acc

@@ -156,6 +156,53 @@ class CrashRecoverySpec extends SparkSpec {
     release(key)
   }
 
+  test("a journal left behind by a crash BETWEEN the terminal event-log " +
+    "append and cleanup is deleted, not resurrected") {
+    counts.clear()
+    val dir = tmpDir()
+    val reg = new HandlerRegistry
+    reg.register(new OnceCountingHandler("T1", 2))
+    val engineA = engineOn(dir, reg)
+    val run = engineA.submit(linearFlow(ListMap(
+      "a" -> Seq("T1"), "b" -> Nil)))
+    Await.result(run.future, 2.minutes)
+    // wait for the terminal flush (event-log append is async of the
+    // future completing)
+    val deadline = System.currentTimeMillis() + 60000
+    while (engineA.finishedFlows().count() == 0) {
+      assert(System.currentTimeMillis() < deadline, "terminal flush")
+      Thread.sleep(50)
+    }
+    // reconstruct the crash window: terminal record written, journal
+    // cleanup never ran — recreate the journal as the dead engine
+    // left it (spec + a transition marker)
+    val jd = new java.io.File(s"$dir/inflight/${run.id}")
+    assert(jd.mkdirs())
+    java.nio.file.Files.write(jd.toPath.resolve("spec.json"),
+      FlowSpec.render(run.spec).getBytes("UTF-8"))
+    java.nio.file.Files.write(jd.toPath.resolve("t!1!1!!a"),
+      Array.emptyByteArray)
+    val engineB = engineOn(dir, new HandlerRegistry) // T1 NOT registered:
+    // resurrecting would fail resolution loudly — but it must not even try
+    assert(engineB.recoverInflight().isEmpty,
+      "a durably-terminal flow was resurrected")
+    assert(!jd.exists(), "the orphan terminal journal was not cleaned")
+    // and T1 ran exactly once, on engine A
+    assert(counts.get("T1").get() == 2)
+  }
+
+  test("a spec-less journal (marker write raced terminal cleanup) is " +
+    "self-healed, not re-logged forever") {
+    val dir = tmpDir()
+    val jd = new java.io.File(s"$dir/inflight/ghost-flow")
+    assert(jd.mkdirs())
+    java.nio.file.Files.write(jd.toPath.resolve("t!1!1!!a"),
+      Array.emptyByteArray)
+    val engine = engineOn(dir, new HandlerRegistry)
+    assert(engine.recoverInflight().isEmpty)
+    assert(!jd.exists(), "spec-less orphan journal not removed")
+  }
+
   test("a normally-finished flow leaves no journal and is not recovered") {
     counts.clear()
     val dir = tmpDir()

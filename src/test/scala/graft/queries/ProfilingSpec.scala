@@ -77,10 +77,14 @@ class ProfilingSpec extends SparkSpec {
         (r._2, r._3, score)
       }
       val best = scored.minBy(s => (-s._3, (micros(s._1), s._2)))
-      val shift = BigDecimal(best._3).toDouble / (n * 100.0)
-      (u, (n.toLong, best._1,
-        BigDecimal(shift).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble))
+      // the query's exact-integer HALF_UP semantics (floor((2p+q)/(2q))
+      // == round-half-up(p/q)) — NOT double-division-then-round, whose
+      // shortest-repr tie handling is the pre-fix behavior the query
+      // abandoned after the sf1 rounding-tie finding
+      val q = BigInt(n) * 100
+      val shift4 = (best._3 * 2 * 10000 + q) / (q * 2)
+      val shift = shift4.toDouble / 10000.0
+      (u, (n.toLong, best._1, shift))
     }
     assert(rows.length == expected.size)
     rows.foreach { r =>
