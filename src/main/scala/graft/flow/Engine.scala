@@ -421,24 +421,36 @@ final class Engine(
       val fs = controlFs(base)
       if (!fs.exists(base)) Seq.empty
       else {
+        val dirs = fs.listStatus(base).toSeq.filter(_.isDirectory)
+        val candidateIds = dirs.map(_.getPath.getName)
         // the DURABLE terminal set, not just this engine's in-memory
         // one: a crash in the window between appendEventLog and
         // clearInflight leaves a terminal flow's journal behind, and
         // resuming it would re-run final-phase handlers and append a
-        // second terminal record. One event-log read per recovery
-        // scan (an explicit operator action, not a hot path).
+        // second terminal record. Fetched only when candidates exist,
+        // and filtered to the candidate ids so a long-lived shared
+        // log's millions of terminal rows never ride to the driver.
         val durableTerminal: Set[String] =
-          Try(logTable("flows").fold(Set.empty[String])(
-            _.select("flow_id").collect().map(_.getString(0)).toSet))
+          if (candidateIds.isEmpty) Set.empty
+          else Try(logTable("flows").fold(Set.empty[String])(
+            _.select("flow_id")
+              .filter(org.apache.spark.sql.functions.col("flow_id")
+                .isin(candidateIds: _*))
+              .collect().map(_.getString(0)).toSet))
             .getOrElse(Set.empty)
-        fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+        dirs.flatMap { st =>
           val flowId = st.getPath.getName
           if (active.contains(flowId) || flushing.contains(flowId) ||
             knownTerminal(flowId)) None
           else if (durableTerminal.contains(flowId)) {
             // terminal-but-uncleaned journal (crash mid-deregister):
-            // finish the dead engine's cleanup instead of resurrecting
-            Try { fs.delete(st.getPath, true); () }
+            // finish the dead engine's WHOLE cleanup — journal, then
+            // any pending control markers it never consumed — instead
+            // of resurrecting; failures reported like every other
+            // journal IO path
+            Try { fs.delete(st.getPath, true); clearControls(flowId) }
+              .failed.foreach(journalNote(flowId, _))
+            rememberTerminal(flowId)
             None
           } else {
             val attempt = Try {
@@ -880,16 +892,23 @@ final class FlowRun private[flow] (
         promise.tryFailure(new InterruptedException(s"flow $id canceled"))
         return
       }
-      if (pauseRequested) lock.synchronized {
-        if (state == Running) {
-          state = Paused
-          transitionTo(phase.name, "paused") // O6: pseudo-phase
+      if (pauseRequested) {
+        // state decision under the lock, TRANSITIONS (which journal to
+        // the shared store) outside it — holding the monitor through a
+        // slow metadata write would block status()/pause()/cancel()
+        // (the transitionTo discipline; only this runLoop thread ever
+        // transitions, so the order stays serial)
+        val entered = lock.synchronized {
+          if (state == Running) { state = Paused; true } else false
         }
-        // timed wait: a cross-process resume only deletes the durable
-        // marker (no monitor to notify in this JVM) — poll it
-        while (state == Paused) {
-          lock.wait(250)
-          if (state == Paused) pollDurableControls()
+        if (entered) transitionTo(phase.name, "paused") // O6
+        lock.synchronized {
+          // timed wait: a cross-process resume only deletes the durable
+          // marker (no monitor to notify in this JVM) — poll it
+          while (state == Paused) {
+            lock.wait(250)
+            if (state == Paused) pollDurableControls()
+          }
         }
         if (state == Canceled) {
           transitionTo("paused", "canceled")

@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
 object EventPipelines {
   import Canon._
 
+  /** The one sort key every order-sensitive fold twin uses: WALL-CLOCK
+    * micros, computed in the plan before the typed fold (timestamp_ntz
+    * diff from the NTZ epoch). The batch forms order by TIMESTAMP_NTZ,
+    * so an Instant-based sort would make stream/batch parity
+    * conditional on a UTC session — a DST fold in a non-UTC session
+    * maps adjacent wall-clock values to non-monotone instants. Full
+    * precision (micros, never getTime millis, which would diverge on
+    * sub-millisecond data). ONE definition so the discipline cannot
+    * drift per-pipeline. */
+  private def ntzMicros: org.apache.spark.sql.Column =
+    expr("timestampdiff(MICROSECOND, " +
+      "TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
+      "CAST(ts AS TIMESTAMP_NTZ))")
+
   /** q22 twin: 1-hour tumbling event-time windows per event type. */
   def tumbling(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
@@ -89,7 +103,7 @@ object EventPipelines {
     * ingestion-order contract every sequence-stateful operator has;
     * a late event would pair against the wrong predecessor — bound it
     * with a watermark upstream if the source can reorder). State is
-    * O(1) per user: (ts millis, event_id, event_type). Parity with
+    * O(1) per user: (ntz micros, event_id, event_type). Parity with
     * batch q68 across a batch split is pinned in StreamingSpec. */
   def transitionPairs(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
@@ -97,14 +111,7 @@ object EventPipelines {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
       .select(col("user_id").cast("long"),
-        // WALL-CLOCK micros computed in the plan (the debounce/holt
-        // discipline): the batch q68 lead() orders by TIMESTAMP_NTZ,
-        // so an Instant sort would make parity conditional on a UTC
-        // session across a DST fold. Full precision — micros, never
-        // getTime millis, which would diverge on sub-ms data.
-        expr("timestampdiff(MICROSECOND, " +
-          "TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
-          "CAST(ts AS TIMESTAMP_NTZ))").as("m"),
+        ntzMicros.as("m"), // the [[ntzMicros]] sort-key discipline
         col("event_id").cast("long"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
@@ -146,14 +153,9 @@ object EventPipelines {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
-        // SORT key: wall-clock micros in the plan (debounce/holt
-        // discipline) — the batch q72 window orders by TIMESTAMP_NTZ,
-        // so an Instant sort would flip adjacent events across a DST
-        // fold in a non-UTC session; the Timestamp column itself is
-        // kept only as the emitted valid_from/valid_to VALUE
-        expr("timestampdiff(MICROSECOND, " +
-          "TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
-          "CAST(ts AS TIMESTAMP_NTZ))").as("m"),
+        // [[ntzMicros]] is the SORT key; the Timestamp column itself
+        // is kept only as the emitted valid_from/valid_to VALUE
+        ntzMicros.as("m"),
         col("event_id").cast("long"), col("event_type"))
       .as[(Long, java.sql.Timestamp, Long, Long, String)]
       .groupByKey(_._1)
@@ -206,14 +208,9 @@ object EventPipelines {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
       .select(col("user_id").cast("long"),
-        // WALL-CLOCK micros in the plan before the typed fold (the
-        // debounce/holt discipline): the batch q97 fold orders by
-        // TIMESTAMP_NTZ, so an Instant-based sort here would make
-        // stream/batch parity conditional on a UTC session across a
-        // DST fold — and the recurrence is order-sensitive
-        expr("timestampdiff(MICROSECOND, " +
-          "TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
-          "CAST(ts AS TIMESTAMP_NTZ))").as("m"),
+        // the [[ntzMicros]] sort-key discipline (q97's recurrence is
+        // order-sensitive)
+        ntzMicros.as("m"),
         col("event_id").cast("long"), col("value").cast("double"))
       .filter(col("value").isNotNull)
       .as[(Long, Long, Long, Double)]
@@ -251,14 +248,8 @@ object EventPipelines {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     events
       .select(col("user_id").cast("long"),
-        // WALL-CLOCK micros (timestamp_ntz diff, computed in the plan
-        // before the typed fold) — the debounce discipline: the batch
-        // q102 fold orders by TIMESTAMP_NTZ, and an Instant-based
-        // sort here would make stream/batch parity conditional on a
-        // UTC session (a DST fold can reorder adjacent events).
-        expr("timestampdiff(MICROSECOND, " +
-          "TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
-          "CAST(ts AS TIMESTAMP_NTZ))").as("m"),
+        // the [[ntzMicros]] sort-key discipline
+        ntzMicros.as("m"),
         col("event_id").cast("long"), col("value").cast("double"))
       .filter(col("value").isNotNull)
       .as[(Long, Long, Long, Double)]
@@ -308,9 +299,7 @@ object EventPipelines {
     events
       .select(col("user_id").cast("long"),
         col("event_type").cast("string"),
-        expr("timestampdiff(MICROSECOND, " +
-          "TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
-          "CAST(ts AS TIMESTAMP_NTZ))").as("m"),
+        ntzMicros.as("m"),
         col("event_id").cast("long"))
       .as[(Long, String, Long, Long)]
       .groupByKey(e => (e._1, e._2))
