@@ -156,6 +156,50 @@ class CrashRecoverySpec extends SparkSpec {
     release(key)
   }
 
+  test("a durable pause intent survives the crash: the recovered flow " +
+    "parks paused at its first boundary poll, resumes on request") {
+    counts.clear()
+    val dir = tmpDir()
+    val key = s"t3-${System.nanoTime()}"
+
+    val regA = new HandlerRegistry
+    regA.register(new ParkInEnumerate("PBlock", key))
+    val engineA = engineOn(dir, regA)
+    val runA = engineA.submit(linearFlow(ListMap(
+      "warm" -> Nil, "work" -> Seq("PBlock"), "done" -> Nil)))
+    awaitFile(dir, runA.id,
+      n => n.startsWith("t!") && n.endsWith("!work"),
+      "the warm->work transition marker")
+    // operator pauses the flow THROUGH THE SHARED STORE while engine A
+    // is (as far as the store can tell) dead mid-phase
+    assert(engineA.requestPause(runA.id))
+
+    val regB = new HandlerRegistry
+    regB.register(new OnceCountingHandler("PBlock", 3))
+    val engineB = engineOn(dir, regB)
+    val recovered = engineB.recoverInflight()
+    assert(recovered.size == 1)
+    val run = recovered.head
+    // the recovered run's first boundary poll consumes the marker:
+    // it must park paused BEFORE running the phase's handlers
+    val deadline = System.currentTimeMillis() + 60000
+    while (!run.isPaused) {
+      assert(System.currentTimeMillis() < deadline,
+        s"recovered flow never parked paused: ${run.status()}")
+      Thread.sleep(25)
+    }
+    assert(counts.get("PBlock").get() == 0,
+      "the paused phase's handler ran before the pause was honored")
+    // durable resume: drop the marker, the flow completes under B
+    assert(engineB.requestResume(runA.id))
+    val result = Await.result(run.future, 2.minutes)
+    assert(result.finalPhase == "done")
+    assert(counts.get("PBlock").get() == 3)
+    assert(run.transitions.map(_.to) ==
+      Seq("warm", "work", "paused", "work", "done"))
+    release(key)
+  }
+
   test("a journal left behind by a crash BETWEEN the terminal event-log " +
     "append and cleanup is deleted, not resurrected") {
     counts.clear()
