@@ -319,6 +319,94 @@ object Llm {
       |     sqrt(list_sum([x * x for x in b.ed]))), 4) > 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- bitext mining: mutual top-1 cross-side kNN + margin ------------
+  // The parallel-corpus mining primitive (Artetxe & Schwenk's
+  // margin-based mining): split the embedding space into two "sides"
+  // (label parity — the fixture's stand-in for two languages), find
+  // each source vector's nearest target and vice versa, keep only
+  // MUTUAL top-1 pairs, and score each by the margin ratio
+  // cos(a,b) / ((avg top-4 cos of a) + (avg top-4 cos of b)) / 2 —
+  // the hubness correction that raw cosine thresholds lack (a hub
+  // vector near everything gets a margin ~1, a true translation pair
+  // scores well above its neighborhoods).
+  //
+  // Shape: the cross join IS the declared oracle shape (the q30
+  // discipline — the scale path is the shared IVF index, which bounds
+  // candidates per cell exactly as SemDeDup does; the smaller language
+  // is usually the broadcast side in a real mining run). Ranking uses
+  // the UNROUNDED cosine (one mirrored double tree → identical ranks
+  // both engines); the presented score/margin round(4) — ratios of
+  // sqrt-bearing sums, so rounding ties are measure-zero (the
+  // transcendental-tree criterion from the sf1 rounding audit). The
+  // top-4 means are avg over ≤4 doubles (round absorbs summation-order
+  // ulps, the mean_cohesion discipline). Mutual-top-1 output has at
+  // most one row per a_id, so ORDER BY a_id is total.
+  private val bitextMine: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(norm2(col("embedding"))).as("nrm"))
+    val a = e.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+    val b = e.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+    val pairs = a.join(broadcast(b), lit(true))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+    val W = org.apache.spark.sql.expressions.Window
+    // ranked feeds THREE consumers (ka, kb, the mutual filter) — left
+    // un-materialized, each would recompute the cross-join dot pass
+    // (the q84 lesson); localCheckpoint computes it once (the q82
+    // discipline)
+    val ranked = pairs
+      .withColumn("ra", row_number().over(W.partitionBy(col("a_id"))
+        .orderBy(col("cos").desc, col("b_id"))))
+      .withColumn("rb", row_number().over(W.partitionBy(col("b_id"))
+        .orderBy(col("cos").desc, col("a_id"))))
+      .localCheckpoint()
+    val ka = ranked.filter(col("ra") <= 4).groupBy(col("a_id"))
+      .agg(avg(col("cos")).as("ka"))
+    val kb = ranked.filter(col("rb") <= 4).groupBy(col("b_id"))
+      .agg(avg(col("cos")).as("kb"))
+    ranked.filter(col("ra") === 1 && col("rb") === 1)
+      .join(broadcast(ka), "a_id")
+      .join(broadcast(kb), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("cos"), 4).as("score"),
+        round(col("cos") / ((col("ka") + col("kb")) / 2), 4).as("margin"))
+      .orderBy(col("a_id"))
+  }
+
+  private val bitextMineSql =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    [CAST(x AS DOUBLE) for x in embedding] AS ed,
+      |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |                   for x in embedding])) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_sum([a.ed[i] * b.ed[i]
+      |              for i in generate_series(1, len(a.ed))]) /
+      |      (a.nrm * b.nrm) AS cos
+      |  FROM e a, e b WHERE a.label % 2 = 0 AND b.label % 2 = 1),
+      |rk AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id)
+      |      AS ra,
+      |    row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id)
+      |      AS rb
+      |  FROM pairs),
+      |ka AS (SELECT a_id, avg(cos) AS ka FROM rk WHERE ra <= 4
+      |       GROUP BY a_id),
+      |kb AS (SELECT b_id, avg(cos) AS kb FROM rk WHERE rb <= 4
+      |       GROUP BY b_id)
+      |SELECT r.a_id, r.b_id, round(r.cos, 4) AS score,
+      |  round(r.cos / ((ka.ka + kb.kb) / 2), 4) AS margin
+      |FROM rk r JOIN ka USING (a_id) JOIN kb USING (b_id)
+      |WHERE ra = 1 AND rb = 1 ORDER BY a_id""".stripMargin
+
   // ---- fuzzy dedup: exact n-gram Jaccard (sparse shingle join) --------
 
   // Served from the shared verified-pair index (below): the index's
@@ -1633,6 +1721,7 @@ object Llm {
     "q28_text_stats" -> q28,
     "q29_similarity_topk" -> q29,
     "q30_neardup_pairs" -> q30,
+    "llm_bitext_mine" -> bitextMine,
     "llm_ngram_jaccard_dedup" -> ngramJaccard,
     "llm_minhash_lsh_dedup" -> minhashLsh,
     "llm_minhash_estimate" -> minhashEstimate,
@@ -1671,6 +1760,7 @@ object Llm {
     "q28_text_stats" -> q28Sql,
     "q29_similarity_topk" -> q29Sql,
     "q30_neardup_pairs" -> q30Sql,
+    "llm_bitext_mine" -> bitextMineSql,
     "llm_ngram_jaccard_dedup" -> jaccardOracle,
     // minhash-lsh: exact-verified output; equals the brute-force
     // Jaccard result when LSH recall is 1 (verified on the fixtures)
