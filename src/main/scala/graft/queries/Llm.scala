@@ -942,6 +942,57 @@ object Llm {
        |FROM c GROUP BY source, bin
        |ORDER BY source, bin""".stripMargin
 
+  // ---- export: deterministic shard manifest ---------------------------
+  // The training-data EXPORT step every pipeline ends with: every
+  // document is assigned to one of 16 shards by content-free
+  // deterministic hash (first md5 nibble of doc_id — append-STABLE: a
+  // doc's shard never changes as the corpus grows, unlike round-robin
+  // or ntile cuts, so incremental exports only append), and the
+  // manifest reports per shard what a downstream loader validates
+  // before training: doc count, whitespace-token count (the
+  // llm_pack_sequences tokenization), char volume, and an
+  // ORDER-INSENSITIVE content fingerprint — bit_xor of each doc's
+  // 60-bit md5 integer — so two exports of the same corpus compare
+  // equal regardless of partitioning/task order, and one missing or
+  // duplicated doc flips the fingerprint. Exact integer arithmetic
+  // end-to-end (the 15-hex-digit parse stays in BIGINT on both
+  // engines; a 16^14 double power would lose bits past 2^53).
+  // Scale: one scan + one 16-group aggregate; nothing driver-side.
+  private val shardManifest: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 1), 16, 10)
+          .cast(LongType).as("shard"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        col("n_chars").cast(LongType).as("n_chars"),
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType).as("fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("bit_xor(fp)").as("fingerprint"))
+      .orderBy(col("shard"))
+
+  private val shardManifestSql =
+    """WITH d AS (
+      |  SELECT
+      |    CAST(strpos('0123456789abcdef',
+      |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+      |      AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(n_chars AS BIGINT) AS n_chars,
+      |    CAST(list_sum([CAST(strpos('0123456789abcdef',
+      |        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+      |        * (1::BIGINT << (4 * (15 - i)))
+      |      for i in generate_series(1, 15)]) AS BIGINT) AS fp
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  bit_xor(fp) AS fingerprint
+      |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
   // ---- text analysis: language-id heuristic ---------------------------
   private val stop = Seq("the", "a", "of", "and", "to")
 
@@ -1728,6 +1779,7 @@ object Llm {
     "llm_cosine_lsh_neardup" -> cosineLsh,
     "llm_chunk" -> chunk,
     "llm_pack_sequences" -> pack,
+    "llm_shard_manifest" -> shardManifest,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_dedup_stats" -> dedupStats,
     "llm_simhash" -> simhash,
@@ -1771,6 +1823,7 @@ object Llm {
     "llm_cosine_lsh_neardup" -> q30Sql,
     "llm_chunk" -> chunkSql,
     "llm_pack_sequences" -> packSql,
+    "llm_shard_manifest" -> shardManifestSql,
     // clusters: LSH-verified pairs equal exact-Jaccard pairs on the
     // fixtures (recall 1), so components over them match the oracle's
     // recursive closure over exact pairs
