@@ -958,8 +958,12 @@ object Llm {
   // end-to-end (the 15-hex-digit parse stays in BIGINT on both
   // engines; a 16^14 double power would lose bits past 2^53).
   // Scale: one scan + one 16-group aggregate; nothing driver-side.
-  private val shardManifest: Q = (s, dir) =>
-    t(s, dir, "documents")
+  /** The per-shard stats derivation — the ONE expression tree the
+    * batch query and `streaming.ShardManifestStream` both run, so the
+    * maintained manifest equals the batch form by construction (the
+    * psiOfCells discipline). */
+  private[graft] def shardStats(docs: DataFrame): DataFrame =
+    docs
       .select(
         conv(substring(md5(col("doc_id").cast(StringType)), 1, 1), 16, 10)
           .cast(LongType).as("shard"),
@@ -972,7 +976,9 @@ object Llm {
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"),
         expr("bit_xor(fp)").as("fingerprint"))
-      .orderBy(col("shard"))
+
+  private val shardManifest: Q = (s, dir) =>
+    shardStats(t(s, dir, "documents")).orderBy(col("shard"))
 
   private val shardManifestSql =
     """WITH d AS (

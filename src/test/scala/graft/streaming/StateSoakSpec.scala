@@ -116,4 +116,35 @@ class StateSoakSpec extends SparkSpec {
     assert(served == oneShot,
       "soaked PSI diverged from the whole-prefix one-shot")
   }
+
+  test("shard-manifest maintainer: bounded versions across 16 batches " +
+    "with a replay every 4th batch; final manifest equals the one-shot") {
+    import spark.implicits._
+    import ProfileStreamSpec.Doc
+    val out = Files.createTempDirectory("shardsoak").toString
+    var seen = Seq.empty[Doc]
+    for (b <- 0 until Batches) {
+      val batch = (0 until 25).map(i => Doc((b * 25 + i).toLong,
+        s"w${i % 7} " * (1 + i % 4), Some("en"), s"src${(b + i) % 5}",
+        ((b * 25 + i) % 19) * 400L))
+      ShardManifestStream.updateBatch(batch.toDF(), out, b.toLong)
+      if (b % 4 == 3) // re-delivery: a double-xor would CANCEL docs
+        ShardManifestStream.updateBatch(batch.toDF(), out, b.toLong)
+      seen = seen ++ batch
+      for (store <- Seq("manifest", "meta")) {
+        val dirs = versionDirs(out, store)
+        assert(dirs.size <= 2,
+          s"batch $b: $store holds ${dirs.size} versions " +
+            s"(${dirs.sorted.mkString(", ")}) — prune is leaking")
+      }
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("shard") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("fingerprint"))).toMap
+    val served = key(ShardManifestStream.currentManifest(spark, out))
+    val oneShot = key(graft.queries.Llm.shardStats(seen.toDF()))
+    assert(served == oneShot,
+      "soaked manifest diverged from the whole-prefix one-shot")
+  }
 }
