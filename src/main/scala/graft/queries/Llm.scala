@@ -364,7 +364,9 @@ object Llm {
         .orderBy(col("cos").desc, col("b_id"))))
       .withColumn("rb", row_number().over(W.partitionBy(col("b_id"))
         .orderBy(col("cos").desc, col("a_id"))))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy, like every other checkpoint here:
+    // eager would run the cross join at CONSTRUCTION (plan-only
+    // consumers like PlanCensus must stay plan-only)
     val ka = ranked.filter(col("ra") <= 4).groupBy(col("a_id"))
       .agg(avg(col("cos")).as("ka"))
     val kb = ranked.filter(col("rb") <= 4).groupBy(col("b_id"))
@@ -961,7 +963,13 @@ object Llm {
   /** The per-shard stats derivation — the ONE expression tree the
     * batch query and `streaming.ShardManifestStream` both run, so the
     * maintained manifest equals the batch form by construction (the
-    * psiOfCells discipline). */
+    * psiOfCells discipline). Two DISTINCT hashes by design: the shard
+    * nibble hashes doc_id ALONE (routing must be append-stable — a
+    * doc whose text is corrected re-exports into the SAME shard),
+    * while the fingerprint hashes doc_id:text (a content edit, not
+    * just a membership change, must flip the manifest row — a
+    * doc_id-only fingerprint would validate a corrupted re-export as
+    * identical). */
   private[graft] def shardStats(docs: DataFrame): DataFrame =
     docs
       .select(
@@ -969,7 +977,8 @@ object Llm {
           .cast(LongType).as("shard"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
         col("n_chars").cast(LongType).as("n_chars"),
-        conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        conv(substring(md5(concat(col("doc_id").cast(StringType),
+          lit(":"), col("text"))), 1, 15), 16, 10)
           .cast(LongType).as("fp"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
@@ -981,18 +990,23 @@ object Llm {
     shardStats(t(s, dir, "documents")).orderBy(col("shard"))
 
   private val shardManifestSql =
-    """WITH d AS (
+    """WITH h AS (
       |  SELECT
-      |    CAST(strpos('0123456789abcdef',
-      |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
-      |      AS shard,
+      |    md5(CAST(doc_id AS VARCHAR)) AS hid,
+      |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS hct,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |    CAST(n_chars AS BIGINT) AS n_chars,
+      |    CAST(n_chars AS BIGINT) AS n_chars
+      |  FROM documents),
+      |d AS (
+      |  SELECT
+      |    CAST(strpos('0123456789abcdef', substr(hid, 1, 1)) - 1
+      |      AS BIGINT) AS shard,
+      |    n_tokens, n_chars,
       |    CAST(list_sum([CAST(strpos('0123456789abcdef',
-      |        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+      |        substr(hct, i, 1)) - 1 AS BIGINT)
       |        * (1::BIGINT << (4 * (15 - i)))
       |      for i in generate_series(1, 15)]) AS BIGINT) AS fp
-      |  FROM documents)
+      |  FROM h)
       |SELECT shard, count(*) AS n_docs,
       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,

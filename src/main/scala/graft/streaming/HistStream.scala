@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
   *
   * Buckets are q104's: least(floor(n_chars/500), 9), null n_chars
   * rows excluded. State under `dir` (VersionedState protocol: meta
-  * written LAST = commit point; replays no-op; the version the batch
-  * read from is pruned after commit):
+  * written LAST = commit point; replays no-op; after commit, versions
+  * strictly OLDER than the one the batch read from are pruned — the
+  * crash-window pair {readV, batchId} is kept):
   * {{{
   *   dir/hist/state_vN  (source, b, c)   — ≤ sources × 10 rows
   *   dir/meta/state_vN  (n_rows)         — rows through batch N

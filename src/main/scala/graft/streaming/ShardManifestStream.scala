@@ -24,8 +24,10 @@ import org.apache.spark.sql.types._
   * manifest equals `llm_shard_manifest`'s batch form over the same
   * prefix by construction (pinned in ShardManifestStreamSpec).
   *
-  * State under `dir` (meta written LAST = commit point; the version
-  * the batch read from is pruned after commit):
+  * State under `dir` (meta written LAST = commit point; after commit,
+  * versions strictly OLDER than the one the batch read from are
+  * pruned — the crash-window pair {readV, batchId} is kept, the
+  * StateSoakSpec `<= 2 versions` bound):
   * {{{
   *   dir/manifest/state_vN  (shard, n_docs, n_tokens, n_chars,
   *                           fingerprint)  — ≤ 16 rows

@@ -71,10 +71,24 @@ class ShardManifestStreamSpec extends SparkSpec {
     val b = batchManifest(scala.util.Random.shuffle(all))
     assert(a == b, "manifest must not depend on input order")
     val missing = batchManifest(all.filterNot(_.doc_id == 13L))
-    val shard13 = graft.queries.Llm.shardStats(Seq(all.find(
-      _.doc_id == 13L).get).toDF()).collect().head.getAs[Long]("shard")
+    val doc13 = all.find(_.doc_id == 13L).get
+    val shard13 = graft.queries.Llm.shardStats(Seq(doc13).toDF())
+      .collect().head.getAs[Long]("shard")
     assert(a(shard13) != missing.getOrElse(shard13, (0L, 0L, 0L, 0L)),
       "dropping a doc must flip its shard's manifest row")
+    // a CONTENT edit (same doc_id, same token count, same stored
+    // n_chars) must flip the fingerprint too — the fingerprint hashes
+    // doc_id:text, not membership alone
+    val edited = batchManifest(all.map(d =>
+      if (d.doc_id == 13L) d.copy(text = d.text.replaceFirst("body", "bodz"))
+      else d))
+    assert(a(shard13)._4 != edited(shard13)._4,
+      "a content edit left the fingerprint unchanged")
+    assert(a(shard13)._1 == edited(shard13)._1 &&
+      a(shard13)._2 == edited(shard13)._2,
+      "the edit fixture must hold docs/tokens constant to isolate fp")
+    // and routing is content-INDEPENDENT: the edited doc stays put
+    assert(a.keySet == edited.keySet)
   }
 
   test("an empty batch 0 commits; the manifest appears with the first " +
