@@ -511,15 +511,17 @@ object Events {
   // q39 discipline (Spark `percentile` ≡ DuckDB `quantile_cont`,
   // identical interpolation); the FILTER uses the raw double fences
   // (same tree, same quartile doubles → same decisions), and the
-  // PRESENTED fences are exact DECIMAL: value is on a 0.01 grid and
-  // the interpolation fractions are quarters, so quartiles live on a
-  // 0.0025 grid — cast(dec(18,4)) recovers them exactly, the ±1.5·IQR
-  // arithmetic stays exact at scale 5, and round(,2) ties (fences DO
-  // land on x.xx500 at some volumes — the sf1 hash run caught 'click'
-  // at 151.79500) resolve half-away-from-zero on BOTH engines.
-  // round(double,2) here was the sf1 bug: Spark rounds the SHORTEST
-  // DECIMAL REPR of the double (151.7949…93 → "151.795" → 151.80)
-  // while DuckDB rounds the binary value (→ 151.79).
+  // PRESENTED fences are exact DECIMAL with NO rounding anywhere:
+  // value is on a 0.01 grid and the interpolation fractions are
+  // quarters, so quartiles live on a 0.0025 grid — cast(dec(18,4))
+  // recovers them exactly (the true value sits ON the 1e-4 grid, so
+  // the cast can never tie), and the ±1.5·IQR arithmetic stays exact
+  // at scale 5. The round-9 form rounded the scale-5 fence to 2
+  // decimals, but fences DO land on x.xx500 ('purchase' 144.48500 at
+  // sf0.01) and DECIMAL round-tie direction is engine-VERSION-
+  // dependent (half-away on DuckDB 1.0.0, half-even elsewhere — the
+  // round-10 driver gate split exactly those cells), so the fence is
+  // now presented at its exact scale instead of rounded.
   // Scale: quartiles are per-TYPE (bounded alphabet → bounded sort
   // buffers; the corpus-scale path is q52's mergeable sketch), fences
   // ship broadcast, the outlier scan is one filter pass.
@@ -536,9 +538,9 @@ object Events {
       .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
       .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
       .withColumn("lo_fence",
-        round(qd1 - k * (qd3 - qd1), 2).cast(DecimalType(18, 2)))
+        (qd1 - k * (qd3 - qd1)).cast(DecimalType(18, 5)))
       .withColumn("hi_fence",
-        round(qd3 + k * (qd3 - qd1), 2).cast(DecimalType(18, 2)))
+        (qd3 + k * (qd3 - qd1)).cast(DecimalType(18, 5)))
       .filter(col("value") < col("lo") || col("value") > col("hi"))
       .groupBy(col("event_type"), col("lo_fence"), col("hi_fence"))
       .agg(count(lit(1)).as("n_outliers"),
@@ -558,10 +560,10 @@ object Events {
       |o AS (
       |  SELECT e.event_type, e.value,
       |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi,
-      |    CAST(round(CAST(q1 AS DECIMAL(18,4))
-      |      - CAST(1.5 AS DECIMAL(2,1)) * (CAST(q3 AS DECIMAL(18,4)) - CAST(q1 AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS lo_fence,
-      |    CAST(round(CAST(q3 AS DECIMAL(18,4))
-      |      + CAST(1.5 AS DECIMAL(2,1)) * (CAST(q3 AS DECIMAL(18,4)) - CAST(q1 AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS hi_fence
+      |    CAST(CAST(q1 AS DECIMAL(18,4))
+      |      - CAST(1.5 AS DECIMAL(2,1)) * (CAST(q3 AS DECIMAL(18,4)) - CAST(q1 AS DECIMAL(18,4))) AS DECIMAL(18,5)) AS lo_fence,
+      |    CAST(CAST(q3 AS DECIMAL(18,4))
+      |      + CAST(1.5 AS DECIMAL(2,1)) * (CAST(q3 AS DECIMAL(18,4)) - CAST(q1 AS DECIMAL(18,4))) AS DECIMAL(18,5)) AS hi_fence
       |  FROM events e JOIN b USING (event_type))
       |SELECT event_type, lo_fence, hi_fence,
       |  count(*) AS n_outliers, min(value) AS min_outlier,

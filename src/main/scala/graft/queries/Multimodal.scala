@@ -31,6 +31,15 @@ final case class MediaMeta(doc_id: Long, source: String, byte_len: Long,
 /** One document's real animated-GIF container bytes (mm_frame_sample). */
 final case class GifRow(doc_id: Long, gif: Array[Byte])
 
+/** One rendered image (base or brightness variant) as real PNG bytes
+  * entering the perceptual-hash stage (mm_phash_dedup). */
+final case class PhashPng(img_id: Long, png: Array[Byte])
+
+/** One image's 64-bit average-hash, split into two 32-bit halves so
+  * every downstream bit op stays inside non-negative BIGINT range on
+  * both engines (a 1<<63 build is an overflow error in DuckDB). */
+final case class PhashRow(img_id: Long, lo: Long, hi: Long)
+
 /** One SAMPLED frame decoded from real animated-GIF bytes. */
 final case class FrameMeta(doc_id: Long, n_frames: Long, frame_idx: Long,
     width: Long, height: Long, pixel_sum: Long)
@@ -1319,6 +1328,296 @@ object Multimodal {
       |FROM ve, mu
       |GROUP BY ve.label ORDER BY label""".stripMargin
 
+  // ---- mm_phash_dedup: perceptual near-dup over REAL decoded images --
+  // The missing modality in the dedup family: text near-dup (MinHash/
+  // SimHash/winnow) and embedding near-dup (SemDeDup/cosine LSH) both
+  // exist, but a crawl corpus also carries the SAME IMAGE re-encoded
+  // with small pixel edits. The standard screen is a perceptual hash:
+  // average-hash here — decode, grayscale, 8×8 block-average
+  // downsample, threshold each block against the image mean → 64 bits;
+  // near-dups are pairs within a small Hamming distance. Ground truth
+  // is manufactured inside the query (the mm_image_roundtrip pattern,
+  // with a residue-salted formula — see phashRgb):
+  // each document renders its formula image PLUS a brightness variant
+  // (+2 on the red channel, clamped — a re-export-style perturbation),
+  // both through the REAL PNG codec, and the hash is computed from the
+  // DECODED pixels, so the codec sits inside the checked path while
+  // the DuckDB oracle mirrors the generation formula.
+  // Scale shape: candidate generation is Hamming LSH — the 64-bit hash
+  // splits into 4×16-bit chunks and only pairs agreeing on ≥1 chunk
+  // join (pigeonhole: ≤3 differing bits cannot touch all 4 chunks, so
+  // recall at the d≤3 threshold is STRUCTURALLY 1 and banding ≡ brute
+  // force — same argument as the q101 round-budget discipline, proved,
+  // not sampled). Never corpus²: the join is chunk-equality (the
+  // MinHash banding shape), verification is one xor+bit_count per
+  // candidate. All integer arithmetic (gray, block avg, mean,
+  // threshold) is exact floor-division on both engines; the hash rides
+  // two 32-bit halves because a 1<<63 build overflows DuckDB's BIGINT
+  // left-shift (probed) while xor/bit_count on the halves stay in
+  // non-negative range everywhere.
+  /** Per-pixel channels for the phash corpus — mirrored verbatim in
+    * the oracle. DISTINCT from the roundtrip formula on purpose: any
+    * integer polynomial in id is periodic mod 256, so the roundtrip
+    * recipe renders IDENTICAL images for id ≡ id' (mod 256) and a
+    * near-dup query over it returns a quadratic blob (measured: 392k
+    * pairs at sf0.1). Salting the coefficients with coprime residues
+    * (id mod 251/241/233 — lcm with the 256 pixel modulus ≈ 15M)
+    * makes every doc's image distinct at any plausible corpus size,
+    * so the ONLY near-dups are the manufactured brightness variants
+    * (measured at sf0.1: 4836 pairs, all of them true (base,variant),
+    * candidate volume linear).
+    */
+  private def phashRgb(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    (((id % 251) * (x + 3) + id % 256 + x * x * 7 + y * y * 13 +
+      x * y * 3) % 256).toInt,
+    (((id % 241) * (y + 5) + x * 31 + y * 29 + x * x * 5) % 256).toInt,
+    (((id % 233) * (x + y + 7) + x * x * 11 + y * y * 3 +
+      x * 7) % 256).toInt)
+
+  private def encodePhashPng(docId: Long, v: Int): PhashPng = {
+    imageIoInMemory
+    val (w, h) = imgDims(docId)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r0, g, b) = phashRgb(docId, x, y)
+        val r = if (v == 1) math.min(r0 + 2, 255) else r0
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    PhashPng(docId * 2 + v, bos.toByteArray)
+  }
+
+  private def phashOf(p: PhashPng): PhashRow = {
+    imageIoInMemory
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p.png))
+    require(img != null, s"img ${p.img_id}: undecodable PNG blob")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = (y * 8) / h
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        // gray = (r + 2g + 3b) / 6 — same integer weights as the
+        // roundtrip checksum, exact floor division (all non-negative)
+        val gray = (((px >> 16) & 0xff) + 2 * ((px >> 8) & 0xff) +
+          3 * (px & 0xff)) / 6
+        val k = by * 8 + (x * 8) / w
+        sum(k) += gray
+        cnt(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val avg = new Array[Long](64)
+    var k = 0
+    var tot = 0L
+    while (k < 64) { avg(k) = sum(k) / cnt(k); tot += avg(k); k += 1 }
+    val mean = tot / 64
+    var lo = 0L
+    var hi = 0L
+    k = 0
+    while (k < 64) {
+      if (avg(k) > mean) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    PhashRow(p.img_id, lo, hi)
+  }
+
+  private val phashDedup: Q = (s, dir) => {
+    import s.implicits._
+    val hashes = t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(id =>
+        Iterator(encodePhashPng(id, 0), encodePhashPng(id, 1))))
+      .mapPartitions(_.map(phashOf)) // DECODE + hash from real pixels
+      .toDF()
+    // Hamming LSH: 4×16-bit chunks (ci 0,1 from lo; 2,3 from hi)
+    val chunks = hashes.select(col("img_id"), col("lo"), col("hi"),
+      posexplode(expr(
+        """array((lo      ) & 65535, shiftright(lo, 16) & 65535,
+          |      (hi      ) & 65535, shiftright(hi, 16) & 65535)"""
+          .stripMargin)).as(Seq("ci", "cv")))
+    val cand = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.img_id") < col("y.img_id"))
+      .select(col("x.img_id").as("a_id"), col("y.img_id").as("b_id"),
+        col("x.lo").as("la"), col("x.hi").as("xa"),
+        col("y.lo").as("lb"), col("y.hi").as("xb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        (bit_count(expr("la ^ lb")) + bit_count(expr("xa ^ xb")))
+          .cast(LongType))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val phashDedupSql =
+    """WITH m AS (
+      |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 24 AS h
+      |  FROM documents),
+      |iv AS (SELECT doc_id, w, h, unnest([0, 1]) AS v FROM m),
+      |px AS (SELECT doc_id, w, h, v,
+      |         unnest(generate_series(0, w - 1)) AS x FROM iv),
+      |pxy AS (SELECT doc_id, w, h, v, x,
+      |          unnest(generate_series(0, h - 1)) AS y FROM px),
+      |g AS (
+      |  SELECT doc_id * 2 + v AS img_id,
+      |    ((y * 8) // h) * 8 + (x * 8) // w AS k,
+      |    (least(((doc_id % 251) * (x + 3) + doc_id % 256
+      |            + x * x * 7 + y * y * 13 + x * y * 3) % 256 + v * 2,
+      |           255)
+      |     + 2 * (((doc_id % 241) * (y + 5) + x * 31 + y * 29
+      |             + x * x * 5) % 256)
+      |     + 3 * (((doc_id % 233) * (x + y + 7) + x * x * 11
+      |             + y * y * 3 + x * 7) % 256)) // 6 AS gray
+      |  FROM pxy),
+      |blk AS (SELECT img_id, k, CAST(sum(gray) AS BIGINT) // count(*) AS a
+      |        FROM g GROUP BY 1, 2),
+      |mn AS (SELECT img_id, CAST(sum(a) AS BIGINT) // 64 AS mean
+      |       FROM blk GROUP BY 1),
+      |hs AS (
+      |  SELECT b.img_id,
+      |    bit_or(CASE WHEN b.a > mn.mean AND b.k < 32
+      |      THEN (CAST(1 AS BIGINT) << CAST(b.k AS INT)) ELSE 0 END) AS lo,
+      |    bit_or(CASE WHEN b.a > mn.mean AND b.k >= 32
+      |      THEN (CAST(1 AS BIGINT) << CAST(b.k - 32 AS INT)) ELSE 0 END)
+      |      AS hi
+      |  FROM blk b JOIN mn USING (img_id) GROUP BY b.img_id),
+      |ch AS (
+      |  SELECT img_id, lo, hi, ci,
+      |    CASE ci WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+      |            WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS cv
+      |  FROM hs, (SELECT unnest([0, 1, 2, 3]) AS ci)),
+      |cand AS (
+      |  SELECT DISTINCT a.img_id AS a_id, b.img_id AS b_id,
+      |    a.lo AS la, a.hi AS xa, b.lo AS lb, b.hi AS xb
+      |  FROM ch a JOIN ch b
+      |    ON a.ci = b.ci AND a.cv = b.cv AND a.img_id < b.img_id)
+      |SELECT a_id, b_id,
+      |  CAST(bit_count(xor(la, lb)) + bit_count(xor(xa, xb)) AS BIGINT)
+      |    AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(la, lb)) + bit_count(xor(xa, xb)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- mm_matryoshka_recall: truncated-dimension retrieval quality ---
+  // Matryoshka-style embeddings serve retrieval from a PREFIX of the
+  // vector (8/16/32 of 64 dims here) to cut memory and dot-product
+  // cost; the deployment question is how much recall each truncation
+  // keeps vs the full-dimension ranking. For a deterministic query
+  // panel (vec_id % 100 = 0), top-10 by prefix-k cosine is compared
+  // against top-10 by full cosine — recall@10 per k, aggregated over
+  // the panel. Every cosine (including full) runs the SAME
+  // slice→zip→fold expression tree on both engines (q29/q30
+  // discipline), ranking ties break on vec_id, and the presented
+  // recall is exact-integer HALF_UP (overlap counts are integers; a
+  // round(double) of overlap/(10·nq) is the documented tie class).
+  // Scale shape: the query panel is broadcast (O(corpus · panel)
+  // scored rows, never corpus²), ranking is one (q_id, k)-partitioned
+  // top-k — at fleet scale the panel rides the same IVF candidate
+  // route as llm_ann_recall; this query IS the quality monitor.
+  private val matryoshkaRecall: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val dims = Seq(8, 16, 32, 64)
+    def cosK(k: Int) = expr(
+      s"""aggregate(zip_with(slice(embedding, 1, $k), slice(qe, 1, $k),
+         |  (x, y) -> cast(x as double) * cast(y as double)),
+         |  0D, (acc, v) -> acc + v) /
+         |(sqrt(aggregate(slice(embedding, 1, $k),
+         |  0D, (acc, v) -> acc + cast(v as double) * cast(v as double))) *
+         | sqrt(aggregate(slice(qe, 1, $k),
+         |  0D, (acc, v) -> acc + cast(v as double) * cast(v as double))))"""
+        .stripMargin)
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        explode(array(dims.map(k =>
+          struct(lit(k).as("k"), cosK(k).as("score"))): _*)).as("kc"))
+      .select(col("q_id"), col("vec_id"),
+        col("kc.k").as("k"), col("kc.score").as("score"))
+    val top = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"), col("k"))
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id"), col("k"))
+    val truth = top.filter(col("k") === 64)
+      .select(col("q_id"), col("vec_id"))
+    val nq = q.agg(count(lit(1)).as("n_queries"))
+    import s.implicits._
+    Seq(8, 16, 32).toDF("k_dims")
+      .join(
+        top.filter(col("k") =!= 64)
+          .join(truth, Seq("q_id", "vec_id"))
+          .groupBy(col("k").as("k_dims"))
+          .agg(count(lit(1)).as("sum_overlap")),
+        Seq("k_dims"), "left")
+      .na.fill(0L, Seq("sum_overlap"))
+      .crossJoin(broadcast(nq))
+      .withColumn("recall",
+        expr("(2 * sum_overlap * 10000 + 10 * n_queries) " +
+          "DIV (2 * 10 * n_queries)").cast(DoubleType) / 10000.0)
+      .select(col("k_dims"), col("n_queries"), col("sum_overlap"),
+        col("recall"))
+      .orderBy(col("k_dims"))
+  }
+
+  private val matryoshkaRecallSql =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |  WHERE vec_id % 100 = 0),
+      |nq AS (SELECT count(*) AS n_queries FROM q),
+      |s AS (
+      |  SELECT q.q_id, e.vec_id, ks.k,
+      |    list_sum([CAST(e.embedding[i] AS DOUBLE) *
+      |              CAST(q.qe[i] AS DOUBLE)
+      |              for i in generate_series(1, ks.k)]) /
+      |    (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) *
+      |                    CAST(e.embedding[i] AS DOUBLE)
+      |                    for i in generate_series(1, ks.k)])) *
+      |     sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) *
+      |                    CAST(q.qe[i] AS DOUBLE)
+      |                    for i in generate_series(1, ks.k)]))) AS score
+      |  FROM embeddings e, q, (SELECT unnest([8, 16, 32, 64]) AS k) ks
+      |  WHERE e.vec_id <> q.q_id),
+      |r AS (
+      |  SELECT q_id, vec_id, k,
+      |    row_number() OVER (PARTITION BY q_id, k
+      |                       ORDER BY score DESC, vec_id) AS rn
+      |  FROM s),
+      |top AS (SELECT q_id, vec_id, k FROM r WHERE rn <= 10),
+      |truth AS (SELECT q_id, vec_id FROM top WHERE k = 64),
+      |ov AS (
+      |  SELECT k AS k_dims, CAST(count(*) AS BIGINT) AS sum_overlap
+      |  FROM top JOIN truth USING (q_id, vec_id)
+      |  WHERE k <> 64 GROUP BY 1)
+      |SELECT ks.k_dims, nq.n_queries,
+      |  coalesce(ov.sum_overlap, 0) AS sum_overlap,
+      |  CAST((2 * coalesce(ov.sum_overlap, 0) * 10000 + 10 * nq.n_queries)
+      |       // (2 * 10 * nq.n_queries) AS DOUBLE) / 10000.0 AS recall
+      |FROM (SELECT unnest([8, 16, 32]) AS k_dims) ks
+      |LEFT JOIN ov USING (k_dims) CROSS JOIN nq
+      |ORDER BY k_dims""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "llm_embed_pca" -> embedPca,
     "llm_label_centroids" -> labelCentroids,
@@ -1335,6 +1634,8 @@ object Multimodal {
     "llm_ann_ivf" -> annIvf,
     "llm_ann_ivf_trained" -> annIvfTrained,
     "llm_ivf_balance" -> ivfBalance,
+    "mm_phash_dedup" -> phashDedup,
+    "mm_matryoshka_recall" -> matryoshkaRecall,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1353,5 +1654,7 @@ object Multimodal {
     "mm_feature_extract" -> featureExtractSql,
     "llm_ann_ivf" -> annIvfSql,
     "llm_ann_ivf_trained" -> annIvfTrainedSql,
+    "mm_phash_dedup" -> phashDedupSql,
+    "mm_matryoshka_recall" -> matryoshkaRecallSql,
   )
 }

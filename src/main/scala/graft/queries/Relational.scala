@@ -53,39 +53,58 @@ object Relational {
   // (43579985256.93967 vs ...674 — not correctly rounded; Spark's
   // BigDecimal.doubleValue is), so any cast-to-double of an exact
   // decimal is a latent cross-engine landmine that only fires when
-  // the sum's magnitude crosses a mantissa boundary. AVGs keep the
-  // mirrored double tree but round(4) — rounding granularity 1e-4 at
-  // ~1e4 magnitude dwarfs a cast ULP (~1e-12 after the /count).
-  private val q02: Q = (s, dir) =>
+  // the sum's magnitude crosses a mantissa boundary. Operand widths
+  // are deliberately TIGHT — price (12,2), 1±rate (3,2) — so every
+  // intermediate product stays ≤ width 38 in EVERY DuckDB version:
+  // the wide (18,2)³ form exceeded 38 and rode version-specific
+  // overflow promotion (exact hugeint on 1.0.0; double-promote or
+  // error elsewhere), which the round-10 driver gate caught. AVGs
+  // use the exact-integer HALF_UP discipline (q87/q99 pattern:
+  // floor((2p+q)/(2q)) via DIV, then ONE double division by 10⁴) —
+  // round(double,4) on a cents-sum/(100n) rational is the documented
+  // tie class and DuckDB's double-round tie behavior is
+  // version-dependent.
+  private val q02: Q = (s, dir) => {
+    val price = col("l_extendedprice").cast(DecimalType(12, 2))
+    val disc = col("l_discount").cast(DecimalType(3, 2))
+    val tax = col("l_tax").cast(DecimalType(3, 2))
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= ts("2000-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2))
-          .as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        sum(price).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(price * (lit(1).cast(DecimalType(3, 2)) - disc))
           .cast(DecimalType(38, 4)).as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
-          * (lit(1) + dec2(col("l_tax")))).cast(DecimalType(38, 6))
-          .as("sum_charge"),
+        sum(price * (lit(1).cast(DecimalType(3, 2)) - disc)
+          * (lit(1).cast(DecimalType(3, 2)) + tax))
+          .cast(DecimalType(38, 6)).as("sum_charge"),
         avg(col("l_quantity")).as("avg_qty"),
-        round(d(sum(dec2(col("l_extendedprice")))) / count(lit(1)), 4)
-          .as("avg_price"),
-        round(d(sum(dec2(col("l_discount")))) / count(lit(1)), 4)
-          .as("avg_disc"),
+        sum(price).as("_sp"),
+        sum(disc).as("_sd"),
         count(lit(1)).as("count_order"))
+      .withColumn("avg_price",
+        d(expr("(2 * _sp * 10000 + count_order) DIV (2 * count_order)"))
+          / 10000.0)
+      .withColumn("avg_disc",
+        d(expr("(2 * _sd * 10000 + count_order) DIV (2 * count_order)"))
+          / 10000.0)
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        col("avg_qty"), col("avg_price"), col("avg_disc"),
+        col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   private val q02Sql =
     """SELECT l_returnflag, l_linestatus,
       |  sum(l_quantity) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS sum_charge,
       |  avg(l_quantity) AS avg_qty,
-      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
-      |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+      |  CAST((2 * CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS HUGEINT) * 100 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_price,
+      |  CAST((2 * CAST(sum(CAST(l_discount AS DECIMAL(3,2)) * 100) AS HUGEINT) * 100 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
       |GROUP BY l_returnflag, l_linestatus

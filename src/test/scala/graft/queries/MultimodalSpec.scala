@@ -372,4 +372,41 @@ class MultimodalSpec extends SparkSpec {
       assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cohesion range: $r")
     }
   }
+
+  test("mm_phash_dedup finds the manufactured brightness variants and " +
+    "nothing else: every pair is (base, base+1), recall >= 0.9") {
+    val rows = graft.SparkEntry.queries("mm_phash_dedup")(spark, dir)
+      .collect()
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // the residue-salted corpus makes cross-document collisions
+      // vanishingly rare — every detected pair must be a doc's own
+      // +2-brightness variant (img ids are doc_id*2 and doc_id*2+1)
+      assert(a % 2 == 0 && b == a + 1,
+        s"unexpected cross-document pair ($a, $b)")
+      assert(d >= 0 && d <= 3, s"hamming out of band: $r")
+    }
+    // a +2 clamped channel shift moves block averages by <= 1 gray
+    // level, so most variants stay within the d<=3 band (96.7%
+    // measured at sf0.1); pin a conservative floor
+    assert(rows.length >= (nDocs * 9) / 10,
+      s"variant recall too low: ${rows.length} of $nDocs")
+  }
+
+  test("mm_matryoshka_recall: recall@10 grows with prefix width and " +
+    "stays a valid proportion") {
+    val rows = graft.SparkEntry.queries("mm_matryoshka_recall")(spark, dir)
+      .collect()
+    assert(rows.map(_.getAs[Int]("k_dims")).toSeq == Seq(8, 16, 32))
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    recalls.foreach(r => assert(r >= 0.0 && r <= 1.0, s"recall range: $r"))
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2),
+      s"recall not monotone in prefix width: ${recalls.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_overlap") <=
+        10L * r.getAs[Long]("n_queries"), s"overlap exceeds top-k: $r")
+    }
+  }
 }

@@ -845,15 +845,16 @@ class QueriesSpec extends SparkSpec {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      // fences are exact DECIMAL(18,2) since the sf1 rounding-tie fix
+      // fences are exact UNROUNDED DECIMAL(18,5) since the round-10
+      // tie-direction fix (decimal round ties are engine-version-
+      // dependent, so the fence is presented at its exact scale)
       val lo = r.getDecimal(1).doubleValue()
       val hi = r.getDecimal(2).doubleValue()
       assert(lo < hi, s"${r.getString(0)}: fences inverted")
       assert(r.getLong(3) > 0)
-      // min/max outlier must be outside the (rounded) fence band up
-      // to the 2-decimal rounding slack
-      assert(r.getDouble(4) > hi - 0.01 || r.getDouble(4) < lo + 0.01)
-      assert(r.getDouble(5) > hi - 0.01 || r.getDouble(5) < lo + 0.01)
+      // min/max outlier must lie strictly outside the exact fences
+      assert(r.getDouble(4) > hi || r.getDouble(4) < lo)
+      assert(r.getDouble(5) > hi || r.getDouble(5) < lo)
     }
   }
 
