@@ -147,4 +147,35 @@ class StateSoakSpec extends SparkSpec {
     assert(served == oneShot,
       "soaked manifest diverged from the whole-prefix one-shot")
   }
+
+  test("dedup-cluster maintainer: bounded versions across 16 batches " +
+    "with a replay every 4th batch; final labeling equals the one-shot") {
+    import spark.implicits._
+    import DedupClusterStreamSpec.Pair
+    val out = Files.createTempDirectory("clustersoak").toString
+    var seen = Seq.empty[Pair]
+    for (b <- 0 until Batches) {
+      // chains that keep extending earlier clusters plus fresh pairs —
+      // exercises both growth and steady relabeling
+      val batch = (0 until 6).map(i =>
+        Pair((b * 3 + i * 5) % 50, (b * 3 + i * 5) % 50 + 100 + b % 4))
+      DedupClusterStream.updateBatch(batch.toDF(), out, b.toLong)
+      if (b % 4 == 3) // replay must be a no-op, not a re-merge
+        DedupClusterStream.updateBatch(batch.toDF(), out, b.toLong)
+      seen = seen ++ batch
+      for (store <- Seq("labels", "meta")) {
+        val dirs = versionDirs(out, store)
+        assert(dirs.size <= 2,
+          s"batch $b: $store holds ${dirs.size} versions " +
+            s"(${dirs.sorted.mkString(", ")}) — prune is leaking")
+      }
+    }
+    val served = DedupClusterStream.currentLabels(spark, out).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = graft.operators.ConnectedComponents
+      .of(seen.toDF("a_id", "b_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == oneShot,
+      "soaked labeling diverged from the whole-prefix one-shot")
+  }
 }
