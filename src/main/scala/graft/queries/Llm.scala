@@ -1042,7 +1042,10 @@ object Llm {
   // per-recorded-language rates. The audit a pipeline runs before
   // trusting a classifier for filtering — the same groupBy shape
   // serves any (predicted, actual) column pair. Rates are ratios of
-  // exact integer counts (deterministic); one scan, one tiny exchange.
+  // exact integer counts presented via the exact-integer HALF_UP
+  // discipline (tieprobe r10 found a LIVE tie at sf0.01 — rate
+  // 0.90625 = 29/32 — and round(double) tie direction is engine-
+  // version-dependent); one scan, one tiny exchange.
   private val langConfusion: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("lang"),
@@ -1051,10 +1054,12 @@ object Llm {
           .otherwise(lit("unknown")).as("predicted_lang"))
       .groupBy(col("lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("rate", round(col("n_docs").cast(DoubleType) /
-        sum(col("n_docs")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))),
-        4))
+      .withColumn("tot", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+      .withColumn("rate",
+        expr("(2 * n_docs * 10000 + tot) DIV (2 * tot)")
+          .cast(DoubleType) / 10000.0)
+      .drop("tot")
       .orderBy(col("lang"), col("predicted_lang"))
 
   private val langConfusionSql =
@@ -1067,9 +1072,9 @@ object Llm {
       |c AS (SELECT lang, predicted_lang, count(*) AS n_docs
       |      FROM p GROUP BY 1, 2)
       |SELECT lang, predicted_lang, n_docs,
-      |  round(CAST(n_docs AS DOUBLE) /
-      |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4)
-      |    AS rate
+      |  CAST((2 * n_docs * 10000 + sum(n_docs) OVER (PARTITION BY lang))
+      |       // (2 * sum(n_docs) OVER (PARTITION BY lang)) AS DOUBLE)
+      |    / 10000.0 AS rate
       |FROM c ORDER BY lang, predicted_lang""".stripMargin
 
   // ---- text analysis: quality scoring ---------------------------------
@@ -1107,22 +1112,29 @@ object Llm {
   // (Gopher's 50 → 20 here; the fixture docs are short). Pure per-row
   // scan+project: zero exchanges, embarrassingly parallel at any
   // scale, and the verdict columns compress to almost nothing in a
-  // columnar sink. mean_word_len is a ratio of two exact ints rounded
-  // to 4 decimals — the division is the identical double op in both
-  // engines, so the hash is stable.
+  // columnar sink. mean_word_len and alpha_frac are integer ratios,
+  // presented via the exact-integer HALF_UP discipline — tieprobe r10
+  // found a LIVE round(double) tie at sf0.01 (4.40625, denominator
+  // 32), and double-round tie direction is engine-version-dependent;
+  // the rule predicates evaluate the PRESENTED values so decisions
+  // stay mirrored.
   private val gopher: Q = (s, dir) =>
     t(s, dir, "documents")
       .withColumn("tk", split(col("text"), " "))
       .withColumn("n_tokens", size(col("tk")).cast(LongType))
+      .withColumn("nsc",
+        length(regexp_replace(col("text"), " ", "")).cast(LongType))
       .withColumn("mwl",
-        round(length(regexp_replace(col("text"), " ", ""))
-          .cast(DoubleType) / col("n_tokens"), 4))
+        expr("(2 * nsc * 10000 + n_tokens) DIV (2 * n_tokens)")
+          .cast(DoubleType) / 10000.0)
       .withColumn("n_stop_kinds",
         size(array_intersect(col("tk"), array(stop.map(lit): _*)))
           .cast(LongType))
+      .withColumn("nal",
+        size(filter(col("tk"), x => x.rlike("[a-z]"))).cast(LongType))
       .withColumn("alpha_frac",
-        round(size(filter(col("tk"), x => x.rlike("[a-z]")))
-          .cast(DoubleType) / col("n_tokens"), 4))
+        expr("(2 * nal * 10000 + n_tokens) DIV (2 * n_tokens)")
+          .cast(DoubleType) / 10000.0)
       .withColumn("r_wordcount",
         col("n_tokens") >= 20 && col("n_tokens") <= 100000)
       .withColumn("r_meanlen", col("mwl") >= 3.0 && col("mwl") <= 10.0)
@@ -1140,13 +1152,17 @@ object Llm {
     """WITH base AS (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |    round(CAST(strlen(replace(text, ' ', '')) AS DOUBLE) /
-      |      len(string_split(text, ' ')), 4) AS mean_word_len,
+      |    CAST((2 * strlen(replace(text, ' ', '')) * 10000
+      |          + len(string_split(text, ' ')))
+      |         // (2 * len(string_split(text, ' '))) AS DOUBLE)
+      |      / 10000.0 AS mean_word_len,
       |    CAST(len(list_intersect(string_split(text, ' '),
       |      ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS n_stop_kinds,
-      |    round(CAST(len(list_filter(string_split(text, ' '),
-      |      x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) /
-      |      len(string_split(text, ' ')), 4) AS alpha_frac
+      |    CAST((2 * len(list_filter(string_split(text, ' '),
+      |           x -> regexp_matches(x, '[a-z]'))) * 10000
+      |          + len(string_split(text, ' ')))
+      |         // (2 * len(string_split(text, ' '))) AS DOUBLE)
+      |      / 10000.0 AS alpha_frac
       |  FROM documents)
       |SELECT doc_id, n_tokens, mean_word_len, n_stop_kinds,
       |  (n_tokens >= 20 AND n_tokens <= 100000) AS r_wordcount,
@@ -1169,8 +1185,11 @@ object Llm {
   // the plan is a pure scan+project with ZERO exchanges: at 100 TB
   // this is embarrassingly parallel, the ideal shape for a corpus-wide
   // quality sweep. Thresholds (0.20 / 0.30) are fixed constants of the
-  // operator; fractions ride the round-to-4-decimals recipe and the
-  // flag is 0/1 BIGINT on both engines.
+  // operator; fractions are integer ratios presented via the
+  // exact-integer HALF_UP discipline (tieprobe r10: live tie 1/32 at
+  // sf0.01 — round(double) tie direction is engine-version-dependent)
+  // and the flag is 0/1 BIGINT evaluated on the presented values, so
+  // decisions stay mirrored.
   /** Repetition signals over any (doc_id, text) frame — the table
     * query below plus a unit-test surface for the tiny hand-computed
     * fixtures in QueriesSpec. */
@@ -1182,13 +1201,18 @@ object Llm {
         sequence(lit(0), size(col("tk")) - 2),
         i => concat_ws(" ",
           element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
-      .withColumn("top_bigram_frac", round(
-        array_max(map_values(
-          graft.functions.TokenOps.word_counts(col("bi"))))
-          .cast(DoubleType) / (size(col("tk")) - 1).cast(DoubleType), 4))
-      .withColumn("dup_trigram_frac", round(
-        lit(1.0) - size(graft.functions.Shingles.word_shingles(col("tk"), 3))
-          .cast(DoubleType) / (size(col("tk")) - 2).cast(DoubleType), 4))
+      .withColumn("maxbi", array_max(map_values(
+        graft.functions.TokenOps.word_counts(col("bi")))).cast(LongType))
+      .withColumn("ntri",
+        size(graft.functions.Shingles.word_shingles(col("tk"), 3))
+          .cast(LongType))
+      .withColumn("nt", size(col("tk")).cast(LongType))
+      .withColumn("top_bigram_frac",
+        expr("(2 * maxbi * 10000 + (nt - 1)) DIV (2 * (nt - 1))")
+          .cast(DoubleType) / 10000.0)
+      .withColumn("dup_trigram_frac",
+        expr("(2 * (nt - 2 - ntri) * 10000 + (nt - 2)) DIV (2 * (nt - 2))")
+          .cast(DoubleType) / 10000.0)
       .select(col("doc_id"), col("top_bigram_frac"), col("dup_trigram_frac"),
         when(col("top_bigram_frac") > 0.2 || col("dup_trigram_frac") > 0.3,
           1L).otherwise(0L).as("repetitive"))
@@ -1207,14 +1231,18 @@ object Llm {
       |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
       |top AS (
       |  SELECT doc_id,
-      |    round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac
+      |    CAST((2 * max(c) * 10000 + CAST(sum(c) AS BIGINT))
+      |         // (2 * CAST(sum(c) AS BIGINT)) AS DOUBLE) / 10000.0
+      |      AS top_bigram_frac
       |  FROM bc GROUP BY doc_id),
       |tg AS (
       |  SELECT doc_id,
-      |    round(1.0 - CAST(len(list_distinct(list_transform(
-      |        range(1, len(w) - 1),
-      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
-      |      / (len(w) - 2), 4) AS dup_trigram_frac
+      |    CAST((2 * (len(w) - 2 - len(list_distinct(list_transform(
+      |            range(1, len(w) - 1),
+      |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))))
+      |          * 10000 + (len(w) - 2))
+      |         // (2 * (len(w) - 2)) AS DOUBLE) / 10000.0
+      |      AS dup_trigram_frac
       |  FROM tk)
       |SELECT doc_id, top_bigram_frac, dup_trigram_frac,
       |  CAST(CASE WHEN top_bigram_frac > 0.2 OR dup_trigram_frac > 0.3

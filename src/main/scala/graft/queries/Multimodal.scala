@@ -1574,8 +1574,12 @@ object Multimodal {
       .na.fill(0L, Seq("sum_overlap"))
       .crossJoin(broadcast(nq))
       .withColumn("recall",
-        expr("(2 * sum_overlap * 10000 + 10 * n_queries) " +
-          "DIV (2 * 10 * n_queries)").cast(DoubleType) / 10000.0)
+        // empty panel (first run / filtered-to-nothing): recall is
+        // undefined — NULL, mirroring DuckDB's `// 0` (EmptyInputSpec)
+        when(col("n_queries") === 0, lit(null).cast(DoubleType))
+          .otherwise(
+            expr("(2 * sum_overlap * 10000 + 10 * n_queries) " +
+              "DIV (2 * 10 * n_queries)").cast(DoubleType) / 10000.0))
       .select(col("k_dims"), col("n_queries"), col("sum_overlap"),
         col("recall"))
       .orderBy(col("k_dims"))

@@ -740,7 +740,13 @@ object Relational {
   // q39: exact percentiles + first/last/nth window values. Exact
   // interpolated percentile (Spark `percentile` = DuckDB
   // `quantile_cont`) keeps the oracle hash-exact where
-  // approx_percentile could not.
+  // approx_percentile could not. Presentation is the q76 discipline:
+  // o_totalprice sits on the 0.01 grid and the interpolation
+  // fractions are halves/tenths, so the percentiles live EXACTLY on
+  // the 0.001 grid — cast(DECIMAL(18,3)) recovers them with no
+  // rounding call at all. round(double, 2) here was a live tie
+  // (tieprobe r10: p50 = 247922.505 at sf0.01) waiting for an engine
+  // whose double-round splits ties differently.
   private val q39: Q = (s, dir) => {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -752,8 +758,10 @@ object Relational {
         nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        expr("percentile(o_totalprice, 0.5)")
+          .cast(DecimalType(18, 3)).as("p50"),
+        expr("percentile(o_totalprice, 0.9)")
+          .cast(DecimalType(18, 3)).as("p90"),
         first(col("cheapest_key")).as("cheapest_key"),
         first(col("dearest_key")).as("dearest_key"),
         first(col("second_key")).as("second_key"))
@@ -771,8 +779,8 @@ object Relational {
       |    ORDER BY o_totalprice, o_orderkey
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
       |SELECT o_orderpriority,
-      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+      |  CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,3)) AS p50,
+      |  CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,3)) AS p90,
       |  first(cheapest_key) AS cheapest_key,
       |  first(dearest_key) AS dearest_key,
       |  first(second_key) AS second_key
@@ -789,16 +797,21 @@ object Relational {
   private val q52: Q = (s, dir) =>
     t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
-      .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_p50"),
+      // q39's presentation discipline: exact DECIMAL(18,3) (the 0.005
+      // median grid), no round() — the 5% verdict keeps the RAW
+      // double percentile so the predicate tree stays mirrored
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50d"),
         expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap"))
-      .select(col("o_orderpriority"), col("exact_p50"),
-        (abs(col("ap") - col("exact_p50")) / col("exact_p50") <= 0.05)
+      .select(col("o_orderpriority"),
+        col("p50d").cast(DecimalType(18, 3)).as("exact_p50"),
+        (abs(col("ap") - col("p50d")) / col("p50d") <= 0.05)
           .as("approx_within_5pct"))
       .orderBy(col("o_orderpriority"))
 
   private val q52Sql =
     """SELECT o_orderpriority,
-      |  round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+      |  CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,3))
+      |    AS exact_p50,
       |  TRUE AS approx_within_5pct
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
