@@ -116,4 +116,27 @@ object Canon {
 
   /** Timestamp literal pinned to UTC session time. */
   def ts(s: String): Column = to_timestamp(lit(s))
+
+  /** Exact-integer HALF_UP of the non-negative rational `num/den` at
+    * `scale` decimals, returned as DOUBLE: floor((2·num·10^s + den) /
+    * (2·den)) then ONE correctly-rounded division by 10^s.
+    * round(double, s) on a small-denominator rational is the
+    * documented cross-engine tie class (Spark rounds the shortest
+    * decimal repr, other engines the binary value or half-even —
+    * version-dependent); this form has no tie to split. `num` and
+    * `den` must be integral-valued columns (counts, cents, sizes),
+    * den > 0, num >= 0; the mirrored DuckDB spelling is
+    * `CAST((2*num*10^s + den) // (2*den) AS DOUBLE) / 10^s.0`.
+    */
+  def halfUp(num: Column, den: Column, scale: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    val tenS = lit(math.pow(10, scale).toLong)
+    val n2 = num.cast(LongType) * lit(2L) * tenS + den.cast(LongType)
+    val d2 = den.cast(LongType) * lit(2L)
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(n2),
+        org.apache.spark.sql.GraftBridge.expression(d2)))
+      .cast(DoubleType) / lit(math.pow(10, scale))
+  }
 }

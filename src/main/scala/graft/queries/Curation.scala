@@ -290,7 +290,7 @@ object Curation {
     s"""SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '$RedactPattern'))
        |    AS BIGINT) AS n_redacted,
-       |  CAST(strlen(regexp_replace(text, '$RedactPattern', '<X>', 'g'))
+       |  CAST(length(regexp_replace(text, '$RedactPattern', '<X>', 'g'))
        |    AS BIGINT) AS redacted_len
        |FROM documents ORDER BY doc_id""".stripMargin
 

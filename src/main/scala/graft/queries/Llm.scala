@@ -1054,12 +1054,10 @@ object Llm {
           .otherwise(lit("unknown")).as("predicted_lang"))
       .groupBy(col("lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("tot", sum(col("n_docs")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
-      .withColumn("rate",
-        expr("(2 * n_docs * 10000 + tot) DIV (2 * tot)")
-          .cast(DoubleType) / 10000.0)
-      .drop("tot")
+      .withColumn("rate", halfUp(col("n_docs"),
+        sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))), 4))
       .orderBy(col("lang"), col("predicted_lang"))
 
   private val langConfusionSql =
@@ -1095,7 +1093,7 @@ object Llm {
   private val qualitySql =
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |  CAST(strlen(replace(text, ' ', '')) AS DOUBLE) /
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE) /
       |    len(string_split(text, ' ')) AS chars_per_token,
       |  CAST(len(list_intersect(string_split(text, ' '),
       |    ['the', 'a', 'of', 'and', 'to'])) AS DOUBLE) /
@@ -1122,19 +1120,13 @@ object Llm {
     t(s, dir, "documents")
       .withColumn("tk", split(col("text"), " "))
       .withColumn("n_tokens", size(col("tk")).cast(LongType))
-      .withColumn("nsc",
-        length(regexp_replace(col("text"), " ", "")).cast(LongType))
-      .withColumn("mwl",
-        expr("(2 * nsc * 10000 + n_tokens) DIV (2 * n_tokens)")
-          .cast(DoubleType) / 10000.0)
+      .withColumn("mwl", halfUp(
+        length(regexp_replace(col("text"), " ", "")), col("n_tokens"), 4))
       .withColumn("n_stop_kinds",
         size(array_intersect(col("tk"), array(stop.map(lit): _*)))
           .cast(LongType))
-      .withColumn("nal",
-        size(filter(col("tk"), x => x.rlike("[a-z]"))).cast(LongType))
-      .withColumn("alpha_frac",
-        expr("(2 * nal * 10000 + n_tokens) DIV (2 * n_tokens)")
-          .cast(DoubleType) / 10000.0)
+      .withColumn("alpha_frac", halfUp(
+        size(filter(col("tk"), x => x.rlike("[a-z]"))), col("n_tokens"), 4))
       .withColumn("r_wordcount",
         col("n_tokens") >= 20 && col("n_tokens") <= 100000)
       .withColumn("r_meanlen", col("mwl") >= 3.0 && col("mwl") <= 10.0)
@@ -1152,7 +1144,7 @@ object Llm {
     """WITH base AS (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |    CAST((2 * strlen(replace(text, ' ', '')) * 10000
+      |    CAST((2 * length(replace(text, ' ', '')) * 10000
       |          + len(string_split(text, ' ')))
       |         // (2 * len(string_split(text, ' '))) AS DOUBLE)
       |      / 10000.0 AS mean_word_len,
@@ -1201,18 +1193,16 @@ object Llm {
         sequence(lit(0), size(col("tk")) - 2),
         i => concat_ws(" ",
           element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
-      .withColumn("maxbi", array_max(map_values(
-        graft.functions.TokenOps.word_counts(col("bi")))).cast(LongType))
       .withColumn("ntri",
         size(graft.functions.Shingles.word_shingles(col("tk"), 3))
           .cast(LongType))
       .withColumn("nt", size(col("tk")).cast(LongType))
-      .withColumn("top_bigram_frac",
-        expr("(2 * maxbi * 10000 + (nt - 1)) DIV (2 * (nt - 1))")
-          .cast(DoubleType) / 10000.0)
-      .withColumn("dup_trigram_frac",
-        expr("(2 * (nt - 2 - ntri) * 10000 + (nt - 2)) DIV (2 * (nt - 2))")
-          .cast(DoubleType) / 10000.0)
+      .withColumn("top_bigram_frac", halfUp(
+        array_max(map_values(
+          graft.functions.TokenOps.word_counts(col("bi")))),
+        col("nt") - 1, 4))
+      .withColumn("dup_trigram_frac", halfUp(
+        col("nt") - 2 - col("ntri"), col("nt") - 2, 4))
       .select(col("doc_id"), col("top_bigram_frac"), col("dup_trigram_frac"),
         when(col("top_bigram_frac") > 0.2 || col("dup_trigram_frac") > 0.3,
           1L).otherwise(0L).as("repetitive"))

@@ -1348,9 +1348,14 @@ object Multimodal {
   // join (pigeonhole: ≤3 differing bits cannot touch all 4 chunks, so
   // recall at the d≤3 threshold is STRUCTURALLY 1 and banding ≡ brute
   // force — same argument as the q101 round-budget discipline, proved,
-  // not sampled). Never corpus²: the join is chunk-equality (the
-  // MinHash banding shape), verification is one xor+bit_count per
-  // candidate. All integer arithmetic (gray, block avg, mean,
+  // not sampled). Pigeonhole buys RECALL, not sparsity: random-chunk
+  // collisions floor at E[cand] ≈ 4·C(n,2)/2^16 — negligible through
+  // ~10^5 images (measured: 8.7k candidates for 10^4 images at sf0.1)
+  // but Θ(n²·6e-5) beyond it, so a crawl-scale deployment widens the
+  // chunks (2×32-bit at d≤1, or multi-probe over 8-bit sub-bands) to
+  // move the floor — the same recall/volume dial every banding scheme
+  // trades on. Verification is one xor+bit_count per candidate. All
+  // integer arithmetic (gray, block avg, mean,
   // threshold) is exact floor-division on both engines; the hash rides
   // two 32-bit halves because a 1<<63 build overflows DuckDB's BIGINT
   // left-shift (probed) while xor/bit_count on the halves stay in
@@ -1577,9 +1582,8 @@ object Multimodal {
         // empty panel (first run / filtered-to-nothing): recall is
         // undefined — NULL, mirroring DuckDB's `// 0` (EmptyInputSpec)
         when(col("n_queries") === 0, lit(null).cast(DoubleType))
-          .otherwise(
-            expr("(2 * sum_overlap * 10000 + 10 * n_queries) " +
-              "DIV (2 * 10 * n_queries)").cast(DoubleType) / 10000.0))
+          .otherwise(graft.Canon.halfUp(
+            col("sum_overlap"), col("n_queries") * 10, 4)))
       .select(col("k_dims"), col("n_queries"), col("sum_overlap"),
         col("recall"))
       .orderBy(col("k_dims"))

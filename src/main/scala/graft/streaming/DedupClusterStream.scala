@@ -66,10 +66,14 @@ object DedupClusterStream {
     if (VersionedState.isCommitted(spark, dir, batchId))
       return // replay of a committed batch
     val prevV = VersionedState.latestBefore(spark, dir, batchId)
-    val prev = prevV.map(v =>
-      spark.read.parquet(VersionedState.path(dir, "labels", v)))
     val newEdges = pairs.select(col("a_id").cast("long").as("a_id"),
       col("b_id").cast("long").as("b_id"))
+    if (prevV.nonEmpty && newEdges.isEmpty)
+      return // idle trigger on an established chain: the labeling is
+             // provably unchanged — skip the CC pass AND the state
+             // rewrite (a replay of this batch re-skips identically)
+    val prev = prevV.map(v =>
+      spark.read.parquet(VersionedState.path(dir, "labels", v)))
     val edges = prev match {
       case Some(p) => p
         .filter(col("id") =!= col("lbl")) // self-stars carry no info

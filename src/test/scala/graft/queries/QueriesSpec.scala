@@ -852,9 +852,12 @@ class QueriesSpec extends SparkSpec {
       val hi = r.getDecimal(2).doubleValue()
       assert(lo < hi, s"${r.getString(0)}: fences inverted")
       assert(r.getLong(3) > 0)
-      // min/max outlier must lie strictly outside the exact fences
-      assert(r.getDouble(4) > hi || r.getDouble(4) < lo)
-      assert(r.getDouble(5) > hi || r.getDouble(5) < lo)
+      // min/max outlier must lie outside the exact fences, up to the
+      // gap between the raw-double filter fence and the exact decimal
+      // one (~1e-10; membership is decided by the DOUBLE fence, so a
+      // grid value equal to the exact fence can legitimately pass)
+      assert(r.getDouble(4) > hi - 1e-6 || r.getDouble(4) < lo + 1e-6)
+      assert(r.getDouble(5) > hi - 1e-6 || r.getDouble(5) < lo + 1e-6)
     }
   }
 

@@ -78,8 +78,8 @@ class DedupClusterStreamSpec extends SparkSpec {
     assert(meta.getAs[Long]("n_nodes") == 8L)
   }
 
-  test("an empty batch commits a version without disturbing the " +
-    "labeling; an empty FIRST batch starts the chain") {
+  test("an empty FIRST batch starts the chain; an empty batch on an " +
+    "established chain is a free no-op (no CC pass, no state rewrite)") {
     import spark.implicits._
     val out = Files.createTempDirectory("dedupclusters2").toString
     val none = Seq.empty[Pair].toDF("a_id", "b_id")
@@ -89,7 +89,12 @@ class DedupClusterStreamSpec extends SparkSpec {
       Seq(Pair(5, 6)).toDF("a_id", "b_id"), out, 1L)
     DedupClusterStream.updateBatch(none, out, 2L)
     assert(labelMap(out) == Map(5L -> 5L, 6L -> 5L))
-    assert(VersionedState.isCommitted(spark, out, 2L))
+    // the idle trigger wrote NOTHING: version 1 is still the latest
+    // (an O(labeled-nodes) rewrite per pair-less trigger is exactly
+    // the cost a long-lived stream cannot pay)
+    assert(!VersionedState.isCommitted(spark, out, 2L))
+    assert(VersionedState.latestBefore(spark, out, Long.MaxValue)
+      .contains(1L))
   }
 
   test("labeling matches the batch twin on the fixture's verified " +

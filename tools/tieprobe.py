@@ -45,7 +45,10 @@ def canon(table):
 def rewrite_two_arg_rounds(sql):
     """Replace every 2-arg `round(x, n)` call with `round_even(x, n)`,
     leaving 1-arg `round(x)` untouched (paren-balance scan — a regex
-    cannot see nesting)."""
+    cannot see nesting). Single-quoted SQL string literals are opaque
+    to the scan: a '(' / ')' / ',' inside a literal (regex patterns,
+    separators) must not move the depth or arity ('' is the escaped
+    quote inside a literal)."""
     out = []
     i = 0
     while True:
@@ -57,10 +60,19 @@ def rewrite_two_arg_rounds(sql):
         open_p = i + m.end()  # index just past '('
         depth = 1
         top_comma = False
+        in_str = False
         j = open_p
         while j < len(sql) and depth > 0:
             c = sql[j]
-            if c == "(":
+            if in_str:
+                if c == "'":
+                    if j + 1 < len(sql) and sql[j + 1] == "'":
+                        j += 1  # escaped quote, stay in the literal
+                    else:
+                        in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
