@@ -1522,6 +1522,134 @@ object Multimodal {
       |WHERE bit_count(xor(la, lb)) + bit_count(xor(xa, xb)) <= 3
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- llm_ann_pq: product-quantized candidate search (ADC) ----------
+  // The third leg of the ANN memory-compression family: SQ8 (llm_ann_
+  // sq8) stores 8-bit components (4× smaller); PQ stores 8 CODE BYTES
+  // per 64-dim vector (32× smaller than float32) — the FAISS IVF-PQ
+  // shape that makes 10^11-vector serving fit a fleet's RAM. The
+  // vector splits into m=8 subspaces of 8 dims; each subspace has a
+  // 16-codeword codebook (here the hash-sampled deterministic
+  // quantizer the IVF family already uses: the 16 vectors with
+  // smallest md5(vec_id) donate their subvectors — both engines
+  // derive the identical codebook, no RNG); encoding assigns each
+  // subvector its nearest codeword (exact L2 in a mirrored fold,
+  // ties on code id); serving is ADC — the query scores a candidate
+  // as dot(q, reconstruction) = Σ_s dot(q_s, codeword(s, code_s)),
+  // computed per (vec, subspace) and folded in subspace order
+  // (collect→sort→fold, NEVER a float groupBy-sum: 8-way summation
+  // order must be deterministic on both engines). Output: ADC top-10
+  // with the exact cosine of each shortlisted candidate — the
+  // compressed-scan + exact-rerank serving shape.
+  // Scale: encode is one n×16-codeword×8-subspace distributed pass
+  // (the one-off index build); serving scans CODES (8 bytes/vector)
+  // plus one 8×16 lookup table — the memory/recall dial a 100 TB
+  // deployment turns; recall vs brute is pinned in MultimodalSpec.
+  private val annPq: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("ed"))
+    val cbW = Window.orderBy(col("h"), col("vec_id"))
+    val cb = e
+      .select(md5(col("vec_id").cast("string")).as("h"), col("vec_id"),
+        col("ed").as("cv"))
+      .orderBy(col("h"), col("vec_id")).limit(16)
+      .withColumn("cand", row_number().over(cbW) - 1) // 16-row frame
+      .select(col("cand"), col("cv"))
+    // encode: per (vector, codeword) the 8 subspace L2 distances in
+    // one array, explode to (vec_id, s, cand, d2), argmin per (v, s)
+    val dist = e.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("cand"),
+        posexplode(expr(
+          """transform(sequence(0, 7), s ->
+            |  aggregate(zip_with(slice(ed, 8 * s + 1, 8),
+            |                     slice(cv, 8 * s + 1, 8),
+            |                     (x, y) -> (x - y) * (x - y)),
+            |            0D, (a, v) -> a + v))""".stripMargin))
+          .as(Seq("s", "d2")))
+    val codes = dist
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("s"))
+          .orderBy(col("d2"), col("cand"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cand").as("code"))
+    val q = e.filter(col("vec_id") === 0).select(col("ed").as("qe"))
+    // ADC lookup table: dot(q_s, codeword) per (s, cand) — 128 rows
+    val lut = cb.crossJoin(broadcast(q))
+      .select(col("cand"),
+        posexplode(expr(
+          """transform(sequence(0, 7), s ->
+            |  aggregate(zip_with(slice(qe, 8 * s + 1, 8),
+            |                     slice(cv, 8 * s + 1, 8),
+            |                     (x, y) -> x * y),
+            |            0D, (a, v) -> a + v))""".stripMargin))
+          .as(Seq("s", "ct")))
+    val adc = codes
+      .join(broadcast(lut),
+        codes("s") === lut("s") && codes("code") === lut("cand"))
+      .select(col("vec_id"), codes("s").as("s"), col("ct"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("ct"))))
+        .as("arr"))
+      .withColumn("adc", expr(
+        "aggregate(transform(arr, x -> x.ct), 0D, (a, v) -> a + v)"))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("adc").desc, col("vec_id")).limit(10)
+    // exact re-rank leg: true cosine of the shortlist (q29 tree)
+    adc
+      .join(e, "vec_id").crossJoin(broadcast(q))
+      .select(col("vec_id"), round(col("adc"), 4).as("adc_score"),
+        round(
+          expr("""aggregate(zip_with(ed, qe, (x, y) -> x * y),
+                 |  0D, (a, v) -> a + v)""".stripMargin) /
+            (sqrt(expr("aggregate(ed, 0D, (a, v) -> a + v * v)")) *
+              sqrt(expr("aggregate(qe, 0D, (a, v) -> a + v * v)"))), 4)
+          .as("exact_cos"),
+        col("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .drop("adc")
+  }
+
+  private val annPqSql =
+    """WITH e AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ed
+      |  FROM embeddings),
+      |cb AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cand, cv
+      |  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id,
+      |          ed AS cv
+      |        FROM e ORDER BY h, vec_id LIMIT 16)),
+      |sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |dist AS (
+      |  SELECT e.vec_id, sub.s, cb.cand,
+      |    list_sum([(e.ed[8 * sub.s + i] - cb.cv[8 * sub.s + i])
+      |              * (e.ed[8 * sub.s + i] - cb.cv[8 * sub.s + i])
+      |              for i in generate_series(1, 8)]) AS d2
+      |  FROM e, sub, cb),
+      |code AS (
+      |  SELECT vec_id, s, cand AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |                                 ORDER BY d2, cand) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |q AS (SELECT ed AS qe FROM e WHERE vec_id = 0),
+      |lut AS (
+      |  SELECT cb.cand, sub.s,
+      |    list_sum([q.qe[8 * sub.s + i] * cb.cv[8 * sub.s + i]
+      |              for i in generate_series(1, 8)]) AS ct
+      |  FROM cb, sub, q),
+      |adc AS (
+      |  SELECT c.vec_id, list_sum(list(l.ct ORDER BY c.s)) AS adc
+      |  FROM code c JOIN lut l ON l.s = c.s AND l.cand = c.code
+      |  GROUP BY c.vec_id),
+      |top AS (
+      |  SELECT vec_id, adc FROM adc WHERE vec_id <> 0
+      |  ORDER BY adc DESC, vec_id LIMIT 10)
+      |SELECT t.vec_id, round(t.adc, 4) AS adc_score,
+      |  round(list_sum([e.ed[i] * q.qe[i]
+      |          for i in generate_series(1, len(e.ed))]) /
+      |    (sqrt(list_sum([x * x for x in e.ed])) *
+      |     sqrt(list_sum([x * x for x in q.qe]))), 4) AS exact_cos
+      |FROM top t JOIN e ON e.vec_id = t.vec_id, q
+      |ORDER BY t.adc DESC, t.vec_id""".stripMargin
+
   // ---- mm_matryoshka_recall: truncated-dimension retrieval quality ---
   // Matryoshka-style embeddings serve retrieval from a PREFIX of the
   // vector (8/16/32 of 64 dims here) to cut memory and dot-product
@@ -1644,6 +1772,7 @@ object Multimodal {
     "llm_ivf_balance" -> ivfBalance,
     "mm_phash_dedup" -> phashDedup,
     "mm_matryoshka_recall" -> matryoshkaRecall,
+    "llm_ann_pq" -> annPq,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1664,5 +1793,6 @@ object Multimodal {
     "llm_ann_ivf_trained" -> annIvfTrainedSql,
     "mm_phash_dedup" -> phashDedupSql,
     "mm_matryoshka_recall" -> matryoshkaRecallSql,
+    "llm_ann_pq" -> annPqSql,
   )
 }
