@@ -1547,6 +1547,12 @@ object Multimodal {
   private val annPq: Q = (s, dir) => {
     val e = t(s, dir, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("ed"))
+    // hash-sample discipline shared with the IVF quantizers (engine
+    // + SQL mirrors): order by md5(vec_id) and take k. This copy adds
+    // an explicit vec_id tie-break — md5 is collision-free on the
+    // fixture ids, so the IVF copies without it select the same rows;
+    // any future change to the sampling order must touch ALL mirrors
+    // (grep "ORDER BY md5" / orderBy(md5).
     val cbW = Window.orderBy(col("h"), col("vec_id"))
     val cb = e
       .select(md5(col("vec_id").cast("string")).as("h"), col("vec_id"),

@@ -49,15 +49,36 @@ def rewrite_two_arg_rounds(sql):
     to the scan: a '(' / ')' / ',' inside a literal (regex patterns,
     separators) must not move the depth or arity ('' is the escaped
     quote inside a literal)."""
+    # literal map: True for positions inside a single-quoted literal,
+    # so round( spelled inside a string (labels, regexes) is never
+    # treated as a call site
+    in_lit = [False] * len(sql)
+    lit = False
+    k = 0
+    while k < len(sql):
+        if sql[k] == "'":
+            if lit and k + 1 < len(sql) and sql[k + 1] == "'":
+                in_lit[k] = in_lit[k + 1] = True
+                k += 2
+                continue
+            lit = not lit
+            in_lit[k] = True
+        else:
+            in_lit[k] = lit
+        k += 1
     out = []
     i = 0
     while True:
-        m = re.search(r"\bround\(", sql[i:])
+        m = None
+        for cand in re.finditer(r"\bround\s*\(", sql, re.IGNORECASE):
+            if cand.start() >= i and not in_lit[cand.start()]:
+                m = cand
+                break
         if not m:
             out.append(sql[i:])
             return "".join(out)
-        start = i + m.start()
-        open_p = i + m.end()  # index just past '('
+        start = m.start()
+        open_p = m.end()  # index just past '('
         depth = 1
         top_comma = False
         in_str = False
@@ -102,7 +123,7 @@ def main():
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
-        if not re.search(r"\bround\(", sql):
+        if not re.search(r"\bround\s*\(", sql, re.IGNORECASE):
             n_skip += 1
             continue
         alt_sql = rewrite_two_arg_rounds(sql)
