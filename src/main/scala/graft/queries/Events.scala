@@ -507,69 +507,108 @@ object Events {
 
   // q76: Tukey IQR outlier audit per event type — fence = quartile ±
   // 1.5·IQR, the standard robust anomaly screen a metrics pipeline
-  // runs before alerting on raw extremes. Exact quartiles ride the
-  // q39 discipline (Spark `percentile` ≡ DuckDB `quantile_cont`,
-  // identical interpolation); the FILTER uses the raw double fences
-  // (same tree, same quartile doubles → same decisions), and the
-  // PRESENTED fences are exact DECIMAL with NO rounding anywhere:
-  // value is on a 0.01 grid and the interpolation fractions are
-  // quarters, so quartiles live on a 0.0025 grid — cast(dec(18,4))
-  // recovers them exactly (the true value sits ON the 1e-4 grid, so
-  // the cast can never tie), and the ±1.5·IQR arithmetic stays exact
-  // at scale 5. The round-9 form rounded the scale-5 fence to 2
-  // decimals, but fences DO land on x.xx500 ('purchase' 144.48500 at
-  // sf0.01) and DECIMAL round-tie direction is engine-VERSION-
-  // dependent (half-away on DuckDB 1.0.0, half-even elsewhere — the
-  // round-10 driver gate split exactly those cells), so the fence is
-  // now presented at its exact scale instead of rounded.
+  // runs before alerting on raw extremes. Version-proof BY
+  // CONSTRUCTION (round-11 fix for the two-round driver-gate
+  // hash-red): quartiles are derived from their RANK-SELECTED
+  // WITNESSES in exact integer cents — over n rows Q1 sits at
+  // 0-based (n−1)/4, Q3 at 3(n−1)/4 (quarter fractions), so
+  //   q1_x4 = (4−k)·v[lo] + k·v[lo+1],  k = (n−1) mod 4   (cents×4)
+  // and the ±1.5·IQR fences clear the halves at ×8:
+  //   lo_fence_cents_x8 = 5·q1_x4 − 3·q3_x4
+  //   hi_fence_cents_x8 = 5·q3_x4 − 3·q1_x4
+  // BIGINT end-to-end; even the OUTLIER FILTER compares integers
+  // (8·value_cents vs the ×8 fence), so membership is exact — the
+  // r9/r10 forms interpolated quartiles in doubles and presented
+  // DECIMAL casts, both construct classes with engine-version-
+  // dependent semantics (the driver's newer DuckDB split those cells
+  // while local 1.0.0 was bit-green). min/max outliers pass raw input
+  // values through untouched (no arithmetic → no version surface).
   // Scale: quartiles are per-TYPE (bounded alphabet → bounded sort
   // buffers; the corpus-scale path is q52's mergeable sketch), fences
   // ship broadcast, the outlier scan is one filter pass.
   private val q76: Q = (s, dir) => {
+    val cents = (col("value").cast(DecimalType(18, 2)) * lit(100))
+      .cast(LongType)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
     val b = events(s, dir)
-      .groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.25)").as("q1"),
-        expr("percentile(value, 0.75)").as("q3"))
-    val qd1 = col("q1").cast(DecimalType(18, 4))
-    val qd3 = col("q3").cast(DecimalType(18, 4))
-    val k = expr("CAST(1.5 AS DECIMAL(2,1))")
+      .select(col("event_type"), cents.as("cents"),
+        row_number().over(w).cast(LongType).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("event_type")))
+          .as("n"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        min(when(col("rn") === expr("(n - 1) DIV 4 + 1"),
+          col("cents"))).as("v1a"),
+        min(when(col("rn") === expr("(n - 1) DIV 4 + 2"),
+          col("cents"))).as("v1b"),
+        min(when(col("rn") === expr("(3 * (n - 1)) DIV 4 + 1"),
+          col("cents"))).as("v3a"),
+        min(when(col("rn") === expr("(3 * (n - 1)) DIV 4 + 2"),
+          col("cents"))).as("v3b"))
+      .select(col("event_type"),
+        (expr("4 - (n - 1) % 4") * col("v1a")
+          + expr("(n - 1) % 4") * coalesce(col("v1b"), lit(0L)))
+          .as("q1x4"),
+        (expr("4 - (3 * (n - 1)) % 4") * col("v3a")
+          + expr("(3 * (n - 1)) % 4") * coalesce(col("v3b"), lit(0L)))
+          .as("q3x4"))
+      .select(col("event_type"),
+        (lit(5L) * col("q1x4") - lit(3L) * col("q3x4"))
+          .cast(LongType).as("lo_fence_cents_x8"),
+        (lit(5L) * col("q3x4") - lit(3L) * col("q1x4"))
+          .cast(LongType).as("hi_fence_cents_x8"))
     events(s, dir)
       .join(broadcast(b), Seq("event_type"))
-      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
-      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
-      .withColumn("lo_fence",
-        (qd1 - k * (qd3 - qd1)).cast(DecimalType(18, 5)))
-      .withColumn("hi_fence",
-        (qd3 + k * (qd3 - qd1)).cast(DecimalType(18, 5)))
-      .filter(col("value") < col("lo") || col("value") > col("hi"))
-      .groupBy(col("event_type"), col("lo_fence"), col("hi_fence"))
+      .filter(cents * lit(8L) < col("lo_fence_cents_x8") ||
+        cents * lit(8L) > col("hi_fence_cents_x8"))
+      .groupBy(col("event_type"), col("lo_fence_cents_x8"),
+        col("hi_fence_cents_x8"))
       .agg(count(lit(1)).as("n_outliers"),
         min(col("value")).as("min_outlier"),
         max(col("value")).as("max_outlier"))
-      .select(col("event_type"), col("lo_fence"), col("hi_fence"),
-        col("n_outliers"), col("min_outlier"), col("max_outlier"))
+      .select(col("event_type"), col("lo_fence_cents_x8"),
+        col("hi_fence_cents_x8"), col("n_outliers"),
+        col("min_outlier"), col("max_outlier"))
       .orderBy(col("event_type"))
   }
 
   private val q76Sql =
-    """WITH b AS (
+    """WITH w AS (
       |  SELECT event_type,
-      |    quantile_cont(value, 0.25) AS q1,
-      |    quantile_cont(value, 0.75) AS q3
-      |  FROM events GROUP BY 1),
-      |o AS (
-      |  SELECT e.event_type, e.value,
-      |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi,
-      |    CAST(CAST(q1 AS DECIMAL(18,4))
-      |      - CAST(1.5 AS DECIMAL(2,1)) * (CAST(q3 AS DECIMAL(18,4)) - CAST(q1 AS DECIMAL(18,4))) AS DECIMAL(18,5)) AS lo_fence,
-      |    CAST(CAST(q3 AS DECIMAL(18,4))
-      |      + CAST(1.5 AS DECIMAL(2,1)) * (CAST(q3 AS DECIMAL(18,4)) - CAST(q1 AS DECIMAL(18,4))) AS DECIMAL(18,5)) AS hi_fence
-      |  FROM events e JOIN b USING (event_type))
-      |SELECT event_type, lo_fence, hi_fence,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |q AS (
+      |  SELECT event_type,
+      |    (4 - (n - 1) % 4)
+      |        * min(CASE WHEN rn = (n - 1) // 4 + 1 THEN cents END)
+      |      + ((n - 1) % 4)
+      |        * coalesce(min(CASE WHEN rn = (n - 1) // 4 + 2 THEN cents END), 0)
+      |      AS q1x4,
+      |    (4 - (3 * (n - 1)) % 4)
+      |        * min(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN cents END)
+      |      + ((3 * (n - 1)) % 4)
+      |        * coalesce(min(CASE WHEN rn = (3 * (n - 1)) // 4 + 2 THEN cents END), 0)
+      |      AS q3x4
+      |  FROM w GROUP BY event_type, n),
+      |b AS (
+      |  SELECT event_type,
+      |    CAST(5 * q1x4 - 3 * q3x4 AS BIGINT) AS lo_fence_cents_x8,
+      |    CAST(5 * q3x4 - 3 * q1x4 AS BIGINT) AS hi_fence_cents_x8
+      |  FROM q)
+      |SELECT event_type, lo_fence_cents_x8, hi_fence_cents_x8,
       |  count(*) AS n_outliers, min(value) AS min_outlier,
       |  max(value) AS max_outlier
-      |FROM o WHERE value < lo OR value > hi
-      |GROUP BY event_type, lo_fence, hi_fence ORDER BY event_type""".stripMargin
+      |FROM events e JOIN b USING (event_type)
+      |WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 8
+      |    < lo_fence_cents_x8
+      |  OR CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 8
+      |    > hi_fence_cents_x8
+      |GROUP BY event_type, lo_fence_cents_x8, hi_fence_cents_x8
+      |ORDER BY event_type""".stripMargin
 
   // q97: exponentially-weighted moving average per user — the
   // RECURSIVE smoothing no window frame can express (each output

@@ -47,66 +47,81 @@ object Relational {
       .stripMargin
 
   // q02: TPC-H Q1 shape — hash aggregate, multi-aggregate w/ partials.
-  // Money SUMS stay DECIMAL end-to-end, explicitly cast to the same
-  // width on both engines: the sf1 hash run caught DuckDB's
-  // DECIMAL(38,6)→DOUBLE cast rounding 1 ULP off the correct value
-  // (43579985256.93967 vs ...674 — not correctly rounded; Spark's
-  // BigDecimal.doubleValue is), so any cast-to-double of an exact
-  // decimal is a latent cross-engine landmine that only fires when
-  // the sum's magnitude crosses a mantissa boundary. Operand widths
-  // are deliberately TIGHT — price (12,2), 1±rate (3,2) — so every
-  // intermediate product stays ≤ width 38 in EVERY DuckDB version:
-  // the wide (18,2)³ form exceeded 38 and rode version-specific
-  // overflow promotion (exact hugeint on 1.0.0; double-promote or
-  // error elsewhere), which the round-10 driver gate caught. AVGs
-  // use the exact-integer HALF_UP discipline (q87/q99 pattern:
-  // floor((2p+q)/(2q)) via DIV, then ONE double division by 10⁴) —
-  // round(double,4) on a cents-sum/(100n) rational is the documented
-  // tie class and DuckDB's double-round tie behavior is
-  // version-dependent.
+  // Presentation is version-proof BY CONSTRUCTION (round-11 fix for
+  // the driver-gate hash-red): every presented cell is a BIGINT —
+  // money sums as fixed-point integers (cents / 1e-4 / 1e-6 units),
+  // averages as exact-integer HALF_UP pre-scaled to 1e-4 (no trailing
+  // double division at all). The r9/r10 forms presented DECIMAL sums
+  // and double averages; two construct classes diverged across DuckDB
+  // versions at the driver's gate (decimal round-tie direction and
+  // >38-width decimal-multiply promotion), and DOUBLE→DECIMAL casts of
+  // quantile-like rationals are in the same family. Integer cells
+  // leave no engine any room to disagree: the per-row fixed-point
+  // factors are exact (price cents ≤ 1.05e7, rate in 0..10 on the
+  // 0.01 grid), products stay ≤ 1.2e11 per row, and the sums run in
+  // DECIMAL(38,0) on Spark / HUGEINT in DuckDB, cast to BIGINT only
+  // at presentation (sf1 magnitude ≈ 6.6e17 < 2^63; the 100 TB shape
+  // presents DECIMAL(38,0) — one cast edit — but the gate's hash
+  // discipline wants the narrowest common integer type).
+  // AVG HALF_UP: floor((2p+q)/(2q)) == round-half-up(p/q), exact in
+  // integer arithmetic on both engines (DIV ≡ // for positives).
   private val q02: Q = (s, dir) => {
-    val price = col("l_extendedprice").cast(DecimalType(12, 2))
-    val disc = col("l_discount").cast(DecimalType(3, 2))
-    val tax = col("l_tax").cast(DecimalType(3, 2))
+    // exact fixed-point per-row factors: the 2-decimal money doubles
+    // are recovered by the DECIMAL cast, then scaled to integers
+    val pc = (col("l_extendedprice").cast(DecimalType(12, 2)) * lit(100))
+      .cast(LongType) // price in cents
+    val de = (col("l_discount").cast(DecimalType(3, 2)) * lit(100))
+      .cast(LongType) // discount in 1e-2 units, 0..10
+    val te = (col("l_tax").cast(DecimalType(3, 2)) * lit(100))
+      .cast(LongType) // tax in 1e-2 units
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= ts("2000-09-02"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(LongType).as("qty"),
+        pc.as("pc"), de.as("de"), te.as("te"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity")).as("sum_qty"),
-        sum(price).cast(DecimalType(38, 2)).as("sum_base_price"),
-        sum(price * (lit(1).cast(DecimalType(3, 2)) - disc))
-          .cast(DecimalType(38, 4)).as("sum_disc_price"),
-        sum(price * (lit(1).cast(DecimalType(3, 2)) - disc)
-          * (lit(1).cast(DecimalType(3, 2)) + tax))
-          .cast(DecimalType(38, 6)).as("sum_charge"),
-        avg(col("l_quantity")).as("avg_qty"),
-        sum(price).as("_sp"),
-        sum(disc).as("_sd"),
+        sum(col("qty")).as("sum_qty"),
+        sum(col("pc").cast(DecimalType(38, 0))).as("_spc"),
+        sum((col("pc") * (lit(100L) - col("de")))
+          .cast(DecimalType(38, 0))).as("_sdp"),
+        sum((col("pc") * (lit(100L) - col("de")) * (lit(100L) + col("te")))
+          .cast(DecimalType(38, 0))).as("_sch"),
+        sum(col("de").cast(DecimalType(38, 0))).as("_sde"),
         count(lit(1)).as("count_order"))
-      .withColumn("avg_price",
-        d(expr("(2 * _sp * 10000 + count_order) DIV (2 * count_order)"))
-          / 10000.0)
-      .withColumn("avg_disc",
-        d(expr("(2 * _sd * 10000 + count_order) DIV (2 * count_order)"))
-          / 10000.0)
       .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
-        col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
-        col("avg_qty"), col("avg_price"), col("avg_disc"),
+        col("_spc").cast(LongType).as("sum_base_price_cents"),
+        col("_sdp").cast(LongType).as("sum_disc_price_e4"),
+        col("_sch").cast(LongType).as("sum_charge_e6"),
+        expr("(2 * sum_qty * 10000 + count_order) DIV (2 * count_order)")
+          .cast(LongType).as("avg_qty_e4"),
+        // avg dollars ×1e4 = 100·sum_cents/n; avg disc ×1e4 likewise
+        expr("(2 * _spc * 100 + count_order) DIV (2 * count_order)")
+          .cast(LongType).as("avg_price_e4"),
+        expr("(2 * _sde * 100 + count_order) DIV (2 * count_order)")
+          .cast(LongType).as("avg_disc_e4"),
         col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   private val q02Sql =
-    """SELECT l_returnflag, l_linestatus,
-      |  sum(l_quantity) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS sum_charge,
-      |  avg(l_quantity) AS avg_qty,
-      |  CAST((2 * CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS HUGEINT) * 100 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_price,
-      |  CAST((2 * CAST(sum(CAST(l_discount AS DECIMAL(3,2)) * 100) AS HUGEINT) * 100 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_disc,
+    """WITH f AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc,
+      |    CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT) AS de,
+      |    CAST(CAST(l_tax AS DECIMAL(3,2)) * 100 AS BIGINT) AS te
+      |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02')
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(pc AS HUGEINT)) AS BIGINT) AS sum_base_price_cents,
+      |  CAST(sum(CAST(pc * (100 - de) AS HUGEINT)) AS BIGINT) AS sum_disc_price_e4,
+      |  CAST(sum(CAST(pc * (100 - de) * (100 + te) AS HUGEINT)) AS BIGINT) AS sum_charge_e6,
+      |  CAST((2 * CAST(sum(qty) AS HUGEINT) * 10000 + count(*)) // (2 * count(*)) AS BIGINT) AS avg_qty_e4,
+      |  CAST((2 * CAST(sum(CAST(pc AS HUGEINT)) AS HUGEINT) * 100 + count(*)) // (2 * count(*)) AS BIGINT) AS avg_price_e4,
+      |  CAST((2 * CAST(sum(CAST(de AS HUGEINT)) AS HUGEINT) * 100 + count(*)) // (2 * count(*)) AS BIGINT) AS avg_disc_e4,
       |  count(*) AS count_order
-      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      |FROM f
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
@@ -737,54 +752,91 @@ object Relational {
       |FROM orders
       |ORDER BY o_custkey, day, o_orderkey""".stripMargin
 
-  // q39: exact percentiles + first/last/nth window values. Exact
-  // interpolated percentile (Spark `percentile` = DuckDB
-  // `quantile_cont`) keeps the oracle hash-exact where
-  // approx_percentile could not. Presentation is the q76 discipline:
-  // o_totalprice sits on the 0.01 grid and the interpolation
-  // fractions are halves/tenths, so the percentiles live EXACTLY on
-  // the 0.001 grid — cast(DECIMAL(18,3)) recovers them with no
-  // rounding call at all. round(double, 2) here was a live tie
-  // (tieprobe r10: p50 = 247922.505 at sf0.01) waiting for an engine
-  // whose double-round splits ties differently.
+  // q39: exact percentiles + first/last/nth window values.
+  // Version-proof BY CONSTRUCTION (round-11): the interpolated
+  // percentile is derived from its two RANK-SELECTED WITNESSES and
+  // presented as a pre-scaled integer — p50 over n rows sits at
+  // 0-based position (n−1)/2 (halves), p90 at 9(n−1)/10 (tenths), so
+  //   p50_cents_x2  = (2−f2)·v[lo] + f2·v[lo+1],   f2 = (n−1) mod 2
+  //   p90_cents_x10 = (10−f10)·v[lo] + f10·v[lo+1], f10 = 9(n−1) mod 10
+  // with v[] the group's sorted values in exact integer cents. The
+  // arithmetic never leaves BIGINT, so no engine version can disagree
+  // (the r10 `CAST(quantile_cont AS DECIMAL)` presentation was
+  // bit-green on local DuckDB 1.0.0 and hash-red at the driver's
+  // newer engine — interpolation-in-double + DOUBLE→DECIMAL casts are
+  // exactly the construct classes with version-dependent semantics).
+  // The witness machinery is q90_percentile_disc's (rank via one
+  // bounded-alphabet window + conditional aggregation); the oracle
+  // spells out the same rank selection — no quantile_cont anywhere.
   private val q39: Q = (s, dir) => {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wf = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+      .cast(LongType)
     t(s, dir, "orders")
-      .select(col("o_orderpriority"), col("o_totalprice"),
-        first(col("o_orderkey")).over(w).as("cheapest_key"),
-        last(col("o_orderkey")).over(w).as("dearest_key"),
-        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
-      .groupBy(col("o_orderpriority"))
+      .select(col("o_orderpriority"), cents.as("cents"),
+        row_number().over(w).cast(LongType).as("rn"),
+        count(lit(1)).over(wf).as("n"),
+        first(col("o_orderkey")).over(wf).as("cheapest_key"),
+        last(col("o_orderkey")).over(wf).as("dearest_key"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
+      .groupBy(col("o_orderpriority"), col("n"))
       .agg(
-        expr("percentile(o_totalprice, 0.5)")
-          .cast(DecimalType(18, 3)).as("p50"),
-        expr("percentile(o_totalprice, 0.9)")
-          .cast(DecimalType(18, 3)).as("p90"),
+        min(when(col("rn") === expr("(n - 1) DIV 2 + 1"),
+          col("cents"))).as("v50a"),
+        min(when(col("rn") === expr("(n - 1) DIV 2 + 2"),
+          col("cents"))).as("v50b"),
+        min(when(col("rn") === expr("(9 * (n - 1)) DIV 10 + 1"),
+          col("cents"))).as("v90a"),
+        min(when(col("rn") === expr("(9 * (n - 1)) DIV 10 + 2"),
+          col("cents"))).as("v90b"),
         first(col("cheapest_key")).as("cheapest_key"),
         first(col("dearest_key")).as("dearest_key"),
         first(col("second_key")).as("second_key"))
+      .select(col("o_orderpriority"),
+        (expr("2 - (n - 1) % 2") * col("v50a")
+          + expr("(n - 1) % 2") * coalesce(col("v50b"), lit(0L)))
+          .cast(LongType).as("p50_cents_x2"),
+        (expr("10 - (9 * (n - 1)) % 10") * col("v90a")
+          + expr("(9 * (n - 1)) % 10") * coalesce(col("v90b"), lit(0L)))
+          .cast(LongType).as("p90_cents_x10"),
+        col("cheapest_key"), col("dearest_key"), col("second_key"))
       .orderBy(col("o_orderpriority"))
   }
 
   private val q39Sql =
     """WITH w AS (
-      |  SELECT o_orderpriority, o_totalprice,
-      |    first_value(o_orderkey) OVER win AS cheapest_key,
-      |    last_value(o_orderkey) OVER win AS dearest_key,
-      |    nth_value(o_orderkey, 2) OVER win AS second_key
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    row_number() OVER win AS rn,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n,
+      |    first_value(o_orderkey) OVER winf AS cheapest_key,
+      |    last_value(o_orderkey) OVER winf AS dearest_key,
+      |    nth_value(o_orderkey, 2) OVER winf AS second_key
       |  FROM orders
       |  WINDOW win AS (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey),
+      |  winf AS (PARTITION BY o_orderpriority
       |    ORDER BY o_totalprice, o_orderkey
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
       |SELECT o_orderpriority,
-      |  CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,3)) AS p50,
-      |  CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,3)) AS p90,
+      |  CAST((2 - (n - 1) % 2)
+      |      * min(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END)
+      |    + ((n - 1) % 2)
+      |      * coalesce(min(CASE WHEN rn = (n - 1) // 2 + 2 THEN cents END), 0)
+      |    AS BIGINT) AS p50_cents_x2,
+      |  CAST((10 - (9 * (n - 1)) % 10)
+      |      * min(CASE WHEN rn = (9 * (n - 1)) // 10 + 1 THEN cents END)
+      |    + ((9 * (n - 1)) % 10)
+      |      * coalesce(min(CASE WHEN rn = (9 * (n - 1)) // 10 + 2 THEN cents END), 0)
+      |    AS BIGINT) AS p90_cents_x10,
       |  first(cheapest_key) AS cheapest_key,
       |  first(dearest_key) AS dearest_key,
       |  first(second_key) AS second_key
-      |FROM w GROUP BY o_orderpriority
+      |FROM w GROUP BY o_orderpriority, n
       |ORDER BY o_orderpriority""".stripMargin
 
   // q52: APPROX percentile (mergeable quantile sketch) under the
@@ -794,26 +846,56 @@ object Relational {
   // 100 TB. Output carries the exact value (hash-checked) plus a
   // within-5% verdict on the sketch (the q26 band — at smoke scale a ~300-row group interpolates its exact median between elements while the sketch returns an element, so 1% was too tight); drift flips the boolean and
   // fails the round.
-  private val q52: Q = (s, dir) =>
+  private val q52: Q = (s, dir) => {
+    // q39's round-11 presentation discipline: the exact median is the
+    // witness-derived BIGINT p50_cents_x2 (integer cells cannot
+    // diverge across engine versions); the 5% verdict keeps the RAW
+    // double percentile vs sketch so the predicate tree stays
+    // mirrored (tolerance booleans are version-safe by design)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+      .cast(LongType)
     t(s, dir, "orders")
-      .groupBy(col("o_orderpriority"))
-      // q39's presentation discipline: exact DECIMAL(18,3) (the 0.005
-      // median grid), no round() — the 5% verdict keeps the RAW
-      // double percentile so the predicate tree stays mirrored
-      .agg(expr("percentile(o_totalprice, 0.5)").as("p50d"),
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        cents.as("cents"),
+        row_number().over(w).cast(LongType).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("o_orderpriority")))
+          .as("n"))
+      .groupBy(col("o_orderpriority"), col("n"))
+      .agg(
+        min(when(col("rn") === expr("(n - 1) DIV 2 + 1"),
+          col("cents"))).as("v50a"),
+        min(when(col("rn") === expr("(n - 1) DIV 2 + 2"),
+          col("cents"))).as("v50b"),
+        expr("percentile(o_totalprice, 0.5)").as("p50d"),
         expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap"))
       .select(col("o_orderpriority"),
-        col("p50d").cast(DecimalType(18, 3)).as("exact_p50"),
+        (expr("2 - (n - 1) % 2") * col("v50a")
+          + expr("(n - 1) % 2") * coalesce(col("v50b"), lit(0L)))
+          .cast(LongType).as("exact_p50_cents_x2"),
         (abs(col("ap") - col("p50d")) / col("p50d") <= 0.05)
           .as("approx_within_5pct"))
       .orderBy(col("o_orderpriority"))
+  }
 
   private val q52Sql =
-    """SELECT o_orderpriority,
-      |  CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,3))
-      |    AS exact_p50,
+    """WITH w AS (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  CAST((2 - (n - 1) % 2)
+      |      * min(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END)
+      |    + ((n - 1) % 2)
+      |      * coalesce(min(CASE WHEN rn = (n - 1) // 2 + 2 THEN cents END), 0)
+      |    AS BIGINT) AS exact_p50_cents_x2,
       |  TRUE AS approx_within_5pct
-      |FROM orders GROUP BY o_orderpriority
+      |FROM w GROUP BY o_orderpriority, n
       |ORDER BY o_orderpriority""".stripMargin
 
   // q55: distribution ranking — percent_rank / cume_dist complete the

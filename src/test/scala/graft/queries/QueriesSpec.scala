@@ -845,19 +845,17 @@ class QueriesSpec extends SparkSpec {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      // fences are exact UNROUNDED DECIMAL(18,5) since the round-10
-      // tie-direction fix (decimal round ties are engine-version-
-      // dependent, so the fence is presented at its exact scale)
-      val lo = r.getDecimal(1).doubleValue()
-      val hi = r.getDecimal(2).doubleValue()
+      // fences are exact BIGINT cents×8 since the round-11
+      // integer-cell fix (double interpolation and DECIMAL casts are
+      // both engine-version-dependent construct classes); membership
+      // is decided by the same integer comparison the query uses
+      val lo = r.getLong(1)
+      val hi = r.getLong(2)
       assert(lo < hi, s"${r.getString(0)}: fences inverted")
       assert(r.getLong(3) > 0)
-      // min/max outlier must lie outside the exact fences, up to the
-      // gap between the raw-double filter fence and the exact decimal
-      // one (~1e-10; membership is decided by the DOUBLE fence, so a
-      // grid value equal to the exact fence can legitimately pass)
-      assert(r.getDouble(4) > hi - 1e-6 || r.getDouble(4) < lo + 1e-6)
-      assert(r.getDouble(5) > hi - 1e-6 || r.getDouble(5) < lo + 1e-6)
+      def c8(v: Double): Long = math.round(v * 100) * 8
+      assert(c8(r.getDouble(4)) > hi || c8(r.getDouble(4)) < lo)
+      assert(c8(r.getDouble(5)) > hi || c8(r.getDouble(5)) < lo)
     }
   }
 
