@@ -1571,12 +1571,16 @@ object Multimodal {
             |                     (x, y) -> (x - y) * (x - y)),
             |            0D, (a, v) -> a + v))""".stripMargin))
           .as(Seq("s", "d2")))
+    // argmin per (vector, subspace) via min_by (the r5 IVF-assign
+    // discipline, VERDICT r10 #5): the 16 candidate rows of a vector
+    // co-reside in its partition, so map-side combine collapses to
+    // one row per (vec_id, s) BEFORE the exchange — the row_number
+    // window shuffled and sorted all n×128 rows to rank 16-row
+    // groups. Tie-break identical to the window's (d2 asc, cand asc).
     val codes = dist
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("s"))
-          .orderBy(col("d2"), col("cand"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("cand").as("code"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("cand"), struct(col("d2"), col("cand")))
+        .as("code"))
     val q = e.filter(col("vec_id") === 0).select(col("ed").as("qe"))
     // ADC lookup table: dot(q_s, codeword) per (s, cand) — 128 rows
     val lut = cb.crossJoin(broadcast(q))
