@@ -341,8 +341,14 @@ object Llm {
   // top-4 means are avg over ≤4 doubles (round absorbs summation-order
   // ulps, the mean_cohesion discipline). Mutual-top-1 output has at
   // most one row per a_id, so ORDER BY a_id is total.
-  private val bitextMine: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings")
+  private val bitextMine: Q = (s, dir) =>
+    bitextBruteFor(t(s, dir, "embeddings"))
+
+  /** Brute mutual-top-1 bitext pairs for any (vec_id, label,
+    * embedding) frame — the declared-oracle shape; exposed for
+    * BitextRecallSpec's recall pin against the IVF serving path. */
+  private[queries] def bitextBruteFor(emb: DataFrame): DataFrame = {
+    val e = emb
       .select(col("vec_id"), col("label"), col("embedding"),
         sqrt(norm2(col("embedding"))).as("nrm"))
     val a = e.filter(col("label") % 2 === 0)
@@ -393,6 +399,145 @@ object Llm {
       |              for i in generate_series(1, len(a.ed))]) /
       |      (a.nrm * b.nrm) AS cos
       |  FROM e a, e b WHERE a.label % 2 = 0 AND b.label % 2 = 1),
+      |rk AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id)
+      |      AS ra,
+      |    row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id)
+      |      AS rb
+      |  FROM pairs),
+      |ka AS (SELECT a_id, avg(cos) AS ka FROM rk WHERE ra <= 4
+      |       GROUP BY a_id),
+      |kb AS (SELECT b_id, avg(cos) AS kb FROM rk WHERE rb <= 4
+      |       GROUP BY b_id)
+      |SELECT r.a_id, r.b_id, round(r.cos, 4) AS score,
+      |  round(r.cos / ((ka.ka + kb.kb) / 2), 4) AS margin
+      |FROM rk r JOIN ka USING (a_id) JOIN kb USING (b_id)
+      |WHERE ra = 1 AND rb = 1 ORDER BY a_id""".stripMargin
+
+  // ---- llm_bitext_mine_ivf: cell-bounded bitext serving path ---------
+  // The scale form of llm_bitext_mine (VERDICT r10 #4): candidates
+  // come from the SHARED session IVF index instead of the corpus²
+  // cross join — side B (label odd) serves from its top-1 cell
+  // assignment (the same `Multimodal.ivfIndex` that serves ANN search
+  // and SemDeDup: build once, serve many), side A (label even) probes
+  // its top-2 cells at query time (the annIvf nProbe discipline —
+  // recall widens at the prober, the index stays single-assignment).
+  // Mutual-top-1 + margin then run UNCHANGED over the cell-bounded
+  // candidate set: per A-vector the candidate count is the size of 2
+  // cells, never |B| — at 100 TB with the trained k=√n quantizer the
+  // expected candidate set is ~2n/√n = 2√n per vector, linear total.
+  // A pair double-probed through two shared cells dedups by
+  // max(cos) over bit-identical values (deterministic). The margin
+  // means are over the cell-bounded top-≤4 neighborhood — the serving
+  // approximation of the brute margin; BitextRecallSpec pins the ivf
+  // pair set's recall against the brute entry on a clustered corpus
+  // (the regime IVF exists for) and records the isotropic-fixture
+  // recall honestly, like the IVF ANN contract split.
+  private val bitextMineIvf: Q = (s, dir) =>
+    bitextIvfFor(t(s, dir, "embeddings"))
+
+  /** Cell-bounded mutual-top-1 bitext pairs for any (vec_id, label,
+    * embedding) frame; exposed for BitextRecallSpec. */
+  private[queries] def bitextIvfFor(emb: DataFrame): DataFrame = {
+    val ix = Multimodal.ivfIndex(emb)
+    val lab = emb.select(col("vec_id"), col("label"))
+    // B side: the index's own top-1 spherical assignment
+    val b = ix.assign.join(lab, "vec_id")
+      .filter(col("label") % 2 === 1)
+      .select(col("cid"), col("vec_id").as("b_id"),
+        col("embedding").as("eb"), col("n2").as("bn2"))
+    // A side: probe the top-2 centroids (cs desc, cid asc) — scored
+    // map-side against the 8 broadcast centroids, top-2 picked from
+    // the per-vector 8-row collect (no corpus-wide window; the -0.0
+    // normalization keeps the struct sort identical to SQL ordering,
+    // which ties -0.0 with 0.0 while Double.compare does not)
+    val a0 = emb.filter(col("label") % 2 === 0)
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("n2"))
+    val aprobe = a0.crossJoin(broadcast(ix.cents))
+      .withColumn("cs",
+        dot(col("embedding"), col("ce")) /
+          (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .withColumn("ncs",
+        when(col("cs") === 0.0, lit(0.0)).otherwise(-col("cs")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("ea"), first(col("n2")).as("an2"),
+        slice(sort_array(collect_list(struct(col("ncs"), col("cid")))),
+          1, 2).as("top2"))
+      .select(col("vec_id").as("a_id"), col("ea"), col("an2"),
+        explode(expr("transform(top2, x -> x.cid)")).as("cid"))
+    val pairs = aprobe.join(b, "cid")
+      .select(col("a_id"), col("b_id"),
+        (dot(col("ea"), col("eb")) /
+          (sqrt(col("an2")) * sqrt(col("bn2")))).as("cos"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("cos")).as("cos"))
+    val W = org.apache.spark.sql.expressions.Window
+    // ranked feeds THREE consumers (the q84/q82 discipline, as in the
+    // brute entry): lazy localCheckpoint computes the candidate scan
+    // once without running it at construction
+    val ranked = pairs
+      .withColumn("ra", row_number().over(W.partitionBy(col("a_id"))
+        .orderBy(col("cos").desc, col("b_id"))))
+      .withColumn("rb", row_number().over(W.partitionBy(col("b_id"))
+        .orderBy(col("cos").desc, col("a_id"))))
+      .localCheckpoint(false)
+    val ka = ranked.filter(col("ra") <= 4).groupBy(col("a_id"))
+      .agg(avg(col("cos")).as("ka"))
+    val kb = ranked.filter(col("rb") <= 4).groupBy(col("b_id"))
+      .agg(avg(col("cos")).as("kb"))
+    ranked.filter(col("ra") === 1 && col("rb") === 1)
+      .join(broadcast(ka), "a_id")
+      .join(broadcast(kb), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("cos"), 4).as("score"),
+        round(col("cos") / ((col("ka") + col("kb")) / 2), 4).as("margin"))
+      .orderBy(col("a_id"))
+  }
+
+  // the hash-seeded cells rebuilt in SQL (the semdedupCellsSql/annIvf
+  // discipline: DuckDB re-derives the exact index, so even the
+  // approximate serving path is exactly checkable), then the brute
+  // entry's rank/margin pipeline verbatim over the bounded candidates
+  private val bitextMineIvfSql =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    [CAST(x AS DOUBLE) for x in embedding] AS ed,
+      |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |              for x in embedding]) AS n2
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id AS cid, ed AS ce, n2 AS cn2 FROM e
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+      |ad AS (
+      |  SELECT e.vec_id AS a_id, e.ed AS ea, e.n2 AS an2, c.cid,
+      |    list_sum([e.ed[i] * c.ce[i]
+      |      for i in generate_series(1, len(e.ed))]) /
+      |      (sqrt(e.n2) * sqrt(c.cn2)) AS cs
+      |  FROM e, c WHERE e.label % 2 = 0),
+      |ap AS (
+      |  SELECT a_id, ea, an2, cid FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY a_id ORDER BY cs DESC, cid) AS pr
+      |    FROM ad) WHERE pr <= 2),
+      |bd AS (
+      |  SELECT e.vec_id AS b_id, e.ed AS eb, e.n2 AS bn2, c.cid,
+      |    list_sum([e.ed[i] * c.ce[i]
+      |      for i in generate_series(1, len(e.ed))]) /
+      |      (sqrt(e.n2) * sqrt(c.cn2)) AS cs
+      |  FROM e, c WHERE e.label % 2 = 1),
+      |bs AS (
+      |  SELECT b_id, eb, bn2, cid FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY b_id ORDER BY cs DESC, cid) AS rn
+      |    FROM bd) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a_id, b_id,
+      |    max(list_sum([ap.ea[i] * bs.eb[i]
+      |      for i in generate_series(1, len(ap.ea))]) /
+      |      (sqrt(ap.an2) * sqrt(bs.bn2))) AS cos
+      |  FROM ap JOIN bs USING (cid) GROUP BY a_id, b_id),
       |rk AS (
       |  SELECT *,
       |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id)
@@ -1811,6 +1956,7 @@ object Llm {
     "q29_similarity_topk" -> q29,
     "q30_neardup_pairs" -> q30,
     "llm_bitext_mine" -> bitextMine,
+    "llm_bitext_mine_ivf" -> bitextMineIvf,
     "llm_ngram_jaccard_dedup" -> ngramJaccard,
     "llm_minhash_lsh_dedup" -> minhashLsh,
     "llm_minhash_estimate" -> minhashEstimate,
@@ -1851,6 +1997,7 @@ object Llm {
     "q29_similarity_topk" -> q29Sql,
     "q30_neardup_pairs" -> q30Sql,
     "llm_bitext_mine" -> bitextMineSql,
+    "llm_bitext_mine_ivf" -> bitextMineIvfSql,
     "llm_ngram_jaccard_dedup" -> jaccardOracle,
     // minhash-lsh: exact-verified output; equals the brute-force
     // Jaccard result when LSH recall is 1 (verified on the fixtures)
