@@ -189,39 +189,44 @@ object Events {
   // q67: exact rolling median over a bounded trailing frame (5 rows).
   // The windowed-quantile family member q38/q39 don't cover: a moving
   // robust signal per entity. Both engines spell out the SAME explicit
-  // derivation — sort the frame's values, take the middle (odd) or the
-  // (a+b)/2 midpoint (even) — instead of their built-in windowed
-  // quantiles, whose interpolation arithmetic differs in ulps
-  // (a+(b-a)·q vs (a+b)/2); the explicit form is the identical fp op
-  // on both sides. Scale: the frame is O(1) (5 rows), the window
-  // partitions on user_id — no global sort, parallelism = #users.
+  // derivation — sort the frame's integer-cents values, take 2× the
+  // middle (odd) or the a+b witness sum (even) — the round-11
+  // integer-cell discipline: rolling_median_cents_x2 is BIGINT, so no
+  // built-in windowed quantile, no double midpoint, no rounding
+  // (the r10 form presented round((a+b)/2.0, 4) — safe only by a
+  // grid-no-tie argument; the integer form needs no argument).
+  // Scale: the frame is O(1) (5 rows), the window partitions on
+  // user_id — no global sort, parallelism = #users.
   private val q67: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    val cents = (col("value").cast(DecimalType(18, 2)) * lit(100))
+      .cast(LongType)
     val n = size(col("win"))
     events(s, dir)
       .select(col("user_id"), col("event_id"), col("ts"), col("value"),
-        array_sort(collect_list(col("value")).over(w)).as("win"))
+        array_sort(collect_list(cents).over(w)).as("win"))
       .select(col("user_id"), col("event_id"), col("ts"), col("value"),
-        round(when(n % 2 === 1,
-            element_at(col("win"), ((n + 1) / 2).cast(IntegerType)))
-          .otherwise((element_at(col("win"), (n / 2).cast(IntegerType)) +
-            element_at(col("win"), (n / 2).cast(IntegerType) + 1)) / 2.0),
-          4).as("rolling_median"))
+        when(n % 2 === 1,
+            lit(2L) * element_at(col("win"), ((n + 1) / 2).cast(IntegerType)))
+          .otherwise(element_at(col("win"), (n / 2).cast(IntegerType)) +
+            element_at(col("win"), (n / 2).cast(IntegerType) + 1))
+          .cast(LongType).as("rolling_median_cents_x2"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
   private val q67Sql =
     """WITH b AS (
       |  SELECT user_id, event_id, ts, value,
-      |    list_sort(list(value) OVER (
+      |    list_sort(list(CAST(CAST(value AS DECIMAL(18,2)) * 100
+      |        AS BIGINT)) OVER (
       |      PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win
       |  FROM events)
       |SELECT user_id, event_id, ts, value,
-      |  round(CASE WHEN len(win) % 2 = 1 THEN win[(len(win)+1)//2]
-      |        ELSE (win[len(win)//2] + win[len(win)//2 + 1]) / 2.0
-      |        END, 4) AS rolling_median
+      |  CAST(CASE WHEN len(win) % 2 = 1 THEN 2 * win[(len(win)+1)//2]
+      |       ELSE win[len(win)//2] + win[len(win)//2 + 1]
+      |       END AS BIGINT) AS rolling_median_cents_x2
       |FROM b ORDER BY user_id, ts, event_id""".stripMargin
 
   // q68: first-order Markov transition matrix over per-user event

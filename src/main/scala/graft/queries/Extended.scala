@@ -514,20 +514,38 @@ object Extended {
       |      FROM orders)
       |GROUP BY 1, 2 ORDER BY o_orderpriority, tile""".stripMargin
 
-  // q65: median + mode per group. Median: both engines interpolate
-  // exact percentiles linearly between adjacent ranks (Spark `median`
-  // ≡ DuckDB `quantile_cont(0.5)`) — the identical (a+b)/2 on the
-  // identical two doubles, so no rounding is needed; we round(4)
-  // anyway to keep the hash discipline uniform. Mode: both engines'
+  // q65: median + mode per group. Median: the round-11 integer-cell
+  // discipline (q39's) — the interpolated median is presented as its
+  // two RANK-SELECTED WITNESSES' sum in exact integer cents
+  // (median_price_cents_x2 BIGINT), so no engine version has any
+  // room to disagree (the r10 form rounded the quantile_cont double;
+  // `round`/cast semantics on quantile-derived doubles are the
+  // construct class the driver gate split). Mode: both engines'
   // built-in `mode` is tie-ambiguous, so the deterministic derivation
   // (max count, smallest value wins ties) is spelled out in BOTH
   // engines — a groupBy + one row_number over the tiny (priority,
   // month) count frame, never a corpus-wide window.
   private val q65: Q = (s, dir) => {
     val orders = t(s, dir, "orders")
-    val med = orders.groupBy(col("o_orderpriority"))
-      .agg(round(median(col("o_totalprice")), 4).as("median_price"),
-        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+      .cast(LongType)
+    val med = orders
+      .select(col("o_orderpriority"), cents.as("cents"),
+        row_number().over(w).cast(LongType).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("o_orderpriority")))
+          .as("n"))
+      .groupBy(col("o_orderpriority"), col("n"))
+      .agg(
+        min(when(col("rn") === expr("(n - 1) DIV 2 + 1"),
+          col("cents"))).as("v50a"),
+        min(when(col("rn") === expr("(n - 1) DIV 2 + 2"),
+          col("cents"))).as("v50b"))
+      .select(col("o_orderpriority"), col("n").as("n_orders"),
+        (expr("2 - (n - 1) % 2") * col("v50a")
+          + expr("(n - 1) % 2") * coalesce(col("v50b"), lit(0L)))
+          .cast(LongType).as("median_price_cents_x2"))
     val mode = orders
       .groupBy(col("o_orderpriority"),
         month(col("o_orderdate")).cast(LongType).as("m"))
@@ -539,16 +557,27 @@ object Extended {
       .select(col("o_orderpriority"), col("m").as("mode_month"))
     med.join(mode, Seq("o_orderpriority"))
       .select(col("o_orderpriority"), col("n_orders"),
-        col("median_price"), col("mode_month"))
+        col("median_price_cents_x2"), col("mode_month"))
       .orderBy(col("o_orderpriority"))
   }
 
   private val q65Sql =
-    """WITH med AS (
+    """WITH w AS (
       |  SELECT o_orderpriority,
-      |    round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-      |    count(*) AS n_orders
-      |  FROM orders GROUP BY 1),
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders),
+      |med AS (
+      |  SELECT o_orderpriority, n AS n_orders,
+      |    CAST((2 - (n - 1) % 2)
+      |        * min(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END)
+      |      + ((n - 1) % 2)
+      |        * coalesce(min(CASE WHEN rn = (n - 1) // 2 + 2 THEN cents END), 0)
+      |      AS BIGINT) AS median_price_cents_x2
+      |  FROM w GROUP BY o_orderpriority, n),
       |mc AS (
       |  SELECT o_orderpriority,
       |    CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS c
@@ -558,7 +587,8 @@ object Extended {
       |    row_number() OVER (PARTITION BY o_orderpriority
       |      ORDER BY c DESC, m) AS rk
       |  FROM mc)
-      |SELECT o_orderpriority, n_orders, median_price, mode_month
+      |SELECT o_orderpriority, n_orders, median_price_cents_x2,
+      |  mode_month
       |FROM med JOIN md USING (o_orderpriority)
       |WHERE rk = 1 ORDER BY o_orderpriority""".stripMargin
 

@@ -233,32 +233,88 @@ object Stats {
 
   // ---- q80_mad: median absolute deviation --------------------------
   // The robust dispersion partner of q76's IQR fences: per event type,
-  // median of |value − median|. Two bounded-alphabet percentile
-  // passes (q39 discipline: Spark `percentile` ≡ DuckDB
-  // `quantile_cont`); the medians broadcast back, the deviation is an
-  // exact double op on both engines.
+  // median of |value − median|. Round-11 integer-cell discipline
+  // (q39/q76): BOTH medians are rank-selected-witness interpolations
+  // carried in exact pre-scaled integer cents — the inner median as
+  // cents×2 (median_cents_x2), the per-row deviation as the exact
+  // integer |2·value_cents − median_cents_x2| (cents×2 units), and
+  // the outer median of deviations as cents×4 (mad_cents_x4 =
+  // witness interpolation of the ×2-unit deviations, ×2 again). No
+  // quantile built-in, no double arithmetic, no rounding anywhere —
+  // two bounded-alphabet window passes + conditional aggregation.
   private val q80: Q = (s, dir) => {
-    val med = Events.events(s, dir)
-      .groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    Events.events(s, dir)
-      .join(broadcast(med), Seq("event_type"))
-      .groupBy(col("event_type"), col("med"))
-      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
-      .select(col("event_type"),
-        round(col("med"), 6).as("median"),
-        round(col("mad"), 6).as("mad"))
+    val cents = (col("value").cast(DecimalType(18, 2)) * lit(100))
+      .cast(LongType)
+    def witnessX2(in: DataFrame, v: Column, tie: Column): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(v, tie)
+      in.select(col("event_type"), v.as("x"),
+          row_number().over(w).cast(LongType).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("event_type")))
+            .as("n"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(
+          min(when(col("rn") === expr("(n - 1) DIV 2 + 1"),
+            col("x"))).as("va"),
+          min(when(col("rn") === expr("(n - 1) DIV 2 + 2"),
+            col("x"))).as("vb"))
+        .select(col("event_type"),
+          (expr("2 - (n - 1) % 2") * col("va")
+            + expr("(n - 1) % 2") * coalesce(col("vb"), lit(0L)))
+            .cast(LongType).as("m2"))
+    }
+    val ev = Events.events(s, dir)
+    val med = witnessX2(ev, cents, col("event_id"))
+      .withColumnRenamed("m2", "median_cents_x2")
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("event_id"),
+        abs(cents * lit(2L) - col("median_cents_x2")).as("dev2"))
+    val mad = witnessX2(dev, col("dev2"), col("event_id"))
+      .withColumnRenamed("m2", "mad_cents_x4")
+    med.join(mad, Seq("event_type"))
+      .select(col("event_type"), col("median_cents_x2"),
+        col("mad_cents_x4"))
       .orderBy(col("event_type"))
   }
 
   private val q80Sql =
-    """WITH m AS (
-      |  SELECT event_type, quantile_cont(value, 0.5) AS med
-      |  FROM events GROUP BY event_type)
-      |SELECT e.event_type, round(m.med, 6) AS median,
-      |  round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
-      |FROM events e JOIN m USING (event_type)
-      |GROUP BY e.event_type, m.med ORDER BY e.event_type""".stripMargin
+    """WITH w AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |        event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type,
+      |    CAST((2 - (n - 1) % 2)
+      |        * min(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END)
+      |      + ((n - 1) % 2)
+      |        * coalesce(min(CASE WHEN rn = (n - 1) // 2 + 2 THEN cents END), 0)
+      |      AS BIGINT) AS median_cents_x2
+      |  FROM w GROUP BY event_type, n),
+      |dv AS (
+      |  SELECT e.event_type, e.event_id,
+      |    abs(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) * 2
+      |      - m.median_cents_x2) AS dev2
+      |  FROM events e JOIN med m USING (event_type)),
+      |dw AS (
+      |  SELECT event_type, dev2,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY dev2, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dv),
+      |mad AS (
+      |  SELECT event_type,
+      |    CAST((2 - (n - 1) % 2)
+      |        * min(CASE WHEN rn = (n - 1) // 2 + 1 THEN dev2 END)
+      |      + ((n - 1) % 2)
+      |        * coalesce(min(CASE WHEN rn = (n - 1) // 2 + 2 THEN dev2 END), 0)
+      |      AS BIGINT) AS mad_cents_x4
+      |  FROM dw GROUP BY event_type, n)
+      |SELECT event_type, median_cents_x2, mad_cents_x4
+      |FROM med JOIN mad USING (event_type)
+      |ORDER BY event_type""".stripMargin
 
   // ---- q81_ttest: Welch two-sample t over every type pair ----------
   // The A/B-test primitive: for each pair of event types, Welch's

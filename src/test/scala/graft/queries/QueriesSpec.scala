@@ -629,21 +629,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("q67 rolling median equals the (rounded) row value on each " +
-    "user's first row and stays within the user's value range") {
+  test("q67 rolling median equals the row value on each user's first " +
+    "row and stays within the user's value range") {
     val rows = SparkEntry.queries("q67_rolling_median")(spark, dir)
       .collect()
+    // round-11 integer cells: rolling_median_cents_x2 = 2 × median
+    // in cents; value doubles convert exactly via the 0.01 grid
+    def c2(v: Double): Long = math.round(v * 100) * 2
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       val first = rs.head // output is ordered (user_id, ts, event_id)
-      val expect = BigDecimal(first.getDouble(3))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(first.getDouble(4) == expect,
-        s"first-row median ${first.getDouble(4)} != rounded value $expect")
+      assert(first.getLong(4) == c2(first.getDouble(3)),
+        s"first-row median ${first.getLong(4)} != " +
+          s"value cents×2 ${c2(first.getDouble(3))}")
       val vals = rs.map(_.getDouble(3))
       rs.foreach(r => assert(
-        r.getDouble(4) >= vals.min - 1e-4 &&
-          r.getDouble(4) <= vals.max + 1e-4,
-        s"median ${r.getDouble(4)} outside [${vals.min}, ${vals.max}]"))
+        r.getLong(4) >= c2(vals.min) && r.getLong(4) <= c2(vals.max),
+        s"median ${r.getLong(4)} outside " +
+          s"[${c2(vals.min)}, ${c2(vals.max)}]"))
     }
   }
 

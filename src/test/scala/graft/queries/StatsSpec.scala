@@ -45,7 +45,9 @@ class StatsSpec extends SparkSpec {
     val rows = run("q80_mad")
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Double]("mad") >= 0.0, s"negative MAD: $r")
+      // round-11 integer cells: median as cents×2, MAD as cents×4
+      assert(r.getAs[Long]("mad_cents_x4") >= 0L, s"negative MAD: $r")
+      assert(r.getAs[Long]("median_cents_x2") > 0L, s"bad median: $r")
     }
   }
 
