@@ -129,14 +129,28 @@ object Canon {
     * `CAST((2*num*10^s + den) // (2*den) AS DOUBLE) / 10^s.0`.
     */
   def halfUp(num: Column, den: Column, scale: Int): Column = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{lit, when}
+    // DECIMAL(38,0) arithmetic: 2·num·10^s must not wrap — a Long
+    // intermediate silently wrapped above ~4.6e14 at scale 4 (ADVICE
+    // r10), and the DuckDB mirror's HUGEINT would NOT wrap, turning
+    // an overflow into a cross-engine divergence. DECIMAL gives 38
+    // digits of headroom and IntegralDivide on decimals is exact.
+    val d38 = DecimalType(38, 0)
     val tenS = lit(math.pow(10, scale).toLong)
-    val n2 = num.cast(LongType) * lit(2L) * tenS + den.cast(LongType)
-    val d2 = den.cast(LongType) * lit(2L)
-    org.apache.spark.sql.GraftBridge.column(
+    val n2 = num.cast(d38) * lit(2L) * tenS + den.cast(d38)
+    val d2 = den.cast(d38) * lit(2L)
+    val q = org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         org.apache.spark.sql.GraftBridge.expression(n2),
         org.apache.spark.sql.GraftBridge.expression(d2)))
       .cast(DoubleType) / lit(math.pow(10, scale))
+    // precondition guard (ADVICE r10): the identity floor((2p+q)/(2q))
+    // == round-half-up(p/q) holds for p ≥ 0, q > 0 only — and Spark
+    // DIV truncates toward zero while DuckDB // floors, so a negative
+    // fractional quotient would silently diverge cross-engine. NULL
+    // keeps the engines mirrored (DuckDB's den=0 path yields NULL
+    // too); any call site that hits this gets a visibly-null cell
+    // instead of a silently-wrong one.
+    when(den <= lit(0) || num < lit(0), lit(null)).otherwise(q)
   }
 }

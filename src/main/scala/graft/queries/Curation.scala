@@ -1795,20 +1795,33 @@ object Curation {
   // frame; tier assignment is per-row. No global sort, no window —
   // the ntile formulation would single-partition the corpus.
   //
-  // Cross-engine determinism: both engines interpolate exact
-  // percentiles linearly between adjacent ranks (Spark `percentile` ≡
-  // DuckDB `quantile_cont`), and a ≥/- comparison against the cutoff
-  // cannot flip on interpolation ulps — no score lies strictly
-  // between the adjacent ranks the cutoff interpolates, and a cutoff
-  // interpolated between equal values is exact. p = 0.25/0.75 are
-  // exactly-representable doubles.
+  // Cross-engine determinism (round-11): the cutoffs are WITNESS
+  // values — quantile_disc semantics, the stored score at 1-based
+  // rank max(ceil(p·n), 1) — so no interpolation convention exists to
+  // vary by engine version (the r10 form used quantile_cont cutoffs,
+  // safe only under the fixed-formula argument). The witness is
+  // derived from the SCORE HISTOGRAM: avg_logp is round(…,4)-valued,
+  // so distinct scores are a bounded grid alphabet; the cumulative
+  // window runs over that histogram frame (the q89 catalog-bounded
+  // justification), never the corpus, and the exact integer rank is
+  // k = (p_num·n + p_den − 1) div p_den.
   private val qualityBuckets: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val scored = lmScoresFor(docs)
       .select(col("doc_id"), col("avg_logp"))
-    val cuts = scored.agg(
-      percentile(col("avg_logp"), array(lit(0.25), lit(0.75))).as("q"))
-      .select(col("q")(0).as("q25"), col("q")(1).as("q75"))
+    val hist = scored.groupBy(col("avg_logp"))
+      .agg(count(lit(1)).as("m"))
+    val wc = Window.orderBy(col("avg_logp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("avg_logp"),
+      sum(col("m")).over(wc).as("cum"),
+      sum(col("m")).over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+    val cuts = cum.agg(
+      min(when(col("cum") >= expr("(n + 3) DIV 4"), col("avg_logp")))
+        .as("q25"),
+      min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("avg_logp")))
+        .as("q75"))
     scored
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .crossJoin(broadcast(cuts))
@@ -1833,8 +1846,8 @@ object Curation {
        |  SELECT doc_id, round(avg(ln((b + 1.0) / (u + v))), 4) AS avg_logp
        |  FROM bi JOIN bc USING (w1, w2) JOIN uni ON bi.w1 = uni.w
        |  CROSS JOIN v GROUP BY doc_id),
-       |cuts AS (SELECT quantile_cont(avg_logp, 0.25) AS q25,
-       |  quantile_cont(avg_logp, 0.75) AS q75 FROM scores)
+       |cuts AS (SELECT quantile_disc(avg_logp, 0.25) AS q25,
+       |  quantile_disc(avg_logp, 0.75) AS q75 FROM scores)
        |SELECT d.source,
        |  CASE WHEN s.avg_logp >= q75 THEN 'head'
        |       WHEN s.avg_logp < q25 THEN 'tail'

@@ -58,10 +58,29 @@ object Stats {
         .filter(col("u") < col("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val thrRow = pc.agg(expr("percentile(cnt, 0.95)")).head()
+      // P95 threshold as the WITNESS value at 1-based rank
+      // max(ceil(0.95·n), 1) = max((19n+19) div 20, 1) — exact
+      // integer rank arithmetic, quantile_disc semantics on both
+      // engines (round-11: the interpolated quantile_cont threshold
+      // was convention-sensitive in principle; a witness is a stored
+      // count, convention-free). Derived from the pair-count
+      // HISTOGRAM — distinct co-occurrence counts are a tiny
+      // bounded alphabet (loud cap), never a corpus-sized collect.
+      val hist = pc.groupBy(col("cnt")).agg(count(lit(1)).as("m"))
+        .orderBy(col("cnt")).collect()
+      require(hist.length <= 100000,
+        s"q84 threshold histogram unexpectedly wide: ${hist.length}")
+      val n = hist.map(_.getLong(1)).sum
       val edges =
-        if (thrRow.isNullAt(0)) pc.filter(lit(false)) // empty corpus
-        else pc.filter(col("cnt") >= thrRow.getDouble(0))
+        if (n == 0) pc.filter(lit(false)) // empty corpus
+        else {
+          val k = math.max((19 * n + 19) / 20, 1L)
+          var cum = 0L
+          val thr = hist.iterator.map { r =>
+            cum += r.getLong(1); (r.getLong(0), cum)
+          }.collectFirst { case (v, c) if c >= k => v }.get
+          pc.filter(col("cnt") >= thr)
+        }
       val out = edges.select(col("u"), col("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count() // materialize so pc can be dropped
@@ -545,7 +564,7 @@ object Stats {
       |  FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey
       |    AND a.l_suppkey < b.l_suppkey
       |  GROUP BY 1, 2),
-      |thr AS (SELECT quantile_cont(cnt, 0.95) AS thr FROM pc),
+      |thr AS (SELECT quantile_disc(cnt, 0.95) AS thr FROM pc),
       |edges AS (SELECT u, v FROM pc, thr WHERE cnt >= thr.thr)""".stripMargin
 
   private val q84Sql =

@@ -42,58 +42,89 @@ def canon(table):
     return cols, [tuple(flatten(v) for v in r) for r in rows]
 
 
-def rewrite_two_arg_rounds(sql):
-    """Replace every 2-arg `round(x, n)` call with `round_even(x, n)`,
-    leaving 1-arg `round(x)` untouched (paren-balance scan — a regex
-    cannot see nesting). Single-quoted SQL string literals are opaque
-    to the scan: a '(' / ')' / ',' inside a literal (regex patterns,
-    separators) must not move the depth or arity ('' is the escaped
-    quote inside a literal)."""
-    # literal map: True for positions inside a single-quoted literal,
-    # so round( spelled inside a string (labels, regexes) is never
-    # treated as a call site
-    in_lit = [False] * len(sql)
+def opaque_map(sql):
+    """Position map: True where the character is inside a
+    single-quoted literal, a double-quoted identifier, a `--` line
+    comment, or a `/* */` block comment — all opaque to the call-site
+    scan (an apostrophe in a comment or a quote in an identifier must
+    not flip the literal state and corrupt arity detection). Raises if
+    a single-quoted literal is left open at end of string (a scan that
+    silently mis-tracked state could miss a live tie)."""
+    opq = [False] * len(sql)
     lit = False
     k = 0
     while k < len(sql):
-        if sql[k] == "'":
-            if lit and k + 1 < len(sql) and sql[k + 1] == "'":
-                in_lit[k] = in_lit[k + 1] = True
-                k += 2
-                continue
-            lit = not lit
-            in_lit[k] = True
-        else:
-            in_lit[k] = lit
+        c = sql[k]
+        if lit:
+            opq[k] = True
+            if c == "'":
+                if k + 1 < len(sql) and sql[k + 1] == "'":
+                    opq[k + 1] = True
+                    k += 2
+                    continue
+                lit = False
+            k += 1
+            continue
+        if c == "'":
+            lit = True
+            opq[k] = True
+            k += 1
+            continue
+        if c == '"':  # double-quoted identifier: opaque to the scan
+            j = sql.find('"', k + 1)
+            j = len(sql) - 1 if j < 0 else j
+            for p in range(k, j + 1):
+                opq[p] = True
+            k = j + 1
+            continue
+        if c == "-" and sql[k:k + 2] == "--":
+            j = sql.find("\n", k)
+            j = len(sql) - 1 if j < 0 else j
+            for p in range(k, j + 1):
+                opq[p] = True
+            k = j + 1
+            continue
+        if c == "/" and sql[k:k + 2] == "/*":
+            j = sql.find("*/", k)
+            j = len(sql) - 2 if j < 0 else j
+            for p in range(k, j + 2):
+                opq[p] = True
+            k = j + 2
+            continue
         k += 1
+    if lit:
+        raise ValueError("unterminated single-quoted literal in oracle "
+                         "SQL — scan state corrupt, refusing to probe")
+    return opq
+
+
+def rewrite_two_arg_rounds(sql):
+    """Replace every 2-arg `round(x, n)` call with `round_even(x, n)`,
+    leaving 1-arg `round(x)` untouched (paren-balance scan — a regex
+    cannot see nesting). Literals/identifiers/comments are opaque to
+    the scan: a '(' / ')' / ',' inside them must not move the depth
+    or arity."""
+    opq = opaque_map(sql)
+    # single pre-computed match list (the per-occurrence finditer
+    # restart was O(n·m)); matches inside opaque spans are skipped
+    matches = [m for m in re.finditer(r"\bround\s*\(", sql, re.IGNORECASE)
+               if not opq[m.start()]]
     out = []
     i = 0
-    while True:
-        m = None
-        for cand in re.finditer(r"\bround\s*\(", sql, re.IGNORECASE):
-            if cand.start() >= i and not in_lit[cand.start()]:
-                m = cand
-                break
-        if not m:
-            out.append(sql[i:])
-            return "".join(out)
+    for m in matches:
+        if m.start() < i:  # inside a previously consumed span (cannot
+            continue       # happen for non-overlapping calls; guard)
         start = m.start()
         open_p = m.end()  # index just past '('
         depth = 1
         top_comma = False
-        in_str = False
         j = open_p
         while j < len(sql) and depth > 0:
+            if opq[j]:
+                j += 1
+                continue
             c = sql[j]
-            if in_str:
-                if c == "'":
-                    if j + 1 < len(sql) and sql[j + 1] == "'":
-                        j += 1  # escaped quote, stay in the literal
-                    else:
-                        in_str = False
-            elif c == "'":
-                in_str = True
-            elif c == "(":
+            if c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
@@ -103,6 +134,7 @@ def rewrite_two_arg_rounds(sql):
         out.append(sql[i:start])
         out.append("round_even(" if top_comma else "round(")
         i = open_p
+    out.append(sql[i:])
     return "".join(out)
 
 
@@ -119,10 +151,36 @@ def main():
     # `round(x)` as-is: integer rounding of a half only occurs for
     # .5-valued operands, which the 2-arg sweep would already flag at
     # finer scales; known 1-arg uses round already-exact values.
-    n_tie = n_clean = n_skip = 0
+    n_tie = n_clean = n_skip = n_warn = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        # Interpolation-convention probe (VERDICT r10 #7): any oracle
+        # still carrying quantile_cont is evaluated under the witness
+        # (rank-selection / quantile_disc) convention too — a cell
+        # difference means the output is sensitive to the engine's
+        # interpolation formula, the construct class the r10 gate
+        # split. Presence without a cell diff is a warning (the
+        # discipline prefers witness spellings outright).
+        if re.search(r"\bquantile_cont\s*\(", sql, re.IGNORECASE):
+            alt_q = re.sub(r"\bquantile_cont\s*\(", "quantile_disc(",
+                           sql, flags=re.IGNORECASE)
+            try:
+                base_q = canon(con.sql(sql).fetch_arrow_table())
+                alt_qr = canon(con.sql(alt_q).fetch_arrow_table())
+            except Exception as e:
+                print(f"ERR  {name}: interp probe: {e}")
+                n_tie += 1
+                continue
+            if base_q[1] != alt_qr[1]:
+                print(f"TIE  {name}: quantile_cont cells differ under "
+                      "the witness (disc) convention — interpolation-"
+                      "sensitive output")
+                n_tie += 1
+                continue
+            print(f"WARN {name}: quantile_cont present (convention-"
+                  "sensitive construct; prefer witness/disc spelling)")
+            n_warn += 1
         if not re.search(r"\bround\s*\(", sql, re.IGNORECASE):
             n_skip += 1
             continue
@@ -150,8 +208,8 @@ def main():
                             break
                     break
         print(f"TIE  {name}: {where}")
-    print(f"== {n_clean} tie-free, {n_tie} live ties, "
-          f"{n_skip} without round() ==")
+    print(f"== {n_clean} tie-free, {n_tie} live ties, {n_warn} "
+          f"quantile_cont warnings, {n_skip} without round() ==")
     sys.exit(1 if n_tie else 0)
 
 
