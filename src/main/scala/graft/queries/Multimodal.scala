@@ -1522,6 +1522,146 @@ object Multimodal {
       |WHERE bit_count(xor(la, lb)) + bit_count(xor(xa, xb)) <= 3
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- mm_dhash_dedup: gradient perceptual hash (dHash) --------------
+  // The second perceptual-hash family member beside mm_phash_dedup's
+  // average-hash (VERDICT r10 #8): dHash thresholds each block
+  // against its RIGHT NEIGHBOR instead of the image mean — a
+  // gradient signature, structurally invariant to uniform brightness
+  // shifts (the exact perturbation class the corpus manufactures),
+  // where aHash can flip blocks that straddle the mean. Same decoded
+  // REAL-PNG pixel path, same integer-exact arithmetic (block
+  // averages on an 8-row × 9-column grid, bit k = 8·by+bx set iff
+  // avg(by,bx+1) > avg(by,bx)), same 4×16-bit Hamming LSH with the
+  // pigeonhole recall-1 proof at d≤3, same two-halves carry. The
+  // DuckDB oracle mirrors the generation formula and the 9-column
+  // grid in SQL (neighbor comparison = self-join on k9+1).
+  private def dhashOf(p: PhashPng): PhashRow = {
+    imageIoInMemory
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p.png))
+    require(img != null, s"img ${p.img_id}: undecodable PNG blob")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = new Array[Long](72)
+    val cnt = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val by = (y * 8) / h
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        val gray = (((px >> 16) & 0xff) + 2 * ((px >> 8) & 0xff) +
+          3 * (px & 0xff)) / 6
+        val k9 = by * 9 + (x * 9) / w
+        sum(k9) += gray
+        cnt(k9) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val avg = new Array[Long](72)
+    var k = 0
+    while (k < 72) { avg(k) = sum(k) / cnt(k); k += 1 }
+    var lo = 0L
+    var hi = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (avg(by * 9 + bx + 1) > avg(by * 9 + bx)) {
+          val bit = by * 8 + bx
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    PhashRow(p.img_id, lo, hi)
+  }
+
+  private val dhashDedup: Q = (s, dir) => {
+    import s.implicits._
+    val hashes = t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(id =>
+        Iterator(encodePhashPng(id, 0), encodePhashPng(id, 1))))
+      .mapPartitions(_.map(dhashOf)) // DECODE + gradient hash
+      .toDF()
+    val chunks = hashes.select(col("img_id"), col("lo"), col("hi"),
+      posexplode(expr(
+        """array((lo      ) & 65535, shiftright(lo, 16) & 65535,
+          |      (hi      ) & 65535, shiftright(hi, 16) & 65535)"""
+          .stripMargin)).as(Seq("ci", "cv")))
+    val cand = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.img_id") < col("y.img_id"))
+      .select(col("x.img_id").as("a_id"), col("y.img_id").as("b_id"),
+        col("x.lo").as("la"), col("x.hi").as("xa"),
+        col("y.lo").as("lb"), col("y.hi").as("xb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        (bit_count(expr("la ^ lb")) + bit_count(expr("xa ^ xb")))
+          .cast(LongType))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val dhashDedupSql =
+    """WITH m AS (
+      |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 24 AS h
+      |  FROM documents),
+      |iv AS (SELECT doc_id, w, h, unnest([0, 1]) AS v FROM m),
+      |px AS (SELECT doc_id, w, h, v,
+      |         unnest(generate_series(0, w - 1)) AS x FROM iv),
+      |pxy AS (SELECT doc_id, w, h, v, x,
+      |          unnest(generate_series(0, h - 1)) AS y FROM px),
+      |g AS (
+      |  SELECT doc_id * 2 + v AS img_id,
+      |    ((y * 8) // h) * 9 + (x * 9) // w AS k9,
+      |    (least(((doc_id % 251) * (x + 3) + doc_id % 256
+      |            + x * x * 7 + y * y * 13 + x * y * 3) % 256 + v * 2,
+      |           255)
+      |     + 2 * (((doc_id % 241) * (y + 5) + x * 31 + y * 29
+      |             + x * x * 5) % 256)
+      |     + 3 * (((doc_id % 233) * (x + y + 7) + x * x * 11
+      |             + y * y * 3 + x * 7) % 256)) // 6 AS gray
+      |  FROM pxy),
+      |blk AS (SELECT img_id, k9, CAST(sum(gray) AS BIGINT) // count(*) AS a
+      |        FROM g GROUP BY 1, 2),
+      |hs AS (
+      |  SELECT l.img_id,
+      |    bit_or(CASE WHEN r.a > l.a
+      |        AND (l.k9 // 9) * 8 + l.k9 % 9 < 32
+      |      THEN (CAST(1 AS BIGINT)
+      |            << CAST((l.k9 // 9) * 8 + l.k9 % 9 AS INT))
+      |      ELSE 0 END) AS lo,
+      |    bit_or(CASE WHEN r.a > l.a
+      |        AND (l.k9 // 9) * 8 + l.k9 % 9 >= 32
+      |      THEN (CAST(1 AS BIGINT)
+      |            << CAST((l.k9 // 9) * 8 + l.k9 % 9 - 32 AS INT))
+      |      ELSE 0 END) AS hi
+      |  FROM blk l JOIN blk r
+      |    ON r.img_id = l.img_id AND r.k9 = l.k9 + 1 AND l.k9 % 9 < 8
+      |  GROUP BY l.img_id),
+      |ch AS (
+      |  SELECT img_id, lo, hi, ci,
+      |    CASE ci WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+      |            WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS cv
+      |  FROM hs, (SELECT unnest([0, 1, 2, 3]) AS ci)),
+      |cand AS (
+      |  SELECT DISTINCT a.img_id AS a_id, b.img_id AS b_id,
+      |    a.lo AS la, a.hi AS xa, b.lo AS lb, b.hi AS xb
+      |  FROM ch a JOIN ch b
+      |    ON a.ci = b.ci AND a.cv = b.cv AND a.img_id < b.img_id)
+      |SELECT a_id, b_id,
+      |  CAST(bit_count(xor(la, lb)) + bit_count(xor(xa, xb)) AS BIGINT)
+      |    AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(la, lb)) + bit_count(xor(xa, xb)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
   // ---- llm_ann_pq: product-quantized candidate search (ADC) ----------
   // The third leg of the ANN memory-compression family: SQ8 (llm_ann_
   // sq8) stores 8-bit components (4× smaller); PQ stores 8 CODE BYTES
@@ -1660,6 +1800,182 @@ object Multimodal {
       |FROM top t JOIN e ON e.vec_id = t.vec_id, q
       |ORDER BY t.adc DESC, t.vec_id""".stripMargin
 
+  // ---- llm_ann_ivfpq: IVF cells + PQ residual codes (the FAISS shape) -
+  // The composition of the two quantizers that actually ships in a
+  // production vector index (VERDICT r10 #8): the coarse IVF
+  // quantizer routes the query to nProbe=2 cells, and within the
+  // probed cells candidates are scored by ADC over PRODUCT-QUANTIZED
+  // RESIDUALS (v − centroid(cell(v))) — the residual trick is what
+  // makes 16 codewords per subspace usable: residuals are centered
+  // near zero so one shared codebook covers every cell. Score =
+  // dot(q, centroid) + Σ_s dot(q_s, codeword(s, code_s)), i.e. the
+  // reconstruction dot; exact-cosine re-rank of the shortlist.
+  // Determinism: the shared hash-sampled discipline for both
+  // quantizers (cells = 8 smallest md5, codebook = residuals of the
+  // 16 smallest md5), encode ties on code id, the 8-way ADC fold in
+  // subspace order + the scalar centroid term OUTSIDE the fold —
+  // both engines compute the identical double tree.
+  // Scale: codes are 8 bytes/vector (32×), the probe touches
+  // 2 cells of n/√n vectors each, the LUT is 8×16 — the serving scan
+  // reads codes only; recall is pinned in MultimodalSpec against
+  // brute on the clustered regime via the trained path's machinery.
+  private val annIvfPq: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val ix = ivfIndex(emb)
+    // residual frame: rd = ed − ce(cell), double from the first op
+    val e = ix.assign.join(broadcast(ix.cents), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("""zip_with(embedding, ce,
+               |  (x, y) -> cast(x as double) - cast(y as double))"""
+          .stripMargin).as("rd"))
+    val cbW = Window.orderBy(col("h"), col("vec_id"))
+    val cb = e
+      .select(md5(col("vec_id").cast(StringType)).as("h"),
+        col("vec_id"), col("rd").as("cv"))
+      .orderBy(col("h"), col("vec_id")).limit(16)
+      .withColumn("cand", row_number().over(cbW) - 1) // 16-row frame
+      .select(col("cand"), col("cv"))
+    val dist = e.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("cid"), col("cand"),
+        posexplode(expr(
+          """transform(sequence(0, 7), s ->
+            |  aggregate(zip_with(slice(rd, 8 * s + 1, 8),
+            |                     slice(cv, 8 * s + 1, 8),
+            |                     (x, y) -> (x - y) * (x - y)),
+            |            0D, (a, v) -> a + v))""".stripMargin))
+          .as(Seq("s", "d2")))
+    // map-side argmin per (vector, subspace) — the PQ/IVF discipline
+    val codes = dist
+      .groupBy(col("vec_id"), col("cid"), col("s"))
+      .agg(min_by(col("cand"), struct(col("d2"), col("cand")))
+        .as("code"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> cast(x as double))")
+        .as("qe"))
+      .withColumn("qn2",
+        expr("aggregate(qe, 0D, (a, v) -> a + v * v)"))
+    // probe: top-2 cells by spherical score, carrying dot(q, ce) as
+    // the ADC base term for candidates of that cell
+    val qcells = q.crossJoin(broadcast(ix.cents))
+      .withColumn("qcdot", expr(
+        """aggregate(zip_with(qe, ce,
+          |  (x, y) -> x * cast(y as double)), 0D, (a, v) -> a + v)"""
+          .stripMargin))
+      .withColumn("cs",
+        col("qcdot") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .orderBy(col("cs").desc, col("cid")).limit(2)
+      .select(col("cid").as("qcid"), col("qcdot"))
+    // ADC LUT over residual codewords: dot(q_s, cw) per (s, cand)
+    val lut = cb.crossJoin(broadcast(q))
+      .select(col("cand"),
+        posexplode(expr(
+          """transform(sequence(0, 7), s ->
+            |  aggregate(zip_with(slice(qe, 8 * s + 1, 8),
+            |                     slice(cv, 8 * s + 1, 8),
+            |                     (x, y) -> x * y),
+            |            0D, (a, v) -> a + v))""".stripMargin))
+          .as(Seq("s", "ct")))
+    val adc = codes
+      .join(broadcast(qcells), codes("cid") === qcells("qcid"))
+      .join(broadcast(lut),
+        codes("s") === lut("s") && codes("code") === lut("cand"))
+      .select(col("vec_id"), col("qcdot"), codes("s").as("s"), col("ct"))
+      .groupBy(col("vec_id"), col("qcdot"))
+      .agg(sort_array(collect_list(struct(col("s"), col("ct"))))
+        .as("arr"))
+      .withColumn("adc", col("qcdot") + expr(
+        "aggregate(transform(arr, x -> x.ct), 0D, (a, v) -> a + v)"))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("adc").desc, col("vec_id")).limit(10)
+    val ef = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("ed"))
+    adc
+      .join(ef, "vec_id").crossJoin(broadcast(q))
+      .select(col("vec_id"), round(col("adc"), 4).as("adc_score"),
+        round(
+          expr("""aggregate(zip_with(ed, qe, (x, y) -> x * y),
+                 |  0D, (a, v) -> a + v)""".stripMargin) /
+            (sqrt(expr("aggregate(ed, 0D, (a, v) -> a + v * v)")) *
+              sqrt(col("qn2"))), 4)
+          .as("exact_cos"),
+        col("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .drop("adc")
+  }
+
+  private val annIvfPqSql =
+    """WITH e AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ed,
+      |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |              for x in embedding]) AS n2
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id AS cid, ed AS ce, n2 AS cn2 FROM e
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+      |dists AS (
+      |  SELECT e.vec_id, e.ed, e.n2, c.cid, c.ce,
+      |    list_sum([e.ed[i] * c.ce[i]
+      |      for i in generate_series(1, len(e.ed))]) /
+      |      (sqrt(e.n2) * sqrt(c.cn2)) AS cs
+      |  FROM e, c),
+      |assign AS (
+      |  SELECT vec_id,
+      |    [ed[i] - ce[i] for i in generate_series(1, len(ed))] AS rd,
+      |    cid
+      |  FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |cb AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cand, cv
+      |  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id,
+      |          rd AS cv
+      |        FROM assign ORDER BY h, vec_id LIMIT 16)),
+      |sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |dist AS (
+      |  SELECT a.vec_id, a.cid, sub.s, cb.cand,
+      |    list_sum([(a.rd[8 * sub.s + i] - cb.cv[8 * sub.s + i])
+      |              * (a.rd[8 * sub.s + i] - cb.cv[8 * sub.s + i])
+      |              for i in generate_series(1, 8)]) AS d2
+      |  FROM assign a, sub, cb),
+      |code AS (
+      |  SELECT vec_id, cid, s, cand AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |                                 ORDER BY d2, cand) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |q AS (SELECT ed AS qe, n2 AS qn2 FROM e WHERE vec_id = 0),
+      |qcells AS (
+      |  SELECT cid AS qcid, qcdot FROM (
+      |    SELECT c.cid,
+      |      list_sum([q.qe[i] * c.ce[i]
+      |        for i in generate_series(1, len(q.qe))]) AS qcdot,
+      |      list_sum([q.qe[i] * c.ce[i]
+      |        for i in generate_series(1, len(q.qe))]) /
+      |        (sqrt(q.qn2) * sqrt(c.cn2)) AS cs
+      |    FROM c, q)
+      |  ORDER BY cs DESC, cid LIMIT 2),
+      |lut AS (
+      |  SELECT cb.cand, sub.s,
+      |    list_sum([q.qe[8 * sub.s + i] * cb.cv[8 * sub.s + i]
+      |              for i in generate_series(1, 8)]) AS ct
+      |  FROM cb, sub, q),
+      |adc AS (
+      |  SELECT cd.vec_id,
+      |    qc.qcdot + list_sum(list(l.ct ORDER BY cd.s)) AS adc
+      |  FROM code cd
+      |    JOIN qcells qc ON cd.cid = qc.qcid
+      |    JOIN lut l ON l.s = cd.s AND l.cand = cd.code
+      |  GROUP BY cd.vec_id, qc.qcdot),
+      |top AS (
+      |  SELECT vec_id, adc FROM adc WHERE vec_id <> 0
+      |  ORDER BY adc DESC, vec_id LIMIT 10)
+      |SELECT t.vec_id, round(t.adc, 4) AS adc_score,
+      |  round(list_sum([e.ed[i] * q.qe[i]
+      |          for i in generate_series(1, len(e.ed))]) /
+      |    (sqrt(e.n2) * sqrt(q.qn2)), 4) AS exact_cos
+      |FROM top t JOIN e ON e.vec_id = t.vec_id, q
+      |ORDER BY t.adc DESC, t.vec_id""".stripMargin
+
   // ---- mm_matryoshka_recall: truncated-dimension retrieval quality ---
   // Matryoshka-style embeddings serve retrieval from a PREFIX of the
   // vector (8/16/32 of 64 dims here) to cut memory and dot-product
@@ -1781,8 +2097,10 @@ object Multimodal {
     "llm_ann_ivf_trained" -> annIvfTrained,
     "llm_ivf_balance" -> ivfBalance,
     "mm_phash_dedup" -> phashDedup,
+    "mm_dhash_dedup" -> dhashDedup,
     "mm_matryoshka_recall" -> matryoshkaRecall,
     "llm_ann_pq" -> annPq,
+    "llm_ann_ivfpq" -> annIvfPq,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1802,7 +2120,9 @@ object Multimodal {
     "llm_ann_ivf" -> annIvfSql,
     "llm_ann_ivf_trained" -> annIvfTrainedSql,
     "mm_phash_dedup" -> phashDedupSql,
+    "mm_dhash_dedup" -> dhashDedupSql,
     "mm_matryoshka_recall" -> matryoshkaRecallSql,
     "llm_ann_pq" -> annPqSql,
+    "llm_ann_ivfpq" -> annIvfPqSql,
   )
 }
