@@ -154,3 +154,59 @@ object Canon {
     when(den <= lit(0) || num < lit(0), lit(null)).otherwise(q)
   }
 }
+
+/** Rank-selected witness quantiles — the round-11 integer-cell
+  * presentation discipline, in ONE place (review r11: the rank/
+  * interpolation arithmetic was hand-expanded in five Scala sites and
+  * six oracle spellings; a fix applied to one copy but not all would
+  * silently diverge engines on one query).
+  *
+  * The exact interpolated percentile p = pNum/pDen over a group of n
+  * values sorted ascending sits at 0-based position h = p·(n−1):
+  * lower-witness 1-based rank lo = (pNum·(n−1)) div pDen + 1, fraction
+  * numerator f = (pNum·(n−1)) mod pDen, and the value ×pDen is the
+  * INTEGER (pDen−f)·v[lo] + f·v[lo+1] — no engine version has any
+  * room to disagree on integer cells. Usage shape (the q90-family
+  * conditional aggregation): a row frame carrying `rn` (row_number
+  * over the group's sort) and `n` (group count) aggregates
+  * `vaAgg`/`vbAgg`, then `scaled` presents the integer. The DuckDB
+  * spellings are generated by the *Sql twins so both engines share
+  * one formula by construction.
+  */
+object Witness {
+  import org.apache.spark.sql.functions.{coalesce, expr, lit, min, when}
+
+  /** min(value at the lower-witness rank) — aggregate over a frame
+    * with columns `rn` and `n`. */
+  def vaAgg(value: Column, pNum: Int, pDen: Int): Column =
+    min(when(expr("rn") === expr(loRankExpr("n", pNum, pDen)), value))
+
+  /** min(value at the upper-witness rank); NULL when lo = n (f = 0
+    * there, so `scaled`'s coalesce never reads it). */
+  def vbAgg(value: Column, pNum: Int, pDen: Int): Column =
+    min(when(expr("rn") === expr(hiRankExpr("n", pNum, pDen)), value))
+
+  /** The ×pDen integer interpolation of the two witnesses. */
+  def scaled(va: Column, vb: Column, pNum: Int, pDen: Int): Column = {
+    val f = s"(($pNum * (n - 1)) % $pDen)"
+    expr(s"$pDen - $f") * va + expr(f) * coalesce(vb, lit(0L))
+  }
+
+  private def loRankExpr(n: String, pNum: Int, pDen: Int): String =
+    s"($pNum * ($n - 1)) DIV $pDen + 1"
+  private def hiRankExpr(n: String, pNum: Int, pDen: Int): String =
+    s"($pNum * ($n - 1)) DIV $pDen + 2"
+
+  /** DuckDB spelling of the whole witness aggregate: assumes the
+    * surrounding query exposes `rn`, `n`, and groups by (…, n). */
+  def scaledSql(value: String, pNum: Int, pDen: Int): String = {
+    val f = s"(($pNum * (n - 1)) % $pDen)"
+    s"CAST(($pDen - $f)\n" +
+      s"    * min(CASE WHEN rn = ($pNum * (n - 1)) // $pDen + 1 " +
+      s"THEN $value END)\n" +
+      s"  + $f\n" +
+      s"    * coalesce(min(CASE WHEN rn = ($pNum * (n - 1)) // $pDen + 2 " +
+      s"THEN $value END), 0)\n" +
+      s"  AS BIGINT)"
+  }
+}

@@ -44,6 +44,19 @@ object Verify {
       "q67_rolling_median", "q100_decile_lift", "q104_psi",
       "llm_quality_buckets")
     val cells = scala.collection.mutable.LinkedHashMap[String, String]()
+    // JSON string escape: backslash, quote, and ALL control chars
+    // (<0x20) — a tab or CR in builder-authored SQL (or in a dumped
+    // CELL value or column name) would otherwise make the driver's
+    // json.load fail and silently zero the artifact (review r11).
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def cellStr(v: Any): String = v match {
       case null => "NULL"
       case d: java.math.BigDecimal => d.toPlainString
@@ -64,13 +77,11 @@ object Verify {
           val truncated = rows.length > 1000
           val cols = df.columns
           val body = rows.take(1000).map(r => cols.indices.map(i =>
-            "\"" + cellStr(r.get(i)).replace("\\", "\\\\")
-              .replace("\"", "\\\"") + "\"").mkString("[", ",", "]"))
+            q(cellStr(r.get(i)))).mkString("[", ",", "]"))
             .mkString("[", ",", "]")
           cells(name) =
-            s"""{"cols": ${cols.map(c => "\"" + c + "\"")
-              .mkString("[", ",", "]")}, "truncated": $truncated, """ +
-              s""""rows": $body}"""
+            s"""{"cols": ${cols.map(q).mkString("[", ",", "]")}, """ +
+              s""""truncated": $truncated, "rows": $body}"""
         }
       }
       catch { case e: Throwable =>
@@ -79,20 +90,8 @@ object Verify {
     }
     if (cells.nonEmpty)
       Files.writeString(Paths.get(s"$outDir/verify_cells.json"),
-        cells.map { case (k, v) => s""""$k": $v""" }
+        cells.map { case (k, v) => s"${q(k)}: $v" }
           .mkString("{", ",", "}"))
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Canon, Tables}
+import graft.{Canon, Tables, Witness}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -543,21 +543,13 @@ object Events {
           .as("n"))
       .groupBy(col("event_type"), col("n"))
       .agg(
-        min(when(col("rn") === expr("(n - 1) DIV 4 + 1"),
-          col("cents"))).as("v1a"),
-        min(when(col("rn") === expr("(n - 1) DIV 4 + 2"),
-          col("cents"))).as("v1b"),
-        min(when(col("rn") === expr("(3 * (n - 1)) DIV 4 + 1"),
-          col("cents"))).as("v3a"),
-        min(when(col("rn") === expr("(3 * (n - 1)) DIV 4 + 2"),
-          col("cents"))).as("v3b"))
+        Witness.vaAgg(col("cents"), 1, 4).as("v1a"),
+        Witness.vbAgg(col("cents"), 1, 4).as("v1b"),
+        Witness.vaAgg(col("cents"), 3, 4).as("v3a"),
+        Witness.vbAgg(col("cents"), 3, 4).as("v3b"))
       .select(col("event_type"),
-        (expr("4 - (n - 1) % 4") * col("v1a")
-          + expr("(n - 1) % 4") * coalesce(col("v1b"), lit(0L)))
-          .as("q1x4"),
-        (expr("4 - (3 * (n - 1)) % 4") * col("v3a")
-          + expr("(3 * (n - 1)) % 4") * coalesce(col("v3b"), lit(0L)))
-          .as("q3x4"))
+        Witness.scaled(col("v1a"), col("v1b"), 1, 4).as("q1x4"),
+        Witness.scaled(col("v3a"), col("v3b"), 3, 4).as("q3x4"))
       .select(col("event_type"),
         (lit(5L) * col("q1x4") - lit(3L) * col("q3x4"))
           .cast(LongType).as("lo_fence_cents_x8"),
@@ -588,17 +580,10 @@ object Events {
       |  FROM events),
       |q AS (
       |  SELECT event_type,
-      |    (4 - (n - 1) % 4)
-      |        * min(CASE WHEN rn = (n - 1) // 4 + 1 THEN cents END)
-      |      + ((n - 1) % 4)
-      |        * coalesce(min(CASE WHEN rn = (n - 1) // 4 + 2 THEN cents END), 0)
-      |      AS q1x4,
-      |    (4 - (3 * (n - 1)) % 4)
-      |        * min(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN cents END)
-      |      + ((3 * (n - 1)) % 4)
-      |        * coalesce(min(CASE WHEN rn = (3 * (n - 1)) // 4 + 2 THEN cents END), 0)
-      |      AS q3x4
-      |  FROM w GROUP BY event_type, n),
+      |""".stripMargin +
+    s"    ${Witness.scaledSql("cents", 1, 4)} AS q1x4,\n" +
+    s"    ${Witness.scaledSql("cents", 3, 4)} AS q3x4\n" +
+    """|  FROM w GROUP BY event_type, n),
       |b AS (
       |  SELECT event_type,
       |    CAST(5 * q1x4 - 3 * q3x4 AS BIGINT) AS lo_fence_cents_x8,

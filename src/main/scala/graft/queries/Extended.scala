@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Canon, Tables}
+import graft.{Canon, Tables, Witness}
 import graft.operators.AsofJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -538,13 +538,10 @@ object Extended {
           .as("n"))
       .groupBy(col("o_orderpriority"), col("n"))
       .agg(
-        min(when(col("rn") === expr("(n - 1) DIV 2 + 1"),
-          col("cents"))).as("v50a"),
-        min(when(col("rn") === expr("(n - 1) DIV 2 + 2"),
-          col("cents"))).as("v50b"))
+        Witness.vaAgg(col("cents"), 1, 2).as("v50a"),
+        Witness.vbAgg(col("cents"), 1, 2).as("v50b"))
       .select(col("o_orderpriority"), col("n").as("n_orders"),
-        (expr("2 - (n - 1) % 2") * col("v50a")
-          + expr("(n - 1) % 2") * coalesce(col("v50b"), lit(0L)))
+        Witness.scaled(col("v50a"), col("v50b"), 1, 2)
           .cast(LongType).as("median_price_cents_x2"))
     val mode = orders
       .groupBy(col("o_orderpriority"),
@@ -572,12 +569,9 @@ object Extended {
       |  FROM orders),
       |med AS (
       |  SELECT o_orderpriority, n AS n_orders,
-      |    CAST((2 - (n - 1) % 2)
-      |        * min(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END)
-      |      + ((n - 1) % 2)
-      |        * coalesce(min(CASE WHEN rn = (n - 1) // 2 + 2 THEN cents END), 0)
-      |      AS BIGINT) AS median_price_cents_x2
-      |  FROM w GROUP BY o_orderpriority, n),
+      |""".stripMargin +
+    s"    ${Witness.scaledSql("cents", 1, 2)} AS median_price_cents_x2\n" +
+    """|  FROM w GROUP BY o_orderpriority, n),
       |mc AS (
       |  SELECT o_orderpriority,
       |    CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS c

@@ -1442,14 +1442,13 @@ object Multimodal {
     PhashRow(p.img_id, lo, hi)
   }
 
-  private val phashDedup: Q = (s, dir) => {
-    import s.implicits._
-    val hashes = t(s, dir, "documents")
-      .select(col("doc_id")).as[Long]
-      .mapPartitions(_.flatMap(id =>
-        Iterator(encodePhashPng(id, 0), encodePhashPng(id, 1))))
-      .mapPartitions(_.map(phashOf)) // DECODE + hash from real pixels
-      .toDF()
+  /** Hamming-LSH near-dup pairs for any (img_id, lo, hi) 64-bit hash
+    * frame — 4×16-bit chunk banding (pigeonhole: recall 1 at d≤3),
+    * xor+bit_count verify. ONE pipeline shared by every perceptual
+    * hash family member (aHash, dHash — review r11: a banding-scheme
+    * change must not be applied to one member and silently missed in
+    * another); the SQL twin is [[hammingLshSqlTail]]. */
+  private def hammingLshPairs(hashes: DataFrame): DataFrame = {
     // Hamming LSH: 4×16-bit chunks (ci 0,1 from lo; 2,3 from hi)
     val chunks = hashes.select(col("img_id"), col("lo"), col("hi"),
       posexplode(expr(
@@ -1471,6 +1470,36 @@ object Multimodal {
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** SQL twin of [[hammingLshPairs]]: appended after a CTE chain whose
+    * last CTE is `hs(img_id, lo, hi)`. */
+  private val hammingLshSqlTail =
+    """ch AS (
+      |  SELECT img_id, lo, hi, ci,
+      |    CASE ci WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+      |            WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS cv
+      |  FROM hs, (SELECT unnest([0, 1, 2, 3]) AS ci)),
+      |cand AS (
+      |  SELECT DISTINCT a.img_id AS a_id, b.img_id AS b_id,
+      |    a.lo AS la, a.hi AS xa, b.lo AS lb, b.hi AS xb
+      |  FROM ch a JOIN ch b
+      |    ON a.ci = b.ci AND a.cv = b.cv AND a.img_id < b.img_id)
+      |SELECT a_id, b_id,
+      |  CAST(bit_count(xor(la, lb)) + bit_count(xor(xa, xb)) AS BIGINT)
+      |    AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(la, lb)) + bit_count(xor(xa, xb)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
+  private val phashDedup: Q = (s, dir) => {
+    import s.implicits._
+    hammingLshPairs(t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(id =>
+        Iterator(encodePhashPng(id, 0), encodePhashPng(id, 1))))
+      .mapPartitions(_.map(phashOf)) // DECODE + hash from real pixels
+      .toDF())
   }
 
   private val phashDedupSql =
@@ -1505,22 +1534,7 @@ object Multimodal {
       |      THEN (CAST(1 AS BIGINT) << CAST(b.k - 32 AS INT)) ELSE 0 END)
       |      AS hi
       |  FROM blk b JOIN mn USING (img_id) GROUP BY b.img_id),
-      |ch AS (
-      |  SELECT img_id, lo, hi, ci,
-      |    CASE ci WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
-      |            WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS cv
-      |  FROM hs, (SELECT unnest([0, 1, 2, 3]) AS ci)),
-      |cand AS (
-      |  SELECT DISTINCT a.img_id AS a_id, b.img_id AS b_id,
-      |    a.lo AS la, a.hi AS xa, b.lo AS lb, b.hi AS xb
-      |  FROM ch a JOIN ch b
-      |    ON a.ci = b.ci AND a.cv = b.cv AND a.img_id < b.img_id)
-      |SELECT a_id, b_id,
-      |  CAST(bit_count(xor(la, lb)) + bit_count(xor(xa, xb)) AS BIGINT)
-      |    AS hamming
-      |FROM cand
-      |WHERE bit_count(xor(la, lb)) + bit_count(xor(xa, xb)) <= 3
-      |ORDER BY a_id, b_id""".stripMargin
+      |""".stripMargin + hammingLshSqlTail
 
   // ---- mm_dhash_dedup: gradient perceptual hash (dHash) --------------
   // The second perceptual-hash family member beside mm_phash_dedup's
@@ -1580,32 +1594,12 @@ object Multimodal {
 
   private val dhashDedup: Q = (s, dir) => {
     import s.implicits._
-    val hashes = t(s, dir, "documents")
+    hammingLshPairs(t(s, dir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap(id =>
         Iterator(encodePhashPng(id, 0), encodePhashPng(id, 1))))
       .mapPartitions(_.map(dhashOf)) // DECODE + gradient hash
-      .toDF()
-    val chunks = hashes.select(col("img_id"), col("lo"), col("hi"),
-      posexplode(expr(
-        """array((lo      ) & 65535, shiftright(lo, 16) & 65535,
-          |      (hi      ) & 65535, shiftright(hi, 16) & 65535)"""
-          .stripMargin)).as(Seq("ci", "cv")))
-    val cand = chunks.as("x")
-      .join(chunks.as("y"),
-        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
-          col("x.img_id") < col("y.img_id"))
-      .select(col("x.img_id").as("a_id"), col("y.img_id").as("b_id"),
-        col("x.lo").as("la"), col("x.hi").as("xa"),
-        col("y.lo").as("lb"), col("y.hi").as("xb"))
-      .distinct()
-    cand
-      .withColumn("hamming",
-        (bit_count(expr("la ^ lb")) + bit_count(expr("xa ^ xb")))
-          .cast(LongType))
-      .filter(col("hamming") <= 3)
-      .select(col("a_id"), col("b_id"), col("hamming"))
-      .orderBy(col("a_id"), col("b_id"))
+      .toDF())
   }
 
   private val dhashDedupSql =
@@ -1645,22 +1639,7 @@ object Multimodal {
       |  FROM blk l JOIN blk r
       |    ON r.img_id = l.img_id AND r.k9 = l.k9 + 1 AND l.k9 % 9 < 8
       |  GROUP BY l.img_id),
-      |ch AS (
-      |  SELECT img_id, lo, hi, ci,
-      |    CASE ci WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
-      |            WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS cv
-      |  FROM hs, (SELECT unnest([0, 1, 2, 3]) AS ci)),
-      |cand AS (
-      |  SELECT DISTINCT a.img_id AS a_id, b.img_id AS b_id,
-      |    a.lo AS la, a.hi AS xa, b.lo AS lb, b.hi AS xb
-      |  FROM ch a JOIN ch b
-      |    ON a.ci = b.ci AND a.cv = b.cv AND a.img_id < b.img_id)
-      |SELECT a_id, b_id,
-      |  CAST(bit_count(xor(la, lb)) + bit_count(xor(xa, xb)) AS BIGINT)
-      |    AS hamming
-      |FROM cand
-      |WHERE bit_count(xor(la, lb)) + bit_count(xor(xa, xb)) <= 3
-      |ORDER BY a_id, b_id""".stripMargin
+      |""".stripMargin + hammingLshSqlTail
 
   // ---- llm_ann_pq: product-quantized candidate search (ADC) ----------
   // The third leg of the ANN memory-compression family: SQ8 (llm_ann_

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Canon, Tables}
+import graft.{Canon, Tables, Witness}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -272,13 +272,10 @@ object Stats {
             .as("n"))
         .groupBy(col("event_type"), col("n"))
         .agg(
-          min(when(col("rn") === expr("(n - 1) DIV 2 + 1"),
-            col("x"))).as("va"),
-          min(when(col("rn") === expr("(n - 1) DIV 2 + 2"),
-            col("x"))).as("vb"))
+          Witness.vaAgg(col("x"), 1, 2).as("va"),
+          Witness.vbAgg(col("x"), 1, 2).as("vb"))
         .select(col("event_type"),
-          (expr("2 - (n - 1) % 2") * col("va")
-            + expr("(n - 1) % 2") * coalesce(col("vb"), lit(0L)))
+          Witness.scaled(col("va"), col("vb"), 1, 2)
             .cast(LongType).as("m2"))
     }
     val ev = Events.events(s, dir)
@@ -306,12 +303,9 @@ object Stats {
       |  FROM events),
       |med AS (
       |  SELECT event_type,
-      |    CAST((2 - (n - 1) % 2)
-      |        * min(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END)
-      |      + ((n - 1) % 2)
-      |        * coalesce(min(CASE WHEN rn = (n - 1) // 2 + 2 THEN cents END), 0)
-      |      AS BIGINT) AS median_cents_x2
-      |  FROM w GROUP BY event_type, n),
+      |""".stripMargin +
+    s"    ${Witness.scaledSql("cents", 1, 2)} AS median_cents_x2\n" +
+    """|  FROM w GROUP BY event_type, n),
       |dv AS (
       |  SELECT e.event_type, e.event_id,
       |    abs(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) * 2
@@ -325,12 +319,9 @@ object Stats {
       |  FROM dv),
       |mad AS (
       |  SELECT event_type,
-      |    CAST((2 - (n - 1) % 2)
-      |        * min(CASE WHEN rn = (n - 1) // 2 + 1 THEN dev2 END)
-      |      + ((n - 1) % 2)
-      |        * coalesce(min(CASE WHEN rn = (n - 1) // 2 + 2 THEN dev2 END), 0)
-      |      AS BIGINT) AS mad_cents_x4
-      |  FROM dw GROUP BY event_type, n)
+      |""".stripMargin +
+    s"    ${Witness.scaledSql("dev2", 1, 2)} AS mad_cents_x4\n" +
+    """|  FROM dw GROUP BY event_type, n)
       |SELECT event_type, median_cents_x2, mad_cents_x4
       |FROM med JOIN mad USING (event_type)
       |ORDER BY event_type""".stripMargin

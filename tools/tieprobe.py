@@ -184,8 +184,11 @@ def main():
         if not re.search(r"\bround\s*\(", sql, re.IGNORECASE):
             n_skip += 1
             continue
-        alt_sql = rewrite_two_arg_rounds(sql)
         try:
+            # inside the try: opaque_map raises on an unterminated
+            # literal, and one malformed oracle must cost one ERR line,
+            # not the whole sweep (review r11)
+            alt_sql = rewrite_two_arg_rounds(sql)
             base = canon(con.sql(sql).fetch_arrow_table())
             alt = canon(con.sql(alt_sql).fetch_arrow_table())
         except Exception as e:
