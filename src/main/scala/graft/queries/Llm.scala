@@ -441,9 +441,51 @@ object Llm {
     * embedding) frame; exposed for BitextRecallSpec. */
   private[queries] def bitextIvfFor(emb: DataFrame): DataFrame = {
     val ix = Multimodal.ivfIndex(emb)
+    bitextIvfOver(emb, ix.cents, ix.assign)
+  }
+
+  /** The TRAINED-quantizer bitext serving path — k = ⌈√n⌉ exact-Lloyd
+    * cells (graft.operators.KMeans, train-once cached), where the
+    * cell-bounded candidate join is Θ(n^1.5) instead of the fixed-k
+    * fixture quantizer's Θ(n²/k) (the ×12 slope table in BASELINE.md
+    * measures exactly that difference). Not an oracle query (DuckDB
+    * cannot train the quantizer — the llm_ann_ivf_trained verdict
+    * pattern); BitextRecallSpec pins its pair recall vs brute on the
+    * clustered regime. */
+  private[queries] def bitextIvfTrained(emb: DataFrame,
+      iters: Int = 3): DataFrame = {
+    val s = emb.sparkSession
+    val e = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val n = e.count()
+    val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = graft.operators.KMeans.fitCached(
+      emb, "embedding", "vec_id", k, iters)
+    val centsDF = graft.operators.KMeans
+      .centroidsDF(s, cents, "cid", "ce")
+      .withColumn("cn2", dot(col("ce"), col("ce")))
+    // top-1 spherical assignment under the trained quantizer (the
+    // ivfIndexFor discipline: max_by(cs, -cid) ties like the window)
+    val assign = e.crossJoin(broadcast(centsDF))
+      .withColumn("cs",
+        dot(col("embedding"), col("ce")) /
+          (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"),
+        first(col("embedding")).as("embedding"),
+        first(col("n2")).as("n2"))
+    bitextIvfOver(emb, centsDF, assign)
+  }
+
+  /** Cell-bounded mutual-top-1 pipeline over ANY quantizer: `cents`
+    * (cid, ce, cn2) + its top-1 `assign` (vec_id, cid, embedding,
+    * n2). One pipeline for the hash-seeded oracle path and the
+    * trained production path. */
+  private def bitextIvfOver(emb: DataFrame, cents: DataFrame,
+      assign: DataFrame): DataFrame = {
     val lab = emb.select(col("vec_id"), col("label"))
     // B side: the index's own top-1 spherical assignment
-    val b = ix.assign.join(lab, "vec_id")
+    val b = assign.join(lab, "vec_id")
       .filter(col("label") % 2 === 1)
       .select(col("cid"), col("vec_id").as("b_id"),
         col("embedding").as("eb"), col("n2").as("bn2"))
@@ -455,7 +497,7 @@ object Llm {
     val a0 = emb.filter(col("label") % 2 === 0)
       .select(col("vec_id"), col("embedding"),
         norm2(col("embedding")).as("n2"))
-    val aprobe = a0.crossJoin(broadcast(ix.cents))
+    val aprobe = a0.crossJoin(broadcast(cents))
       .withColumn("cs",
         dot(col("embedding"), col("ce")) /
           (sqrt(col("n2")) * sqrt(col("cn2"))))

@@ -48,6 +48,30 @@ class BitextRecallSpec extends SparkSpec {
     Multimodal.clearIvfIndex()
   }
 
+  test("trained k=ceil(sqrt(n)) quantizer: the PRODUCTION bitext " +
+    "serving path recovers >= 0.9 of the brute pairs on the " +
+    "clustered regime") {
+    import spark.implicits._
+    graft.operators.KMeans.clearCache()
+    val rng = new scala.util.Random(13)
+    val centers = Array.fill(60)(Array.fill(16)(rng.nextGaussian()))
+    val rows = (0 until 300).flatMap { j =>
+      val c = centers(j % 60)
+      def v() = c.map(x => (x + 0.03 * rng.nextGaussian()).toFloat).toSeq
+      Seq((2L * j, 2L * j, v()), (2L * j + 1, 2L * j + 1, v()))
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val brute = pairSet(Llm.bitextBruteFor(emb))
+    val ivf = pairSet(Llm.bitextIvfTrained(emb))
+    assert(brute.nonEmpty)
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"trained-quantizer bitext pair recall: $recall%.3f " +
+      s"(${ivf.intersect(brute).size}/${brute.size})")
+    assert(recall >= 0.9,
+      f"trained-cell bitext must recover clustered pairs: $recall%.3f")
+    graft.operators.KMeans.clearCache()
+  }
+
   test("isotropic fixture: recall is recorded honestly (ceiling " +
     "acknowledged, not silently missed)") {
     Multimodal.clearIvfIndex()
