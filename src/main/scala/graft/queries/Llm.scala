@@ -454,27 +454,11 @@ object Llm {
     * clustered regime. */
   private[queries] def bitextIvfTrained(emb: DataFrame,
       iters: Int = 3): DataFrame = {
-    val s = emb.sparkSession
-    val e = emb.select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("n2"))
-    val n = e.count()
-    val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val cents = graft.operators.KMeans.fitCached(
-      emb, "embedding", "vec_id", k, iters)
-    val centsDF = graft.operators.KMeans
-      .centroidsDF(s, cents, "cid", "ce")
-      .withColumn("cn2", dot(col("ce"), col("ce")))
-    // top-1 spherical assignment under the trained quantizer (the
-    // ivfIndexFor discipline: max_by(cs, -cid) ties like the window)
-    val assign = e.crossJoin(broadcast(centsDF))
-      .withColumn("cs",
-        dot(col("embedding"), col("ce")) /
-          (sqrt(col("n2")) * sqrt(col("cn2"))))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"),
-        first(col("embedding")).as("embedding"),
-        first(col("n2")).as("n2"))
-    bitextIvfOver(emb, centsDF, assign)
+    // the trained index (k=⌈√n⌉ centroids + top-1 assignment) is the
+    // session-cached Multimodal artifact — ONE assignment spelling,
+    // ONE build per corpus snapshot (review r11)
+    val ix = Multimodal.ivfTrainedIndex(emb, iters)
+    bitextIvfOver(emb, ix.cents, ix.assign)
   }
 
   /** Cell-bounded mutual-top-1 pipeline over ANY quantizer: `cents`
@@ -490,10 +474,15 @@ object Llm {
       .select(col("cid"), col("vec_id").as("b_id"),
         col("embedding").as("eb"), col("n2").as("bn2"))
     // A side: probe the top-2 centroids (cs desc, cid asc) — scored
-    // map-side against the 8 broadcast centroids, top-2 picked from
-    // the per-vector 8-row collect (no corpus-wide window; the -0.0
+    // map-side against the k broadcast centroids, top-2 picked from
+    // the per-vector k-row collect (no corpus-wide window; the -0.0
     // normalization keeps the struct sort identical to SQL ordering,
-    // which ties -0.0 with 0.0 while Double.compare does not)
+    // which ties -0.0 with 0.0 while Double.compare does not). The
+    // collect buffers k structs per vector: k=8 on the oracle path,
+    // k=⌈√n⌉ on the trained path — at fleet scale (k ≈ 10⁵) the
+    // probe becomes its own two-level argtop (coarse-quantize the
+    // centroids), the standard IVF refinement dial
+    // (the same remedy the SURVEY documents for the quantizer).
     val a0 = emb.filter(col("label") % 2 === 0)
       .select(col("vec_id"), col("embedding"),
         norm2(col("embedding")).as("n2"))

@@ -553,38 +553,45 @@ object Multimodal {
       ix.cents.unpersist(); ix.assign.unpersist(); ()
     })
 
+  /** Spherical top-1 assignment — THE one spelling of the
+    * cosine-argmax + (cs desc, cid asc) tie-break (review r11: a
+    * third hand copy had appeared; a tie-break or NaN-handling fix
+    * must not be appliable to one copy and silently missed in
+    * another). Cells are direction cones: the query metric is cosine,
+    * so L2 on unnormalized vectors would scatter same-direction
+    * vectors across cells by length (measured recall@10 at nProbe=2
+    * was 0.5 with L2 vs 0.8+ spherical). Argmax via max_by (r5): the
+    * k centroid rows of a vector co-reside in its partition
+    * (crossJoin preserves the fact side's partitioning), so map-side
+    * combine collapses to one row per vector BEFORE the exchange —
+    * the r4 row_number window shuffled all n·k rows and sorted them.
+    */
+  private[queries] def sphericalAssign(e: DataFrame,
+      cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("cs",
+        dot(col("embedding"), col("ce")) /
+          (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"),
+        first(col("embedding")).as("embedding"), first(col("n2")).as("n2"))
+
   private def ivfIndexFor(emb: DataFrame): IvfIndex = {
     val e = emb
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("n2"))
     // deterministic hash-sampled coarse quantizer: the 8 vectors with
     // the smallest md5(vec_id) — seeded-sample semantics, no
-    // insertion-order bias, identical on both engines
+    // insertion-order bias, identical on both engines. Identical
+    // expression tree in the oracle -> identical doubles; centroids
+    // broadcast.
     val cents = e
       .withColumn("hk", md5(col("vec_id").cast(StringType)))
       .orderBy(col("hk"))
       .limit(8)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("n2").as("cn2"))
-    // spherical assignment: the query metric is cosine, so cells are
-    // direction cones — each vector goes to the centroid of maximum
-    // cosine (L2 on unnormalized vectors would scatter same-direction
-    // vectors across cells by length; measured recall@10 at nProbe=2
-    // was 0.5 with L2 vs 0.8+ spherical). Identical expression tree in
-    // the oracle -> identical doubles; centroids broadcast.
-    val dists = e.crossJoin(broadcast(cents))
-      .withColumn("cs",
-        dot(col("embedding"), col("ce")) /
-          (sqrt(col("n2")) * sqrt(col("cn2"))))
-    // argmax assignment via max_by (r5): the k centroid rows of a
-    // vector co-reside in its partition (crossJoin preserves the fact
-    // side's partitioning), so map-side combine collapses to one row
-    // per vector BEFORE the exchange — the r4 row_number window
-    // shuffled all n·k rows and sorted them. Tie-break identical to
-    // the window's (cs desc, cid asc): max (cs, -cid).
-    val assign = dists.groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"),
-        first(col("embedding")).as("embedding"), first(col("n2")).as("n2"))
+    val assign = sphericalAssign(e, cents)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     IvfIndex(cents.persist(lvl), assign.persist(lvl))
   }
@@ -593,6 +600,38 @@ object Multimodal {
     * `emb` (build-once; see cache note above). */
   private[queries] def ivfIndex(emb: DataFrame): IvfIndex =
     ivfIndexCache.get(emb, ())(ivfIndexFor(emb))
+
+  // trained-index cache: the k=⌈√n⌉ KMeans quantizer's full IvfIndex
+  // (centroid frame + top-1 assignment), so trained serving paths
+  // (bitextIvfTrained) pay the corpus count + assignment join ONCE
+  // per session, like the hash-seeded index (review r11: only the
+  // centroid fit was cached, re-paying an uncached Θ(n·√n) crossJoin
+  // per serve call)
+  private val ivfTrainedIndexCache =
+    new graft.operators.PlanCache[Int, IvfIndex](ix => {
+      ix.cents.unpersist(); ix.assign.unpersist(); ()
+    })
+
+  /** Session-persisted TRAINED IVF index: k = ⌈√n⌉ exact-Lloyd
+    * centroids (KMeans.fitCached) + spherical top-1 assignment. */
+  private[queries] def ivfTrainedIndex(emb: DataFrame,
+      iters: Int = 3): IvfIndex =
+    ivfTrainedIndexCache.get(emb, iters) {
+      val e = emb.select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("n2"))
+      val n = e.count()
+      val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cents = graft.operators.KMeans.fitCached(
+        emb, "embedding", "vec_id", k, iters)
+      val centsDF = centroidsDF(emb.sparkSession, cents)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      IvfIndex(centsDF.persist(lvl),
+        sphericalAssign(e, centsDF).persist(lvl))
+    }
+
+  /** Test hook. */
+  private[queries] def clearIvfTrainedIndex(): Unit =
+    ivfTrainedIndexCache.clear()
 
   /** Test hook: drop persisted IVF indexes. */
   private[queries] def clearIvfIndex(): Unit = ivfIndexCache.clear()

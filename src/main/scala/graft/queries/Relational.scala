@@ -835,10 +835,11 @@ object Relational {
   // fails the round.
   private val q52: Q = (s, dir) => {
     // q39's round-11 presentation discipline: the exact median is the
-    // witness-derived BIGINT p50_cents_x2 (integer cells cannot
-    // diverge across engine versions); the 5% verdict keeps the RAW
-    // double percentile vs sketch so the predicate tree stays
-    // mirrored (tolerance booleans are version-safe by design)
+    // witness-derived BIGINT exact_p50_cents_x2 (integer cells cannot
+    // diverge across engine versions); the 5% verdict compares the
+    // sketch against that same witness median (no separate raw
+    // percentile aggregate — tolerance booleans are version-safe by
+    // design, and a 5% band cannot flip on the witness/200 rounding)
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))

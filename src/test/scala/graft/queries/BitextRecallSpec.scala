@@ -18,25 +18,26 @@ class BitextRecallSpec extends SparkSpec {
     df.select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("clustered corpus: IVF bitext pairs recover >= 0.9 of the " +
-    "brute mutual-top-1 pairs") {
+  /** The "clustered regime" corpus, defined ONCE (review r11): 60
+    * direction cones; pair j puts A = vec 2j (even, side A) and
+    * B = vec 2j+1 (odd, side B) in cone j % 60 with small noise, so
+    * a vector's true top-1 is a cone-mate of the other side. */
+  private def clusteredCorpus(seed: Int)
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    Multimodal.clearIvfIndex()
-    // 60 direction cones; each cone holds one translation pair
-    // (even vec_id = side A, odd = side B, label = vec_id so the
-    // parity split matches the production query) plus distractors —
-    // the shape of a real parallel corpus in embedding space
-    val rng = new scala.util.Random(11)
+    val rng = new scala.util.Random(seed)
     val centers = Array.fill(60)(Array.fill(16)(rng.nextGaussian()))
-    // pair j: A = vec 2j (even, side A), B = vec 2j+1 (odd, side B),
-    // both drawn from cone j % 60 — each cone holds 5 translation
-    // pairs, so a vector's true top-1 is a cone-mate of the other side
-    val rows = (0 until 300).flatMap { j =>
+    (0 until 300).flatMap { j =>
       val c = centers(j % 60)
       def v() = c.map(x => (x + 0.03 * rng.nextGaussian()).toFloat).toSeq
       Seq((2L * j, 2L * j, v()), (2L * j + 1, 2L * j + 1, v()))
-    }
-    val emb = rows.toDF("vec_id", "label", "embedding")
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  test("clustered corpus: IVF bitext pairs recover >= 0.9 of the " +
+    "brute mutual-top-1 pairs") {
+    Multimodal.clearIvfIndex()
+    val emb = clusteredCorpus(seed = 11)
     val brute = pairSet(Llm.bitextBruteFor(emb))
     val ivf = pairSet(Llm.bitextIvfFor(emb))
     assert(brute.nonEmpty, "brute mutual-top-1 set must not be empty")
@@ -51,16 +52,9 @@ class BitextRecallSpec extends SparkSpec {
   test("trained k=ceil(sqrt(n)) quantizer: the PRODUCTION bitext " +
     "serving path recovers >= 0.9 of the brute pairs on the " +
     "clustered regime") {
-    import spark.implicits._
     graft.operators.KMeans.clearCache()
-    val rng = new scala.util.Random(13)
-    val centers = Array.fill(60)(Array.fill(16)(rng.nextGaussian()))
-    val rows = (0 until 300).flatMap { j =>
-      val c = centers(j % 60)
-      def v() = c.map(x => (x + 0.03 * rng.nextGaussian()).toFloat).toSeq
-      Seq((2L * j, 2L * j, v()), (2L * j + 1, 2L * j + 1, v()))
-    }
-    val emb = rows.toDF("vec_id", "label", "embedding")
+    Multimodal.clearIvfTrainedIndex()
+    val emb = clusteredCorpus(seed = 13)
     val brute = pairSet(Llm.bitextBruteFor(emb))
     val ivf = pairSet(Llm.bitextIvfTrained(emb))
     assert(brute.nonEmpty)
@@ -70,6 +64,7 @@ class BitextRecallSpec extends SparkSpec {
     assert(recall >= 0.9,
       f"trained-cell bitext must recover clustered pairs: $recall%.3f")
     graft.operators.KMeans.clearCache()
+    Multimodal.clearIvfTrainedIndex()
   }
 
   test("isotropic fixture: recall is recorded honestly (ceiling " +
