@@ -259,38 +259,65 @@ object Stats {
   // integer |2·value_cents − median_cents_x2| (cents×2 units), and
   // the outer median of deviations as cents×4 (mad_cents_x4 =
   // witness interpolation of the ×2-unit deviations, ×2 again). No
-  // quantile built-in, no double arithmetic, no rounding anywhere —
-  // two bounded-alphabet window passes + conditional aggregation.
-  private val q80: Q = (s, dir) => {
-    val cents = (col("value").cast(DecimalType(18, 2)) * lit(100))
-      .cast(LongType)
-    def witnessX2(in: DataFrame, v: Column, tie: Column): DataFrame = {
-      val w = Window.partitionBy(col("event_type")).orderBy(v, tie)
-      in.select(col("event_type"), v.as("x"),
-          row_number().over(w).cast(LongType).as("rn"),
-          count(lit(1)).over(Window.partitionBy(col("event_type")))
+  // quantile built-in, no double arithmetic, no rounding anywhere.
+  //
+  // Shape: the witnesses are derived from the per-type VALUE
+  // HISTOGRAM (value at rank r = smallest cents whose cumulative
+  // count ≥ r) — one corpus pass to (event_type, cents, c) cells,
+  // then every window runs over the bounded cents-grid alphabet
+  // (≤ 49k distinct per type), never the corpus. The SAME cells are
+  // exactly what `streaming.QuantileHistStream` (21st maintainer)
+  // keeps additively, and `madOfCells` is the ONE derivation both
+  // the batch query and the streamed serving path run — parity by
+  // construction (the q104/HistStream discipline).
+
+  /** q80's value-histogram cells: (event_type, cents, c). */
+  private[graft] def valueCells(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("cents"))
+      .agg(count(lit(1)).cast(LongType).as("c"))
+
+  /** The (event_type, cents, c) cells → (median_cents_x2,
+    * mad_cents_x4) derivation — witness ranks from cumulative
+    * histogram counts; exact integers end to end. */
+  private[graft] def madOfCells(cells: DataFrame): DataFrame = {
+    // witness value at rank r over a histogram: the smallest bucket
+    // whose cumulative count reaches r — identical to the row-level
+    // rank selection by construction (the multiset is the same)
+    def witnessX2(hist: DataFrame, v: String): DataFrame = {
+      val wc = Window.partitionBy(col("event_type")).orderBy(col(v))
+      hist.select(col("event_type"), col(v).as("x"),
+          sum(col("c")).over(wc).as("cum"),
+          sum(col("c")).over(Window.partitionBy(col("event_type")))
             .as("n"))
         .groupBy(col("event_type"), col("n"))
         .agg(
-          Witness.vaAgg(col("x"), 1, 2).as("va"),
-          Witness.vbAgg(col("x"), 1, 2).as("vb"))
+          min(when(col("cum") >= expr("(n - 1) DIV 2 + 1"),
+            col("x"))).as("va"),
+          min(when(col("cum") >= expr("(n - 1) DIV 2 + 2"),
+            col("x"))).as("vb"))
         .select(col("event_type"),
           Witness.scaled(col("va"), col("vb"), 1, 2)
             .cast(LongType).as("m2"))
     }
-    val ev = Events.events(s, dir)
-    val med = witnessX2(ev, cents, col("event_id"))
+    val med = witnessX2(cells, "cents")
       .withColumnRenamed("m2", "median_cents_x2")
-    val dev = ev.join(broadcast(med), Seq("event_type"))
-      .select(col("event_type"), col("event_id"),
-        abs(cents * lit(2L) - col("median_cents_x2")).as("dev2"))
-    val mad = witnessX2(dev, col("dev2"), col("event_id"))
+    val dev = cells.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"),
+        abs(col("cents") * lit(2L) - col("median_cents_x2")).as("dev2"))
+      .agg(sum(col("c")).cast(LongType).as("c"))
+    val mad = witnessX2(dev, "dev2")
       .withColumnRenamed("m2", "mad_cents_x4")
     med.join(mad, Seq("event_type"))
       .select(col("event_type"), col("median_cents_x2"),
         col("mad_cents_x4"))
       .orderBy(col("event_type"))
   }
+
+  private val q80: Q = (s, dir) =>
+    madOfCells(valueCells(Events.events(s, dir)))
 
   private val q80Sql =
     """WITH w AS (

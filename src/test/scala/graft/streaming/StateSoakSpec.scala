@@ -117,6 +117,36 @@ class StateSoakSpec extends SparkSpec {
       "soaked PSI diverged from the whole-prefix one-shot")
   }
 
+  test("quantile-histogram maintainer: bounded versions across 16 " +
+    "batches with a replay every 4th batch; final witness quantiles " +
+    "equal the one-shot") {
+    import spark.implicits._
+    import QuantileHistStreamSpec.Ev
+    val out = Files.createTempDirectory("qhistsoak").toString
+    var seen = Seq.empty[Ev]
+    for (b <- 0 until Batches) {
+      val batch = (0 until 25).map(i => Ev((b * 25 + i).toLong,
+        s"t${(b + i) % 3}", (((b * 25 + i) * 37) % 500) / 100.0))
+      QuantileHistStream.updateBatch(batch.toDF(), out, b.toLong)
+      if (b % 4 == 3) // crash-recovery re-delivery of the same batch
+        QuantileHistStream.updateBatch(batch.toDF(), out, b.toLong)
+      seen = seen ++ batch
+      for (store <- Seq("hist", "meta")) {
+        val dirs = versionDirs(out, store)
+        assert(dirs.size <= 2,
+          s"batch $b: $store holds ${dirs.size} versions " +
+            s"(${dirs.sorted.mkString(", ")}) — prune is leaking")
+      }
+    }
+    val served = QuantileHistStream.currentMad(spark, out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val oneShot = graft.queries.Stats.madOfCells(
+      graft.queries.Stats.valueCells(seen.toDF())).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(served == oneShot,
+      "soaked witness quantiles diverged from the whole-prefix one-shot")
+  }
+
   test("shard-manifest maintainer: bounded versions across 16 batches " +
     "with a replay every 4th batch; final manifest equals the one-shot") {
     import spark.implicits._
