@@ -2175,6 +2175,188 @@ object Multimodal {
       |FROM top t JOIN e ON e.vec_id = t.vec_id, q
       |ORDER BY t.adc DESC, t.vec_id""".stripMargin
 
+  // ---- llm_ann_opq: PQ over a variance-balanced dim permutation ------
+  // OPQ (Ge et al., "Optimized Product Quantization", CVPR 2013)
+  // observes that plain PQ wastes codebook capacity when a few
+  // subspaces carry most of the variance; its non-parametric init —
+  // "eigenvalue allocation" — permutes dimensions so every subspace
+  // receives a balanced share before the codebooks are learned. This
+  // entry is that allocation step composed with the house PQ/ADC
+  // pipeline (llm_ann_pq): dims are ranked by variance and dealt to
+  // the 8 subspaces in a SNAKE (boustrophedon) order — block b of 8
+  // ranks fills subspaces 0..7 when b is even and 7..0 when b is odd,
+  // so each subspace gets exactly one dim per rank-octile and the
+  // per-subspace variance sums are balanced without a sequential
+  // greedy fold (closed-form, mirrored in SQL without recursion).
+  // Determinism of the PERMUTATION is the crux: per-dim variance in
+  // doubles would ride Spark's partition-order float summation.
+  // Instead each component is scaled by 2^20 and floored —
+  // multiplication by a power of two is EXACT in IEEE binary floating
+  // point (only the exponent moves) and floor of a double is exact,
+  // so y = floor(x·2^20) is bit-identical in any engine — and the
+  // variance proxy n·Σy² − (Σy)² is computed in exact integer
+  // arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle): an
+  // order-independent integer both engines rank identically.
+  // Scale: the variance pass is one map-side-combinable groupBy onto
+  // a 64-row frame; the permutation is a broadcast 64-int array; the
+  // rest is llm_ann_pq's shape (encode = one n×16×8 pass, serving
+  // scans 8-byte codes + an 8×16 LUT). The dot product is
+  // permutation-invariant, so ADC remains an unbiased score of
+  // dot(q, reconstruction); only the codebook geometry improves.
+  // Balance vs identity allocation is pinned in MultimodalSpec.
+  private val annOpq: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("ed"))
+    // exact-integer variance proxy per dimension (1-based dim)
+    val dec = DecimalType(38, 0)
+    val iv = e
+      .select(posexplode(col("ed")).as(Seq("i", "x")))
+      .select((col("i") + 1).as("dim"),
+        floor(col("x") * lit(1048576.0)).as("y"))
+    val vstat = iv.groupBy(col("dim")).agg(
+      sum((col("y") * col("y")).cast(dec)).as("sy2"),
+      sum(col("y").cast(dec)).as("sy"),
+      count(lit(1)).as("n"))
+    // snake allocation over the 64-row frame (bounded-alphabet window)
+    val ranked = vstat
+      .withColumn("vp",
+        col("n").cast(dec) * col("sy2") - col("sy") * col("sy"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("vp").desc, col("dim"))) - 1)
+      .withColumn("s", expr(
+        "CASE WHEN (r DIV 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END"))
+    // lazy checkpoint: pe feeds three consumers (codebook, encode,
+    // query); without it each would re-run the n×64 variance pass
+    val perm = ranked
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(s, r, dim)))," +
+          " x -> x.dim)").as("pm"))
+      .localCheckpoint(false)
+    val pe = e.crossJoin(broadcast(perm))
+      .select(col("vec_id"), col("ed"), expr(
+        "transform(sequence(1, 64), i -> element_at(ed, element_at(pm, i)))")
+        .as("pd"))
+    // from here: llm_ann_pq verbatim over the permuted vectors
+    val cbW = Window.orderBy(col("h"), col("vec_id"))
+    val cb = pe
+      .select(md5(col("vec_id").cast(StringType)).as("h"), col("vec_id"),
+        col("pd").as("cv"))
+      .orderBy(col("h"), col("vec_id")).limit(16)
+      .withColumn("cand", row_number().over(cbW) - 1) // 16-row frame
+      .select(col("cand"), col("cv"))
+    val dist = pe.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("cand"),
+        posexplode(expr(
+          """transform(sequence(0, 7), s ->
+            |  aggregate(zip_with(slice(pd, 8 * s + 1, 8),
+            |                     slice(cv, 8 * s + 1, 8),
+            |                     (x, y) -> (x - y) * (x - y)),
+            |            0D, (a, v) -> a + v))""".stripMargin))
+          .as(Seq("s", "d2")))
+    val codes = dist
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("cand"), struct(col("d2"), col("cand")))
+        .as("code"))
+    val q = pe.filter(col("vec_id") === 0)
+      .select(col("ed").as("qe"), col("pd").as("qd"))
+    val lut = cb.crossJoin(broadcast(q))
+      .select(col("cand"),
+        posexplode(expr(
+          """transform(sequence(0, 7), s ->
+            |  aggregate(zip_with(slice(qd, 8 * s + 1, 8),
+            |                     slice(cv, 8 * s + 1, 8),
+            |                     (x, y) -> x * y),
+            |            0D, (a, v) -> a + v))""".stripMargin))
+          .as(Seq("s", "ct")))
+    val adc = codes
+      .join(broadcast(lut),
+        codes("s") === lut("s") && codes("code") === lut("cand"))
+      .select(col("vec_id"), codes("s").as("s"), col("ct"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("ct"))))
+        .as("arr"))
+      .withColumn("adc", expr(
+        "aggregate(transform(arr, x -> x.ct), 0D, (a, v) -> a + v)"))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("adc").desc, col("vec_id")).limit(10)
+    adc
+      .join(e, "vec_id").crossJoin(broadcast(q))
+      .select(col("vec_id"), round(col("adc"), 4).as("adc_score"),
+        round(
+          expr("""aggregate(zip_with(ed, qe, (x, y) -> x * y),
+                 |  0D, (a, v) -> a + v)""".stripMargin) /
+            (sqrt(expr("aggregate(ed, 0D, (a, v) -> a + v * v)")) *
+              sqrt(expr("aggregate(qe, 0D, (a, v) -> a + v * v)"))), 4)
+          .as("exact_cos"),
+        col("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .drop("adc")
+  }
+
+  private val annOpqSql =
+    """WITH e AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ed
+      |  FROM embeddings),
+      |d64 AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      |iv AS (
+      |  SELECT d64.dim,
+      |    CAST(floor(e.ed[d64.dim] * 1048576.0) AS BIGINT) AS y
+      |  FROM e, d64),
+      |vstat AS (
+      |  SELECT dim, sum(CAST(y AS HUGEINT) * y) AS sy2,
+      |    sum(CAST(y AS HUGEINT)) AS sy, count(*) AS n
+      |  FROM iv GROUP BY dim),
+      |vr AS (
+      |  SELECT dim, row_number() OVER (
+      |    ORDER BY CAST(n AS HUGEINT) * sy2 - sy * sy DESC, dim) - 1 AS r
+      |  FROM vstat),
+      |sn AS (
+      |  SELECT dim, r,
+      |    CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS s
+      |  FROM vr),
+      |perm AS (SELECT list(dim ORDER BY s, r) AS pm FROM sn),
+      |pe AS (
+      |  SELECT e.vec_id, e.ed,
+      |    [e.ed[pm[i]] for i in generate_series(1, 64)] AS pd
+      |  FROM e, perm),
+      |cb AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cand, cv
+      |  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id,
+      |          pd AS cv
+      |        FROM pe ORDER BY h, vec_id LIMIT 16)),
+      |sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |dist AS (
+      |  SELECT pe.vec_id, sub.s, cb.cand,
+      |    list_sum([(pe.pd[8 * sub.s + i] - cb.cv[8 * sub.s + i])
+      |              * (pe.pd[8 * sub.s + i] - cb.cv[8 * sub.s + i])
+      |              for i in generate_series(1, 8)]) AS d2
+      |  FROM pe, sub, cb),
+      |code AS (
+      |  SELECT vec_id, s, cand AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |                                 ORDER BY d2, cand) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |q AS (SELECT ed AS qe, pd AS qd FROM pe WHERE vec_id = 0),
+      |lut AS (
+      |  SELECT cb.cand, sub.s,
+      |    list_sum([q.qd[8 * sub.s + i] * cb.cv[8 * sub.s + i]
+      |              for i in generate_series(1, 8)]) AS ct
+      |  FROM cb, sub, q),
+      |adc AS (
+      |  SELECT c.vec_id, list_sum(list(l.ct ORDER BY c.s)) AS adc
+      |  FROM code c JOIN lut l ON l.s = c.s AND l.cand = c.code
+      |  GROUP BY c.vec_id),
+      |top AS (
+      |  SELECT vec_id, adc FROM adc WHERE vec_id <> 0
+      |  ORDER BY adc DESC, vec_id LIMIT 10)
+      |SELECT t.vec_id, round(t.adc, 4) AS adc_score,
+      |  round(list_sum([e.ed[i] * q.qe[i]
+      |          for i in generate_series(1, len(e.ed))]) /
+      |    (sqrt(list_sum([x * x for x in e.ed])) *
+      |     sqrt(list_sum([x * x for x in q.qe]))), 4) AS exact_cos
+      |FROM top t JOIN e ON e.vec_id = t.vec_id, q
+      |ORDER BY t.adc DESC, t.vec_id""".stripMargin
+
   // ---- mm_matryoshka_recall: truncated-dimension retrieval quality ---
   // Matryoshka-style embeddings serve retrieval from a PREFIX of the
   // vector (8/16/32 of 64 dims here) to cut memory and dot-product
@@ -2301,6 +2483,7 @@ object Multimodal {
     "mm_matryoshka_recall" -> matryoshkaRecall,
     "llm_ann_pq" -> annPq,
     "llm_ann_ivfpq" -> annIvfPq,
+    "llm_ann_opq" -> annOpq,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2325,5 +2508,6 @@ object Multimodal {
     "mm_matryoshka_recall" -> matryoshkaRecallSql,
     "llm_ann_pq" -> annPqSql,
     "llm_ann_ivfpq" -> annIvfPqSql,
+    "llm_ann_opq" -> annOpqSql,
   )
 }

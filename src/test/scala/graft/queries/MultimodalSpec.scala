@@ -493,6 +493,52 @@ class MultimodalSpec extends SparkSpec {
       s"PQ shortlist mean exact cosine $meanCos is noise-level")
   }
 
+  test("llm_ann_opq: snake allocation balances per-subspace variance " +
+    "better than the identity split, and the ADC shortlist is " +
+    "deterministic with real signal") {
+    val run1 = graft.SparkEntry.queries("llm_ann_opq")(spark, dir).collect()
+    val run2 = graft.SparkEntry.queries("llm_ann_opq")(spark, dir).collect()
+    assert(run1.toSeq == run2.toSeq, "OPQ shortlist is not deterministic")
+    assert(run1.length == 10)
+    val adcs = run1.map(_.getAs[Double]("adc_score"))
+    assert(adcs.zip(adcs.tail).forall { case (a, b) => a >= b },
+      s"ADC scores not descending: ${adcs.toSeq}")
+    val meanCos = run1.map(_.getAs[Double]("exact_cos")).sum / 10.0
+    assert(meanCos > 0.05,
+      s"OPQ shortlist mean exact cosine $meanCos is noise-level")
+    // independent reimplementation of the allocation (plain Scala over
+    // the collected fixture — a test-side differential check): the
+    // snake split's per-subspace variance-proxy sums must spread no
+    // wider than the identity split's contiguous 8-dim blocks
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .selectExpr("transform(embedding, x -> cast(x as double))")
+      .collect().map(_.getSeq[Double](0))
+    val n = vecs.length.toLong
+    val vp = (0 until 64).map { d =>
+      var sy = BigInt(0); var sy2 = BigInt(0)
+      vecs.foreach { v =>
+        val y = BigInt(math.floor(v(d) * 1048576.0).toLong)
+        sy += y; sy2 += y * y
+      }
+      BigInt(n) * sy2 - sy * sy
+    }
+    def spread(alloc: Int => Int): BigInt = {
+      val sums = Array.fill(8)(BigInt(0))
+      (0 until 64).foreach(d => sums(alloc(d)) += vp(d))
+      sums.max - sums.min
+    }
+    val rankOf = (0 until 64).sortBy(d => (-vp(d), d))
+      .zipWithIndex.toMap // dim -> variance rank
+    val snakeSpread = spread { d =>
+      val r = rankOf(d)
+      if ((r / 8) % 2 == 0) r % 8 else 7 - (r % 8)
+    }
+    val identitySpread = spread(_ / 8)
+    assert(snakeSpread <= identitySpread,
+      s"snake allocation spread $snakeSpread exceeds identity " +
+        s"$identitySpread")
+  }
+
   test("mm_matryoshka_recall: recall@10 grows with prefix width and " +
     "stays a valid proportion") {
     val rows = graft.SparkEntry.queries("mm_matryoshka_recall")(spark, dir)

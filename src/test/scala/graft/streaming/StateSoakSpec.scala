@@ -208,4 +208,50 @@ class StateSoakSpec extends SparkSpec {
     assert(served == oneShot,
       "soaked labeling diverged from the whole-prefix one-shot")
   }
+
+  test("ann-topk maintainer: bounded versions across 16 batches with " +
+    "a replay every 4th batch; final shortlist equals the one-shot") {
+    import spark.implicits._
+    import AnnTopKStreamSpec.Vec
+    val out = Files.createTempDirectory("anntopksoak").toString
+    val all = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .collect()
+      .map(r => Vec(r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding"))))
+      .toSeq
+    AnnTopKStream.build(
+      graft.Tables(spark, "/root/testdata/sf0.001", "embeddings"), out)
+    val per = (all.size + Batches - 1) / Batches
+    var seen = Seq.empty[Vec]
+    for (b <- 0 until Batches) {
+      val batch = all.slice(b * per, (b + 1) * per)
+      AnnTopKStream.updateBatch(batch.toDF(), out, b.toLong)
+      if (b % 4 == 3) // replay must be a no-op, not a re-merge
+        AnnTopKStream.updateBatch(batch.toDF(), out, b.toLong)
+      seen = seen ++ batch
+      for (store <- Seq("topk", "meta")) {
+        val dirs = versionDirs(out, store)
+        assert(dirs.size <= 2,
+          s"batch $b: $store holds ${dirs.size} versions " +
+            s"(${dirs.sorted.mkString(", ")}) — prune is leaking")
+      }
+    }
+    val served = AnnTopKStream.currentTopK(spark, out).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc"))).toSeq
+    val cb = spark.read.parquet(VersionedState.path(out, "cb", 0L))
+    val qv = spark.read.parquet(VersionedState.path(out, "qv", 0L))
+    val oneShot = AnnTopKStream.scoreAdc(
+      seen.toDF().filter(org.apache.spark.sql.functions.col("vec_id")
+        =!= 0)
+        .selectExpr("vec_id",
+          "transform(embedding, x -> cast(x as double)) as ed"),
+      cb, qv)
+      .orderBy(org.apache.spark.sql.functions.col("adc").desc,
+        org.apache.spark.sql.functions.col("vec_id"))
+      .limit(AnnTopKStream.K)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc"))).toSeq
+    assert(served == oneShot,
+      "soaked shortlist diverged from the whole-prefix one-shot")
+  }
 }
