@@ -921,7 +921,172 @@ object Events {
       |  round(l + b, 6) AS forecast
       |FROM rec WHERE len(rest) = 0 ORDER BY user_id""".stripMargin
 
+  // ---- q107/q108: KMV distinct sketch + sketch set algebra ----------
+  // KMV (k-minimum-values; Bar-Yossef et al. 2002) — the θ-sketch
+  // family's simplest member and the one distinct sketch that
+  // supports SET ALGEBRA: the k smallest hashes of A∪B all lie in
+  // kmv(A) ∪ kmv(B), so union sketches compose from per-side
+  // sketches and INTERSECTION cardinality follows by inclusion
+  // counting — the estimator HLL (q26) structurally cannot provide.
+  // Engine side: a bounded custom Aggregator (`functions.Kmv`) — the
+  // buffer is k sorted longs, a commutative monoid, so map-side
+  // partial aggregation keeps per-task state at k values and the
+  // exchange carries types×k longs, NEVER the distinct set (the
+  // 100 TB shape; contrast exact distinct, which shuffles every
+  // value). Hashes are the house 60-bit md5 integers (llm_shard_
+  // manifest spelling), so the sketch CONTENT is deterministic and
+  // the oracle re-derives it exactly in SQL; every presented cell is
+  // an exact integer or a boolean computed from exact integers — no
+  // version surface anywhere (the round-11 presented-cell rule).
+  // With k=64 the standard error is 1/√(k−2) ≈ 12.7%; the presented
+  // verdict uses a 40% fence so the monitor is robustly true on any
+  // fixture while both engines compute the identical boolean.
+  private val KmvK = 64
+
+  /** 2^60 · (k−1) as exact DECIMAL(38,0) arithmetic — 63·2^60
+    * overflows a BIGINT, the exact trap q02's HUGEINT mirror hit. */
+  private val kmvScale =
+    "(CAST(63 AS DECIMAL(38,0)) * CAST(1152921504606846976 AS DECIMAL(38,0)))"
+
+  /** Per-type KMV sketch — the ONE derivation q107 and q108 share. */
+  private def kmvSketches(s: SparkSession, dir: String): DataFrame = {
+    val kmvU = udaf(graft.functions.Kmv.sketch(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events(s, dir)
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast(StringType)), 1, 15),
+          16, 10).cast(LongType).as("h"))
+      .groupBy(col("event_type"))
+      .agg(kmvU(col("h")).as("b"))
+      .select(col("event_type"), col("b.hs").as("sk"))
+  }
+
+  private val q107: Q = (s, dir) => {
+    val sk = kmvSketches(s, dir)
+    val exact = events(s, dir).groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    sk.join(exact, "event_type")
+      .withColumn("sketch_size", size(col("sk")).cast(LongType))
+      .withColumn("kth_min_hash", expr("element_at(sk, size(sk))"))
+      .withColumn("est_distinct", expr(
+        s"""CASE WHEN size(sk) < $KmvK THEN CAST(size(sk) AS BIGINT)
+           |ELSE $kmvScale DIV element_at(sk, $KmvK) END"""
+          .stripMargin))
+      .withColumn("within_40pct",
+        abs(col("est_distinct") - col("exact_distinct")) * lit(5L) <=
+          col("exact_distinct") * lit(2L))
+      .select(col("event_type"), col("sketch_size"),
+        col("kth_min_hash"), col("est_distinct"),
+        col("exact_distinct"), col("within_40pct"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q107Sql =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(list_sum([CAST(strpos('0123456789abcdef',
+      |        substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+      |        * (1::BIGINT << (4 * (15 - i)))
+      |      for i in generate_series(1, 15)]) AS BIGINT) AS h
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, (list(h ORDER BY h))[1:64] AS sk
+      |  FROM h GROUP BY event_type),
+      |d AS (
+      |  SELECT event_type, CAST(len(sk) AS BIGINT) AS sketch_size,
+      |    sk[len(sk)] AS kth_min_hash,
+      |    CASE WHEN len(sk) < 64 THEN CAST(len(sk) AS BIGINT)
+      |         ELSE CAST(63::HUGEINT * 1152921504606846976::HUGEINT
+      |                   // sk[64] AS BIGINT) END AS est_distinct
+      |  FROM s),
+      |x AS (
+      |  SELECT event_type,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      |  FROM events GROUP BY event_type)
+      |SELECT d.event_type, sketch_size, kth_min_hash, est_distinct,
+      |  exact_distinct,
+      |  abs(est_distinct - exact_distinct) * 5 <= exact_distinct * 2
+      |    AS within_40pct
+      |FROM d JOIN x USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  private val q108: Q = (s, dir) => {
+    // the sketch pass feeds both join sides — checkpoint it once
+    val sk = kmvSketches(s, dir).localCheckpoint(false)
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sa"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sb"))
+    val ua = events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val exact = ua.as("x").join(ua.as("y"), Seq("user_id"))
+      .filter(col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_intersection"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .withColumn("un", expr(
+        s"slice(array_sort(array_distinct(concat(sa, sb))), 1, $KmvK)"))
+      .withColumn("m", size(col("un")))
+      .withColumn("rho", expr(
+        "CAST(size(filter(un, x -> array_contains(sa, x)" +
+          " AND array_contains(sb, x))) AS BIGINT)"))
+      .withColumn("est_intersection", expr(
+        s"""CASE WHEN m < $KmvK THEN rho
+           |ELSE (CAST(rho AS DECIMAL(38,0)) *
+           |  ($kmvScale DIV element_at(un, $KmvK))) DIV $KmvK END"""
+          .stripMargin))
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("rho"),
+        col("est_intersection"),
+        coalesce(col("exact_intersection"), lit(0L))
+          .as("exact_intersection"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private val q108Sql =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(list_sum([CAST(strpos('0123456789abcdef',
+      |        substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+      |        * (1::BIGINT << (4 * (15 - i)))
+      |      for i in generate_series(1, 15)]) AS BIGINT) AS h
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, (list(h ORDER BY h))[1:64] AS sk
+      |  FROM h GROUP BY event_type),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.sk AS sa, b.sk AS sb
+      |  FROM s a, s b WHERE a.event_type < b.event_type),
+      |u AS (
+      |  SELECT type_a, type_b, sa, sb,
+      |    (list_sort(list_distinct(sa || sb)))[1:64] AS un
+      |  FROM p),
+      |r AS (
+      |  SELECT type_a, type_b, len(un) AS m, un,
+      |    CAST(len(list_filter(un, x -> list_contains(sa, x)
+      |      AND list_contains(sb, x))) AS BIGINT) AS rho
+      |  FROM u),
+      |e AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS exact_intersection
+      |  FROM (SELECT DISTINCT event_type, user_id FROM events) x
+      |  JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+      |    USING (user_id)
+      |  WHERE x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT r.type_a, r.type_b, rho,
+      |  CASE WHEN m < 64 THEN rho
+      |       ELSE CAST(CAST(rho AS HUGEINT) *
+      |         (63::HUGEINT * 1152921504606846976::HUGEINT // un[64])
+      |         // 64 AS BIGINT) END AS est_intersection,
+      |  coalesce(e.exact_intersection, CAST(0 AS BIGINT))
+      |    AS exact_intersection
+      |FROM r LEFT JOIN e USING (type_a, type_b)
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q107_kmv_distinct" -> q107,
+    "q108_kmv_overlap" -> q108,
     "q97_ewma" -> q97,
     "q102_holt" -> q102,
     "q103_debounce" -> q103,
@@ -944,6 +1109,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q107_kmv_distinct" -> q107Sql,
+    "q108_kmv_overlap" -> q108Sql,
     "q97_ewma" -> q97Sql,
     "q102_holt" -> q102Sql,
     "q103_debounce" -> q103Sql,
