@@ -948,30 +948,47 @@ object Events {
   private val kmvScale =
     "(CAST(63 AS DECIMAL(38,0)) * CAST(1152921504606846976 AS DECIMAL(38,0)))"
 
-  /** Per-type KMV sketch — the ONE derivation q107 and q108 share. */
-  private def kmvSketches(s: SparkSession, dir: String): DataFrame = {
+  /** KMV aggregation over already-hashed (event_type, h) rows — the
+    * innermost shared piece: q107/q108 run it over the hashed corpus,
+    * `streaming.KmvStream` runs it over exploded prev-state ∪ delta
+    * hashes (the union monoid makes both exact). */
+  private[graft] def kmvOfHashes(h: DataFrame): DataFrame = {
     val kmvU = udaf(graft.functions.Kmv.sketch(KmvK),
       org.apache.spark.sql.Encoders.scalaLong)
-    events(s, dir)
-      .select(col("event_type"),
-        conv(substring(md5(col("user_id").cast(StringType)), 1, 15),
-          16, 10).cast(LongType).as("h"))
-      .groupBy(col("event_type"))
+    h.groupBy(col("event_type"))
       .agg(kmvU(col("h")).as("b"))
       .select(col("event_type"), col("b.hs").as("sk"))
   }
 
-  private val q107: Q = (s, dir) => {
-    val sk = kmvSketches(s, dir)
-    val exact = events(s, dir).groupBy(col("event_type"))
-      .agg(count_distinct(col("user_id")).as("exact_distinct"))
-    sk.join(exact, "event_type")
+  /** Per-type KMV sketch of raw (event_type, user_id) rows — the ONE
+    * derivation q107, q108, and the stream maintainer share. */
+  private[graft] def kmvOf(ev: DataFrame): DataFrame =
+    kmvOfHashes(ev.select(col("event_type"),
+      conv(substring(md5(col("user_id").cast(StringType)), 1, 15),
+        16, 10).cast(LongType).as("h")))
+
+  private def kmvSketches(s: SparkSession, dir: String): DataFrame =
+    kmvOf(events(s, dir))
+
+  /** Sketch-derived report columns — shared by q107 and the served
+    * form of `streaming.KmvStream` (no exact-distinct leg there: a
+    * maintainer must never need the full distinct set). */
+  private[graft] def kmvReport(sk: DataFrame): DataFrame =
+    sk
       .withColumn("sketch_size", size(col("sk")).cast(LongType))
       .withColumn("kth_min_hash", expr("element_at(sk, size(sk))"))
       .withColumn("est_distinct", expr(
         s"""CASE WHEN size(sk) < $KmvK THEN CAST(size(sk) AS BIGINT)
            |ELSE $kmvScale DIV element_at(sk, $KmvK) END"""
           .stripMargin))
+      .select(col("event_type"), col("sketch_size"),
+        col("kth_min_hash"), col("est_distinct"))
+
+  private val q107: Q = (s, dir) => {
+    val sk = kmvReport(kmvSketches(s, dir))
+    val exact = events(s, dir).groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    sk.join(exact, "event_type")
       .withColumn("within_40pct",
         abs(col("est_distinct") - col("exact_distinct")) * lit(5L) <=
           col("exact_distinct") * lit(2L))

@@ -254,4 +254,32 @@ class StateSoakSpec extends SparkSpec {
     assert(served == oneShot,
       "soaked shortlist diverged from the whole-prefix one-shot")
   }
+
+  test("kmv maintainer: bounded versions across 16 batches with a " +
+    "replay every 4th batch; final sketches equal the one-shot") {
+    import spark.implicits._
+    import KmvStreamSpec.Ev
+    val out = Files.createTempDirectory("kmvsoak").toString
+    var seen = Seq.empty[Ev]
+    for (b <- 0 until Batches) {
+      val batch = (0 until 40).map(i => Ev((b * 40 + i).toLong,
+        s"t${i % 3}", ((b * 17 + i * 5) % 200).toLong))
+      KmvStream.updateBatch(batch.toDF(), out, b.toLong)
+      if (b % 4 == 3) // replay must be a no-op, not a re-merge
+        KmvStream.updateBatch(batch.toDF(), out, b.toLong)
+      seen = seen ++ batch
+      for (store <- Seq("kmv", "meta")) {
+        val dirs = versionDirs(out, store)
+        assert(dirs.size <= 2,
+          s"batch $b: $store holds ${dirs.size} versions " +
+            s"(${dirs.sorted.mkString(", ")}) — prune is leaking")
+      }
+    }
+    val served = KmvStream.currentSketches(spark, out).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val oneShot = graft.queries.Events.kmvOf(seen.toDF()).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(served == oneShot,
+      "soaked sketches diverged from the whole-prefix one-shot")
+  }
 }
