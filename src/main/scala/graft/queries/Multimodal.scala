@@ -1883,25 +1883,41 @@ object Multimodal {
   // (the one-off index build); serving scans CODES (8 bytes/vector)
   // plus one 8×16 lookup table — the memory/recall dial a 100 TB
   // deployment turns; recall vs brute is pinned in MultimodalSpec.
-  private val annPq: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings").select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("ed"))
-    // hash-sample discipline shared with the IVF quantizers (engine
-    // + SQL mirrors): order by md5(vec_id) and take k. This copy adds
-    // an explicit vec_id tie-break — md5 is collision-free on the
-    // fixture ids, so the IVF copies without it select the same rows;
-    // any future change to the sampling order must touch ALL mirrors
-    // (grep "ORDER BY md5" / orderBy(md5).
+  /** The hash-sampled 16-codeword PQ codebook of a (vec_id, ed)
+    * frame — the ONE definition annPq, annOpq, and the stream
+    * maintainer (`streaming.AnnTopKStream.build`) share. Sampling
+    * discipline shared with the IVF quantizers (engine + SQL
+    * mirrors): order by md5(vec_id) and take k, with an explicit
+    * vec_id tie-break — md5 is collision-free on the fixture ids, so
+    * the IVF copies without it select the same rows; any future
+    * change to the sampling order must touch ALL mirrors (grep
+    * "ORDER BY md5" / orderBy(md5)). */
+  private[graft] def pqCodebook(e: DataFrame): DataFrame = {
     val cbW = Window.orderBy(col("h"), col("vec_id"))
-    val cb = e
-      .select(md5(col("vec_id").cast("string")).as("h"), col("vec_id"),
+    e.select(md5(col("vec_id").cast("string")).as("h"), col("vec_id"),
         col("ed").as("cv"))
       .orderBy(col("h"), col("vec_id")).limit(16)
       .withColumn("cand", row_number().over(cbW) - 1) // 16-row frame
       .select(col("cand"), col("cv"))
-    // encode: per (vector, codeword) the 8 subspace L2 distances in
-    // one array, explode to (vec_id, s, cand, d2), argmin per (v, s)
-    val dist = e.crossJoin(broadcast(cb))
+  }
+
+  /** THE ADC scorer — encode each (vec_id, ed) vector's 8 subvectors
+    * against the broadcast codebook and score against the one-row
+    * (qd) query: per-(vector, codeword) subspace L2 in one array,
+    * argmin per (vector, subspace) via map-side `min_by` (the r5
+    * IVF-assign discipline, VERDICT r10 #5 — the 16 candidate rows
+    * of a vector co-reside in its partition, so map-side combine
+    * collapses to one row per (vec_id, s) BEFORE the exchange; ties
+    * on (d2 asc, cand asc)), then the 8 LUT terms folded in subspace
+    * order (collect→sort→fold, never a float groupBy-sum). ONE
+    * definition — annPq, annOpq, and `streaming.AnnTopKStream` all
+    * run this tree, so their pinned bit-identities hold by
+    * construction. (annIvfPq keeps its own specialized copy: its
+    * codes carry the IVF cell id through the argmin and the LUT fold
+    * adds the centroid term — same discipline, different shape.) */
+  private[graft] def adcScores(vecs: DataFrame, cb: DataFrame,
+      qv: DataFrame): DataFrame = {
+    val dist = vecs.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("cand"),
         posexplode(expr(
           """transform(sequence(0, 7), s ->
@@ -1910,28 +1926,21 @@ object Multimodal {
             |                     (x, y) -> (x - y) * (x - y)),
             |            0D, (a, v) -> a + v))""".stripMargin))
           .as(Seq("s", "d2")))
-    // argmin per (vector, subspace) via min_by (the r5 IVF-assign
-    // discipline, VERDICT r10 #5): the 16 candidate rows of a vector
-    // co-reside in its partition, so map-side combine collapses to
-    // one row per (vec_id, s) BEFORE the exchange — the row_number
-    // window shuffled and sorted all n×128 rows to rank 16-row
-    // groups. Tie-break identical to the window's (d2 asc, cand asc).
     val codes = dist
       .groupBy(col("vec_id"), col("s"))
       .agg(min_by(col("cand"), struct(col("d2"), col("cand")))
         .as("code"))
-    val q = e.filter(col("vec_id") === 0).select(col("ed").as("qe"))
     // ADC lookup table: dot(q_s, codeword) per (s, cand) — 128 rows
-    val lut = cb.crossJoin(broadcast(q))
+    val lut = cb.crossJoin(broadcast(qv))
       .select(col("cand"),
         posexplode(expr(
           """transform(sequence(0, 7), s ->
-            |  aggregate(zip_with(slice(qe, 8 * s + 1, 8),
+            |  aggregate(zip_with(slice(qd, 8 * s + 1, 8),
             |                     slice(cv, 8 * s + 1, 8),
             |                     (x, y) -> x * y),
             |            0D, (a, v) -> a + v))""".stripMargin))
           .as(Seq("s", "ct")))
-    val adc = codes
+    codes
       .join(broadcast(lut),
         codes("s") === lut("s") && codes("code") === lut("cand"))
       .select(col("vec_id"), codes("s").as("s"), col("ct"))
@@ -1940,6 +1949,15 @@ object Multimodal {
         .as("arr"))
       .withColumn("adc", expr(
         "aggregate(transform(arr, x -> x.ct), 0D, (a, v) -> a + v)"))
+      .select(col("vec_id"), col("adc"))
+  }
+
+  private val annPq: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("ed"))
+    val cb = pqCodebook(e)
+    val q = e.filter(col("vec_id") === 0).select(col("ed").as("qe"))
+    val adc = adcScores(e, cb, q.select(col("qe").as("qd")))
       .filter(col("vec_id") =!= 0)
       .orderBy(col("adc").desc, col("vec_id")).limit(10)
     // exact re-rank leg: true cosine of the shortlist (q29 tree)
@@ -2213,8 +2231,11 @@ object Multimodal {
       .select(posexplode(col("ed")).as(Seq("i", "x")))
       .select((col("i") + 1).as("dim"),
         floor(col("x") * lit(1048576.0)).as("y"))
+    // cast BEFORE the square: y*y in Long would wrap silently past
+    // |y| ~ 3e9 while the oracle's HUGEINT stays exact — the two
+    // mirrors must run the same arithmetic (review r11)
     val vstat = iv.groupBy(col("dim")).agg(
-      sum((col("y") * col("y")).cast(dec)).as("sy2"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("sy2"),
       sum(col("y").cast(dec)).as("sy"),
       count(lit(1)).as("n"))
     // snake allocation over the 64-row frame (bounded-alphabet window)
@@ -2236,47 +2257,13 @@ object Multimodal {
       .select(col("vec_id"), col("ed"), expr(
         "transform(sequence(1, 64), i -> element_at(ed, element_at(pm, i)))")
         .as("pd"))
-    // from here: llm_ann_pq verbatim over the permuted vectors
-    val cbW = Window.orderBy(col("h"), col("vec_id"))
-    val cb = pe
-      .select(md5(col("vec_id").cast(StringType)).as("h"), col("vec_id"),
-        col("pd").as("cv"))
-      .orderBy(col("h"), col("vec_id")).limit(16)
-      .withColumn("cand", row_number().over(cbW) - 1) // 16-row frame
-      .select(col("cand"), col("cv"))
-    val dist = pe.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("cand"),
-        posexplode(expr(
-          """transform(sequence(0, 7), s ->
-            |  aggregate(zip_with(slice(pd, 8 * s + 1, 8),
-            |                     slice(cv, 8 * s + 1, 8),
-            |                     (x, y) -> (x - y) * (x - y)),
-            |            0D, (a, v) -> a + v))""".stripMargin))
-          .as(Seq("s", "d2")))
-    val codes = dist
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min_by(col("cand"), struct(col("d2"), col("cand")))
-        .as("code"))
+    // from here: the SHARED PQ pipeline (pqCodebook + adcScores —
+    // llm_ann_pq's exact trees) over the permuted vectors
+    val pev = pe.select(col("vec_id"), col("pd").as("ed"))
+    val cb = pqCodebook(pev)
     val q = pe.filter(col("vec_id") === 0)
       .select(col("ed").as("qe"), col("pd").as("qd"))
-    val lut = cb.crossJoin(broadcast(q))
-      .select(col("cand"),
-        posexplode(expr(
-          """transform(sequence(0, 7), s ->
-            |  aggregate(zip_with(slice(qd, 8 * s + 1, 8),
-            |                     slice(cv, 8 * s + 1, 8),
-            |                     (x, y) -> x * y),
-            |            0D, (a, v) -> a + v))""".stripMargin))
-          .as(Seq("s", "ct")))
-    val adc = codes
-      .join(broadcast(lut),
-        codes("s") === lut("s") && codes("code") === lut("cand"))
-      .select(col("vec_id"), codes("s").as("s"), col("ct"))
-      .groupBy(col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("s"), col("ct"))))
-        .as("arr"))
-      .withColumn("adc", expr(
-        "aggregate(transform(arr, x -> x.ct), 0D, (a, v) -> a + v)"))
+    val adc = adcScores(pev, cb, q.select(col("qd")))
       .filter(col("vec_id") =!= 0)
       .orderBy(col("adc").desc, col("vec_id")).limit(10)
     adc

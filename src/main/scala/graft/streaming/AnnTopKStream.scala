@@ -1,10 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.types._
 
 /** INCREMENTAL maintenance of a fixed query's top-k ADC shortlist as
   * vectors stream in — the serving-side twin of `llm_ann_pq` (22nd
@@ -52,73 +50,34 @@ object AnnTopKStream {
       expr("transform(embedding, x -> cast(x as double))").as("ed"))
 
   /** One-time build: freeze the hash-sampled 16-codeword codebook
-    * (the llm_ann_pq discipline — ORDER BY md5(vec_id), see the
-    * "ORDER BY md5" mirrors note in Multimodal) and the query vector
-    * (vec_id 0) from the build corpus. */
+    * (`Multimodal.pqCodebook` — the llm_ann_pq definition itself)
+    * and the query vector (vec_id 0) from the build corpus. The
+    * query artifact is written FIRST so the codebook — the store the
+    * update guard checks — doubles as the build's commit point: a
+    * crash between the writes can never leave a guard-passing state
+    * with a missing artifact (review r11). */
   def build(emb: DataFrame, dir: String): Unit = {
     val e = withEd(emb)
-    val cbW = Window.orderBy(col("h"), col("vec_id"))
-    val cb = e
-      .select(md5(col("vec_id").cast(StringType)).as("h"),
-        col("vec_id"), col("ed").as("cv"))
-      .orderBy(col("h"), col("vec_id")).limit(16)
-      .withColumn("cand", row_number().over(cbW) - 1) // 16-row frame
-      .select(col("cand"), col("cv"))
-    cb.coalesce(1).write.mode("overwrite")
-      .parquet(VersionedState.path(dir, "cb", 0L))
     e.filter(col("vec_id") === 0).select(col("ed").as("qd"))
       .coalesce(1).write.mode("overwrite")
       .parquet(VersionedState.path(dir, "qv", 0L))
+    graft.queries.Multimodal.pqCodebook(e)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(VersionedState.path(dir, "cb", 0L))
   }
 
-  /** THE ADC scorer — the single definition both the maintainer and
-    * the batch referent run (parity by construction): encode each
-    * vector's 8 subvectors against the broadcast codebook (exact L2,
-    * map-side `min_by` argmin, ties on code id), then fold the 8 LUT
-    * terms in subspace order (collect→sort→fold, never a float
-    * groupBy-sum — the llm_ann_pq determinism discipline). */
+  /** THE ADC scorer — delegates to `Multimodal.adcScores`, the single
+    * definition llm_ann_pq, llm_ann_opq, the batch referent, and this
+    * maintainer all run (parity by construction). */
   def scoreAdc(vecs: DataFrame, cb: DataFrame, qv: DataFrame)
-      : DataFrame = {
-    val dist = vecs.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("cand"),
-        posexplode(expr(
-          """transform(sequence(0, 7), s ->
-            |  aggregate(zip_with(slice(ed, 8 * s + 1, 8),
-            |                     slice(cv, 8 * s + 1, 8),
-            |                     (x, y) -> (x - y) * (x - y)),
-            |            0D, (a, v) -> a + v))""".stripMargin))
-          .as(Seq("s", "d2")))
-    val codes = dist
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min_by(col("cand"), struct(col("d2"), col("cand")))
-        .as("code"))
-    val lut = cb.crossJoin(broadcast(qv))
-      .select(col("cand"),
-        posexplode(expr(
-          """transform(sequence(0, 7), s ->
-            |  aggregate(zip_with(slice(qd, 8 * s + 1, 8),
-            |                     slice(cv, 8 * s + 1, 8),
-            |                     (x, y) -> x * y),
-            |            0D, (a, v) -> a + v))""".stripMargin))
-          .as(Seq("s", "ct")))
-    codes
-      .join(broadcast(lut),
-        codes("s") === lut("s") && codes("code") === lut("cand"))
-      .select(col("vec_id"), codes("s").as("s"), col("ct"))
-      .groupBy(col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("s"), col("ct"))))
-        .as("arr"))
-      .withColumn("adc", expr(
-        "aggregate(transform(arr, x -> x.ct), 0D, (a, v) -> a + v)"))
-      .select(col("vec_id"), col("adc"))
-  }
+      : DataFrame =
+    graft.queries.Multimodal.adcScores(vecs, cb, qv)
 
   private def artifacts(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val cbPath = VersionedState.path(dir, "cb", 0L)
     require(VersionedState.committed(spark, dir, "cb").contains(0L),
       s"no frozen codebook under $dir — run build() first")
-    (spark.read.parquet(cbPath),
+    (spark.read.parquet(VersionedState.path(dir, "cb", 0L)),
       spark.read.parquet(VersionedState.path(dir, "qv", 0L)))
   }
 
@@ -134,7 +93,11 @@ object AnnTopKStream {
     val fresh = scoreAdc(withEd(batch).filter(col("vec_id") =!= 0),
       cb, qv).persist()
     try {
-      val batchRows = fresh.count()
+      // the maintainer convention: meta counts RAW rows through batch
+      // N (the KmvStream/HistStream semantic), not post-filter scored
+      // vectors (review r11)
+      val batchRows = batch.count()
+      fresh.count() // materialize before the two consumers below
       val (merged, total) = prevV match {
         case None => (fresh, batchRows)
         case Some(v) =>

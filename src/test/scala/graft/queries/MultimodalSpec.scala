@@ -533,10 +533,19 @@ class MultimodalSpec extends SparkSpec {
       val r = rankOf(d)
       if ((r / 8) % 2 == 0) r % 8 else 7 - (r % 8)
     }
-    val identitySpread = spread(_ / 8)
-    assert(snakeSpread <= identitySpread,
-      s"snake allocation spread $snakeSpread exceeds identity " +
-        s"$identitySpread")
+    // the PROVABLE balance invariant (not a fixture coincidence —
+    // review r11): every subspace takes exactly one dim per rank
+    // octile, so any two subspace sums differ per octile by at most
+    // that octile's range: spread ≤ Σ_blocks (max_b − min_b)
+    val sortedVp = vp.sortBy(v => -v)
+    val blockRangeSum = (0 until 8)
+      .map(b => sortedVp(b * 8) - sortedVp(b * 8 + 7)).sum
+    assert(snakeSpread <= blockRangeSum,
+      s"snake spread $snakeSpread exceeds the per-octile range bound " +
+        s"$blockRangeSum — the allocation is not one-per-octile")
+    // and the bound is TIGHT on this corpus relative to the naive
+    // contiguous split (observed ~20× wider spread at sf0.01) — an
+    // observation, not an invariant, so no hard assert on it
   }
 
   test("mm_matryoshka_recall: recall@10 grows with prefix width and " +
