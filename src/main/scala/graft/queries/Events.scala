@@ -1027,18 +1027,18 @@ object Events {
       |FROM d JOIN x USING (event_type)
       |ORDER BY event_type""".stripMargin
 
-  private val q108: Q = (s, dir) => {
+  /** Sketch-to-sketch pairwise intersection estimates over a
+    * (event_type, sk) frame — shared by q108 (which joins the exact
+    * audit leg on top) and the served form of `streaming.KmvStream`
+    * (sketch-only, as a maintainer must be): for each type pair, the
+    * union sketch is the k smallest of kmv(A) ∪ kmv(B), ρ counts its
+    * members present in BOTH sides, and the intersection estimate is
+    * (ρ/k)·union_est in exact integer arithmetic. */
+  private[graft] def kmvOverlap(sketches: DataFrame): DataFrame = {
     // the sketch pass feeds both join sides — checkpoint it once
-    val sk = kmvSketches(s, dir).localCheckpoint(false)
+    val sk = sketches.localCheckpoint(false)
     val a = sk.select(col("event_type").as("type_a"), col("sk").as("sa"))
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("sb"))
-    val ua = events(s, dir)
-      .select(col("event_type"), col("user_id")).distinct()
-    val exact = ua.as("x").join(ua.as("y"), Seq("user_id"))
-      .filter(col("x.event_type") < col("y.event_type"))
-      .groupBy(col("x.event_type").as("type_a"),
-        col("y.event_type").as("type_b"))
-      .agg(count(lit(1)).as("exact_intersection"))
     a.join(broadcast(b), col("type_a") < col("type_b"))
       .withColumn("un", expr(
         s"slice(array_sort(array_distinct(concat(sa, sb))), 1, $KmvK)"))
@@ -1051,6 +1051,19 @@ object Events {
            |ELSE (CAST(rho AS DECIMAL(38,0)) *
            |  ($kmvScale DIV element_at(un, $KmvK))) DIV $KmvK END"""
           .stripMargin))
+      .select(col("type_a"), col("type_b"), col("rho"),
+        col("est_intersection"))
+  }
+
+  private val q108: Q = (s, dir) => {
+    val ua = events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val exact = ua.as("x").join(ua.as("y"), Seq("user_id"))
+      .filter(col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_intersection"))
+    kmvOverlap(kmvSketches(s, dir))
       .join(exact, Seq("type_a", "type_b"), "left")
       .select(col("type_a"), col("type_b"), col("rho"),
         col("est_intersection"),

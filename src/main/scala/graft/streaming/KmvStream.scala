@@ -93,4 +93,11 @@ object KmvStream {
   def currentReport(spark: SparkSession, dir: String): DataFrame =
     graft.queries.Events.kmvReport(currentSketches(spark, dir))
       .orderBy(col("event_type"))
+
+  /** The served pairwise-overlap report — `Events.kmvOverlap` over
+    * the maintained sketches, the SAME sketch-algebra derivation the
+    * batch q108 runs (sans its exact-intersection audit leg). */
+  def currentOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Events.kmvOverlap(currentSketches(spark, dir))
+      .orderBy(col("type_a"), col("type_b"))
 }

@@ -104,5 +104,17 @@ class KmvStreamSpec extends SparkSpec {
         r.getLong(3))).toSeq
     assert(served == q107,
       s"maintained report != q107 sketch columns: $served vs $q107")
+    // and the served pairwise overlap equals q108's sketch columns
+    val overlap = KmvStream.currentOverlap(spark, out).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val q108 = graft.SparkEntry.queries("q108_kmv_overlap")(spark, dir)
+      .select(col("type_a"), col("type_b"), col("rho"),
+        col("est_intersection"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(overlap == q108,
+      s"maintained overlap != q108 sketch columns: $overlap vs $q108")
   }
 }
