@@ -44,6 +44,10 @@ final case class PhashRow(img_id: Long, lo: Long, hi: Long)
 final case class FrameMeta(doc_id: Long, n_frames: Long, frame_idx: Long,
     width: Long, height: Long, pixel_sum: Long)
 
+/** One audio clip (base or noise variant) as real WAV container bytes
+  * entering the audio-fingerprint stage (mm_afp_dedup). */
+final case class AfpWav(img_id: Long, wav: Array[Byte])
+
 /** Multimodal-column plumbing + ANN similarity (SURVEY.md §2.4).
   *
   * Multimodal: image/audio/video are opaque `binary` columns with
@@ -1861,6 +1865,168 @@ object Multimodal {
        |""".stripMargin + hammingLshSqlTail
   }
 
+  // ---- mm_afp_dedup: audio-fingerprint near-dup (the 4th hash) -------
+  // Perceptual dedup extended to AUDIO: the pipeline decodes REAL WAV
+  // containers (javax.sound — the mm_audio_roundtrip codec path) and
+  // fingerprints the DECODED samples the way the image family
+  // fingerprints decoded pixels. Shape follows the classic audio
+  // fingerprint (Haitsma-Kalker): frame the clip (16 frames × 64
+  // samples), per frame take the SIGNS of the first 4 AC DCT
+  // coefficients — skipping DC makes the fingerprint invariant to a
+  // constant amplitude offset, the audio analogue of dHash's
+  // brightness invariance — 16×4 = 64 bits into the SHARED Hamming
+  // LSH (pigeonhole recall 1 at d≤3, the image family's pipeline).
+  //
+  // Determinism is the image family's integer-table discipline: the
+  // DCT basis is round(1e4·cos(π(2i+1)u/128)) baked as ONE Scala
+  // array that also generates the SQL literal, so both engines
+  // compute |coef| ≤ 64·1000·1e4 = 6.4e8 in exact integer
+  // arithmetic. The corpus is residue-salted (id mod 251/241/233
+  // coefficient mix — the mm_phash lesson: id-polynomials mod one
+  // small base alias in huge cross-doc blobs; three coprime residues
+  // first collide at lcm ≈ 1.4e7 docs) plus a ±1 noise variant per
+  // doc; WAV PCM is lossless, so the decoded samples equal the
+  // formula the oracle evaluates — the codec itself stays
+  // oracle-checked.
+  // Scale: hashing is one linear mapPartitions pass (decode + 16×4
+  // 64-term integer dots per clip); pairing is the shared banded
+  // join, never corpus².
+  private def afpSamples(id: Long, variant: Int): Array[Short] = {
+    Array.tabulate(1024) { i =>
+      val ii = i.toLong
+      val base = ((id % 251) * (ii + 7) + (id % 241) * ((ii * ii) % 97) +
+        (id % 233) * ((ii * ii * ii) % 89)) % 2001 - 1000
+      val n = if (variant == 0) 0L else (id + ii) % 3 - 1
+      (base + n).toShort
+    }
+  }
+
+  private def encodeAfpWav(id: Long, variant: Int): AfpWav = {
+    val samples = afpSamples(id, variant)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // 16-bit little-endian PCM payload
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      WavRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    AfpWav(id * 2 + variant, bos.toByteArray)
+  }
+
+  /** 1-D DCT-II basis for u = 1..4 over 64 samples, pre-scaled to
+    * exact integers — the SAME array generates the SQL literal. */
+  private val afpTab: Array[Array[Long]] = Array.tabulate(4, 64) {
+    (u, i) => math.round(1e4 * math.cos(math.Pi * (2 * i + 1) * (u + 1) / 128))
+  }
+
+  private def afpHashOf(r: AfpWav): PhashRow = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.wav))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+      fmt.getChannels == 1,
+      s"clip ${r.img_id}: unexpected WAV payload format $fmt")
+    val bytes = ais.readAllBytes()
+    require(bytes.length == 2048,
+      s"clip ${r.img_id}: expected 1024 samples, " +
+        s"got ${bytes.length / 2}")
+    val s = new Array[Long](1024)
+    var i = 0
+    while (i < 1024) {
+      s(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+        .toLong
+      i += 1
+    }
+    val (lo, hi) = afpBits(s)
+    PhashRow(r.img_id, lo, hi)
+  }
+
+  /** The fingerprint proper — factored so the spec can drive it on
+    * arbitrary sample vectors (the DC-offset-invariance pin). */
+  private[queries] def afpBits(s: Array[Long]): (Long, Long) = {
+    var lo = 0L
+    var hi = 0L
+    var f = 0
+    while (f < 16) {
+      var u = 0
+      while (u < 4) {
+        var c = 0L
+        var k = 0
+        while (k < 64) { c += s(64 * f + k) * afpTab(u)(k); k += 1 }
+        if (c > 0) {
+          val bit = f * 4 + u
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+        u += 1
+      }
+      f += 1
+    }
+    (lo, hi)
+  }
+
+  /** Test hooks for the spec (clip generation + raw-sample hashing). */
+  private[queries] def afpClipForTest(id: Long, variant: Int)
+      : Array[Short] = afpSamples(id, variant)
+  private[queries] def afpBitsForTest(s: Array[Short]): (Long, Long) =
+    afpBits(s.map(_.toLong))
+
+  private val afpDedup: Q = (s, dir) => {
+    import s.implicits._
+    hammingLshPairs(t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(id =>
+        Iterator(encodeAfpWav(id, 0), encodeAfpWav(id, 1))))
+      .mapPartitions(_.map(afpHashOf)) // REAL WAV decode + integer DCT
+      .toDF())
+  }
+
+  // the SQL twin: the SAME Scala table generates the literal; the
+  // oracle evaluates the sample formula directly (WAV PCM is
+  // lossless, so the engine's decoded samples must equal it — a
+  // decoder bug is a hash mismatch, the mm_audio_roundtrip argument)
+  private val afpDedupSql: String = {
+    val tabLit = afpTab.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ",\n      ", "]")
+    s"""WITH iv AS (
+       |  SELECT doc_id * 2 + v AS img_id, doc_id, v
+       |  FROM documents, (SELECT unnest([0, 1]) AS v)),
+       |tabrows AS (
+       |  SELECT u, unnest(generate_series(0, 63)) AS k
+       |  FROM (SELECT unnest(generate_series(0, 3)) AS u)),
+       |tab AS (
+       |  SELECT u, k, ($tabLit)[u + 1][k + 1] AS t
+       |  FROM tabrows),
+       |coef AS (
+       |  SELECT iv.img_id, fr.f, tab.u,
+       |    sum((((doc_id % 251) * ((64 * fr.f + tab.k) + 7)
+       |         + (doc_id % 241)
+       |           * (((64 * fr.f + tab.k) * (64 * fr.f + tab.k)) % 97)
+       |         + (doc_id % 233)
+       |           * (((64 * fr.f + tab.k) * (64 * fr.f + tab.k)
+       |               * (64 * fr.f + tab.k)) % 89)) % 2001 - 1000
+       |        + CASE WHEN iv.v = 1
+       |               THEN (doc_id + 64 * fr.f + tab.k) % 3 - 1
+       |               ELSE 0 END) * tab.t) AS c
+       |  FROM iv, (SELECT unnest(generate_series(0, 15)) AS f) fr, tab
+       |  GROUP BY iv.img_id, fr.f, tab.u),
+       |hs AS (
+       |  SELECT img_id,
+       |    CAST(sum(CASE WHEN c > 0 AND f * 4 + u < 32
+       |      THEN 1::BIGINT << (f * 4 + u) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN c > 0 AND f * 4 + u >= 32
+       |      THEN 1::BIGINT << (f * 4 + u - 32) ELSE 0 END) AS BIGINT)
+       |      AS hi
+       |  FROM coef GROUP BY img_id),
+       |""".stripMargin + hammingLshSqlTail
+  }
+
   // ---- llm_ann_pq: product-quantized candidate search (ADC) ----------
   // The third leg of the ANN memory-compression family: SQ8 (llm_ann_
   // sq8) stores 8-bit components (4× smaller); PQ stores 8 CODE BYTES
@@ -2467,6 +2633,7 @@ object Multimodal {
     "mm_phash_dedup" -> phashDedup,
     "mm_dhash_dedup" -> dhashDedup,
     "mm_phash_dct" -> phashDct,
+    "mm_afp_dedup" -> afpDedup,
     "mm_matryoshka_recall" -> matryoshkaRecall,
     "llm_ann_pq" -> annPq,
     "llm_ann_ivfpq" -> annIvfPq,
@@ -2492,6 +2659,7 @@ object Multimodal {
     "mm_phash_dedup" -> phashDedupSql,
     "mm_dhash_dedup" -> dhashDedupSql,
     "mm_phash_dct" -> phashDctSql,
+    "mm_afp_dedup" -> afpDedupSql,
     "mm_matryoshka_recall" -> matryoshkaRecallSql,
     "llm_ann_pq" -> annPqSql,
     "llm_ann_ivfpq" -> annIvfPqSql,

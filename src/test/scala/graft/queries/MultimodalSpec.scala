@@ -493,6 +493,34 @@ class MultimodalSpec extends SparkSpec {
       s"PQ shortlist mean exact cosine $meanCos is noise-level")
   }
 
+  test("mm_afp_dedup: every pair is a true (base, noise-variant) clip " +
+    "pair of one doc, recall stays near 1, and the fingerprint is " +
+    "DC-offset invariant") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("mm_afp_dedup")(spark, dir)
+      .collect()
+    // purity: a_id even, b_id = a_id + 1 — the residue-salted corpus
+    // must never pair two different docs at d≤3
+    rows.foreach { r =>
+      val a = r.getAs[Long]("a_id"); val b = r.getAs[Long]("b_id")
+      assert(a % 2 == 0 && b == a + 1,
+        s"cross-document audio pair ($a, $b) — corpus salting broke")
+      assert(r.getAs[Long]("hamming") <= 3)
+    }
+    // recall floor: ±1 noise flips an AC sign only when |coef| is
+    // tiny (measured 499/500 at sf0.01, 49998/50000 at sf1)
+    assert(rows.length >= 495,
+      s"variant recall collapsed: ${rows.length}/500 pairs")
+    // DC-offset invariance: skipping u=0 means a constant amplitude
+    // shift leaves every fingerprint bit unchanged — hash a shifted
+    // clip directly and compare
+    val base = Multimodal.afpClipForTest(7L, 0)
+    val shifted = base.map(s => (s + 50).toShort)
+    assert(Multimodal.afpBitsForTest(base) ==
+      Multimodal.afpBitsForTest(shifted),
+      "fingerprint not invariant to a constant amplitude offset")
+  }
+
   test("llm_ann_opq: snake allocation balances per-subspace variance " +
     "better than the identity split, and the ADC shortlist is " +
     "deterministic with real signal") {
