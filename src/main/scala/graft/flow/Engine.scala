@@ -901,7 +901,18 @@ final class FlowRun private[flow] (
         val entered = lock.synchronized {
           if (state == Running) { state = Paused; true } else false
         }
-        if (entered) transitionTo(phase.name, "paused") // O6
+        // idempotent park (VERDICT r11 #2): a dying engine can land
+        // its `paused` transition just before the crash, so a
+        // recovered flow's seeded log may already END in `paused` —
+        // its first boundary poll would then append a SECOND
+        // consecutive `paused`. Parking is idempotent under the O4
+        // event-sourced semantics: skip the append when the tail is
+        // already `paused` (any resume appends `paused → phase`, so
+        // a later legitimate re-park never sees a `paused` tail).
+        val alreadyParked =
+          lock.synchronized(log.lastOption.exists(_.to == "paused"))
+        if (entered && !alreadyParked)
+          transitionTo(phase.name, "paused") // O6
         lock.synchronized {
           // timed wait: a cross-process resume only deletes the durable
           // marker (no monitor to notify in this JVM) — poll it

@@ -136,6 +136,54 @@ object DistributedNtile {
     ranked.drop(nTot)
   }
 
+  /** Adds `rnOut` = exact 1-based PER-GROUP row rank and `nOut` = the
+    * group's row count under the total order (`group`, `order`...) —
+    * `row_number().over(Window.partitionBy(group).orderBy(order))` +
+    * the group count WITHOUT a low-cardinality corpus window (the q39
+    * straggler class, VERDICT r11 #1: a Window partitioned by a
+    * ≤5-value key sorts corpus/5 rows in ONE task; here the global
+    * range exchange on (group, order…) spreads the same sort over
+    * every shuffle partition).
+    *
+    * Shape: the GLOBAL rank under (group, order…) comes from the
+    * shared packed-row machinery (`rankedWithTotal` — no Window node,
+    * guards included), and since the group key LEADS the order, each
+    * group's rows are a contiguous global-rank block ordered by the
+    * group key ascending; so
+    *   rn = globalRank − (rows in groups sorting before this one),
+    *   n  = the group's count,
+    * with both right-hand frames derived from ONE tiny
+    * `groupBy(group).count()` over the RAW input — one row per group,
+    * bounded by the caller's group alphabet (witness-quantile
+    * partitionings: ≤5 values), prefix-summed in-plan over the packed
+    * sorted array (O(G²) slice-aggregate — G is bounded-constant by
+    * contract). The two broadcast subtrees are INDEPENDENT (the group
+    * frame reads the raw scan, not the range exchange), so they
+    * materialize concurrently and the critical path stays
+    * withGlobalRank's. Counts are partitioning-independent, so the
+    * group frame needs no boundary-divergence guard of its own. */
+  def withGroupRank(df: DataFrame, group: String, rnOut: String,
+      nOut: String, order: Column*): DataFrame = {
+    val grk = s"__${rnOut}_grk"; val gst = s"__${rnOut}_gst"
+    val (ranked, nTot) = rankedWithTotal(df, grk,
+      (col(group) +: order): _*)
+    val starts = df
+      .groupBy(col(group)).agg(count(lit(1)).as("c"))
+      .agg(sort_array(collect_list(struct(col(group).as("g"),
+        col("c").as("c")))).as("arr"))
+      .select(explode(expr(
+        """transform(arr, (x, i) -> struct(
+          |  x.g AS g,
+          |  aggregate(slice(arr, 1, i), 0L, (a, y) -> a + y.c) AS s,
+          |  x.c AS c))""".stripMargin)).as("e"))
+      .select(col("e.g").as(group), col("e.s").as(gst),
+        col("e.c").cast(LongType).as(nOut))
+    ranked.drop(nTot)
+      .join(broadcast(starts), Seq(group))
+      .withColumn(rnOut, col(grk) - col(gst))
+      .drop(grk, gst)
+  }
+
   /** Adds `out` = exact ntile(k) under the total order `order`. */
   def withNtile(df: DataFrame, k: Int, out: String,
       order: Column*): DataFrame = {

@@ -528,28 +528,21 @@ object Events {
   // dependent semantics (the driver's newer DuckDB split those cells
   // while local 1.0.0 was bit-green). min/max outliers pass raw input
   // values through untouched (no arithmetic → no version surface).
-  // Scale: quartiles are per-TYPE (bounded alphabet → bounded sort
-  // buffers; the corpus-scale path is q52's mergeable sketch), fences
-  // ship broadcast, the outlier scan is one filter pass.
+  // Scale (round-12, VERDICT r11 #1): the old form ranked the corpus
+  // inside Window.partitionBy(event_type) — a ≤5-value key, so one
+  // task sorted corpus/5 rows. The quartile witnesses now come from
+  // q80's bounded VALUE-HISTOGRAM cells (Stats.valueCells → one
+  // map-side-combinable corpus pass; Stats.histWitnesses ranks
+  // cumulative counts over the ≤49k-bucket cents grid, never the
+  // corpus — same multiset, same rank selection, same integers by
+  // construction, and the SAME cells `QuantileHistStream` maintains).
+  // Fences ship broadcast; the outlier scan is one filter pass.
   private val q76: Q = (s, dir) => {
     val cents = (col("value").cast(DecimalType(18, 2)) * lit(100))
       .cast(LongType)
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    val b = events(s, dir)
-      .select(col("event_type"), cents.as("cents"),
-        row_number().over(w).cast(LongType).as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("event_type")))
-          .as("n"))
-      .groupBy(col("event_type"), col("n"))
-      .agg(
-        Witness.vaAgg(col("cents"), 1, 4).as("v1a"),
-        Witness.vbAgg(col("cents"), 1, 4).as("v1b"),
-        Witness.vaAgg(col("cents"), 3, 4).as("v3a"),
-        Witness.vbAgg(col("cents"), 3, 4).as("v3b"))
-      .select(col("event_type"),
-        Witness.scaled(col("v1a"), col("v1b"), 1, 4).as("q1x4"),
-        Witness.scaled(col("v3a"), col("v3b"), 3, 4).as("q3x4"))
+    val b = Stats.histWitnesses(
+        Stats.valueCells(events(s, dir)), "event_type", "cents",
+        Seq(("q1x4", 1, 4), ("q3x4", 3, 4)))
       .select(col("event_type"),
         (lit(5L) * col("q1x4") - lit(3L) * col("q3x4"))
           .cast(LongType).as("lo_fence_cents_x8"),
@@ -943,10 +936,19 @@ object Events {
   // fixture while both engines compute the identical boolean.
   private val KmvK = 64
 
-  /** 2^60 · (k−1) as exact DECIMAL(38,0) arithmetic — 63·2^60
-    * overflows a BIGINT, the exact trap q02's HUGEINT mirror hit. */
+  /** 2^60 · (k−1) as exact DECIMAL(38,0) arithmetic — (k−1)·2^60
+    * overflows a BIGINT, the exact trap q02's HUGEINT mirror hit.
+    * Derived from KmvK (ADVICE r11: a hardcoded 63 here plus literal
+    * 63/64s in the oracle SQL would silently desynchronize the
+    * estimator from its mirrors if KmvK ever changed — one constant
+    * now drives every site, Scala and SQL alike). */
   private val kmvScale =
-    "(CAST(63 AS DECIMAL(38,0)) * CAST(1152921504606846976 AS DECIMAL(38,0)))"
+    s"(CAST(${KmvK - 1} AS DECIMAL(38,0)) * " +
+      "CAST(1152921504606846976 AS DECIMAL(38,0)))"
+
+  /** The same 2^60 · (k−1) in the oracle's HUGEINT spelling. */
+  private val kmvScaleSql =
+    s"${KmvK - 1}::HUGEINT * 1152921504606846976::HUGEINT"
 
   /** KMV aggregation over already-hashed (event_type, h) rows — the
     * innermost shared piece: q107/q108 run it over the hashed corpus,
@@ -1007,15 +1009,18 @@ object Events {
       |      for i in generate_series(1, 15)]) AS BIGINT) AS h
       |  FROM events),
       |s AS (
-      |  SELECT event_type, (list(h ORDER BY h))[1:64] AS sk
-      |  FROM h GROUP BY event_type),
+      |""".stripMargin +
+    s"  SELECT event_type, (list(h ORDER BY h))[1:$KmvK] AS sk\n" +
+    """|  FROM h GROUP BY event_type),
       |d AS (
       |  SELECT event_type, CAST(len(sk) AS BIGINT) AS sketch_size,
       |    sk[len(sk)] AS kth_min_hash,
-      |    CASE WHEN len(sk) < 64 THEN CAST(len(sk) AS BIGINT)
-      |         ELSE CAST(63::HUGEINT * 1152921504606846976::HUGEINT
-      |                   // sk[64] AS BIGINT) END AS est_distinct
-      |  FROM s),
+      |""".stripMargin +
+    s"""    CASE WHEN len(sk) < $KmvK THEN CAST(len(sk) AS BIGINT)
+       |         ELSE CAST($kmvScaleSql
+       |                   // sk[$KmvK] AS BIGINT) END AS est_distinct
+       |""".stripMargin +
+    """|  FROM s),
       |x AS (
       |  SELECT event_type,
       |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
@@ -1081,16 +1086,18 @@ object Events {
       |      for i in generate_series(1, 15)]) AS BIGINT) AS h
       |  FROM events),
       |s AS (
-      |  SELECT event_type, (list(h ORDER BY h))[1:64] AS sk
-      |  FROM h GROUP BY event_type),
+      |""".stripMargin +
+    s"  SELECT event_type, (list(h ORDER BY h))[1:$KmvK] AS sk\n" +
+    """|  FROM h GROUP BY event_type),
       |p AS (
       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
       |    a.sk AS sa, b.sk AS sb
       |  FROM s a, s b WHERE a.event_type < b.event_type),
       |u AS (
       |  SELECT type_a, type_b, sa, sb,
-      |    (list_sort(list_distinct(sa || sb)))[1:64] AS un
-      |  FROM p),
+      |""".stripMargin +
+    s"    (list_sort(list_distinct(sa || sb)))[1:$KmvK] AS un\n" +
+    """|  FROM p),
       |r AS (
       |  SELECT type_a, type_b, len(un) AS m, un,
       |    CAST(len(list_filter(un, x -> list_contains(sa, x)
@@ -1105,11 +1112,13 @@ object Events {
       |  WHERE x.event_type < y.event_type
       |  GROUP BY 1, 2)
       |SELECT r.type_a, r.type_b, rho,
-      |  CASE WHEN m < 64 THEN rho
-      |       ELSE CAST(CAST(rho AS HUGEINT) *
-      |         (63::HUGEINT * 1152921504606846976::HUGEINT // un[64])
-      |         // 64 AS BIGINT) END AS est_intersection,
-      |  coalesce(e.exact_intersection, CAST(0 AS BIGINT))
+      |""".stripMargin +
+    s"""  CASE WHEN m < $KmvK THEN rho
+       |       ELSE CAST(CAST(rho AS HUGEINT) *
+       |         ($kmvScaleSql // un[$KmvK])
+       |         // $KmvK AS BIGINT) END AS est_intersection,
+       |""".stripMargin +
+    """|  coalesce(e.exact_intersection, CAST(0 AS BIGINT))
       |    AS exact_intersection
       |FROM r LEFT JOIN e USING (type_a, type_b)
       |ORDER BY type_a, type_b""".stripMargin

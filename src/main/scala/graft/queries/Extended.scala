@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Canon, Tables, Witness}
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, DistributedNtile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -527,15 +527,15 @@ object Extended {
   // month) count frame, never a corpus-wide window.
   private val q65: Q = (s, dir) => {
     val orders = t(s, dir, "orders")
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    // round-12: rank via DistributedNtile.withGroupRank — q39's
+    // straggler fix (≤5-value partition key → one-task corpus sort)
     val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
       .cast(LongType)
-    val med = orders
-      .select(col("o_orderpriority"), cents.as("cents"),
-        row_number().over(w).cast(LongType).as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("o_orderpriority")))
-          .as("n"))
+    val med = DistributedNtile.withGroupRank(
+        orders.select(col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderkey"), cents.as("cents")),
+        "o_orderpriority", "rn", "n",
+        col("o_totalprice"), col("o_orderkey"))
       .groupBy(col("o_orderpriority"), col("n"))
       .agg(
         Witness.vaAgg(col("cents"), 1, 2).as("v50a"),

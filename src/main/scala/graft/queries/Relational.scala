@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Canon, Tables, Witness}
+import graft.operators.DistributedNtile
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -765,32 +766,39 @@ object Relational {
   // bit-green on local DuckDB 1.0.0 and hash-red at the driver's
   // newer engine — interpolation-in-double + DOUBLE→DECIMAL casts are
   // exactly the construct classes with version-dependent semantics).
-  // The witness machinery is q90_percentile_disc's (rank via one
-  // bounded-alphabet window + conditional aggregation); the oracle
-  // spells out the same rank selection — no quantile_cont anywhere.
+  // The witness machinery is q90_percentile_disc's (rank via
+  // conditional aggregation); the oracle spells out the same rank
+  // selection — no quantile_cont anywhere.
+  //
+  // Scale shape (round-12, VERDICT r11 #1): o_orderpriority has ≤5
+  // values, so `row_number().over(Window.partitionBy(priority))`
+  // sorts corpus/5 rows in ONE task — the exact straggler class q82/
+  // q105 eliminated. The rank now comes from
+  // `DistributedNtile.withGroupRank` (one range exchange spread over
+  // every shuffle partition, per-group offsets broadcast), and the
+  // first/last/nth window values become rank-conditional aggregates
+  // (key at rn=1 / rn=n / rn=2 — the same rows the window frame
+  // selected, under the same total order).
   private val q39: Q = (s, dir) => {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val wf = w.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
     val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
       .cast(LongType)
-    t(s, dir, "orders")
-      .select(col("o_orderpriority"), cents.as("cents"),
-        row_number().over(w).cast(LongType).as("rn"),
-        count(lit(1)).over(wf).as("n"),
-        first(col("o_orderkey")).over(wf).as("cheapest_key"),
-        last(col("o_orderkey")).over(wf).as("dearest_key"),
-        nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
+    DistributedNtile.withGroupRank(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          col("o_totalprice"), col("o_orderkey"), cents.as("cents")),
+        "o_orderpriority", "rn", "n",
+        col("o_totalprice"), col("o_orderkey"))
       .groupBy(col("o_orderpriority"), col("n"))
       .agg(
         Witness.vaAgg(col("cents"), 1, 2).as("v50a"),
         Witness.vbAgg(col("cents"), 1, 2).as("v50b"),
         Witness.vaAgg(col("cents"), 9, 10).as("v90a"),
         Witness.vbAgg(col("cents"), 9, 10).as("v90b"),
-        first(col("cheapest_key")).as("cheapest_key"),
-        first(col("dearest_key")).as("dearest_key"),
-        first(col("second_key")).as("second_key"))
+        min(when(col("rn") === lit(1L), col("o_orderkey")))
+          .as("cheapest_key"),
+        min(when(col("rn") === col("n"), col("o_orderkey")))
+          .as("dearest_key"),
+        min(when(col("rn") === lit(2L), col("o_orderkey")))
+          .as("second_key"))
       .select(col("o_orderpriority"),
         Witness.scaled(col("v50a"), col("v50b"), 1, 2)
           .cast(LongType).as("p50_cents_x2"),
@@ -840,16 +848,16 @@ object Relational {
     // sketch against that same witness median (no separate raw
     // percentile aggregate — tolerance booleans are version-safe by
     // design, and a 5% band cannot flip on the witness/200 rounding)
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    // round-12: rank via DistributedNtile.withGroupRank — q39's
+    // straggler fix (the ≤5-value partition key made the old window
+    // sort corpus/5 rows in one task)
     val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
       .cast(LongType)
-    t(s, dir, "orders")
-      .select(col("o_orderpriority"), col("o_totalprice"),
-        cents.as("cents"),
-        row_number().over(w).cast(LongType).as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("o_orderpriority")))
-          .as("n"))
+    DistributedNtile.withGroupRank(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          col("o_totalprice"), col("o_orderkey"), cents.as("cents")),
+        "o_orderpriority", "rn", "n",
+        col("o_totalprice"), col("o_orderkey"))
       .groupBy(col("o_orderpriority"), col("n"))
       .agg(
         Witness.vaAgg(col("cents"), 1, 2).as("v50a"),

@@ -279,29 +279,41 @@ object Stats {
           .cast(LongType).as("cents"))
       .agg(count(lit(1)).cast(LongType).as("c"))
 
+  /** Witness quantiles over a (key, value, c) HISTOGRAM: the value at
+    * rank r is the smallest bucket whose cumulative count reaches r —
+    * identical to row-level rank selection by construction (same
+    * multiset). One cumulative pass over the bounded bucket alphabet
+    * serves every requested (out, pNum, pDen) spec; output is one row
+    * per key with each spec's ×pDen integer interpolation
+    * (Witness.scaled). The window here sorts BUCKETS per key, never
+    * the corpus — the scale-safe quantile frame (q80's shape, and
+    * round-12's q76 fix for the low-cardinality corpus window). */
+  private[graft] def histWitnesses(hist: DataFrame, key: String,
+      v: String, specs: Seq[(String, Int, Int)]): DataFrame = {
+    val wc = Window.partitionBy(col(key)).orderBy(col(v))
+    val cum = hist.select(col(key), col(v).as("x"),
+      sum(col("c")).over(wc).as("cum"),
+      sum(col("c")).over(Window.partitionBy(col(key))).as("n"))
+    val aggs = specs.flatMap { case (out, pn, pd) => Seq(
+      min(when(col("cum") >= expr(s"($pn * (n - 1)) DIV $pd + 1"),
+        col("x"))).as(s"__${out}_a"),
+      min(when(col("cum") >= expr(s"($pn * (n - 1)) DIV $pd + 2"),
+        col("x"))).as(s"__${out}_b"))
+    }
+    cum.groupBy(col(key), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col(key) +: specs.map { case (out, pn, pd) =>
+        Witness.scaled(col(s"__${out}_a"), col(s"__${out}_b"), pn, pd)
+          .cast(LongType).as(out)
+      }): _*)
+  }
+
   /** The (event_type, cents, c) cells → (median_cents_x2,
     * mad_cents_x4) derivation — witness ranks from cumulative
     * histogram counts; exact integers end to end. */
   private[graft] def madOfCells(cells: DataFrame): DataFrame = {
-    // witness value at rank r over a histogram: the smallest bucket
-    // whose cumulative count reaches r — identical to the row-level
-    // rank selection by construction (the multiset is the same)
-    def witnessX2(hist: DataFrame, v: String): DataFrame = {
-      val wc = Window.partitionBy(col("event_type")).orderBy(col(v))
-      hist.select(col("event_type"), col(v).as("x"),
-          sum(col("c")).over(wc).as("cum"),
-          sum(col("c")).over(Window.partitionBy(col("event_type")))
-            .as("n"))
-        .groupBy(col("event_type"), col("n"))
-        .agg(
-          min(when(col("cum") >= expr("(n - 1) DIV 2 + 1"),
-            col("x"))).as("va"),
-          min(when(col("cum") >= expr("(n - 1) DIV 2 + 2"),
-            col("x"))).as("vb"))
-        .select(col("event_type"),
-          Witness.scaled(col("va"), col("vb"), 1, 2)
-            .cast(LongType).as("m2"))
-    }
+    def witnessX2(hist: DataFrame, v: String): DataFrame =
+      histWitnesses(hist, "event_type", v, Seq(("m2", 1, 2)))
     val med = witnessX2(cells, "cents")
       .withColumnRenamed("m2", "median_cents_x2")
     val dev = cells.join(broadcast(med), Seq("event_type"))

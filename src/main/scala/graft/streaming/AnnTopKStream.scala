@@ -55,9 +55,26 @@ object AnnTopKStream {
     * query artifact is written FIRST so the codebook — the store the
     * update guard checks — doubles as the build's commit point: a
     * crash between the writes can never leave a guard-passing state
-    * with a missing artifact (review r11). */
-  def build(emb: DataFrame, dir: String): Unit = {
+    * with a missing artifact (review r11).
+    *
+    * Refuses to rebuild over an already-maintained state (ADVICE
+    * r11): the accumulated topk rows were scored under the ORIGINAL
+    * codebook/query, so silently overwriting them with a new corpus's
+    * would mix score bases in every later merge. `force = true`
+    * acknowledges the intent; the caller must then clear or accept
+    * the mixed state explicitly. (A re-run of build over a state
+    * with artifacts but NO topk batches yet is harmless — the
+    * codebook is replaced before anything was scored — so only a
+    * maintained topk store trips the guard.) */
+  def build(emb: DataFrame, dir: String, force: Boolean = false): Unit = {
     val e = withEd(emb)
+    val maintained = VersionedState.committed(e.sparkSession, dir, "topk")
+    require(force || maintained.isEmpty,
+      s"AnnTopKStream.build: $dir already holds committed topk " +
+        s"versions ${maintained.toSeq.sorted.mkString(",")} scored " +
+        "under the existing codebook — rebuilding would mix score " +
+        "bases; pass force=true (and discard the stale topk state) " +
+        "if that is intended")
     e.filter(col("vec_id") === 0).select(col("ed").as("qd"))
       .coalesce(1).write.mode("overwrite")
       .parquet(VersionedState.path(dir, "qv", 0L))

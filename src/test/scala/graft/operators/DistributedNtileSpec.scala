@@ -82,6 +82,39 @@ class DistributedNtileSpec extends SparkSpec {
     }
   }
 
+  test("withGroupRank matches the per-group window row_number + " +
+    "count across group counts, sizes, and tie-heavy orders") {
+    import spark.implicits._
+    for (n <- Seq(0, 1, 2, 5, 17, 100, 1001); g <- Seq(1, 2, 5)) {
+      val rnd = new scala.util.Random(31 * n + g)
+      val df = (0 until n).map(i =>
+          (i.toLong, s"g${rnd.nextInt(g)}",
+            rnd.nextInt(math.max(n / 4, 1))))
+        .toDF("id", "grp", "v")
+      val got = DistributedNtile
+        .withGroupRank(df, "grp", "rn", "cnt", col("v").desc, col("id"))
+        .select(col("id"), col("rn"), col("cnt"))
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("v").desc, col("id"))
+      val want = df.select(col("id"),
+        row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("grp"))).as("cnt"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"group rank mismatch at n=$n g=$g")
+    }
+  }
+
+  test("withGroupRank plans no corpus Window node") {
+    val df = randomFrame(1000, seed = 3)
+      .withColumn("grp", (col("id") % 3).cast("string"))
+    val out = DistributedNtile.withGroupRank(df, "grp", "rn", "cnt",
+      col("v").desc, col("id"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"withGroupRank must not plan a window:\n$plan")
+  }
+
   test("refuses k < 1 and an empty ordering") {
     val df = randomFrame(10, seed = 1)
     intercept[IllegalArgumentException] {

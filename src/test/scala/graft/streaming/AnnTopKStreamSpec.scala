@@ -105,6 +105,23 @@ class AnnTopKStreamSpec extends SparkSpec {
       s"streamed shortlist != llm_ann_pq: $served vs $batch")
   }
 
+  test("build() refuses to overwrite an already-maintained state " +
+    "unless forced (score bases must not mix)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("anntopkguard").toString
+    val emb = graft.Tables(spark, dir, "embeddings")
+    AnnTopKStream.build(emb, out)
+    // re-build before any batch is scored: harmless, codebook not yet
+    // the base of any accumulated score
+    AnnTopKStream.build(emb, out)
+    AnnTopKStream.updateBatch(fixtureVecs().take(50).toDF(), out, 0L)
+    val e = intercept[IllegalArgumentException] {
+      AnnTopKStream.build(emb, out)
+    }
+    assert(e.getMessage.contains("mix score bases"))
+    AnnTopKStream.build(emb, out, force = true) // explicit intent OK
+  }
+
   test("an empty batch commits; update without build() fails loudly") {
     import spark.implicits._
     val out = Files.createTempDirectory("anntopkempty").toString
