@@ -461,6 +461,60 @@ object Llm {
     bitextIvfOver(emb, ix.cents, ix.assign)
   }
 
+  // ---- llm_bitext_mine_trained: the trained-quantizer serving entry --
+  // Promotes `bitextIvfTrained` — the Θ(n^1.5) production path — to a
+  // query key (VERDICT r11 Next #3). DuckDB cannot train Lloyd, so
+  // the presented cells follow the llm_ann_ivf_trained verdict
+  // pattern: index metadata the oracle derives independently
+  // (k = ⌈√n⌉, the two side counts) plus engine-computed STRUCTURAL
+  // booleans the oracle pins TRUE —
+  //   matching_ok: mutual-top-1 is a partial matching, so the pair
+  //     set must be injective on BOTH sides and no larger than
+  //     min(|A|,|B|) (catches the double-probe dedup bug class);
+  //   pairs_valid: every pair crosses parity (even a, odd b),
+  //     carries a margin, and |score| ≤ 1 + rounding headroom
+  //     (catches side-filter and normalization regressions);
+  //   trained_no_worse: Lloyd's objective no-degradation at the SAME
+  //     k = ⌈√n⌉ quantizer — the exact cached verdict
+  //     llm_ann_ivf_trained serves (one training-quality definition).
+  // A flipped boolean fails the driver gate; the bench entry records
+  // the trained path's ×SF slope next to the fixture-k entry's.
+  private val bitextMineTrained: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val meta = Multimodal.annIvfTrainedWith(s, dir, 2)
+      .select(col("k"), col("trained_no_worse"))
+    val sides = emb.agg(
+      count(when(col("label") % 2 === 0, 1)).as("n_a"),
+      count(when(col("label") % 2 === 1, 1)).as("n_b"))
+    val lab = emb.select(col("vec_id"), col("label"))
+    val p = bitextIvfTrained(emb)
+      .join(lab.select(col("vec_id").as("a_id"),
+        (col("label") % 2 === 0).as("a_even")), "a_id")
+      .join(lab.select(col("vec_id").as("b_id"),
+        (col("label") % 2 === 1).as("b_odd")), "b_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("a_id")).as("da"),
+        count_distinct(col("b_id")).as("db"),
+        // empty pair set (degenerate corpus): vacuously valid
+        coalesce(min(col("a_even") && col("b_odd") &&
+          col("a_id") =!= col("b_id") && col("margin").isNotNull &&
+          abs(col("score")) <= lit(1.0001)), lit(true)).as("pairs_valid"))
+    meta.crossJoin(sides).crossJoin(p)
+      .select(col("k"), col("n_a"), col("n_b"),
+        (col("da") === col("n_pairs") && col("db") === col("n_pairs") &&
+          col("n_pairs") <= least(col("n_a"), col("n_b")))
+          .as("matching_ok"),
+        col("pairs_valid"), col("trained_no_worse"))
+  }
+
+  private val bitextMineTrainedSql =
+    """SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k,
+      |  CAST(count(*) FILTER (WHERE label % 2 = 0) AS BIGINT) AS n_a,
+      |  CAST(count(*) FILTER (WHERE label % 2 = 1) AS BIGINT) AS n_b,
+      |  TRUE AS matching_ok, TRUE AS pairs_valid,
+      |  TRUE AS trained_no_worse
+      |FROM embeddings""".stripMargin
+
   /** Cell-bounded mutual-top-1 pipeline over ANY quantizer: `cents`
     * (cid, ce, cn2) + its top-1 `assign` (vec_id, cid, embedding,
     * n2). One pipeline for the hash-seeded oracle path and the
@@ -1988,6 +2042,7 @@ object Llm {
     "q30_neardup_pairs" -> q30,
     "llm_bitext_mine" -> bitextMine,
     "llm_bitext_mine_ivf" -> bitextMineIvf,
+    "llm_bitext_mine_trained" -> bitextMineTrained,
     "llm_ngram_jaccard_dedup" -> ngramJaccard,
     "llm_minhash_lsh_dedup" -> minhashLsh,
     "llm_minhash_estimate" -> minhashEstimate,
@@ -2029,6 +2084,7 @@ object Llm {
     "q30_neardup_pairs" -> q30Sql,
     "llm_bitext_mine" -> bitextMineSql,
     "llm_bitext_mine_ivf" -> bitextMineIvfSql,
+    "llm_bitext_mine_trained" -> bitextMineTrainedSql,
     "llm_ngram_jaccard_dedup" -> jaccardOracle,
     // minhash-lsh: exact-verified output; equals the brute-force
     // Jaccard result when LSH recall is 1 (verified on the fixtures)
