@@ -184,22 +184,40 @@ object DistributedNtile {
       .drop(grk, gst)
   }
 
+  /** SQL ntile arithmetic on (rank, n) — the first n mod k tiles take
+    * floor(n/k)+1 rows, the rest floor(n/k); doubles are exact here
+    * (see scaladoc). Shared by the global and per-group forms. */
+  private def tileExpr(rank: Column, n: Column, k: Int): Column = {
+    val base = floor(n / k).cast(LongType)
+    val rem = n % k
+    val cut = rem * (base + 1)
+    when(rank <= cut, ceil(rank / (base + 1)))
+      .otherwise(rem + ceil((rank - cut) / base))
+  }
+
   /** Adds `out` = exact ntile(k) under the total order `order`. */
   def withNtile(df: DataFrame, k: Int, out: String,
       order: Column*): DataFrame = {
     require(k >= 1, s"ntile bucket count must be >= 1, got $k")
     val rk = s"__${out}_rank"
     val (ranked, nTot) = rankedWithTotal(df, rk, order: _*)
-    val rank = col(rk)
-    val base = floor(col(nTot) / k).cast(LongType)
-    val rem = col(nTot) % k
-    val cut = rem * (base + 1)
     ranked
       .withColumn(out,
-        when(rank <= cut, ceil(rank / (base + 1)))
-          .otherwise(rem + ceil((rank - cut) / base))
-          .cast(IntegerType))
+        tileExpr(col(rk), col(nTot), k).cast(IntegerType))
       .drop(rk, nTot)
+  }
+
+  /** Adds `out` = exact PER-GROUP ntile(k) under (`group`, `order`…)
+    * — `ntile(k).over(Window.partitionBy(group).orderBy(order))`
+    * without the low-cardinality corpus window (withGroupRank's
+    * rank + the shared tile arithmetic). */
+  def withGroupNtile(df: DataFrame, group: String, k: Int, out: String,
+      order: Column*): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    val rn = s"__${out}_rn"; val n = s"__${out}_n"
+    withGroupRank(df, group, rn, n, order: _*)
+      .withColumn(out, tileExpr(col(rn), col(n), k).cast(IntegerType))
+      .drop(rn, n)
   }
 
   /** The (key, tile) projection of [[withNtile]] — for computing

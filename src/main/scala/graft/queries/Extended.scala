@@ -480,22 +480,22 @@ object Extended {
       |  count(*) AS n
       |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
 
-  // q64: quartile assignment via ntile. The window partitions on the
-  // grouping key (o_orderpriority), so parallelism = #groups — fine
-  // when groups are many/balanced (the usual percentile-report shape);
-  // for a GLOBAL quantile split over one giant partition the scale
-  // path is q52's approx_percentile cutoffs or llm_quality_buckets'
-  // broadcast-cutoff join, both already in the inventory. Ordering
-  // includes o_orderkey so tile assignment is total and deterministic;
-  // both engines implement SQL-standard ntile (first n%4 tiles take
-  // the extra row).
+  // q64: quartile assignment via ntile. Round-12 (WindowAuditSpec):
+  // o_orderpriority has 5 values, so the ntile window was the q39
+  // straggler class (corpus/5 rows sorted in one task at scale) —
+  // the tile now comes from DistributedNtile.withGroupNtile
+  // (range-partitioned per-group ranks + the same SQL ntile
+  // arithmetic). Ordering includes o_orderkey so tile assignment is
+  // total and deterministic; both engines implement SQL-standard
+  // ntile (first n%4 tiles take the extra row).
   private val q64: Q = (s, dir) =>
-    t(s, dir, "orders")
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .withColumn("tile", ntile(4).over(
-        Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice"), col("o_orderkey")))
-        .cast(LongType))
+    DistributedNtile.withGroupNtile(
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"),
+            col("o_orderkey")),
+        "o_orderpriority", 4, "tile",
+        col("o_totalprice"), col("o_orderkey"))
+      .withColumn("tile", col("tile").cast(LongType))
       .groupBy(col("o_orderpriority"), col("tile"))
       .agg(count(lit(1)).as("n_orders"),
         d(min(dec2(col("o_totalprice")))).as("min_price"),

@@ -897,15 +897,31 @@ object Relational {
   // ranking-function family (q14 covers row_number/rank/dense_rank/
   // ntile). Both are rational functions of integer ranks, so the
   // doubles are engine-identical without rounding.
+  // Round-12 (WindowAuditSpec): the ranks were a window partitioned
+  // by the 5-value o_orderpriority — the q39 straggler class. Row
+  // ranks now come from DistributedNtile.withGroupRank; the SQL
+  // definitions then fall out of tie aggregation over the
+  // (priority, price) axis — a window whose key cardinality GROWS
+  // with the corpus (near-unique prices → bounded partitions):
+  //   percent_rank = (min rn over ties − 1) / (n − 1)   [0 when n=1]
+  //   cume_dist    = (max rn over ties) / n
   private val q55: Q = (s, dir) => {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, dir, "orders")
-      .filter(col("o_orderstatus") === "P")
+    val ranked = DistributedNtile.withGroupRank(
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")),
+      "o_orderpriority", "rn", "n",
+      col("o_totalprice"), col("o_orderkey"))
+    val ties = Window.partitionBy(col("o_orderpriority"),
+      col("o_totalprice"))
+    ranked
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
+        when(col("n") === 1, lit(0.0))
+          .otherwise((min(col("rn")).over(ties) - 1) / (col("n") - 1))
+          .as("pct_rank"),
+        (max(col("rn")).over(ties) / col("n")).as("cume"))
       .orderBy(col("o_orderkey"))
   }
 

@@ -976,23 +976,33 @@ object Stats {
   // exact percentile_disc aggregate, so the witness is selected by
   // rank: DuckDB's quantile_disc semantics (probed before mirroring)
   // are the value at 1-based position max(ceil(p·n), 1) of the sorted
-  // group — one bounded-alphabet window + one conditional aggregation
-  // on the same partitioning. Values pass through untouched: no
-  // rounding needed, the output IS input data.
+  // group. Round-12 (WindowAuditSpec): the rank used to come from a
+  // row_number window partitioned by the 5-value event_type — the
+  // q39 straggler class — and now comes from the q80 cells shape:
+  // one map-side-combinable (event_type, value) histogram pass, then
+  // cumulative counts over the bounded value grid select the witness
+  // (the value at rank r is the smallest bucket whose cumulative
+  // count reaches r — same multiset, same value, and the event_id
+  // tiebreak never mattered for VALUE selection). Values pass
+  // through untouched: no rounding needed, the output IS input data.
   private val q90: Q = (s, dir) => {
-    val cnt = Events.events(s, dir).groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
+    val cells = Events.events(s, dir)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("value"))
     def pos(p: Double) =
       greatest(ceil(lit(p) * col("n")), lit(1)).cast(LongType)
-    Events.events(s, dir)
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .join(broadcast(cnt), Seq("event_type"))
+    cells
+      .select(col("event_type"), col("value"),
+        sum(col("c")).over(wc).as("cum"),
+        sum(col("c")).over(Window.partitionBy(col("event_type")))
+          .as("n"))
       .groupBy(col("event_type"), col("n"))
-      .agg(min(when(col("rn") === pos(0.5), col("value"))).as("p50_disc"),
-        min(when(col("rn") === pos(0.9), col("value"))).as("p90_disc"),
-        min(when(col("rn") === pos(0.99), col("value"))).as("p99_disc"))
+      .agg(min(when(col("cum") >= pos(0.5), col("value"))).as("p50_disc"),
+        min(when(col("cum") >= pos(0.9), col("value"))).as("p90_disc"),
+        min(when(col("cum") >= pos(0.99), col("value"))).as("p99_disc"))
+      .select(col("event_type"), col("n"), col("p50_disc"),
+        col("p90_disc"), col("p99_disc"))
       .orderBy(col("event_type"))
   }
 
