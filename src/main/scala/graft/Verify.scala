@@ -31,18 +31,30 @@ object Verify {
     Tables.registerViews(spark, sfDir,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK, parts = -1)
     new java.io.File(outDir).mkdirs()
-    // Gate-diff artifact (VERDICT r10 #2): the driver's DuckDB version
-    // differs from the local one, so a hash-red at the gate cannot be
-    // reproduced here. For the small-output queries that have ever
-    // carried version-sensitive arithmetic, dump EVERY presented cell
-    // as a canonical string — committed per round, the artifact plus
-    // the gate's red/green localizes a divergence to a specific cell
-    // without access to the driver's engine.
-    val atRisk = Set(
-      "q02_agg_tpch_q1", "q39_percentiles", "q52_approx_percentile",
-      "q76_iqr_outliers", "q65_median_mode", "q80_mad",
-      "q67_rolling_median", "q100_decile_lift", "q104_psi",
-      "llm_quality_buckets")
+    // Gate-diff artifact (VERDICT r10 #2, widened r12 per VERDICT r11
+    // #5): the driver's DuckDB version differs from the local one, so
+    // a hash-red at the gate cannot be reproduced here. Dump EVERY
+    // presented cell as a canonical string for every query whose
+    // schema carries a cell OUTSIDE the two divergence-proof-by-
+    // construction classes (exact BIGINT integers, strings/dates) —
+    // i.e. any double/float/boolean column (the mirrored-
+    // transcendental, integer-ratio, decimal-cast, and verdict
+    // classes of the SURVEY §2.20 audit). Committed per round, the
+    // artifact plus the gate's red/green localizes a divergence to a
+    // specific cell without access to the driver's engine. Capped
+    // loud at 1000 rows per query (truncation recorded, non-fatal).
+    def atRisk(schema: org.apache.spark.sql.types.StructType): Boolean = {
+      import org.apache.spark.sql.types._
+      def risky(dt: DataType): Boolean = dt match {
+        case DoubleType | FloatType | BooleanType => true
+        case _: DecimalType => true
+        case ArrayType(e, _) => risky(e)
+        case s: StructType => s.fields.exists(f => risky(f.dataType))
+        case MapType(k, v, _) => risky(k) || risky(v)
+        case _ => false
+      }
+      schema.fields.exists(f => risky(f.dataType))
+    }
     val cells = scala.collection.mutable.LinkedHashMap[String, String]()
     // JSON string escape: backslash, quote, and ALL control chars
     // (<0x20) — a tab or CR in builder-authored SQL (or in a dumped
@@ -69,7 +81,7 @@ object Verify {
       try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        if (atRisk.contains(name)) {
+        if (atRisk(df.schema)) {
           // loud cap, non-fatal: an oversized at-risk dump records a
           // truncation note instead of failing the verify run
           val all = spark.read.parquet(s"$outDir/$name")
