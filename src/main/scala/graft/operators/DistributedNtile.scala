@@ -62,19 +62,33 @@ object DistributedNtile {
     * returned for consumers that need n (withNtile's tile
     * arithmetic). */
   private def rankedWithTotal(df: DataFrame, out: String,
-      order: Column*): (DataFrame, String) = {
+      materialized: Boolean, order: Column*): (DataFrame, String) = {
     require(order.nonEmpty, "ranking needs at least one ordering column")
     val mid = s"__${out}_mid"; val pid = s"__${out}_pid"
     val lrn = s"__${out}_lrn"; val off = s"__${out}_off"
     val nTot = s"__${out}_n"
 
-    val local = df
+    val run = df
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn(mid, monotonically_increasing_id())
       .withColumn(pid, shiftright(col(mid), 33))
       .withColumn(lrn, col(mid).bitwiseAND(lit((1L << 33) - 1)) + 1)
       .drop(mid)
+    // materialized = the (pid, lrn) assignment is FROZEN by a lazy
+    // localCheckpoint (the bitext multi-consumer discipline), so the
+    // count and rank subtrees read the SAME physical blocks instead
+    // of re-executing the exchange. Exchange REUSE makes the
+    // re-execution consistent when canonicalization equates the two
+    // subtrees — which holds for the withNtile/withGlobalRank shapes
+    // (pinned in the reuse spec) but NOT for withGroupRank, whose
+    // extra group-start join re-aliases one subtree enough that the
+    // exchanges stop canonicalizing equal: at real scale the two
+    // executions then SAMPLE DIFFERENT range boundaries and the
+    // divergence guard (correctly, loudly) kills the query — sf1
+    // certification, round 12. The checkpoint removes the reuse
+    // dependence entirely; the guard stays as belt-and-braces.
+    val local = if (materialized) run.localCheckpoint(false) else run
 
     // one packed row: sorted (pid, cnt) structs, <= one per shuffle
     // partition — bounded by cluster width, never by the corpus
@@ -132,7 +146,8 @@ object DistributedNtile {
     * handling is a per-key aggregation on top (q105_auc). */
   def withGlobalRank(df: DataFrame, out: String,
       order: Column*): DataFrame = {
-    val (ranked, nTot) = rankedWithTotal(df, out, order: _*)
+    val (ranked, nTot) = rankedWithTotal(df, out,
+      materialized = false, order: _*)
     ranked.drop(nTot)
   }
 
@@ -166,7 +181,7 @@ object DistributedNtile {
       nOut: String, order: Column*): DataFrame = {
     val grk = s"__${rnOut}_grk"; val gst = s"__${rnOut}_gst"
     val (ranked, nTot) = rankedWithTotal(df, grk,
-      (col(group) +: order): _*)
+      materialized = true, (col(group) +: order): _*)
     val starts = df
       .groupBy(col(group)).agg(count(lit(1)).as("c"))
       .agg(sort_array(collect_list(struct(col(group).as("g"),
@@ -200,7 +215,8 @@ object DistributedNtile {
       order: Column*): DataFrame = {
     require(k >= 1, s"ntile bucket count must be >= 1, got $k")
     val rk = s"__${out}_rank"
-    val (ranked, nTot) = rankedWithTotal(df, rk, order: _*)
+    val (ranked, nTot) = rankedWithTotal(df, rk,
+      materialized = false, order: _*)
     ranked
       .withColumn(out,
         tileExpr(col(rk), col(nTot), k).cast(IntegerType))
