@@ -899,29 +899,30 @@ object Relational {
   // doubles are engine-identical without rounding.
   // Round-12 (WindowAuditSpec): the ranks were a window partitioned
   // by the 5-value o_orderpriority — the q39 straggler class. Row
-  // ranks now come from DistributedNtile.withGroupRank; the SQL
-  // definitions then fall out of tie aggregation over the
-  // (priority, price) axis — a window whose key cardinality GROWS
-  // with the corpus (near-unique prices → bounded partitions):
-  //   percent_rank = (min rn over ties − 1) / (n − 1)   [0 when n=1]
-  //   cume_dist    = (max rn over ties) / n
+  // ranks now come from DistributedNtile.withGroupRank, and because
+  // the window's ORDER BY is the TOTAL order (o_totalprice,
+  // o_orderkey), every row is its own peer group — SQL's rank() = the
+  // row rank and cume_dist's ≤-peer count = the row rank, so both
+  // functions are pure rank arithmetic with no tie pass (an earlier
+  // round-12 form aggregated ties over o_totalprice alone, which
+  // diverged from the oracle's two-key peer definition the moment sf1
+  // produced duplicate prices — the sf1 certification caught it):
+  //   percent_rank = (rn − 1) / (n − 1)   [0 when n = 1]
+  //   cume_dist    = rn / n
   private val q55: Q = (s, dir) => {
-    val ranked = DistributedNtile.withGroupRank(
-      t(s, dir, "orders")
-        .filter(col("o_orderstatus") === "P")
-        .select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_totalprice")),
-      "o_orderpriority", "rn", "n",
-      col("o_totalprice"), col("o_orderkey"))
-    val ties = Window.partitionBy(col("o_orderpriority"),
-      col("o_totalprice"))
-    ranked
+    DistributedNtile.withGroupRank(
+        t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")),
+        "o_orderpriority", "rn", "n",
+        col("o_totalprice"), col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice"),
         when(col("n") === 1, lit(0.0))
-          .otherwise((min(col("rn")).over(ties) - 1) / (col("n") - 1))
+          .otherwise((col("rn") - 1) / (col("n") - 1))
           .as("pct_rank"),
-        (max(col("rn")).over(ties) / col("n")).as("cume"))
+        (col("rn") / col("n")).as("cume"))
       .orderBy(col("o_orderkey"))
   }
 
