@@ -898,9 +898,6 @@ final class FlowRun private[flow] (
         // slow metadata write would block status()/pause()/cancel()
         // (the transitionTo discipline; only this runLoop thread ever
         // transitions, so the order stays serial)
-        val entered = lock.synchronized {
-          if (state == Running) { state = Paused; true } else false
-        }
         // idempotent park (VERDICT r11 #2): a dying engine can land
         // its `paused` transition just before the crash, so a
         // recovered flow's seeded log may already END in `paused` —
@@ -909,9 +906,17 @@ final class FlowRun private[flow] (
         // event-sourced semantics: skip the append when the tail is
         // already `paused` (any resume appends `paused → phase`, so
         // a later legitimate re-park never sees a `paused` tail).
-        val alreadyParked =
-          lock.synchronized(log.lastOption.exists(_.to == "paused"))
-        if (entered && !alreadyParked)
+        // The tail check shares ONE critical section with the
+        // Running→Paused decision (ADVICE r12): only this runLoop
+        // thread appends transitions, but making the skip decision
+        // atomic with the state flip keeps that invariant local
+        // instead of implicit.
+        val entered = lock.synchronized {
+          val flip = if (state == Running) { state = Paused; true }
+            else false
+          flip && !log.lastOption.exists(_.to == "paused")
+        }
+        if (entered)
           transitionTo(phase.name, "paused") // O6
         lock.synchronized {
           // timed wait: a cross-process resume only deletes the durable

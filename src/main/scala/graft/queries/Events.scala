@@ -570,7 +570,10 @@ object Events {
       |    row_number() OVER (PARTITION BY event_type
       |      ORDER BY value, event_id) AS rn,
       |    count(*) OVER (PARTITION BY event_type) AS n
-      |  FROM events),
+      |  -- value IS NOT NULL: the engine path ranks Stats.valueCells,
+      |  -- which drops null values — both engines must rank the SAME
+      |  -- multiset or a null-carrying fixture diverges (ADVICE r12)
+      |  FROM events WHERE value IS NOT NULL),
       |q AS (
       |  SELECT event_type,
       |""".stripMargin +

