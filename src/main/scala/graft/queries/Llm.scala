@@ -1813,6 +1813,21 @@ object Llm {
   // silently contaminating eval. Scale: the component labels frame is
   // verified-pairs-sized (≪ corpus, broadcast); the corpus is touched
   // by one hash projection + two map-side-combinable aggregations.
+  /** The house 80/10/10 split bucket: md5 of the (root) id's decimal
+    * string, first 15 hex digits as an integer, mod 10 — the
+    * append-stable membership hash (q107 spelling). Shared with the
+    * streaming maintainer (`streaming.SplitStream`) so the served and
+    * one-shot assignments agree bit-for-bit. */
+  private[graft] def splitBucketOf(x: Column): Column =
+    conv(substring(md5(x.cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % 10
+
+  /** Bucket → split name: 0-7 train, 8 val, 9 test. */
+  private[graft] def splitNameOf(bucket: Column): Column =
+    when(bucket < 8, lit("train"))
+      .when(bucket === 8, lit("val"))
+      .otherwise(lit("test"))
+
   private val splitLeakageSafe: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val labels = graft.operators.ConnectedComponents
@@ -1831,12 +1846,8 @@ object Llm {
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("root"))
-    val bucket = conv(substring(md5(col("root").cast(StringType)), 1, 15),
-      16, 10).cast(LongType) % 10
     val spl = rooted.withColumn("split",
-      when(bucket < 8, lit("train"))
-        .when(bucket === 8, lit("val"))
-        .otherwise(lit("test")))
+      splitNameOf(splitBucketOf(col("root"))))
     val leak = spl.groupBy(col("root"))
       .agg(count_distinct(col("split")).as("ns"))
       .agg(coalesce(sum(when(col("ns") > 1, lit(1L))), lit(0L))
