@@ -145,21 +145,26 @@ class StatsSpec extends SparkSpec {
       s"cohorts don't partition purchasers: $totalCohort vs $purchasers")
   }
 
-  test("q82 plans no window at all: the quartiles run through " +
-    "DistributedNtile, not a single-partition ntile sort") {
+  test("q82 plans no single-partition exchange: the quartiles run " +
+    "through DistributedNtile's bucket machinery, not a one-task " +
+    "ntile sort") {
     // VERDICT r7: three unpartitioned ntile(4) windows over the
-    // customer frame were a one-task straggler at 100× — the plan pin
-    // keeps them out for good
+    // customer frame were a one-task straggler at 100×. Round-13
+    // form: each axis hash-shuffles on a plan-frozen bucket id and
+    // ranks ~128-row bucket windows — window partitions GROW with the
+    // data (WindowAuditSpec pins the growth), so the pin here is the
+    // absence of any single-partition exchange, and that every Window
+    // is bucket-partitioned (no empty partitionBy).
     val df = graft.SparkEntry.queries("q82_rfm")(spark, dir)
-    df.collect() // materialize: reuse is an AQE runtime decision, and
-    // only the FINAL plan shows the deduplicated stages
+    df.collect() // materialize: only the FINAL AQE plan is honest
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"),
-      s"q82 must not plan any window:\n$plan")
-    assert(plan.contains("ReusedExchange") ||
-      plan.contains("ReusedQueryStage"),
-      s"each quartile axis must reuse its range exchange between the " +
-        s"rank and count subtrees:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"q82 must not plan a single-partition exchange:\n$plan")
+    assert(!plan.contains("windowspecdefinition()"),
+      s"q82 must not plan an unpartitioned window:\n$plan")
+    assert(plan.contains("hashpartitioning(__r_rank_pid") ||
+      plan.contains("hashpartitioning(____r_rank_pid"),
+      s"the recency axis must shuffle on its explicit bucket id:\n$plan")
   }
 
   test("q89: ABC classes partition the catalog; shares sum to 1 and " +
