@@ -44,6 +44,7 @@ object FaultDrill {
   val retriesSeen = new AtomicInteger(0)
   val poisonAttempts = new AtomicInteger(0)
   val errorPhaseRan = new AtomicInteger(0)
+  val rankInjections = new AtomicInteger(0)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -116,6 +117,60 @@ object FaultDrill {
     println(s"RESULT exhaust_attempts=${poisonAttempts.get()}")
     println(s"RESULT exhaust_error_phase_ran=${errorPhaseRan.get()}")
     println(s"RESULT exhaust_transitions=${run2.transitions.map(_.to).mkString(">")}")
+
+    // -- 4: rank determinism under the same storm (round-13) --------
+    // The boundary contract's EMPIRICAL proof: DistributedNtile's
+    // bucket ids are pure functions of row values against plan-frozen
+    // boundaries, so ranks must be IDENTICAL to the fault-free window
+    // oracle even when tasks of the scan stage (which also carries
+    // the sketch + cell-count construction jobs) AND the post-shuffle
+    // rank stage fail at attempt 0 — the executor-loss / lineage-
+    // recompute path the retired localCheckpoint freeze could not
+    // survive (VERDICT r12 #3).
+    {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val base = spark.range(60000L).select(
+        col("id"),
+        pmod(hash(col("id")), lit(997)).as("v"),
+        pmod(hash(col("id") * 7), lit(5)).cast("string").as("grp"))
+      val scanFault = udf((id: Long) => {
+        val tc = TaskContext.get()
+        if (tc != null && tc.attemptNumber() == 0 &&
+          tc.partitionId() % 3 == 0) {
+          rankInjections.incrementAndGet()
+          throw new RuntimeException(
+            s"injected scan failure p${tc.partitionId()} attempt 0")
+        }
+        true
+      })
+      val rankFault = udf((rn: Long) => {
+        val tc = TaskContext.get()
+        if (tc != null && tc.attemptNumber() == 0 &&
+          tc.partitionId() % 4 == 1) {
+          rankInjections.incrementAndGet()
+          throw new RuntimeException(
+            s"injected rank-stage failure p${tc.partitionId()} attempt 0")
+        }
+        true
+      })
+      val got = graft.operators.DistributedNtile
+        .withGroupRank(base.filter(scanFault(col("id"))),
+          "grp", "rn", "cnt", col("v"), col("id"))
+        .filter(rankFault(col("rn")))
+        .select(col("id"), col("rn"), col("cnt"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("v"), col("id"))
+      val want = base.select(col("id"),
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("grp"))).as("cnt"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      println(s"RESULT rank_retry_equal=${got == want}")
+      println(s"RESULT rank_retry_injections=${rankInjections.get()}")
+    }
 
     spark.stop()
   }

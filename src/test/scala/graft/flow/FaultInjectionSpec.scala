@@ -40,5 +40,12 @@ class FaultInjectionSpec extends AnyFunSuite {
     assert(results.get("exhaust_error_phase_ran").contains("1"), results)
     assert(results.get("exhaust_transitions")
       .contains("work>cleanup>done"), results)
+    // round-13: ranks from the plan-frozen-boundary machinery are
+    // bit-identical to the fault-free window oracle under the same
+    // retry storm (scan + post-shuffle rank stage both injected)
+    assert(results.get("rank_retry_equal").contains("true"),
+      s"rank determinism broke under task retries: $results")
+    assert(results.get("rank_retry_injections").exists(_.toInt > 0),
+      s"no rank-path failure was actually injected: $results")
   }
 }
