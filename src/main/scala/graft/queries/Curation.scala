@@ -1662,6 +1662,134 @@ object Curation {
        |SELECT doc_id, bm25 FROM bm25s
        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
+  // ---- llm_retrieval_ndcg: retrieval-quality eval (nDCG/MRR/P@k) -----
+  // The eval leg of the retrieval family (round 13): grade the BM25
+  // ranking against a graded relevance label — nDCG@k, MRR@k and
+  // precision@k at k ∈ {5, 10} — the metrics a retrieval/eval-set
+  // pipeline reports before shipping a ranker. Relevance is
+  // DETERMINISTIC and data-derived: rel(doc) = how many of the three
+  // query terms the doc contains (0..3, a graded label both engines
+  // compute from the same tokens).
+  //
+  // Scale shape: the ranking is bm25ScoredFor's top-10 (TakeOrdered —
+  // distributed heap, no global sort materialization); relevance is
+  // ONE corpus pass (three array_contains over the token split); the
+  // only windows run over the 10-row top-k and the ≤3-row grade
+  // histogram (the q100 bounded-by-k class). IDCG needs no ideal
+  // SORT: the ideal ranking's grade at each position falls out of the
+  // grade histogram's cumulative counts, expanded to ≤k position rows
+  // via `sequence` (guarded: Spark's sequence(a, b) with a > b infers
+  // step −1 — the bpePairs lesson — so empty spans are filtered
+  // before the expansion).
+  //
+  // Determinism: scores are rounded to 4 BEFORE ranking (the
+  // bm25ScoredFor contract) and the order carries the doc_id
+  // tiebreak; 2^rel − 1 is exact integer (shiftleft); each position's
+  // contribution (integer / log2(small int)) is cast to
+  // DECIMAL(20, 12) before summing so partial-aggregation order
+  // cannot move a bit; the final ndcg division + round(6) is one
+  // mirrored double expression (the PMI discipline).
+  private val retrievalNdcg: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val rel = docs.select(col("doc_id"),
+      Bm25Terms.map(t0 =>
+        when(array_contains(split(col("text"), " "), t0), 1)
+          .otherwise(0)).reduce(_ + _).as("rel"))
+    val topk = bm25ScoredFor(docs)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    val ks = s.range(1, 3).select((col("id") * 5).as("k")) // k = 5, 10
+    // 2^rel − 1 in exact integer arithmetic (rel ≤ 3); shiftleft's
+    // Scala binding wants a literal shift, so the SQL form is used
+    val gain = (expr("shiftleft(1L, rel)") - 1L).cast(DoubleType)
+    val ranked = topk.join(rel, Seq("doc_id"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+    val atK = ranked.crossJoin(broadcast(ks))
+      .filter(col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(
+        sum((gain / log2(col("rank") + 1))
+          .cast(DecimalType(20, 12))).as("dcg"),
+        min(when(col("rel") >= 1, col("rank"))).as("first_rel"),
+        sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("n_rel"))
+    // ideal DCG from the grade histogram: grades fill positions
+    // 1..k in rel-descending order; each grade's positions are the
+    // cumulative span (prev, min(cum, k)]
+    val hist = rel.filter(col("rel") >= 1)
+      .groupBy(col("rel")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("rel").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev", col("cum") - col("c"))
+    val idcg = hist.crossJoin(broadcast(ks))
+      .filter(col("prev") < least(col("cum"), col("k")))
+      .select(col("k"), col("rel"),
+        explode(sequence(col("prev") + 1, least(col("cum"), col("k"))))
+          .as("pos"))
+      .groupBy(col("k"))
+      .agg(sum((gain / log2(col("pos") + 1))
+        .cast(DecimalType(20, 12))).as("idcg"))
+    atK.join(idcg, Seq("k"), "left")
+      .select(col("k"),
+        round(when(coalesce(col("idcg"), lit(0)) === 0, lit(0.0))
+          .otherwise(col("dcg").cast(DoubleType) /
+            col("idcg").cast(DoubleType)), 6).as("ndcg"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6)
+          .as("mrr"),
+        round(col("n_rel").cast(DoubleType) / col("k"), 6).as("p_at_k"))
+      .orderBy(col("k"))
+  }
+
+  private val retrievalNdcgSql = {
+    val relExpr = Bm25Terms.map(t0 =>
+      s"(CASE WHEN list_contains(string_split(text, ' '), '$t0') " +
+        "THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $bm25CoreCte,
+       |relv AS (
+       |  SELECT doc_id, $relExpr AS rel FROM documents),
+       |topk AS (
+       |  SELECT doc_id, bm25 FROM bm25s
+       |  ORDER BY bm25 DESC, doc_id LIMIT 10),
+       |rk AS (
+       |  SELECT t.doc_id, r.rel,
+       |    row_number() OVER (ORDER BY t.bm25 DESC, t.doc_id) AS rank
+       |  FROM topk t JOIN relv r ON t.doc_id = r.doc_id),
+       |ks AS (SELECT unnest([5, 10]) AS k),
+       |atk AS (
+       |  SELECT k,
+       |    sum(CAST(CAST((1 << rel) - 1 AS DOUBLE) / log2(rank + 1)
+       |        AS DECIMAL(20,12))) AS dcg,
+       |    min(CASE WHEN rel >= 1 THEN rank END) AS first_rel,
+       |    CAST(sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rel
+       |  FROM rk, ks WHERE rank <= k GROUP BY k),
+       |hist AS (
+       |  SELECT rel, count(*) AS c FROM relv WHERE rel >= 1 GROUP BY rel),
+       |cum AS (
+       |  SELECT rel, c,
+       |    sum(c) OVER (ORDER BY rel DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist),
+       |ipos AS (
+       |  SELECT k, rel,
+       |    unnest(generate_series(CAST(cum - c + 1 AS BIGINT),
+       |      CAST(least(cum, k) AS BIGINT))) AS pos
+       |  FROM cum, ks WHERE cum - c < least(cum, k)),
+       |idcg AS (
+       |  SELECT k,
+       |    sum(CAST(CAST((1 << rel) - 1 AS DOUBLE) / log2(pos + 1)
+       |        AS DECIMAL(20,12))) AS idcg
+       |  FROM ipos GROUP BY k)
+       |SELECT atk.k,
+       |  round(CASE WHEN COALESCE(idcg.idcg, 0) = 0 THEN 0.0
+       |    ELSE CAST(atk.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE)
+       |    END, 6) AS ndcg,
+       |  round(COALESCE(1.0 / first_rel, 0.0), 6) AS mrr,
+       |  round(CAST(n_rel AS DOUBLE) / atk.k, 6) AS p_at_k
+       |FROM atk LEFT JOIN idcg ON atk.k = idcg.k
+       |ORDER BY atk.k""".stripMargin
+  }
+
   // ---- llm_bpe_pairs: the first BPE merge decision --------------------
   // Byte-pair-encoding tokenizer training's inner loop (Sennrich '16):
   // count adjacent SYMBOL pairs across the corpus (initially
@@ -1860,6 +1988,7 @@ object Curation {
   val queries: Map[String, Q] = Map(
     "llm_quality_buckets" -> qualityBuckets,
     "llm_bm25" -> bm25,
+    "llm_retrieval_ndcg" -> retrievalNdcg,
     "llm_hybrid_rrf" -> hybridRrf,
     "llm_bpe_pairs" -> bpePairs,
     "llm_bigram_lm" -> bigramLm,
@@ -1897,6 +2026,7 @@ object Curation {
     // identical double-expression tree + decimal per-doc sum -> the
     // rounded BM25 hashes exactly (the PMI discipline)
     "llm_bm25" -> bm25Sql,
+    "llm_retrieval_ndcg" -> retrievalNdcgSql,
     "llm_hybrid_rrf" -> hybridRrfSql,
     "llm_bpe_pairs" -> bpePairsSql,
     "llm_quality_buckets" -> qualityBucketsSql,
