@@ -107,6 +107,10 @@ object DistributedNtile {
           "the ordering is not a total order (one tie class cannot be " +
           "split across buckets) — add a unique tiebreak column")
     }
+    // `running` ends as the exact total row count — the SAME job that
+    // produced the offsets, so tile arithmetic (rank vs n) can never
+    // disagree with the ranks even if the table changed between the
+    // sketch and count jobs (the sketch's total only sizes buckets)
     var running = 0L
     val offRows = new java.util.ArrayList[Row](counts.length)
     counts.foreach { case (p, c) =>
@@ -124,7 +128,7 @@ object DistributedNtile {
         when(col(off).isNull, raiseMsg(out))
           .otherwise(col(off) + col(lrn)))
       .drop(pid, lrn, off)
-      .withColumn(nTot, lit(b.totalRows))
+      .withColumn(nTot, lit(running))
     (ranked, nTot)
   }
 

@@ -282,4 +282,38 @@ class StateSoakSpec extends SparkSpec {
     assert(served == oneShot,
       "soaked sketches diverged from the whole-prefix one-shot")
   }
+
+  test("split maintainer: bounded versions across 16 batches with a " +
+    "replay every 4th batch; counters stay 10 rows and the served " +
+    "doc total is exact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("splitsoak").toString
+    val clusterDir = Files.createTempDirectory("splitsoakcl").toString
+    // a small fixed labeling so the serving view has its second leg
+    DedupClusterStream.updateBatch(
+      Seq((3L, 4L), (10L, 11L)).toDF("a_id", "b_id"), clusterDir, 0L)
+    var fed = 0L
+    for (b <- 0 until Batches) {
+      val batch = (0 until 25).map(i => (b * 25L + i))
+      SplitStream.updateBatch(batch.toDF("doc_id"), out, b.toLong)
+      if (b % 4 == 3) // replay must be a no-op, not a double count
+        SplitStream.updateBatch(batch.toDF("doc_id"), out, b.toLong)
+      fed += batch.size
+      for (store <- Seq("counts", "meta")) {
+        val dirs = versionDirs(out, store)
+        assert(dirs.size <= 2,
+          s"batch $b: $store holds ${dirs.size} versions " +
+            s"(${dirs.sorted.mkString(", ")}) — prune is leaking")
+      }
+      val v = VersionedState.latestBefore(spark, out, Long.MaxValue).get
+      assert(spark.read.parquet(
+        VersionedState.path(out, "counts", v)).count() <= 10L,
+        s"batch $b: the own-bucket counter store must stay <= 10 rows")
+    }
+    val rep = SplitStream.currentSplit(spark, out, clusterDir).collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == fed,
+      s"served doc total diverged from the ${fed} docs fed (replay " +
+        "double-count or lost batch)")
+    assert(rep.forall(_.getAs[Boolean]("leakage_free")))
+  }
 }
