@@ -1336,6 +1336,89 @@ object Llm {
       |    len(string_split(text, ' ')) AS stopword_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- llm_score_calibration: ECE of a quality/langid scorer ---------
+  // The eval-family calibration leg (round 13): treat the stopword
+  // ratio as a [0,1] "is-English" score (the langid heuristic's
+  // continuous form), bin it into 10 equal-width confidence buckets,
+  // and report per-bin confidence vs observed accuracy plus the
+  // Expected Calibration Error Σ (n_b/n)·|acc_b − conf_b| — the
+  // metric a pipeline checks before using a scorer's VALUE as a
+  // probability (thresholding only needs ranking; mixing/weighting by
+  // score needs calibration).
+  //
+  // Determinism: score = integer-ratio double (one division, IEEE-
+  // identical both engines); bin = least(floor(score·10), 9) on that
+  // exact double; per-bin score sums ride DECIMAL(20,12) (the bm25
+  // discipline) so partial-aggregation order cannot move a bit; the
+  // ECE contributions are one mirrored double tree, DECIMAL-summed
+  // over the ≤10 bins, rounded to 6. Null/empty texts are filtered on
+  // BOTH sides (Spark's size(split(NULL)) is −1 while DuckDB's
+  // len/0-division is ±inf — the one construct pair that could
+  // diverge). Scale: one corpus pass + a 10-row aggregate.
+  private val calibration: Q = (s, dir) => {
+    val scored = t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .filter(col("text").isNotNull && size(col("tk")) >= 1)
+      .select(col("lang"),
+        (size(array_intersect(col("tk"), array(stop.map(lit): _*)))
+          .cast(DoubleType) / size(col("tk"))).as("score"))
+    val binned = scored
+      .select(least(floor(col("score") * 10), lit(9.0))
+          .cast(LongType).as("bin"),
+        col("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score").cast(DecimalType(20, 12))).as("ssum"),
+        sum(col("pos")).as("npos"))
+    val tot = binned.agg(sum(col("n_docs")).as("n"))
+    val withTot = binned.crossJoin(broadcast(tot))
+    val ece = withTot
+      .agg(round(sum(
+        ((col("n_docs").cast(DoubleType) / col("n")) *
+          abs(col("npos").cast(DoubleType) / col("n_docs") -
+            col("ssum").cast(DoubleType) / col("n_docs")))
+          .cast(DecimalType(20, 12))).cast(DoubleType), 6).as("ece"))
+    binned.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n_docs"),
+        round(col("ssum").cast(DoubleType) / col("n_docs"), 6)
+          .as("avg_score"),
+        round(col("npos").cast(DoubleType) / col("n_docs"), 6)
+          .as("pos_rate"),
+        col("ece"))
+      .orderBy(col("bin"))
+  }
+
+  private val calibrationSql = {
+    val stopLit = stop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH sc AS (
+       |  SELECT lang,
+       |    CAST(len(list_intersect(string_split(text, ' '), $stopLit))
+       |      AS DOUBLE) / len(string_split(text, ' ')) AS score
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1),
+       |b AS (
+       |  SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    sum(CAST(score AS DECIMAL(20,12))) AS ssum,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS npos
+       |  FROM sc GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM b),
+       |e AS (
+       |  SELECT round(CAST(sum(CAST(
+       |      (CAST(n_docs AS DOUBLE) / n) *
+       |        abs(CAST(npos AS DOUBLE) / n_docs
+       |          - CAST(ssum AS DOUBLE) / n_docs)
+       |      AS DECIMAL(20,12))) AS DOUBLE), 6) AS ece
+       |  FROM b, t)
+       |SELECT bin, n_docs,
+       |  round(CAST(ssum AS DOUBLE) / n_docs, 6) AS avg_score,
+       |  round(CAST(npos AS DOUBLE) / n_docs, 6) AS pos_rate,
+       |  ece
+       |FROM b, e ORDER BY bin""".stripMargin
+  }
+
   // ---- text analysis: Gopher-style rule filter ------------------------
   // The MassiveText/Gopher document-quality RULE SET (Rae et al. 2021,
   // App. A): hard thresholds on word count, mean word length, stopword
@@ -2157,6 +2240,7 @@ object Llm {
     "llm_simhash" -> simhash,
     "llm_langid" -> langid,
     "llm_quality_score" -> quality,
+    "llm_score_calibration" -> calibration,
     "llm_gopher_rules" -> gopher,
     "llm_source_overlap" -> sourceOverlap,
     "llm_containment_dedup" -> containmentDedup,
@@ -2207,6 +2291,7 @@ object Llm {
     "llm_simhash" -> simhashSql,
     "llm_langid" -> langidSql,
     "llm_quality_score" -> qualitySql,
+    "llm_score_calibration" -> calibrationSql,
     "llm_gopher_rules" -> gopherSql,
     "llm_source_overlap" -> sourceOverlapSql,
     // df-capped postings vs the oracle's uncapped join: parity holds
