@@ -1355,31 +1355,40 @@ object Llm {
   // BOTH sides (Spark's size(split(NULL)) is −1 while DuckDB's
   // len/0-division is ±inf — the one construct pair that could
   // diverge). Scale: one corpus pass + a 10-row aggregate.
-  private val calibration: Q = (s, dir) => {
-    val scored = t(s, dir, "documents")
+  /** The per-bin calibration cells (bin, n_docs, ssum, npos) — the
+    * PURELY ADDITIVE state the streaming maintainer
+    * (`streaming.CalibrationStream`, 25th) merges per batch; one
+    * shared definition so the pair cannot drift. ssum rides a FIXED
+    * DECIMAL(38, 12) so merged state never widens its schema. */
+  private[graft] def calibrationCells(documents: DataFrame): DataFrame =
+    documents
       .withColumn("tk", split(col("text"), " "))
       .filter(col("text").isNotNull && size(col("tk")) >= 1)
       .select(col("lang"),
         (size(array_intersect(col("tk"), array(stop.map(lit): _*)))
           .cast(DoubleType) / size(col("tk"))).as("score"))
-    val binned = scored
       .select(least(floor(col("score") * 10), lit(9.0))
           .cast(LongType).as("bin"),
         col("score"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("score").cast(DecimalType(20, 12))).as("ssum"),
+        sum(col("score").cast(DecimalType(20, 12)))
+          .cast(DecimalType(38, 12)).as("ssum"),
         sum(col("pos")).as("npos"))
-    val tot = binned.agg(sum(col("n_docs")).as("n"))
-    val withTot = binned.crossJoin(broadcast(tot))
-    val ece = withTot
+
+  /** The served report (bin, n_docs, avg_score, pos_rate, ece) from
+    * the cells — shared by the one-shot key and the maintainer's
+    * serving view (identical expression trees by construction). */
+  private[graft] def calibrationReportOf(cells: DataFrame): DataFrame = {
+    val tot = cells.agg(sum(col("n_docs")).as("n"))
+    val ece = cells.crossJoin(broadcast(tot))
       .agg(round(sum(
         ((col("n_docs").cast(DoubleType) / col("n")) *
           abs(col("npos").cast(DoubleType) / col("n_docs") -
             col("ssum").cast(DoubleType) / col("n_docs")))
           .cast(DecimalType(20, 12))).cast(DoubleType), 6).as("ece"))
-    binned.crossJoin(broadcast(ece))
+    cells.crossJoin(broadcast(ece))
       .select(col("bin"), col("n_docs"),
         round(col("ssum").cast(DoubleType) / col("n_docs"), 6)
           .as("avg_score"),
@@ -1388,6 +1397,9 @@ object Llm {
         col("ece"))
       .orderBy(col("bin"))
   }
+
+  private val calibration: Q = (s, dir) =>
+    calibrationReportOf(calibrationCells(t(s, dir, "documents")))
 
   private val calibrationSql = {
     val stopLit = stop.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -316,4 +316,46 @@ class StateSoakSpec extends SparkSpec {
         "double-count or lost batch)")
     assert(rep.forall(_.getAs[Boolean]("leakage_free")))
   }
+
+  test("calibration maintainer: bounded versions across 16 batches " +
+    "with a replay every 4th batch; final report equals the one-shot") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("calibsoak").toString
+    def docOf(i: Int) = {
+      val words = if (i % 3 == 0) "the a of and to x"
+        else if (i % 3 == 1) "alpha the beta gamma"
+        else "x y z"
+      (i.toLong, words, if (i % 2 == 0) "en" else "de", "s0",
+        words.length.toLong)
+    }
+    var seen = Seq.empty[(Long, String, String, String, Long)]
+    for (b <- 0 until Batches) {
+      val batch = (0 until 20).map(i => docOf(b * 20 + i))
+      CalibrationStream.updateBatch(
+        batch.toDF("doc_id", "text", "lang", "source", "n_chars"),
+        out, b.toLong)
+      if (b % 4 == 3) // replay must be a no-op, not a double count
+        CalibrationStream.updateBatch(
+          batch.toDF("doc_id", "text", "lang", "source", "n_chars"),
+          out, b.toLong)
+      seen = seen ++ batch
+      for (store <- Seq("cells", "meta")) {
+        val dirs = versionDirs(out, store)
+        assert(dirs.size <= 2,
+          s"batch $b: $store holds ${dirs.size} versions " +
+            s"(${dirs.sorted.mkString(", ")}) — prune is leaking")
+      }
+    }
+    val served = CalibrationStream.currentReport(spark, out)
+      .orderBy(org.apache.spark.sql.functions.col("bin"))
+      .collect().toSeq
+    val oneShot = graft.queries.Llm.calibrationReportOf(
+        graft.queries.Llm.calibrationCells(
+          seen.toDF("doc_id", "text", "lang", "source", "n_chars")))
+      .orderBy(org.apache.spark.sql.functions.col("bin"))
+      .collect().toSeq
+    assert(served == oneShot,
+      "soaked calibration report diverged from the whole-prefix " +
+        "one-shot")
+  }
 }
