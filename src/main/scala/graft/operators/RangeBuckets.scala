@@ -37,9 +37,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * until the cap and the boundary list stays a bounded driver/plan
   * artifact (≤ 64 Ki keys). At the cap a 10^12-row corpus still sorts
   * only ~15 M rows per bucket — an ordinary task-sized sort. The
-  * sketch collects ≤ [[MaxSampleRows]] keys total regardless of corpus
-  * size (reservoir per input partition, weighted merge — the public
-  * `RangePartitioner.sketch` recipe).
+  * sketch collects ≤ max([[MaxSampleRows]], 8 × input partitions)
+  * keys total (reservoir per input partition, weighted merge — the
+  * public `RangePartitioner.sketch` recipe); keys are pruned order
+  * columns, so even a 100k-partition scan stays tens of MB of driver
+  * residency.
   */
 object RangeBuckets {
 
@@ -111,7 +113,12 @@ object RangeBuckets {
     // nicety, not a requirement — see scaladoc)
     val rdd = keyed.rdd
     val parts = math.max(rdd.getNumPartitions, 1)
-    val perPart = math.max(64, MaxSampleRows / parts)
+    // no large per-partition floor: at 100k input partitions (a 100 TB
+    // scan) a floor of 64 would collect 6.4 M keys and break the
+    // bounded-driver claim — a handful of samples per partition is
+    // plenty when the total is already ~1 M keys for ≤ 64 Ki
+    // boundaries (boundary quality affects only balance, never ranks)
+    val perPart = math.max(8, MaxSampleRows / parts)
     val sketch: Array[(Long, Array[Row])] =
       rdd.mapPartitionsWithIndex { (i, it) =>
         val rng = new java.util.Random(0x9E3779B97F4A7C15L ^ i.toLong)
