@@ -170,4 +170,19 @@ class DriverBoundsSpec extends SparkSpec {
     assert(ex.getMessage.contains("broadcast model"), ex.getMessage)
     Curation.clearTermStats()
   }
+
+  test("withGroupRank refuses a per-entity group key before the " +
+    "driver holds more than the bounded cell cap (VERDICT r12 #2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val n = 2 * (graft.operators.DistributedNtile.MaxGroups + 5)
+    val df = (0 until n)
+      .map(i => (i.toLong, s"user${i % (n / 2)}", i % 7))
+      .toDF("id", "grp", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.DistributedNtile.withGroupRank(
+        df, "grp", "rn", "cnt", col("v"), col("id"))
+    }
+    assert(ex.getMessage.contains("per-entity Window"), ex.getMessage)
+  }
 }
