@@ -112,22 +112,29 @@ object DistributedNtile {
     // disagree with the ranks even if the table changed between the
     // sketch and count jobs (the sketch's total only sizes buckets)
     var running = 0L
+    val cnt = s"__${out}_cnt"
     val offRows = new java.util.ArrayList[Row](counts.length)
     counts.foreach { case (p, c) =>
-      offRows.add(Row(p, running)); running += c
+      offRows.add(Row(p, running, c)); running += c
     }
     val offDf = df.sparkSession.createDataFrame(offRows,
       StructType(Seq(StructField(pid, IntegerType, nullable = false),
-        StructField(off, LongType, nullable = false))))
+        StructField(off, LongType, nullable = false),
+        StructField(cnt, LongType, nullable = false))))
 
     val ranked = bucketed
       .withColumn(lrn, row_number().over(
         Window.partitionBy(col(pid)).orderBy(order: _*)))
       .join(broadcast(offDf), Seq(pid), "left")
       .withColumn(out,
-        when(col(off).isNull, raiseMsg(out))
+        // snapshot-drift guard, BOTH directions: a row in a bucket
+        // the count job never saw (null off) OR more rows in a bucket
+        // than it counted (lrn > cnt — appended files landing in a
+        // populated bucket would otherwise silently overlap the next
+        // bucket's offset range)
+        when(col(off).isNull || col(lrn) > col(cnt), raiseMsg(out))
           .otherwise(col(off) + col(lrn)))
-      .drop(pid, lrn, off)
+      .drop(pid, lrn, off, cnt)
       .withColumn(nTot, lit(running))
     (ranked, nTot)
   }
@@ -202,6 +209,7 @@ object DistributedNtile {
       a.getInt(0) < x.getInt(0) || (a.getInt(0) == x.getInt(0) &&
         gOrd.compare(gRow(a.get(1)), gRow(x.get(1))) < 0)
     }
+    val cc = s"__${rnOut}_cc"
     val groupRun = new java.util.HashMap[Any, Long]()
     val groupTot = new java.util.HashMap[Any, Long]()
     sorted.foreach { r =>
@@ -215,7 +223,7 @@ object DistributedNtile {
           s"$c rows (>= 2^31): the ordering is not a total order — " +
           "add a unique tiebreak column")
       val run = groupRun.getOrDefault(g, 0L)
-      cellRows.add(Row(r.getInt(0), g, run, groupTot.get(g)))
+      cellRows.add(Row(r.getInt(0), g, run, groupTot.get(g), c))
       groupRun.put(g, run + c)
     }
     val cellDf = df.sparkSession.createDataFrame(cellRows,
@@ -223,7 +231,8 @@ object DistributedNtile {
         StructField(pid, IntegerType, nullable = false),
         StructField(cg, gField.dataType, nullable = true),
         StructField(coff, LongType, nullable = false),
-        StructField(cn, LongType, nullable = false))))
+        StructField(cn, LongType, nullable = false),
+        StructField(cc, LongType, nullable = false))))
 
     bucketed
       .withColumn(lrn, row_number().over(
@@ -233,10 +242,14 @@ object DistributedNtile {
         "left")
       .drop(cellDf(pid))
       .withColumn(rnOut,
-        when(col(cn).isNull, raiseMsg(rnOut))
+        // snapshot-drift guard, both directions (see rankedWithTotal):
+        // an uncounted (bucket, group) cell OR more rows in a cell
+        // than it counted both raise instead of overlapping the next
+        // cell's offsets
+        when(col(cn).isNull || col(lrn) > col(cc), raiseMsg(rnOut))
           .otherwise(col(coff) + col(lrn)))
       .withColumn(nOut, col(cn))
-      .drop(pid, lrn, cg, coff, cn)
+      .drop(pid, lrn, cg, coff, cn, cc)
   }
 
   /** SQL ntile arithmetic on (rank, n) — the first n mod k tiles take

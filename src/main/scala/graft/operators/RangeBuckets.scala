@@ -137,11 +137,14 @@ object RangeBuckets {
       }.collect()
 
     val total = sketch.map(_._1).sum
-    val numBuckets = math.min(
-      math.max(
-        ((total + TargetRowsPerBucket - 1) / TargetRowsPerBucket).toInt,
-        df.sparkSession.sparkContext.defaultParallelism),
-      MaxBuckets)
+    // clamp in LONG before narrowing: at 10^12 rows the quotient is
+    // ~7.8e9, and a bare .toInt would wrap negative, collapsing the
+    // bucket count to defaultParallelism (multi-billion-row buckets —
+    // the exact straggler this operator exists to eliminate)
+    val wanted = (total + TargetRowsPerBucket - 1) / TargetRowsPerBucket
+    val numBuckets = math.max(
+      math.min(wanted, MaxBuckets.toLong).toInt,
+      df.sparkSession.sparkContext.defaultParallelism)
 
     // weighted merge of the reservoirs: a row sampled from a partition
     // of n_i rows with reservoir size s_i stands for n_i / s_i rows

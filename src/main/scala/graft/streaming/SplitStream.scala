@@ -52,24 +52,31 @@ object SplitStream {
     if (VersionedState.isCommitted(spark, dir, batchId))
       return // replay of a committed batch
     val prevV = VersionedState.latestBefore(spark, dir, batchId)
+    // ONE pass over the batch: collect the ≤10-row bucket census and
+    // do the emptiness check AND the merge on the collected array (an
+    // isEmpty probe on the aggregate would scan the batch twice —
+    // review r13)
     val delta = docs
       .select(Llm.splitBucketOf(col("doc_id")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect()
     if (prevV.nonEmpty && delta.isEmpty)
       return // idle trigger on an established chain: free no-op
-    val prev = prevV.map(v =>
-      spark.read.parquet(VersionedState.path(dir, "counts", v)))
-    val merged = (prev match {
-      case Some(p) => p.unionByName(delta)
-      case None => delta
-    }).groupBy(col("bucket")).agg(sum(col("n")).as("n"))
-    val out = merged.collect() // ≤ 10 rows by construction
+    val merged = scala.collection.mutable.Map.empty[Long, Long]
+    prevV.foreach { v =>
+      spark.read.parquet(VersionedState.path(dir, "counts", v))
+        .collect() // ≤ 10 rows by construction
+        .foreach(r => merged.updateWith(r.getLong(0))(
+          o => Some(o.getOrElse(0L) + r.getLong(1))))
+    }
+    delta.foreach(r => merged.updateWith(r.getLong(0))(
+      o => Some(o.getOrElse(0L) + r.getLong(1))))
     import spark.implicits._
-    out.map(r => (r.getLong(0), r.getLong(1))).toSeq
-      .toDF("bucket", "n").coalesce(1)
+    val rows = merged.toSeq.sortBy(_._1)
+    rows.toDF("bucket", "n").coalesce(1)
       .write.mode("overwrite")
       .parquet(VersionedState.path(dir, "counts", batchId))
-    Seq(out.map(_.getLong(1)).sum).toDF("n_docs").coalesce(1)
+    Seq(rows.map(_._2).sum).toDF("n_docs").coalesce(1)
       .write.mode("overwrite") // meta LAST = the commit point
       .parquet(VersionedState.path(dir, "meta", batchId))
     VersionedState.prune(spark, dir, Stores, batchId, prevV)

@@ -18,6 +18,35 @@ import org.apache.spark.sql.functions._
   * Usage: tools/run.sh graft.tools.HeavyDup [nBase] [outDir]
   */
 object HeavyDup {
+
+  /** Write the heavy-dup documents corpus (one shared recipe for this
+    * drill AND DedupScaleSpec — a threshold/schema change edits ONE
+    * place): nBase unique 24-token docs, doc b spawns b%3 near-copies
+    * each mutating one token (3-gram Jaccard vs base ≈ 0.76 ≥ the 0.6
+    * verify threshold; copy ids sort above base ids). Returns the doc
+    * count (~2·nBase, ~56 % near-dup). */
+  def writeCorpus(spark: SparkSession, nBase: Int, vocabMod: Int,
+      parts: Int, out: String): Long = {
+    import spark.implicits._
+    val rows = (0 until nBase).flatMap { b =>
+      val toks =
+        (0 until 24).map(j => s"w${(b * 31 + j * 7) % vocabMod}x$j")
+      val base = (b.toLong, toks.mkString(" "),
+        if (b % 5 == 0) "de" else "en", s"src${b % 4}")
+      val copies = (0 until (b % 3)).map { c =>
+        val mut = toks.updated(5 + c, s"mut${b}c$c")
+        ((nBase + b * 2 + c).toLong, mut.mkString(" "),
+          base._3, s"src${(b + c + 1) % 4}")
+      }
+      base +: copies
+    }
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .repartition(parts)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    spark.read.parquet(s"$out/documents.parquet").count()
+  }
+
   def main(args: Array[String]): Unit = {
     val nBase = args.lift(0).map(_.toInt).getOrElse(22000)
     val out = args.lift(1).getOrElse("/tmp/graft_heavydup")
@@ -30,24 +59,9 @@ object HeavyDup {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    val rows = (0 until nBase).flatMap { b =>
-      val toks = (0 until 24).map(j => s"w${(b * 31 + j * 7) % 49999}x$j")
-      val base = (b.toLong, toks.mkString(" "),
-        if (b % 5 == 0) "de" else "en", s"src${b % 4}")
-      val copies = (0 until (b % 3)).map { c =>
-        val mut = toks.updated(5 + c, s"mut${b}c$c")
-        ((nBase + b * 2 + c).toLong, mut.mkString(" "),
-          base._3, s"src${(b + c + 1) % 4}")
-      }
-      base +: copies
-    }
-    rows.toDF("doc_id", "text", "lang", "source")
-      .withColumn("n_chars", length(col("text")))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
+    val nDocs = writeCorpus(spark, nBase, vocabMod = 49999,
+      parts = 32, out = out)
     println(s"HEAVYDUP corpus: $nDocs docs " +
       f"(${1.0 - nBase.toDouble / nDocs}%.2f near-dup rate)")
 

@@ -52,41 +52,28 @@ class DedupScaleSpec extends SparkSpec {
 
   test("sparse corpus: AQE still picks the broadcast join at runtime " +
     "(dropping the hint costs nothing at fixture scale)") {
-    for (key <- Seq("llm_split_leakage_safe", "llm_dedup_apply")) {
+    for ((key, joinType) <- Seq(
+      "llm_split_leakage_safe" -> "LeftOuter",
+      "llm_dedup_apply" -> "LeftAnti")) {
       val df = SparkEntry.queries(key)(spark, sparseDir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin"),
-        s"$key: AQE should broadcast the small pair-derived frame at " +
-          s"sparse fixture scale:\n$plan")
+      assert(s"BroadcastHashJoin.*$joinType".r.findFirstIn(plan)
+        .isDefined,
+        s"$key: AQE should broadcast the small pair-derived frame " +
+          s"($joinType) at sparse fixture scale:\n$plan")
     }
   }
 
-  /** ~56 % near-dup corpus, documents-table schema: 2200 unique bases
-    * + 2800 near-copies (each copy mutates ONE of 24 tokens, so
-    * 3-gram Jaccard vs its base ≈ 19/25 = 0.76 ≥ the 0.6 verify
-    * threshold, and base/copy ids keep copies as the higher — losing
-    * — pair side). */
+  /** ~56 % near-dup corpus, documents-table schema — the drill tool's
+    * shared recipe (`tools.HeavyDup.writeCorpus`: one definition for
+    * the spec and the BASELINE drill, so a threshold or schema change
+    * cannot drift them apart) at spec scale. */
   private def heavyDupCorpus(): String = {
-    import spark.implicits._
-    val nBase = 2200
-    val rows = (0 until nBase).flatMap { b =>
-      val toks = (0 until 24).map(j => s"w${(b * 31 + j * 7) % 1997}x$j")
-      val base = (b.toLong, toks.mkString(" "), if (b % 5 == 0) "de"
-        else "en", s"src${b % 4}")
-      val copies = (0 until (b % 3)).map { c =>
-        val mut = toks.updated(5 + c, s"mut${b}c$c")
-        ((nBase + b * 2 + c).toLong, mut.mkString(" "),
-          base._3, s"src${(b + c + 1) % 4}")
-      }
-      base +: copies
-    }
     val dir = java.nio.file.Files
       .createTempDirectory("graft-heavydup").toString
-    rows.toDF("doc_id", "text", "lang", "source")
-      .withColumn("n_chars", length(col("text")))
-      .repartition(4)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.tools.HeavyDup.writeCorpus(spark, nBase = 2200,
+      vocabMod = 1997, parts = 4, out = dir)
     dir
   }
 
@@ -112,7 +99,10 @@ class DedupScaleSpec extends SparkSpec {
           rows.mkString("\n"))
       assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
         "every doc lands in exactly one split")
-      assert(!plan.contains("BroadcastHashJoin LeftOuter"),
+      // the node prints its join keys between name and type, so the
+      // lock must be a same-line regex, not a contiguous substring
+      // (a contiguous match can never fire — review r13)
+      assert("BroadcastHashJoin.*LeftOuter".r.findFirstIn(plan).isEmpty,
         s"with broadcast disabled the labels join must degrade to a " +
           s"shuffle join (no forced hint):\n$plan")
 
@@ -121,7 +111,7 @@ class DedupScaleSpec extends SparkSpec {
       val apply = SparkEntry.queries("llm_dedup_apply")(spark, dir)
       val aPlan = { apply.collect();
         apply.queryExecution.executedPlan.toString }
-      assert(!aPlan.contains("BroadcastHashJoin LeftAnti"),
+      assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(aPlan).isEmpty,
         s"with broadcast disabled the losers anti-join must degrade " +
           s"to a shuffle join:\n$aPlan")
       val survivors = apply.collect().map(_.getAs[Long]("n_docs")).sum

@@ -160,8 +160,15 @@ class StatsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"q82 must not plan a single-partition exchange:\n$plan")
-    assert(!plan.contains("windowspecdefinition()"),
-      s"q82 must not plan an unpartitioned window:\n$plan")
+    // unpartitioned windows are checked on the LOGICAL plan (the
+    // printed windowspecdefinition always carries order columns, so a
+    // substring probe can never fire — review r13)
+    val unpartitioned = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"q82 must not plan an unpartitioned window: $unpartitioned")
     assert(plan.contains("hashpartitioning(__r_rank_pid") ||
       plan.contains("hashpartitioning(____r_rank_pid"),
       s"the recency axis must shuffle on its explicit bucket id:\n$plan")
