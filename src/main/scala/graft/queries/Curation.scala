@@ -96,6 +96,7 @@ object Curation {
     bm25StatsCache.clear()
     mgSketchCache.clear()
     cmsSketchCache.clear()
+    bpeMergesCache.clear()
   }
 
   // ---- llm_vocab_topk: corpus vocabulary, top-k by frequency --------
@@ -1840,6 +1841,178 @@ object Curation {
       |FROM pr GROUP BY 1, 2
       |ORDER BY cnt DESC, left_sym, right_sym LIMIT 20""".stripMargin
 
+  // ---- llm_bpe_train / llm_bpe_apply: full BPE training loop ---------
+  // The complete Sennrich '16 tokenizer-training loop, not just the
+  // first merge decision (llm_bpe_pairs is round 1's census):
+  // `BpeMerges` rounds of (pair census over the VOCABULARY → argmax →
+  // apply the merge to every vocab word), then the learned merge
+  // table applied back to the corpus as a per-source token census.
+  //
+  // Scale shape — the reason real BPE trainers scale at all: every
+  // round operates on the session unigram ARTIFACT (|vocabulary|
+  // rows, built from one corpus tokenization pass and persisted), so
+  // training cost is rounds × O(Σ|w| over the VOCABULARY) with the
+  // corpus never re-read. Each round is one tiny shuffle (pair
+  // alphabet) + a TakeOrdered(1) argmax — the only driver residency
+  // is the 1-row argmax per round, the bounded one-row-meta class.
+  // The apply side is vocabulary-sized too: distinct words get their
+  // post-merge symbol counts, then one broadcast-sized join against
+  // the per-(source, word) term-stats artifact — the corpus is
+  // never re-scanned, let alone re-tokenized, at any stage.
+  //
+  // Determinism: counts are exact integer sums; the argmax tie-break
+  // is (cnt DESC, left, right) on both engines; merges REPLACE
+  // left-to-right non-overlapping, which is exactly greedy BPE when
+  // each symbol is individually bracketed (`<t><a><b>` — a shared
+  // delimiter like a space would let one match consume the boundary
+  // of the next: replace(' b a b a ', ' b a ') misses the second
+  // merge, the classic space-join bug). Java String.replace and
+  // DuckDB replace() share the scan-original-left-to-right contract
+  // (verified: 'xaxaxa'/'xaxa' → 'yxa' on both). Bracket chars can
+  // never collide with symbol text because training filters the
+  // vocabulary to purely alphabetic words.
+  private val BpeMerges = 8
+
+  /** Alpha-word vocab as (w, b = per-symbol-bracketed form, u) after
+    * applying `merges` in order. */
+  private def bpeVocabAfter(uni: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val base = uni.filter(col("w").rlike("^[a-z]+$"))
+      .select(col("w"), regexp_replace(col("w"), "(.)", "<$1>").as("b"),
+        col("u"))
+    merges.foldLeft(base) { case (v, (l, r)) =>
+      v.withColumn("b",
+        replace(col("b"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
+    }
+  }
+
+  /** Weighted adjacent-pair census over a bracketed vocab frame. */
+  private def bpePairCensus(vocab: DataFrame): DataFrame =
+    vocab.select(col("u"),
+        split(col("b").substr(lit(2), length(col("b")) - 2), "><").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("u"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("z"))
+      .groupBy(col("z").getField("0").as("left_sym"),
+        col("z").getField("1").as("right_sym"))
+      .agg(sum(col("u")).cast(LongType).as("cnt"))
+
+  private val bpeMergesCache =
+    new graft.operators.PlanCache[Int, Seq[(String, String, Long)]]()
+
+  /** The learned merge table — session build-once/serve-many (both
+    * keys and any future tokenizer consumer share one training run).
+    * Stops early if the vocabulary fully merges before `n` rounds. */
+  private[queries] def bpeMergesFor(documents: DataFrame,
+      n: Int): Seq[(String, String, Long)] =
+    bpeMergesCache.get(documents, n) {
+      val uni = unigramCounts(documents)
+      val acc = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var exhausted = false
+      for (_ <- 1 to n if !exhausted) {
+        val vocab = bpeVocabAfter(uni, acc.toSeq.map(m => (m._1, m._2)))
+        val top = bpePairCensus(vocab)
+          .orderBy(col("cnt").desc, col("left_sym"), col("right_sym"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else acc += ((top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2)))
+      }
+      acc.toSeq
+    }
+
+  private val bpeTrain: Q = (s, dir) => {
+    val ms = bpeMergesFor(t(s, dir, "documents"), BpeMerges)
+    import s.implicits._
+    ms.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+      .toDF("merge_round", "left_sym", "right_sym", "cnt")
+      .orderBy(col("merge_round"))
+  }
+
+  /** The per-round oracle chain: p/m/v CTEs mirroring one census +
+    * argmax + merge application round each. */
+  private def bpeRoundSqlBlocks(n: Int): String = (1 to n).map { r =>
+    s"""p$r AS (
+       |  SELECT tk[i] AS l, tk[i + 1] AS r, CAST(sum(u) AS BIGINT) AS cnt
+       |  FROM (SELECT string_split(substring(b, 2, length(b) - 2), '><')
+       |          AS tk, u FROM v${r - 1}) s,
+       |    unnest(generate_series(1, len(tk) - 1)) AS t(i)
+       |  GROUP BY 1, 2),
+       |m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+       |v$r AS (
+       |  SELECT w, replace(b, '<' || l || '><' || r || '>',
+       |    '<' || l || r || '>') AS b, u
+       |  FROM v${r - 1} CROSS JOIN m$r)""".stripMargin
+  }.mkString(",\n")
+
+  private val bpeBaseSql =
+    """uni AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS u
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |v0 AS (
+      |  SELECT w, regexp_replace(w, '(.)', '<\1>', 'g') AS b, u
+      |  FROM uni WHERE regexp_full_match(w, '[a-z]+'))""".stripMargin
+
+  private val bpeTrainSql = {
+    val union = (1 to BpeMerges).map { r =>
+      val cast = if (r == 1) "CAST(1 AS BIGINT)" else s"$r"
+      s"SELECT $cast AS merge_round, l AS left_sym, r AS right_sym, cnt FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $bpeBaseSql,
+       |${bpeRoundSqlBlocks(BpeMerges)}
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY merge_round""".stripMargin
+  }
+
+  // Apply: per-source token census under the learned merges. The
+  // chars-per-token compression dial is the tokenizer-fertility
+  // metric a pretraining pipeline tracks per source; the rational is
+  // exact-integer halfUp'd (the documented cross-engine round(double)
+  // tie class). Non-alpha words are outside the trained vocabulary
+  // and are excluded from the census on both engines (the wt join).
+  private val bpeApply: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val ms = bpeMergesFor(docs, BpeMerges).map(m => (m._1, m._2))
+    val wordTok = bpeVocabAfter(unigramCounts(docs), ms)
+      .select(col("w"),
+        (length(col("b")) - length(replace(col("b"), lit(">"), lit(""))))
+          .cast(LongType).as("n_sym"))
+    termStats(docs)
+      .join(wordTok, Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).cast(LongType).as("n_words"),
+        sum(col("tf") * length(col("w"))).cast(LongType).as("n_chars"),
+        sum(col("tf") * col("n_sym")).cast(LongType).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        halfUp(col("n_chars"), col("n_tokens"), 4).as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
+  private val bpeApplySql =
+    s"""WITH $bpeBaseSql,
+       |${bpeRoundSqlBlocks(BpeMerges)},
+       |st AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |wt AS (SELECT w, length(b) - length(replace(b, '>', '')) AS n_sym
+       |       FROM v$BpeMerges)
+       |SELECT source,
+       |  CAST(sum(tf) AS BIGINT) AS n_words,
+       |  CAST(sum(tf * length(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(tf * n_sym) AS BIGINT) AS n_tokens,
+       |  CAST((2 * sum(tf * length(w)) * 10000 + sum(tf * n_sym))
+       |       // (2 * sum(tf * n_sym)) AS DOUBLE) / 10000.0
+       |    AS chars_per_token
+       |FROM st JOIN wt USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- llm_hybrid_rrf: reciprocal-rank-fusion hybrid retrieval -------
   // The fusion step of a modern two-leg retrieval stack (lexical BM25
   // + dense cosine, Cormack et al. '09): each leg contributes
@@ -1991,6 +2164,8 @@ object Curation {
     "llm_retrieval_ndcg" -> retrievalNdcg,
     "llm_hybrid_rrf" -> hybridRrf,
     "llm_bpe_pairs" -> bpePairs,
+    "llm_bpe_train" -> bpeTrain,
+    "llm_bpe_apply" -> bpeApply,
     "llm_bigram_lm" -> bigramLm,
     "llm_pmi_bigrams" -> pmi,
     "llm_stratified_sample" -> stratified,
@@ -2029,6 +2204,11 @@ object Curation {
     "llm_retrieval_ndcg" -> retrievalNdcgSql,
     "llm_hybrid_rrf" -> hybridRrfSql,
     "llm_bpe_pairs" -> bpePairsSql,
+    // exact integer pair counts; the argmax tie-break (cnt DESC, l, r)
+    // and the bracketed-replace merge are identical on both engines
+    "llm_bpe_train" -> bpeTrainSql,
+    // integer token censuses; the chars-per-token rational is halfUp'd
+    "llm_bpe_apply" -> bpeApplySql,
     "llm_quality_buckets" -> qualityBucketsSql,
     "llm_pmi_bigrams" -> pmiSql,
     "llm_stratified_sample" -> stratifiedSql,
