@@ -1396,6 +1396,68 @@ object Curation {
       |SELECT doc_id, source, weight, round(key_raw, 8) AS sample_key
       |FROM scored ORDER BY key_raw, doc_id LIMIT 200""".stripMargin
 
+  // ---- llm_oov_rate: vocabulary-coverage curve ------------------------
+  // Tokenizer/vocab budget planning: for candidate vocabulary sizes V,
+  // the fraction of corpus TOKEN OCCURRENCES not covered by the top-V
+  // words (frequency-ranked, (count DESC, word) tie-break) — the
+  // curve a pipeline reads to pick a vocab size before training a
+  // tokenizer, and the drift dial that says when a fixed vocab has
+  // aged out of its corpus. Served from the session term-stats
+  // artifact: the rank window and the conditional sums run over the
+  // VOCABULARY (≪ corpus, the zipf_fit class); all four thresholds
+  // come out of ONE aggregate pass, exploded to rows driver-free.
+  // Exact integers everywhere; the oov rational is halfUp'd.
+  private val OovVocabSizes = Seq(100L, 500L, 1000L, 2000L)
+
+  private val oovRate: Q = (s, dir) => {
+    val freq = termStats(t(s, dir, "documents"))
+      .groupBy(col("w")).agg(sum(col("tf")).as("f"))
+    val ranked = freq.select(col("f"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("w"))).as("r"))
+    val firstAgg = sum(col("f")).cast(LongType).as("total")
+    val restAggs = OovVocabSizes.map(v =>
+      sum(when(col("r") <= v, col("f")).otherwise(0L))
+        .cast(LongType).as(s"c$v"))
+    ranked.agg(firstAgg, restAggs: _*)
+      .select(explode(array(OovVocabSizes.map(v => struct(
+        lit(v).as("vocab_size"),
+        col(s"c$v").as("n_covered_tokens"),
+        col("total").as("n_total_tokens"),
+        halfUp(col("total") - col(s"c$v"), col("total"), 6)
+          .as("oov_rate"))): _*)).as("z"))
+      .select(col("z.vocab_size"), col("z.n_covered_tokens"),
+        col("z.n_total_tokens"), col("z.oov_rate"))
+      .orderBy(col("vocab_size"))
+  }
+
+  private val oovRateSql = {
+    val cells = OovVocabSizes.map(v =>
+      s"""    CAST(sum(CASE WHEN r <= $v THEN f ELSE 0 END) AS BIGINT)
+         |      AS c$v""".stripMargin).mkString(",\n")
+    val union = OovVocabSizes.zipWithIndex.map { case (v, i) =>
+      val cast = if (i == 0) s"CAST($v AS BIGINT)" else s"$v"
+      s"""  SELECT $cast AS vocab_size, c$v AS n_covered_tokens,
+         |    total AS n_total_tokens,
+         |    CAST((2 * (total - c$v) * 1000000 + total)
+         |         // (2 * total) AS DOUBLE) / 1000000.0 AS oov_rate
+         |  FROM s""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH freq AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |ranked AS (
+       |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM freq),
+       |s AS (
+       |  SELECT CAST(sum(f) AS BIGINT) AS total,
+       |$cells
+       |  FROM ranked)
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY vocab_size""".stripMargin
+  }
+
   // ---- llm_zipf_fit: Zipf's-law slope of the corpus frequency curve --
   // Corpus-health diagnostic (a natural corpus fits ln(freq) ≈
   // intercept + slope·ln(rank) with slope ≈ -1; a heavily duplicated
@@ -2171,6 +2233,7 @@ object Curation {
     "llm_stratified_sample" -> stratified,
     "llm_weighted_sample" -> weightedSample,
     "llm_zipf_fit" -> zipfFit,
+    "llm_oov_rate" -> oovRate,
     "llm_domain_importance" -> domainImportance,
     "q58_bloom_join" -> q58,
     "q59_heavy_hitters" -> q59,
@@ -2214,6 +2277,8 @@ object Curation {
     "llm_stratified_sample" -> stratifiedSql,
     "llm_weighted_sample" -> weightedSampleSql,
     "llm_zipf_fit" -> zipfFitSql,
+    // exact token sums; the oov rational is halfUp'd
+    "llm_oov_rate" -> oovRateSql,
     "llm_domain_importance" -> domainImportanceSql,
     "q58_bloom_join" -> q58Sql,
     // sketch estimates are merge-order-dependent; the BOUND is

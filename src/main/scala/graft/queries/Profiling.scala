@@ -488,17 +488,91 @@ object Profiling {
       |  CAST(2 * auc6 - 1000000 AS DOUBLE) / 1000000.0 AS gini
       |FROM x""".stripMargin
 
+  // ---- q109_k_anonymity: quasi-identifier re-identification audit ----
+  // The privacy screen a dataset release (or a training-corpus
+  // metadata table) runs before publication: group rows by their
+  // quasi-identifier tuple — here (nation, market segment, account-
+  // balance band) — and report, for each k threshold, how many
+  // equivalence classes and how many ROWS sit in classes smaller than
+  // k (a row in a size-1 class is uniquely re-identifiable from the
+  // quasi-identifiers alone; k-anonymity demands every class ≥ k).
+  //
+  // Scale shape: one hash-aggregation to the classes frame, whose
+  // cardinality is bounded by the quasi-identifier DOMAIN product
+  // (|nations| × |segments| × |balance bands| — fixed-domain
+  // metadata, not corpus-sized), then all thresholds come out of ONE
+  // aggregate pass over it, exploded to rows driver-free. No windows,
+  // no joins. Determinism: the balance band is floor of a single IEEE
+  // double division both engines perform identically on the same
+  // 2-decimal money values; everything else is exact integers, and
+  // the at-risk fraction is halfUp'd.
+  private val KAnonThresholds = Seq(2L, 5L, 10L)
+
+  private val q109: Q = (s, dir) => {
+    val classes = t(s, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast(LongType).as("band"))
+      .agg(count(lit(1)).as("k"))
+    val firstAgg = sum(col("k")).cast(LongType).as("total")
+    val restAggs = KAnonThresholds.flatMap(th => Seq(
+      sum(when(col("k") < th, 1L).otherwise(0L))
+        .cast(LongType).as(s"c$th"),
+      sum(when(col("k") < th, col("k")).otherwise(0L))
+        .cast(LongType).as(s"r$th")))
+    classes.agg(firstAgg, restAggs: _*)
+      .select(explode(array(KAnonThresholds.map(th => struct(
+        lit(th).as("k_threshold"),
+        col(s"c$th").as("n_classes_below"),
+        col(s"r$th").as("n_rows_below"),
+        halfUp(col(s"r$th"), col("total"), 6)
+          .as("pct_rows_below"))): _*)).as("z"))
+      .select(col("z.k_threshold"), col("z.n_classes_below"),
+        col("z.n_rows_below"), col("z.pct_rows_below"))
+      .orderBy(col("k_threshold"))
+  }
+
+  private val q109Sql = {
+    val cells = KAnonThresholds.map(th =>
+      s"""    CAST(sum(CASE WHEN k < $th THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c$th,
+         |    CAST(sum(CASE WHEN k < $th THEN k ELSE 0 END) AS BIGINT)
+         |      AS r$th""".stripMargin).mkString(",\n")
+    val union = KAnonThresholds.zipWithIndex.map { case (th, i) =>
+      val cast = if (i == 0) s"CAST($th AS BIGINT)" else s"$th"
+      s"""  SELECT $cast AS k_threshold, c$th AS n_classes_below,
+         |    r$th AS n_rows_below,
+         |    CAST((2 * r$th * 1000000 + total)
+         |         // (2 * total) AS DOUBLE) / 1000000.0 AS pct_rows_below
+         |  FROM s""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH cls AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+       |    count(*) AS k
+       |  FROM customer GROUP BY 1, 2, 3),
+       |s AS (
+       |  SELECT CAST(sum(k) AS BIGINT) AS total,
+       |$cells
+       |  FROM cls)
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY k_threshold""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q98_profile" -> q98,
     "q99_changepoint" -> q99,
     "q100_decile_lift" -> q100,
     "q104_psi" -> q104,
-    "q105_auc" -> q105)
+    "q105_auc" -> q105,
+    "q109_k_anonymity" -> q109)
 
   val oracles: Map[String, String] = Map(
     "q98_profile" -> q98Sql,
     "q99_changepoint" -> q99Sql,
     "q100_decile_lift" -> q100Sql,
     "q104_psi" -> q104Sql,
-    "q105_auc" -> q105Sql)
+    "q105_auc" -> q105Sql,
+    // exact class censuses; the at-risk fraction is halfUp'd
+    "q109_k_anonymity" -> q109Sql)
 }

@@ -215,4 +215,30 @@ class ProfilingSpec extends SparkSpec {
         s"survival drifted from the product form: $r vs $s2")
     }
   }
+
+  test("q109: class censuses match a from-scratch quasi-identifier " +
+    "grouping of the collected customer rows") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q109_k_anonymity")
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 5L, 10L))
+    val cust = graft.Tables(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+    val classes = cust.groupBy(r => (r.getInt(0), r.getString(1),
+      math.floor(r.getDouble(2) / 1000).toLong)).map(_._2.size.toLong)
+    val total = cust.length.toLong
+    for (r <- rows) {
+      val th = r.getLong(0)
+      val below = classes.filter(_ < th)
+      assert(r.getLong(1) == below.size.toLong, s"k<$th n_classes")
+      assert(r.getLong(2) == below.sum, s"k<$th n_rows")
+      val want = math.floor((2.0 * below.sum * 1e6 + total) /
+        (2.0 * total)) / 1e6
+      assert(r.getDouble(3) == want, s"k<$th pct")
+      // thresholds are nested: counts must be monotone in k
+    }
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a <= b },
+      "n_rows_below must be monotone in k_threshold")
+  }
 }

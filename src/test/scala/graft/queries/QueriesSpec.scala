@@ -795,6 +795,30 @@ class QueriesSpec extends SparkSpec {
     assert(r.getDouble(1) < 0.0, s"slope ${r.getDouble(1)} not negative")
   }
 
+  test("llm_oov_rate: coverage ties out against a collected frequency " +
+    "ranking, and the curve is monotone in vocab size") {
+    val rows = SparkEntry.queries("llm_oov_rate")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(100L, 500L, 1000L, 2000L))
+    val freq = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (w, c) => (-c, w) }
+    val total = freq.map(_._2).sum
+    for (r <- rows) {
+      val v = r.getLong(0).toInt
+      val covered = freq.take(v).map(_._2).sum
+      assert(r.getLong(1) == covered, s"V=$v covered")
+      assert(r.getLong(2) == total, s"V=$v total")
+      val want = math.floor((2.0 * (total - covered) * 1e6 + total) /
+        (2.0 * total)) / 1e6
+      assert(r.getDouble(3) == want, s"V=$v oov_rate")
+    }
+    val oov = rows.map(_.getDouble(3))
+    assert(oov.zip(oov.tail).forall { case (a, b) => a >= b },
+      "oov_rate must not increase with vocab size")
+  }
+
   test("llm_ann_sq8: quantized candidate search recovers (nearly all " +
     "of) the exact top-10, via integer candidate scores") {
     val sq8 = SparkEntry.queries("llm_ann_sq8")(spark, dir).collect()
