@@ -1963,26 +1963,69 @@ object Curation {
   private val bpeMergesCache =
     new graft.operators.PlanCache[Int, Seq[(String, String, Long)]]()
 
+  /** The training loop over an explicit unigram frame (w, u). */
+  private def bpeTrainLoop(uni: DataFrame,
+      n: Int): Seq[(String, String, Long)] = {
+    val acc = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var exhausted = false
+    for (_ <- 1 to n if !exhausted) {
+      val vocab = bpeVocabAfter(uni, acc.toSeq.map(m => (m._1, m._2)))
+      val top = bpePairCensus(vocab)
+        .orderBy(col("cnt").desc, col("left_sym"), col("right_sym"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else acc += ((top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2)))
+    }
+    acc.toSeq
+  }
+
   /** The learned merge table — session build-once/serve-many (both
     * keys and any future tokenizer consumer share one training run).
     * Stops early if the vocabulary fully merges before `n` rounds. */
   private[queries] def bpeMergesFor(documents: DataFrame,
       n: Int): Seq[(String, String, Long)] =
     bpeMergesCache.get(documents, n) {
-      val uni = unigramCounts(documents)
-      val acc = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-      var exhausted = false
-      for (_ <- 1 to n if !exhausted) {
-        val vocab = bpeVocabAfter(uni, acc.toSeq.map(m => (m._1, m._2)))
-        val top = bpePairCensus(vocab)
-          .orderBy(col("cnt").desc, col("left_sym"), col("right_sym"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else acc += ((top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2)))
-      }
-      acc.toSeq
+      bpeTrainLoop(unigramCounts(documents), n)
     }
+
+  /** UNCACHED training from a one-off frame (the stream maintainer's
+    * creation batch — its plan never recurs, so the session artifact
+    * caches must not persist it; the LmScoreStream discipline). */
+  private[graft] def bpeMergesUncached(documents: DataFrame,
+      n: Int): Seq[(String, String, Long)] =
+    bpeTrainLoop(
+      documents.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("u")), n)
+
+  /** Per-doc token census under a FIXED merge table — the shared
+    * scorer behind the batch apply key's per-source census and the
+    * [[graft.streaming.BpeStream]] maintainer: (doc_id, n_words,
+    * n_chars, n_tokens) over the doc's alphabetic words. Docs with no
+    * alphabetic word (or null text) emit no row — the scoreDocsWith
+    * contract; the maintainer tracks them through its seen store. */
+  private[graft] def bpeTokenCountsWith(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val tok = merges.foldLeft(
+      words.select(col("w")).distinct()
+        .select(col("w"), regexp_replace(col("w"), "(.)", "<$1>").as("b"))) {
+        case (v, (l, r)) =>
+          v.withColumn("b",
+            replace(col("b"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
+      }
+      .select(col("w"),
+        (length(col("b")) - length(replace(col("b"), lit(">"), lit(""))))
+          .cast(LongType).as("n_sym"))
+    words.join(tok, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("n_words"),
+        sum(col("c") * length(col("w"))).cast(LongType).as("n_chars"),
+        sum(col("c") * col("n_sym")).cast(LongType).as("n_tokens"))
+  }
 
   private val bpeTrain: Q = (s, dir) => {
     val ms = bpeMergesFor(t(s, dir, "documents"), BpeMerges)
