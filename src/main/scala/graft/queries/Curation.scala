@@ -1935,18 +1935,42 @@ object Curation {
   // vocabulary to purely alphabetic words.
   private val BpeMerges = 8
 
-  /** Alpha-word vocab as (w, b = per-symbol-bracketed form, u) after
-    * applying `merges` in order. */
-  private def bpeVocabAfter(uni: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
-    val base = uni.filter(col("w").rlike("^[a-z]+$"))
-      .select(col("w"), regexp_replace(col("w"), "(.)", "<$1>").as("b"),
-        col("u"))
-    merges.foldLeft(base) { case (v, (l, r)) =>
+  /** Purely-alphabetic word test. \A..\z anchors, not ^..$: Java's $
+    * also matches BEFORE a final line terminator, so a word carrying a
+    * trailing newline would enter Spark's vocabulary while DuckDB's
+    * regexp_full_match excluded it — a cross-engine vocab divergence
+    * (round-13 review). */
+  private def bpeAlpha(c: org.apache.spark.sql.Column) =
+    c.rlike("\\A[a-z]+\\z")
+
+  /** Fold the merge table, in order, over a frame's bracketed `b`. */
+  private def bpeFold(bracketed: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(bracketed) { case (v, (l, r)) =>
       v.withColumn("b",
         replace(col("b"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
     }
-  }
+
+  /** (w, n_sym): post-merge symbol count per word — the ONE shared
+    * merge-application site for every census consumer (the batch
+    * apply key and the BpeStream maintainer must never drift apart on
+    * bracketing or replace semantics). Each symbol contributes exactly
+    * one '>', so n_sym is a length difference. */
+  private[queries] def bpeSymCounts(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    bpeFold(words.select(col("w"),
+        regexp_replace(col("w"), "(.)", "<$1>").as("b")), merges)
+      .select(col("w"),
+        (length(col("b")) - length(replace(col("b"), lit(">"), lit(""))))
+          .cast(LongType).as("n_sym"))
+
+  /** Alpha-word vocab as (w, b = per-symbol-bracketed form, u) after
+    * applying `merges` in order. */
+  private def bpeVocabAfter(uni: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    bpeFold(uni.filter(bpeAlpha(col("w")))
+      .select(col("w"), regexp_replace(col("w"), "(.)", "<$1>").as("b"),
+        col("u")), merges)
 
   /** Weighted adjacent-pair census over a bracketed vocab frame. */
   private def bpePairCensus(vocab: DataFrame): DataFrame =
@@ -2008,18 +2032,9 @@ object Curation {
       merges: Seq[(String, String)]): DataFrame = {
     val words = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
+      .filter(bpeAlpha(col("w")))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-    val tok = merges.foldLeft(
-      words.select(col("w")).distinct()
-        .select(col("w"), regexp_replace(col("w"), "(.)", "<$1>").as("b"))) {
-        case (v, (l, r)) =>
-          v.withColumn("b",
-            replace(col("b"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
-      }
-      .select(col("w"),
-        (length(col("b")) - length(replace(col("b"), lit(">"), lit(""))))
-          .cast(LongType).as("n_sym"))
+    val tok = bpeSymCounts(words.select(col("w")).distinct(), merges)
     words.join(tok, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast(LongType).as("n_words"),
@@ -2047,9 +2062,14 @@ object Curation {
        |  GROUP BY 1, 2),
        |m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
        |v$r AS (
-       |  SELECT w, replace(b, '<' || l || '><' || r || '>',
-       |    '<' || l || r || '>') AS b, u
-       |  FROM v${r - 1} CROSS JOIN m$r)""".stripMargin
+       |  -- LEFT JOIN ON TRUE, not CROSS JOIN: when training exhausts
+       |  -- early m$r is EMPTY, and a cross join would annihilate the
+       |  -- vocabulary (the apply census would read zero rows while
+       |  -- the engine prices the full corpus — round-13 review)
+       |  SELECT w, CASE WHEN l IS NULL THEN b
+       |    ELSE replace(b, '<' || l || '><' || r || '>',
+       |      '<' || l || r || '>') END AS b, u
+       |  FROM v${r - 1} LEFT JOIN m$r ON TRUE)""".stripMargin
   }.mkString(",\n")
 
   private val bpeBaseSql =
@@ -2082,10 +2102,8 @@ object Curation {
   private val bpeApply: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val ms = bpeMergesFor(docs, BpeMerges).map(m => (m._1, m._2))
-    val wordTok = bpeVocabAfter(unigramCounts(docs), ms)
-      .select(col("w"),
-        (length(col("b")) - length(replace(col("b"), lit(">"), lit(""))))
-          .cast(LongType).as("n_sym"))
+    val wordTok = bpeSymCounts(
+      unigramCounts(docs).filter(bpeAlpha(col("w"))).select(col("w")), ms)
     termStats(docs)
       .join(wordTok, Seq("w"))
       .groupBy(col("source"))
