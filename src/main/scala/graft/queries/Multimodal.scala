@@ -273,13 +273,15 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    // provider-direct WAV write: AudioSystem's per-call provider
+    // lookup is globally synchronized and convoys the whole stage
+    // (see graft.functions.WavCodec)
+    graft.functions.WavCodec.write(ais, bos)
     WavRow(id, bos.toByteArray)
   }
 
   private def decodeWav(r: WavRow): AudioMeta = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val ais = graft.functions.WavCodec.read(
       new java.io.ByteArrayInputStream(r.wav))
     val fmt = ais.getFormat
     // channels == 1 is part of the contract: the checksum loop below
@@ -1915,8 +1917,8 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    // provider-direct WAV write (WavCodec: no per-call registry lock)
+    graft.functions.WavCodec.write(ais, bos)
     AfpWav(id * 2 + variant, bos.toByteArray)
   }
 
@@ -1927,7 +1929,7 @@ object Multimodal {
   }
 
   private def afpHashOf(r: AfpWav): PhashRow = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val ais = graft.functions.WavCodec.read(
       new java.io.ByteArrayInputStream(r.wav))
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
