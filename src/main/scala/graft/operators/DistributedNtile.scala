@@ -86,8 +86,7 @@ object DistributedNtile {
       order: Seq[Column]): (DataFrame, String) = {
     require(order.nonEmpty, "ranking needs at least one ordering column")
     val b = RangeBuckets.plan(df, order)
-    val pid = s"__${out}_pid"; val lrn = s"__${out}_lrn"
-    val off = s"__${out}_off"; val nTot = s"__${out}_n"
+    val pid = s"__${out}_pid"
     val bucketed = df.withColumn(pid, b.pid)
 
     // per-bucket counts -> driver (≤ MaxBuckets rows; the limit makes
@@ -97,10 +96,24 @@ object DistributedNtile {
       .groupBy(col(pid)).agg(count(lit(1)).as("c"))
       .limit(RangeBuckets.MaxBuckets + 1)
       .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    rankOverBuckets(bucketed, pid, counted, out, order)
+  }
+
+  /** The post-count rank plan: offsets from one driver prefix sum over
+    * the collected per-bucket counts, then ONE corpus exchange —
+    * per-bucket `row_number` plus the broadcast offsets join. Shared
+    * by [[rankedWithTotal]] (which runs its own count job) and
+    * [[tilesMany]] (which counts every axis in one job). */
+  private def rankOverBuckets(bucketed: DataFrame, pid: String,
+      counted: Array[(Int, Long)], out: String,
+      order: Seq[Column]): (DataFrame, String) = {
+    val lrn = s"__${out}_lrn"
+    val off = s"__${out}_off"; val nTot = s"__${out}_n"
     require(counted.length <= RangeBuckets.MaxBuckets,
       s"DistributedNtile($out): more buckets than RangeBuckets can " +
         "have planned — bucket ids are corrupt")
-    val counts = counted.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val counts = counted.sortBy(_._1)
     counts.foreach { case (p, c) =>
       require(c < Int.MaxValue.toLong,
         s"DistributedNtile($out): bucket $p holds $c rows (>= 2^31): " +
@@ -117,7 +130,7 @@ object DistributedNtile {
     counts.foreach { case (p, c) =>
       offRows.add(Row(p, running, c)); running += c
     }
-    val offDf = df.sparkSession.createDataFrame(offRows,
+    val offDf = bucketed.sparkSession.createDataFrame(offRows,
       StructType(Seq(StructField(pid, IntegerType, nullable = false),
         StructField(off, LongType, nullable = false),
         StructField(cnt, LongType, nullable = false))))
@@ -306,4 +319,57 @@ object DistributedNtile {
       order: Column*): DataFrame =
     withNtile(df, k, out, order: _*)
       .select((keys.map(col) :+ col(out)): _*)
+
+  /** SEVERAL [[tiles]] axes over ONE frame from shared construction
+    * jobs: one sketch pass samples every axis's key columns together
+    * ([[RangeBuckets.planMany]]) and one count job aggregates every
+    * axis's per-bucket counts (explode to (axis, bucket), map-side
+    * combined, ≤ axes × MaxBuckets rows to the driver) — versus one
+    * sketch + one count job PER AXIS for independent [[tiles]] calls.
+    * The served tile frames are plan-identical to the per-axis form
+    * (same bucket search, same window, same broadcast offsets join),
+    * so consumers' plan budgets and results are unchanged; only the
+    * number of eager construction passes over the input drops
+    * (2 × axes → 2). q82's three RFM axes: 6 → 2 eager jobs. */
+  def tilesMany(df: DataFrame, k: Int, keys: Seq[String],
+      axes: Seq[(String, Seq[Column])]): Seq[DataFrame] = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    require(axes.nonEmpty, "tilesMany needs at least one axis")
+    val buckets = RangeBuckets.planMany(df, axes.map(_._2))
+    // same hidden-column naming as the per-axis path (withNtile →
+    // rankedWithTotal): rank "__<out>_rank", its pid "____<out>_rank_pid"
+    val pids = axes.map { case (out, _) => s"____${out}_rank_pid" }
+    val bucketed = axes.indices.foldLeft(df) { (d, i) =>
+      d.withColumn(pids(i), buckets(i).pid)
+    }
+    // one count job for every axis: (axis, bucket) cells, map-side
+    // combined; the limit bounds driver residency BEFORE the collect
+    val cap = axes.length * (RangeBuckets.MaxBuckets + 1)
+    val cells = bucketed
+      .select(posexplode(array(axes.indices.map(i =>
+        struct(lit(i).as("ax"), col(pids(i)).as("pid"))): _*))
+        .as(Seq("__p", "__c")))
+      .groupBy(col("__c.ax").as("ax"), col("__c.pid").as("pid"))
+      .agg(count(lit(1)).as("c"))
+      .limit(cap + 1)
+      .collect()
+    require(cells.length <= cap,
+      "DistributedNtile(tilesMany): more (axis, bucket) cells than " +
+        "RangeBuckets can have planned — bucket ids are corrupt")
+    val byAxis = cells.groupBy(_.getInt(0))
+    axes.zipWithIndex.map { case ((out, order), i) =>
+      val counted = byAxis.getOrElse(i, Array.empty[Row])
+        .map(r => (r.getInt(1), r.getLong(2)))
+      val rk = s"__${out}_rank" // so pids(i) == s"__${rk}_pid"
+      // full bucketed frame in: the window needs the axis's order
+      // columns; the final keys-only select prunes the other axes'
+      // pid columns out of this axis's exchange (Catalyst column
+      // pruning — the served plan matches the per-axis tiles() form)
+      val (ranked, nTot) = rankOverBuckets(
+        bucketed, pids(i), counted, rk, order)
+      ranked
+        .withColumn(out, tile(col(rk), col(nTot), k).cast(IntegerType))
+        .select((keys.map(col) :+ col(out)): _*)
+    }
+  }
 }

@@ -90,23 +90,46 @@ object RangeBuckets {
   /** Plan a bucketing of `df` under the (possibly desc) total order
     * `order`. Runs ONE Spark job (the sketch pass over the pruned key
     * columns); everything else is driver arithmetic. */
-  def plan(df: DataFrame, order: Seq[Column]): Bucketing = {
-    require(order.nonEmpty, "range bucketing needs an ordering")
-    val sos = order.map(sortOrderOf)
-    val keyCols = sos.map(so => GraftBridge.column(so.child))
-    val keyed = df.select(
-      keyCols.zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*)
-    val schema = keyed.schema
+  def plan(df: DataFrame, order: Seq[Column]): Bucketing =
+    planMany(df, Seq(order)).head
 
-    // ordering over the key struct honoring each column's direction
-    // and null placement — shared by the driver boundary sort and the
-    // per-row binary search, so they cannot disagree
-    val bound = sos.zipWithIndex.map { case (so, i) =>
-      SortOrder(
-        BoundReference(i, schema(i).dataType, schema(i).nullable),
-        so.direction, so.nullOrdering, Seq.empty)
+  /** Plan SEVERAL bucketings of the same frame — one per ordering —
+    * from ONE shared sketch job. A multi-axis consumer (q82 tiles the
+    * customer aggregate on three independent orders) otherwise pays
+    * one sketch pass per axis over the identical input; the sampled
+    * rows carry every axis's key columns, so each axis's boundary pick
+    * is driver arithmetic over the same reservoir. Boundary quality is
+    * per-axis identical to [[plan]]'s (same reservoir discipline, same
+    * weighted merge); only the number of input passes changes. */
+  def planMany(df: DataFrame, orders: Seq[Seq[Column]]): Seq[Bucketing] = {
+    require(orders.nonEmpty && orders.forall(_.nonEmpty),
+      "range bucketing needs at least one ordering column per axis")
+    val axes = orders.map(_.map(sortOrderOf))
+    // one flat projection of every axis's key columns; axis i's keys
+    // live at offsets off(i) until off(i+1)
+    val flat = axes.flatten
+    val keyed = df.select(
+      flat.zipWithIndex.map { case (so, i) =>
+        GraftBridge.column(so.child).as(s"k$i")
+      }: _*)
+    val schema = keyed.schema
+    val offsets = axes.scanLeft(0)(_ + _.length)
+
+    // per-axis ordering over the axis's key sub-struct (offsets are
+    // LOCAL to the axis struct: the boundary rows and the per-row
+    // binary-search struct both contain only that axis's keys) —
+    // honoring each column's direction and null placement, shared by
+    // the driver boundary sort and the per-row binary search, so they
+    // cannot disagree
+    val axisOrderings = axes.zipWithIndex.map { case (sos, a) =>
+      val base = offsets(a)
+      new InterpretedOrdering(sos.zipWithIndex.map { case (so, i) =>
+        SortOrder(
+          BoundReference(i, schema(base + i).dataType,
+            schema(base + i).nullable),
+          so.direction, so.nullOrdering, Seq.empty)
+      })
     }
-    val ordering = new InterpretedOrdering(bound)
 
     // one pass: exact per-partition counts + a fixed-size reservoir
     // per partition (deterministically seeded; determinism is a
@@ -146,42 +169,53 @@ object RangeBuckets {
       math.min(wanted, MaxBuckets.toLong).toInt,
       df.sparkSession.sparkContext.defaultParallelism)
 
-    // weighted merge of the reservoirs: a row sampled from a partition
-    // of n_i rows with reservoir size s_i stands for n_i / s_i rows
-    val conv = CatalystTypeConverters.createToCatalystConverter(schema)
-    val weighted: Array[(InternalRow, Double)] = sketch.flatMap {
-      case (n, rows) =>
-        if (rows.isEmpty) Iterator.empty
-        else {
-          val w = n.toDouble / rows.length
-          rows.iterator.map(r => (conv(r).asInstanceOf[InternalRow], w))
-        }
-    }
-    java.util.Arrays.sort(weighted,
-      (a: (InternalRow, Double), b: (InternalRow, Double)) =>
-        ordering.compare(a._1, b._1))
-
-    // evenly-spaced-by-weight boundary pick; equal keys never repeat
-    // (a duplicate boundary would only create an empty bucket, but the
-    // skip keeps pid = bucket index honest)
-    val step = total.toDouble / numBuckets
-    val bnds = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    var cum = 0.0
-    var target = step
-    var i = 0
-    while (i < weighted.length && bnds.length < numBuckets - 1) {
-      cum += weighted(i)._2
-      if (cum >= target &&
-        (bnds.isEmpty || ordering.compare(bnds.last, weighted(i)._1) < 0)) {
-        bnds += weighted(i)._1
-        target += step
+    axes.zipWithIndex.map { case (sos, a) =>
+      val base = offsets(a)
+      val width = sos.length
+      val axisSchema = StructType(schema.fields.slice(base, base + width))
+      val ordering = axisOrderings(a)
+      // weighted merge of the reservoirs, projected to THIS axis's
+      // keys: a row sampled from a partition of n_i rows with
+      // reservoir size s_i stands for n_i / s_i rows
+      val conv = CatalystTypeConverters.createToCatalystConverter(axisSchema)
+      def proj(r: Row): Row =
+        if (offsets.last == width) r // single axis: rows are the keys
+        else Row.fromSeq((0 until width).map(i => r.get(base + i)))
+      val weighted: Array[(InternalRow, Double)] = sketch.flatMap {
+        case (n, rows) =>
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val w = n.toDouble / rows.length
+            rows.iterator.map(r =>
+              (conv(proj(r)).asInstanceOf[InternalRow], w))
+          }
       }
-      i += 1
-    }
+      java.util.Arrays.sort(weighted,
+        (x: (InternalRow, Double), y: (InternalRow, Double)) =>
+          ordering.compare(x._1, y._1))
 
-    val pid = GraftBridge.column(RangeBucketSearch(
-      CreateStruct(sos.map(_.child)), bnds.toArray, ordering))
-    Bucketing(pid, bnds.length + 1, total, schema, ordering)
+      // evenly-spaced-by-weight boundary pick; equal keys never repeat
+      // (a duplicate boundary would only create an empty bucket, but
+      // the skip keeps pid = bucket index honest)
+      val step = total.toDouble / numBuckets
+      val bnds = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      var cum = 0.0
+      var target = step
+      var i = 0
+      while (i < weighted.length && bnds.length < numBuckets - 1) {
+        cum += weighted(i)._2
+        if (cum >= target &&
+          (bnds.isEmpty || ordering.compare(bnds.last, weighted(i)._1) < 0)) {
+          bnds += weighted(i)._1
+          target += step
+        }
+        i += 1
+      }
+
+      val pid = GraftBridge.column(RangeBucketSearch(
+        CreateStruct(sos.map(_.child)), bnds.toArray, ordering))
+      Bucketing(pid, bnds.length + 1, total, axisSchema, ordering)
+    }
   }
 }
 

@@ -449,14 +449,18 @@ object Stats {
     // the customer key (see DistributedNtile.tiles: chaining them
     // would serialize ~5 scheduling quanta per axis for no reason —
     // each axis depends only on cust, whose agg stages AQE reuses
-    // across the subtrees)
+    // across the subtrees). tilesMany (round 13) shares ONE sketch
+    // pass and ONE count job across the three axes (6 → 2 eager
+    // construction jobs / input passes); the served tile plans are
+    // unchanged.
+    val Seq(rT, fT, mT) = nt.tilesMany(cust, 4, Seq("o_custkey"), Seq(
+      ("r", Seq(col("last_day").desc, col("o_custkey"))),
+      ("f", Seq(col("frequency").desc, col("o_custkey"))),
+      ("m", Seq(col("monetary").desc, col("o_custkey")))))
     val seg = cust
-      .join(nt.tiles(cust, 4, "r", Seq("o_custkey"),
-        col("last_day").desc, col("o_custkey")), Seq("o_custkey"))
-      .join(nt.tiles(cust, 4, "f", Seq("o_custkey"),
-        col("frequency").desc, col("o_custkey")), Seq("o_custkey"))
-      .join(nt.tiles(cust, 4, "m", Seq("o_custkey"),
-        col("monetary").desc, col("o_custkey")), Seq("o_custkey"))
+      .join(rT, Seq("o_custkey"))
+      .join(fT, Seq("o_custkey"))
+      .join(mT, Seq("o_custkey"))
     seg.groupBy(col("r"), col("f"), col("m"))
       .agg(count(lit(1)).as("n_customers"),
         d(sum(col("monetary"))).as("seg_spend"))

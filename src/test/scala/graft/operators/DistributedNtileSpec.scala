@@ -190,4 +190,34 @@ class DistributedNtileSpec extends SparkSpec {
       DistributedNtile.withNtile(df, 4, "t")
     }
   }
+
+  test("tilesMany equals independent tiles calls on every axis " +
+    "(shared sketch/count jobs change nothing observable)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val df = (0 until 500).map(i =>
+      (i.toLong, rnd.nextInt(120), rnd.nextInt(40), rnd.nextDouble()))
+      .toDF("id", "a", "b", "c")
+    val axes = Seq(
+      ("ta", Seq(col("a").desc, col("id"))),
+      ("tb", Seq(col("b").asc, col("id"))),
+      ("tc", Seq(col("c").desc, col("id"))))
+    val many = DistributedNtile.tilesMany(df, 4, Seq("id"), axes)
+    axes.zip(many).foreach { case ((out, order), got) =>
+      val want = DistributedNtile.tiles(df, 4, out, Seq("id"), order: _*)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"tilesMany axis $out diverges from tiles()")
+      // and against the plain window ntile, the ground truth
+      val win = df.select(col("id"),
+        ntile(4).over(Window.orderBy(order: _*)).as(out))
+      assert(got.except(win).isEmpty && win.except(got).isEmpty,
+        s"tilesMany axis $out diverges from window ntile")
+    }
+    // the shared-jobs form must keep the per-axis plan shape: bucket-id
+    // hash exchange, no single-partition exchange
+    val p = many.head.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition") &&
+      p.contains("hashpartitioning(____ta_rank_pid"),
+      s"tilesMany must keep the per-axis bucket exchange shape:\n$p")
+  }
 }
