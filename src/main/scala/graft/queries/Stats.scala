@@ -279,6 +279,24 @@ object Stats {
           .cast(LongType).as("cents"))
       .agg(count(lit(1)).cast(LongType).as("c"))
 
+  // session-persisted value-histogram cells (build-once/serve-many,
+  // the PlanCache contract): q76's fences and q80's median/MAD both
+  // derive from the SAME (event_type, cents, c) histogram — exactly
+  // the state `streaming.QuantileHistStream` maintains additively —
+  // yet each ran its own corpus aggregation per invocation (and q80's
+  // med/dev subtrees read the cells twice). The frame is bounded by
+  // the cents grid (≤ ~49k buckets × event types), so MEMORY_AND_DISK
+  // residency is a few MB at any corpus size.
+  // snapshot semantics documented on graft.operators.PlanCache
+  private val cellsCache = new graft.operators.PlanCache[Unit, DataFrame](
+    df => { df.unpersist(); () })
+
+  /** Session-cached [[valueCells]] for an events frame. */
+  private[graft] def valueCellsIndex(events: DataFrame): DataFrame =
+    cellsCache.get(events, ())(
+      valueCells(events)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Witness quantiles over a (key, value, c) HISTOGRAM: the value at
     * rank r is the smallest bucket whose cumulative count reaches r —
     * identical to row-level rank selection by construction (same
@@ -329,7 +347,7 @@ object Stats {
   }
 
   private val q80: Q = (s, dir) =>
-    madOfCells(valueCells(Events.events(s, dir)))
+    madOfCells(valueCellsIndex(Events.events(s, dir)))
 
   private val q80Sql =
     """WITH w AS (
