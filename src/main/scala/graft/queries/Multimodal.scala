@@ -2084,8 +2084,18 @@ object Multimodal {
     * codes carry the IVF cell id through the argmin and the LUT fold
     * adds the centroid term — same discipline, different shape.) */
   private[graft] def adcScores(vecs: DataFrame, cb: DataFrame,
-      qv: DataFrame): DataFrame = {
-    val dist = vecs.crossJoin(broadcast(cb))
+      qv: DataFrame): DataFrame =
+    adcServe(pqCodes(vecs, cb), cb, qv)
+
+  /** The PQ ENCODE pass — (vec_id, s, code): nearest codeword per
+    * (vector, subspace), exact L2 in a mirrored fold, ties on code
+    * id. This frame IS the compressed index (8 code bytes per
+    * vector); splitting it from [[adcServe]] lets the query entries
+    * cache it per corpus snapshot the way ivfIndex caches its cell
+    * assignment, while [[adcScores]] keeps the one fused definition
+    * the stream maintainer and the specs pin. */
+  private[graft] def pqCodes(vecs: DataFrame, cb: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("cand"),
         posexplode(expr(
           """transform(sequence(0, 7), s ->
@@ -2094,10 +2104,37 @@ object Multimodal {
             |                     (x, y) -> (x - y) * (x - y)),
             |            0D, (a, v) -> a + v))""".stripMargin))
           .as(Seq("s", "d2")))
-    val codes = dist
       .groupBy(col("vec_id"), col("s"))
       .agg(min_by(col("cand"), struct(col("d2"), col("cand")))
         .as("code"))
+
+  // session-persisted PQ code frames (build-once/serve-many): the
+  // encode pass is the index BUILD — production PQ serving scans the
+  // 8-byte-per-vector code table and never re-encodes the corpus per
+  // query. Persisting codes is the same residency class as the
+  // ivfIndex assignment (O(corpus) rows × a few small ints — the 32×
+  // memory-compression artifact itself).
+  // snapshot semantics documented on graft.operators.PlanCache
+  private val pqCodesCache = new graft.operators.PlanCache[String, DataFrame](
+    df => { df.unpersist(); () })
+
+  /** Session-cached [[pqCodes]]. Keyed by a STABLE source frame's plan
+    * + a variant tag, NOT by the encode input itself: the OPQ path's
+    * permuted vectors ride a per-invocation lazy checkpoint whose plan
+    * never compares equal across invocations (an RDD-id scan), which
+    * would turn the cache into a leak of one persisted frame per call.
+    * The encode input is a pure function of (source frame, variant) at
+    * every call site, so the stable key identifies the codes. */
+  private[graft] def pqCodesIndex(key: DataFrame, tag: String,
+      vecs: DataFrame, cb: DataFrame): DataFrame =
+    pqCodesCache.get(key, tag)(
+      pqCodes(vecs, cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** ADC serving over an encoded frame: LUT + fold in subspace order
+    * (see [[adcScores]]). */
+  private[graft] def adcServe(codes: DataFrame, cb: DataFrame,
+      qv: DataFrame): DataFrame = {
     // ADC lookup table: dot(q_s, codeword) per (s, cand) — 128 rows
     val lut = cb.crossJoin(broadcast(qv))
       .select(col("cand"),
@@ -2125,7 +2162,10 @@ object Multimodal {
       expr("transform(embedding, x -> cast(x as double))").as("ed"))
     val cb = pqCodebook(e)
     val q = e.filter(col("vec_id") === 0).select(col("ed").as("qe"))
-    val adc = adcScores(e, cb, q.select(col("qe").as("qd")))
+    // serve from the session code table (the index); encode runs once
+    // per corpus snapshot, exactly like ivfIndex's cell assignment
+    val adc = adcServe(pqCodesIndex(e, "pq", e, cb), cb,
+      q.select(col("qe").as("qd")))
       .filter(col("vec_id") =!= 0)
       .orderBy(col("adc").desc, col("vec_id")).limit(10)
     // exact re-rank leg: true cosine of the shortlist (q29 tree)
@@ -2229,11 +2269,16 @@ object Multimodal {
             |                     (x, y) -> (x - y) * (x - y)),
             |            0D, (a, v) -> a + v))""".stripMargin))
           .as(Seq("s", "d2")))
-    // map-side argmin per (vector, subspace) — the PQ/IVF discipline
-    val codes = dist
+    // map-side argmin per (vector, subspace) — the PQ/IVF discipline.
+    // Session-cached like the plain-PQ codes (pqCodesIndex): the
+    // residual code table is the IVF-PQ index — build once per corpus
+    // snapshot, serve per query. Keyed on (emb, "ivfpq"): the residual
+    // frame is a pure function of emb through the cached ivfIndex.
+    val codes = pqCodesCache.get(emb, "ivfpq")(dist
       .groupBy(col("vec_id"), col("cid"), col("s"))
       .agg(min_by(col("cand"), struct(col("d2"), col("cand")))
         .as("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val q = emb.filter(col("vec_id") === 0)
       .select(expr("transform(embedding, x -> cast(x as double))")
         .as("qe"))
@@ -2431,7 +2476,11 @@ object Multimodal {
     val cb = pqCodebook(pev)
     val q = pe.filter(col("vec_id") === 0)
       .select(col("ed").as("qe"), col("pd").as("qd"))
-    val adc = adcScores(pev, cb, q.select(col("qd")))
+    // cached on (e, "opq"): pev is a pure function of e (variance
+    // ranking + snake allocation are deterministic), but its own plan
+    // carries the per-invocation checkpoint RDD — see pqCodesIndex
+    val adc = adcServe(pqCodesIndex(e, "opq", pev, cb), cb,
+      q.select(col("qd")))
       .filter(col("vec_id") =!= 0)
       .orderBy(col("adc").desc, col("vec_id")).limit(10)
     adc
