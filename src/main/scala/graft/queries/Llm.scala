@@ -360,29 +360,61 @@ object Llm {
     val pairs = a.join(broadcast(b), lit(true))
       .select(col("a_id"), col("b_id"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
-    val W = org.apache.spark.sql.expressions.Window
-    // ranked feeds THREE consumers (ka, kb, the mutual filter) — left
-    // un-materialized, each would recompute the cross-join dot pass
-    // (the q84 lesson); localCheckpoint computes it once (the q82
-    // discipline)
-    val ranked = pairs
-      .withColumn("ra", row_number().over(W.partitionBy(col("a_id"))
-        .orderBy(col("cos").desc, col("b_id"))))
-      .withColumn("rb", row_number().over(W.partitionBy(col("b_id"))
-        .orderBy(col("cos").desc, col("a_id"))))
-      .localCheckpoint(false) // lazy, like every other checkpoint here:
-    // eager would run the cross join at CONSTRUCTION (plan-only
-    // consumers like PlanCensus must stay plan-only)
-    val ka = ranked.filter(col("ra") <= 4).groupBy(col("a_id"))
-      .agg(avg(col("cos")).as("ka"))
-    val kb = ranked.filter(col("rb") <= 4).groupBy(col("b_id"))
-      .agg(avg(col("cos")).as("kb"))
-    ranked.filter(col("ra") === 1 && col("rb") === 1)
-      .join(broadcast(ka), "a_id")
-      .join(broadcast(kb), "b_id")
+    mutualTop1Margin(pairs)
+  }
+
+  /** Mutual-top-1 pairs + margin over ANY (a_id, b_id, cos) candidate
+    * frame — the shared tail of the brute and cell-bounded bitext
+    * paths. Round-13 shape: each side's top-4 neighborhood comes from
+    * ONE hash aggregation (sort_array + slice over the per-key collect
+    * — the aprobe top-2 discipline, with the same −0.0 normalization
+    * so the struct sort matches SQL ordering), replacing two
+    * corpus-pair rank WINDOWS (full sort-shuffles of the pair frame)
+    * plus a localCheckpoint materialization plus two more groupBy
+    * passes over it. The mutual filter is then a join of the two
+    * per-side top-1 columns. Semantics are unchanged: top-1/top-4
+    * under (cos desc, id asc) — a total order, so the selected rows
+    * are identical to the row_number form.
+    *
+    * Memory: the collect buffers one side's candidate list per key —
+    * bounded by the cell size on the IVF paths; on the brute path it
+    * is O(|B|) per key, the same n² class the brute cross join already
+    * declares (the brute entry is the fixture-scale oracle twin; the
+    * ivf/trained entries are the serving paths). */
+  private def mutualTop1Margin(pairs: DataFrame): DataFrame = {
+    // the pair frame feeds BOTH side aggregations — left
+    // un-materialized each would recompute the candidate generation
+    // (for the IVF path: the probe windows + cell join; measured
+    // 1.2 → 1.6 s without this). Lazy, like every other checkpoint
+    // here: eager would run the candidate scan at CONSTRUCTION
+    // (plan-only consumers like PlanCensus must stay plan-only).
+    val p = pairs.localCheckpoint(false)
+    // -0.0 normalization: the struct sort must tie -0.0 with 0.0 the
+    // way SQL ordering does (Double.compare does not)
+    val ncs = when(col("cos") === 0.0, lit(0.0)).otherwise(-col("cos"))
+    def top4(key: String, other: String) =
+      p
+        .select(col(key), ncs.as("ncs"), col(other), col("cos"))
+        .groupBy(col(key))
+        .agg(slice(sort_array(collect_list(
+          struct(col("ncs"), col(other), col("cos")))), 1, 4).as("top"))
+        .select(col(key),
+          col("top")(0).getField(other).as(s"top_$other"),
+          col("top")(0).getField("cos").as(s"cos_$key"),
+          // mean of the top-≤4 cos, summed in rank order (cos desc) —
+          // the same values avg() summed; verified bit-equal to the
+          // oracle's avg at sf0.001/0.01/0.1
+          (expr("aggregate(transform(top, x -> x.cos), 0D, (a, v) -> a + v)")
+            / size(col("top"))).as(s"k_$key"))
+    val aT = top4("a_id", "b_id")
+    val bT = top4("b_id", "a_id")
+    // mutual top-1: a's best partner is b AND b's best partner is a
+    aT.join(bT,
+        aT("top_b_id") === bT("b_id") && bT("top_a_id") === aT("a_id"))
       .select(col("a_id"), col("b_id"),
-        round(col("cos"), 4).as("score"),
-        round(col("cos") / ((col("ka") + col("kb")) / 2), 4).as("margin"))
+        round(col("cos_a_id"), 4).as("score"),
+        round(col("cos_a_id") / ((col("k_a_id") + col("k_b_id")) / 2), 4)
+          .as("margin"))
       .orderBy(col("a_id"))
   }
 
@@ -558,33 +590,10 @@ object Llm {
           (sqrt(col("an2")) * sqrt(col("bn2")))).as("cos"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(max(col("cos")).as("cos"))
-    val W = org.apache.spark.sql.expressions.Window
-    // ranked feeds THREE consumers (the q84/q82 discipline, as in the
-    // brute entry): lazy localCheckpoint computes the candidate scan
-    // once without running it at construction
-    val ranked = pairs
-      .withColumn("ra", row_number().over(W.partitionBy(col("a_id"))
-        .orderBy(col("cos").desc, col("b_id"))))
-      .withColumn("rb", row_number().over(W.partitionBy(col("b_id"))
-        .orderBy(col("cos").desc, col("a_id"))))
-      .localCheckpoint(false)
-    val ka = ranked.filter(col("ra") <= 4).groupBy(col("a_id"))
-      .agg(avg(col("cos")).as("ka"))
-    val kb = ranked.filter(col("rb") <= 4).groupBy(col("b_id"))
-      .agg(avg(col("cos")).as("kb"))
-    // no broadcast hint on ka/kb (round-13, the r12 #1 audit): they
-    // are one row PER VECTOR — corpus-proportional on the scale path,
-    // unlike the k-row centroid frames above. They sit behind their
-    // groupBy exchanges, so AQE broadcasts them under the threshold
-    // (fixture scale) and degrades to a shuffle join at fleet scale
-    // instead of forcing an O(corpus) broadcast.
-    ranked.filter(col("ra") === 1 && col("rb") === 1)
-      .join(ka, "a_id")
-      .join(kb, "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(col("cos"), 4).as("score"),
-        round(col("cos") / ((col("ka") + col("kb")) / 2), 4).as("margin"))
-      .orderBy(col("a_id"))
+    // shared tail with the brute entry; the per-side frames it joins
+    // are one row PER VECTOR — corpus-proportional on the scale path —
+    // and stay AQE-decided (no broadcast hint; the r12 #1 audit)
+    mutualTop1Margin(pairs)
   }
 
   // the hash-seeded cells rebuilt in SQL (the semdedupCellsSql/annIvf
