@@ -2181,7 +2181,11 @@ object Multimodal {
   private val annPq: Q = (s, dir) => {
     val e = t(s, dir, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("ed"))
-    val cb = pqCodebook(e)
+    // the 16-row codebook is the other half of the PQ index: cache it
+    // beside the codes (its per-invocation rebuild was an orderBy +
+    // limit + window chain — pure scheduling quanta at serving time)
+    val cb = pqCodesCache.get(e, "pq-cb")(pqCodebook(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val q = e.filter(col("vec_id") === 0).select(col("ed").as("qe"))
     // serve from the session code table (the index); encode runs once
     // per corpus snapshot, exactly like ivfIndex's cell assignment
@@ -2275,12 +2279,15 @@ object Multimodal {
                |  (x, y) -> cast(x as double) - cast(y as double))"""
           .stripMargin).as("rd"))
     val cbW = Window.orderBy(col("h"), col("vec_id"))
-    val cb = e
+    // 16-row residual codebook — cached beside the code table
+    // (pqCodesCache): it is the other half of the IVF-PQ index
+    val cb = pqCodesCache.get(emb, "ivfpq-cb")(e
       .select(md5(col("vec_id").cast(StringType)).as("h"),
         col("vec_id"), col("rd").as("cv"))
       .orderBy(col("h"), col("vec_id")).limit(16)
       .withColumn("cand", row_number().over(cbW) - 1) // 16-row frame
       .select(col("cand"), col("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dist = e.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("cid"), col("cand"),
         posexplode(expr(
@@ -2480,13 +2487,15 @@ object Multimodal {
         Window.orderBy(col("vp").desc, col("dim"))) - 1)
       .withColumn("s", expr(
         "CASE WHEN (r DIV 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END"))
-    // lazy checkpoint: pe feeds three consumers (codebook, encode,
-    // query); without it each would re-run the n×64 variance pass
-    val perm = ranked
+    // the 1-row dim permutation is OPQ's trained rotation — a session
+    // index artifact like the codes and codebook (round 13; it was a
+    // per-invocation lazy checkpoint before, so every serving call
+    // re-ran the n×64 variance pass once)
+    val perm = pqCodesCache.get(e, "opq-perm")(ranked
       .agg(expr(
         "transform(sort_array(collect_list(struct(s, r, dim)))," +
           " x -> x.dim)").as("pm"))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pe = e.crossJoin(broadcast(perm))
       .select(col("vec_id"), col("ed"), expr(
         "transform(sequence(1, 64), i -> element_at(ed, element_at(pm, i)))")
@@ -2494,12 +2503,13 @@ object Multimodal {
     // from here: the SHARED PQ pipeline (pqCodebook + adcScores —
     // llm_ann_pq's exact trees) over the permuted vectors
     val pev = pe.select(col("vec_id"), col("pd").as("ed"))
-    val cb = pqCodebook(pev)
+    val cb = pqCodesCache.get(e, "opq-cb")(pqCodebook(pev)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val q = pe.filter(col("vec_id") === 0)
       .select(col("ed").as("qe"), col("pd").as("qd"))
     // cached on (e, "opq"): pev is a pure function of e (variance
-    // ranking + snake allocation are deterministic), but its own plan
-    // carries the per-invocation checkpoint RDD — see pqCodesIndex
+    // ranking + snake allocation are deterministic) — the stable
+    // source frame keys every OPQ artifact (perm, cb, codes)
     val adc = adcServe(pqCodesIndex(e, "opq", pev, cb), cb,
       q.select(col("qd")))
       .filter(col("vec_id") =!= 0)
