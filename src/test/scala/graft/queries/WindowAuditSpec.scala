@@ -45,6 +45,13 @@ class WindowAuditSpec extends SparkSpec {
 
   private def aggCovered(p: LogicalPlan): Boolean = p match {
     case _: Aggregate => true
+    // a session artifact (PlanCache + persist — the q76/q80 value
+    // cells, PQ codebooks…) substitutes an InMemoryRelation leaf for
+    // the derivation subtree; audit the CACHED logical plan, so a
+    // bounded-cells frame stays recognized as one when served from
+    // the cache (round 13)
+    case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+      aggCovered(m.cacheBuilder.logicalPlan)
     case l if l.children.isEmpty => false
     case n => n.children.forall(aggCovered)
   }
