@@ -199,18 +199,54 @@ object Bench {
       persist()
     }
 
-    // Print the full line, then a short total-only line LAST: the
-    // driver tail-captures a fixed window of stdout, and at 85 queries
-    // the full line's head (including "value") falls outside it
-    // (r1/r2/r4 recorded parsed:null). The short line is <120 bytes
-    // and always lands inside any tail capture.
+    // Print the full line, then per-query CHUNK lines, then a short
+    // total-only line LAST: the driver tail-captures a fixed ~2 KB
+    // window of stdout, and at 191 queries the full line (~6 KB)
+    // never fits — its head (including "value") falls outside the
+    // window (r1/r2/r4 recorded parsed:null) and no per-query data
+    // parses at all (PERF r13 per_query came back empty, VERDICT r13
+    // What's-wrong #2). Each chunk line is an independently
+    // parseable <900-byte JSON object carrying a slice of the same
+    // queries map, so whatever suffix of stdout the capture window
+    // holds still yields whole per-query entries; `bench_last.json`
+    // (persisted after every round, full inventory) remains the
+    // complete per-query artifact. The short line is <120 bytes and
+    // always lands inside any tail capture. Timed path unchanged.
     val total = best.values.sum
     println(renderFull())
+    renderChunks(ordered.map(_._1), best).foreach(println)
     println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n":${ordered.size},"nerrors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 
   private def j(v: Double): String = f"$v%.4f"
+
+  /** The per-query map as a sequence of <900-byte JSON lines, each a
+    * self-contained `{"metric":"queries_chunk",...}` object (see the
+    * print-site comment: the driver's stdout tail is ~2 KB, so only
+    * lines that fit whole in that suffix parse). */
+  private[graft] def renderChunks(names: Seq[String],
+      best: collection.Map[String, Double]): Seq[String] = {
+    val entries = names.map(k =>
+      "\"" + k + "\":" + best.get(k).map(j).getOrElse("-1"))
+    val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    var cur = scala.collection.mutable.ArrayBuffer[String]()
+    var len = 0
+    entries.foreach { e =>
+      if (len + e.length > 800 && cur.nonEmpty) {
+        chunks += cur.toSeq
+        cur = scala.collection.mutable.ArrayBuffer[String]()
+        len = 0
+      }
+      cur += e; len += e.length + 1
+    }
+    if (cur.nonEmpty) chunks += cur.toSeq
+    val n = chunks.length
+    chunks.zipWithIndex.map { case (c, i) =>
+      s"""{"metric":"queries_chunk","part":${i + 1},"nparts":$n,""" +
+        s""""queries":${c.mkString("{", ",", "}")}}"""
+    }.toSeq
+  }
 
   /** The concurrent-serving A/B: warm round (JIT/codegen), timed
     * sequential pass, timed N-thread pass under FAIR pools. Wall-clock

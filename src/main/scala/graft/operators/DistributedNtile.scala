@@ -331,6 +331,121 @@ object DistributedNtile {
     * so consumers' plan budgets and results are unchanged; only the
     * number of eager construction passes over the input drops
     * (2 × axes → 2). q82's three RFM axes: 6 → 2 eager jobs. */
+  /** Every [[tiles]] axis served from ONE corpus exchange (round-14,
+    * VERDICT r13 Next #3): [[tilesMany]] shares the construction jobs
+    * but still pays one hash exchange + window + broadcast-offsets
+    * join PER AXIS at serve time (q82: three axes ≈ 3 × ~5 scheduling
+    * quanta). Here each row explodes into one (axis, bucket) row —
+    * shuffle bytes ≈ the same total the per-axis exchanges moved,
+    * since each per-axis exchange shipped its own copy of the frame —
+    * and ONE window partitioned by (axis, bucket) ranks all axes:
+    * each partition's masked order columns reduce to exactly its own
+    * axis's ordering (other axes' keys are null-constant within the
+    * partition, so they never decide), so per-axis ranks, and the
+    * tiles derived from them, are IDENTICAL to the per-axis form
+    * (parity pinned in DistributedNtileSpec). One broadcast
+    * (axis, bucket, offset) join and one per-key pivot aggregation
+    * replace three offset joins and three re-joins on the key.
+    *
+    * Returns keys + one IntegerType tile column per axis. */
+  def tilesFused(df: DataFrame, k: Int, keys: Seq[String],
+      axes: Seq[(String, Seq[Column])]): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    require(axes.nonEmpty, "tilesFused needs at least one axis")
+    val buckets = RangeBuckets.planMany(df, axes.map(_._2))
+    val pids = axes.map { case (out, _) => s"__${out}_fpid" }
+    val bucketed = axes.indices.foldLeft(df) { (d, i) =>
+      d.withColumn(pids(i), buckets(i).pid)
+    }
+    // one count job for every axis (the tilesMany discipline):
+    // (axis, bucket) cells, map-side combined; the limit bounds
+    // driver residency BEFORE the collect
+    val cap = axes.length * (RangeBuckets.MaxBuckets + 1)
+    val cells = bucketed
+      .select(posexplode(array(axes.indices.map(i =>
+        struct(lit(i).as("ax"), col(pids(i)).as("pid"))): _*))
+        .as(Seq("__p", "__c")))
+      .groupBy(col("__c.ax").as("ax"), col("__c.pid").as("pid"))
+      .agg(count(lit(1)).as("c"))
+      .limit(cap + 1)
+      .collect()
+    require(cells.length <= cap,
+      "DistributedNtile(tilesFused): more (axis, bucket) cells than " +
+        "RangeBuckets can have planned — bucket ids are corrupt")
+    val byAxis = cells.groupBy(_.getInt(0))
+    // per-axis prefix sums → ONE broadcast offsets frame
+    // (__ax, __pid, __off, __cnt, __n); __n is the axis's exact total
+    // from the SAME job (the rankOverBuckets tile-arithmetic rule)
+    val offRows = new java.util.ArrayList[Row]()
+    axes.indices.foreach { a =>
+      val counts = byAxis.getOrElse(a, Array.empty[Row])
+        .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+      counts.foreach { case (p, c) =>
+        require(c < Int.MaxValue.toLong,
+          s"DistributedNtile(tilesFused): bucket $p of axis $a holds " +
+            s"$c rows (>= 2^31): the ordering is not a total order — " +
+            "add a unique tiebreak column")
+      }
+      var running = 0L
+      val withOff = counts.map { case (p, c) =>
+        val o = running; running += c; (p, o, c)
+      }
+      withOff.foreach { case (p, o, c) =>
+        offRows.add(Row(a, p, o, c, running))
+      }
+    }
+    val offDf = df.sparkSession.createDataFrame(offRows,
+      StructType(Seq(
+        StructField("__ax", IntegerType, nullable = false),
+        StructField("__pid", IntegerType, nullable = false),
+        StructField("__off", LongType, nullable = false),
+        StructField("__cnt", LongType, nullable = false),
+        StructField("__n", LongType, nullable = false))))
+
+    // serve: ONE exchange of the (axis, bucket)-exploded rows, one
+    // window, one broadcast offsets join, one per-key pivot agg
+    val exploded = bucketed
+      .select(col("*"), explode(array(axes.indices.map(i =>
+        struct(lit(i).as("ax"), col(pids(i)).as("pid"))): _*)).as("__c"))
+      .withColumn("__ax", col("__c.ax"))
+      .withColumn("__pid", col("__c.pid"))
+    // masked per-axis order columns: axis a's keys where __ax = a,
+    // null elsewhere — within an (__ax, __pid) partition every other
+    // axis's column is null-constant, so the effective ordering is
+    // exactly axis a's (direction and null placement preserved from
+    // the caller's sort decoration)
+    val maskedOrder: Seq[Column] =
+      axes.zipWithIndex.flatMap { case ((_, ord), a) =>
+        ord.map { c =>
+          val (key, asc, nullsFirst) =
+            org.apache.spark.sql.GraftBridge.sortSpec(c)
+          val m = when(col("__ax") === a, key).otherwise(lit(null))
+          (asc, nullsFirst) match {
+            case (true, true)   => m.asc_nulls_first
+            case (true, false)  => m.asc_nulls_last
+            case (false, true)  => m.desc_nulls_first
+            case (false, false) => m.desc_nulls_last
+          }
+        }
+      }
+    val served = exploded
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("__ax"), col("__pid"))
+          .orderBy(maskedOrder: _*)))
+      .join(broadcast(offDf), Seq("__ax", "__pid"), "left")
+      .withColumn("__rank",
+        // snapshot-drift guard, both directions (see rankOverBuckets)
+        when(col("__off").isNull || col("__lrn") > col("__cnt"),
+          raiseMsg("tilesFused"))
+          .otherwise(col("__off") + col("__lrn")))
+      .withColumn("__tile",
+        tile(col("__rank"), col("__n"), k).cast(IntegerType))
+    val aggs = axes.zipWithIndex.map { case ((out, _), a) =>
+      max(when(col("__ax") === a, col("__tile"))).as(out)
+    }
+    served.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   def tilesMany(df: DataFrame, k: Int, keys: Seq[String],
       axes: Seq[(String, Seq[Column])]): Seq[DataFrame] = {
     require(k >= 1, s"ntile bucket count must be >= 1, got $k")

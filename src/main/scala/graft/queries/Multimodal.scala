@@ -169,9 +169,11 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    PngRow(id, bos.toByteArray)
+    // BEST_SPEED one-IDAT encoder (round-14): the JDK PNG writer has
+    // no compression dial and the deflate level dominated this stage;
+    // decoded pixels are identical (PngCodecSpec), only container
+    // bytes change — nothing downstream hashes container bytes
+    PngRow(id, graft.functions.PngCodec.encode(img))
   }
 
   private def decodePng(r: PngRow): ImageMeta = {
@@ -1440,9 +1442,8 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    PhashPng(docId * 2 + v, bos.toByteArray)
+    // BEST_SPEED encoder — see encodePng (round-14)
+    PhashPng(docId * 2 + v, graft.functions.PngCodec.encode(img))
   }
 
   private def phashOf(p: PhashPng): PhashRow = {

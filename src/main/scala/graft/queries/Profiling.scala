@@ -326,11 +326,29 @@ object Profiling {
   // of Spark's partial-aggregation order), one final round.
   private val q104: Q = (s, dir) => psiFor(t(s, dir, "documents"))
 
+  // session-persisted (source, b, c) histogram cells (round-14): the
+  // PSI derivation reads the cell frame FOUR times (per-source
+  // totals, blend totals, grand total, join base), and each read
+  // re-ran the corpus aggregation per invocation — yet the cells are
+  // exactly the state `streaming.HistStream` maintains additively
+  // (the q80 valueCells precedent). Bounded by sources × 10 buckets,
+  // so residency is KBs at any corpus size.
+  // snapshot semantics documented on graft.operators.PlanCache
+  private val psiCellsCache =
+    new graft.operators.PlanCache[Unit, DataFrame](df => {
+      df.unpersist(); ()
+    })
+
+  /** Test hook: drop the persisted PSI cell frame. */
+  private[graft] def clearPsiCells(): Unit = psiCellsCache.clear()
+
   /** q104's body over any documents frame — also the parity target of
     * the incremental maintainer (HistStreamSpec serves its PSI from
     * streamed state and requires byte-identical rows). */
   private[graft] def psiFor(documents: DataFrame): DataFrame =
-    psiOfCells(bucketCells(documents))
+    psiOfCells(psiCellsCache.get(documents, ())(
+      bucketCells(documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
   /** q104's bucketing — the ONE definition the batch/stream pair
     * shares (HistStream maintains exactly these cells). */

@@ -463,22 +463,21 @@ object Stats {
       // lesson) — partition-count-preserving, executor-local storage
       .localCheckpoint(false)
     val nt = graft.operators.DistributedNtile
-    // three INDEPENDENT tile axes as parallel subtrees re-joined on
-    // the customer key (see DistributedNtile.tiles: chaining them
-    // would serialize ~5 scheduling quanta per axis for no reason —
-    // each axis depends only on cust, whose agg stages AQE reuses
-    // across the subtrees). tilesMany (round 13) shares ONE sketch
-    // pass and ONE count job across the three axes (6 → 2 eager
-    // construction jobs / input passes); the served tile plans are
-    // unchanged.
-    val Seq(rT, fT, mT) = nt.tilesMany(cust, 4, Seq("o_custkey"), Seq(
+    // three INDEPENDENT tile axes. tilesMany (round 13) shared ONE
+    // sketch pass and ONE count job across the axes (6 → 2 eager
+    // construction jobs); tilesFused (round 14, VERDICT r13 Next #3)
+    // also serves all three tile columns from ONE corpus exchange —
+    // one (axis, bucket) window + one broadcast offsets join + one
+    // per-customer pivot replace three exchange+window+join pipelines
+    // and two of the three re-joins (17 → ~10 jobs at sf0.1). Ranks,
+    // and therefore tiles, are identical to the per-axis form
+    // (parity pinned in DistributedNtileSpec).
+    val tilesDf = nt.tilesFused(cust, 4, Seq("o_custkey"), Seq(
       ("r", Seq(col("last_day").desc, col("o_custkey"))),
       ("f", Seq(col("frequency").desc, col("o_custkey"))),
       ("m", Seq(col("monetary").desc, col("o_custkey")))))
     val seg = cust
-      .join(rT, Seq("o_custkey"))
-      .join(fT, Seq("o_custkey"))
-      .join(mT, Seq("o_custkey"))
+      .join(tilesDf, Seq("o_custkey"))
     seg.groupBy(col("r"), col("f"), col("m"))
       .agg(count(lit(1)).as("n_customers"),
         d(sum(col("monetary"))).as("seg_spend"))
@@ -527,18 +526,23 @@ object Stats {
     // steady-state serving is the broadcast joins + TakeOrdered only.
     val pairs = basketPairCountsFor(li)
     // item counts are catalog-sized (≪ baskets): broadcast both probe
-    // sides so the pair frame (the big side) never re-shuffles
+    // sides so the pair frame (the big side) never re-shuffles.
+    // Round-14: DATASET aliases instead of renaming projections — a
+    // projection below the broadcast made the two exchanges
+    // canonically different, so each invocation built the identical
+    // broadcast twice; with the rename above the exchange both joins
+    // share ONE build (ReusedExchange, 6 → 5 jobs at sf0.1).
+    val ia = item.as("ia")
+    val ib = item.as("ib")
     pairs
-      .join(broadcast(item.select(col("l_partkey").as("part_a"),
-        col("cnt").as("ca"))), Seq("part_a"))
-      .join(broadcast(item.select(col("l_partkey").as("part_b"),
-        col("cnt").as("cb"))), Seq("part_b"))
+      .join(broadcast(ia), col("part_a") === col("ia.l_partkey"))
+      .join(broadcast(ib), col("part_b") === col("ib.l_partkey"))
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("pc").as("n_both"),
         round(d(col("pc")) / col("n_orders"), 6).as("support"),
-        round(d(col("pc")) / col("ca"), 6).as("confidence"),
+        round(d(col("pc")) / col("ia.cnt"), 6).as("confidence"),
         round(d(col("pc")) * col("n_orders") /
-          (d(col("ca")) * col("cb")), 6).as("lift"))
+          (d(col("ia.cnt")) * col("ib.cnt")), 6).as("lift"))
       .orderBy(col("lift").desc, col("part_a"), col("part_b"))
       .limit(20)
   }
@@ -580,11 +584,17 @@ object Stats {
   // is the one-row census: nodes, edges, triangles, global
   // clustering coefficient.
   private val q84: Q = (s, dir) => {
-    val edges = supplierEdgesFor(t(s, dir, "lineitem"))
     val deg = supplierDegFor(t(s, dir, "lineitem"))
+    // n_edges = Σdeg / 2 (every edge contributes to exactly two
+    // nodes' degrees): the edge count rides the SAME one-row degree
+    // aggregate as the wedge count — the r13 form paid a separate
+    // edge-artifact count pass + its broadcast (round-14; 8 → 6 jobs
+    // at sf0.1). Σdeg is even by construction and ≪ 2^53, so the
+    // double division is exact and the cast loss-free.
     val wedges = deg.agg(
       sum(col("deg") * (col("deg") - 1) / 2).as("n_wedges"),
-      count(lit(1)).as("n_nodes"))
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast(LongType).as("n_edges"))
     // Degree-ordered orientation (each edge points from its lower
     // (degree, id) endpoint): every triangle has a unique minimum
     // vertex, whose two out-edges form the one counted wedge — wedge
@@ -602,8 +612,7 @@ object Stats {
         col("e1.t") === col("e3.s") && col("e2.t") === col("e3.t"),
         "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
-    val ne = edges.agg(count(lit(1)).as("n_edges"))
-    wedges.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+    wedges.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
           .as("clustering_coeff"))
@@ -1334,51 +1343,61 @@ object Stats {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
-    // ONE conditional aggregate per table carries every same-table
-    // constraint (the Deequ shape — r6 self-review: the first form
-    // scanned lineitem 4x / orders 3x); the combined row explodes
-    // into its report rows. Only referential integrity needs its own
-    // (anti-join) pass per fact table.
-    val liReport = li.agg(count(lit(1)).as("n_rows"),
+    // ONE pass per fact table carries EVERY constraint on it — the
+    // same-table conditional aggregates AND the referential-integrity
+    // count (round-14, VERDICT r13 Next #5): each fact table
+    // left-joins the DISTINCT parent keys (dedup makes the join
+    // row-preserving whatever the parent's key quality, so it counts
+    // exactly what the r13 anti-join counted — an unmatched row has a
+    // null parent key) and one combined aggregate emits row count,
+    // null/range/domain/uniqueness violations, and FK violations
+    // together. 8 table scans (r13: li×3, o×4, c×1) → 4 (li×1, o×2,
+    // c×1), stages 11 → ~7. At fixture scale the parent-key sides
+    // broadcast; at 100 TB AQE plans the same join SMJ — the exchange
+    // class the anti-join already paid, plus one dedup aggregation of
+    // the parent keys (pinned in StatsSpec: one lineitem scan).
+    val oKeys = o.select(col("o_orderkey").as("l_orderkey")).distinct()
+      .withColumn("__o_hit", lit(1))
+    val cKeys = c.select(col("c_custkey").as("o_custkey")).distinct()
+      .withColumn("__c_hit", lit(1))
+    val liAgg = li.join(oKeys, Seq("l_orderkey"), "left")
+      .agg(count(lit(1)).as("n_rows"),
         sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
           .as("v_null"),
         sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
-          .otherwise(0L)).as("v_range"))
+          .otherwise(0L)).as("v_range"),
+        sum(when(col("__o_hit").isNull, 1L).otherwise(0L)).as("v_fk"))
+    val oAgg = o.join(cKeys, Seq("o_custkey"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("v_key"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("v_domain"),
+        sum(when(col("__c_hit").isNull, 1L).otherwise(0L)).as("v_fk"))
+    val liReport = liAgg
       .select(explode(array(
         struct(lit("lineitem.l_shipdate not null")
           .as("constraint_name"), col("n_rows"),
           col("v_null").as("n_violations")),
         struct(lit("lineitem.l_discount in [0, 0.1]")
           .as("constraint_name"), col("n_rows"),
-          col("v_range").as("n_violations")))).as("r"))
+          col("v_range").as("n_violations")),
+        struct(lit("lineitem.l_orderkey -> orders")
+          .as("constraint_name"), col("n_rows"),
+          col("v_fk").as("n_violations")))).as("r"))
       .select(col("r.*"))
-    val oReport = o.agg(count(lit(1)).as("n_rows"),
-        (count(lit(1)) - countDistinct(col("o_orderkey")))
-          .as("v_key"),
-        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
-          .otherwise(0L)).as("v_domain"))
+    val oReport = oAgg
       .select(explode(array(
         struct(lit("orders.o_orderkey unique").as("constraint_name"),
           col("n_rows"), col("v_key").as("n_violations")),
         struct(lit("orders.o_orderstatus in (F, O, P)")
           .as("constraint_name"), col("n_rows"),
-          col("v_domain").as("n_violations")))).as("r"))
+          col("v_domain").as("n_violations")),
+        struct(lit("orders.o_custkey -> customer")
+          .as("constraint_name"), col("n_rows"),
+          col("v_fk").as("n_violations")))).as("r"))
       .select(col("r.*"))
-    val fkOrders = li
-      .join(o.select(col("o_orderkey").as("l_orderkey")),
-        Seq("l_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("n_violations"))
-      .crossJoin(broadcast(li.agg(count(lit(1)).as("n_rows"))))
-      .select(lit("lineitem.l_orderkey -> orders")
-        .as("constraint_name"), col("n_rows"), col("n_violations"))
-    val fkCust = o
-      .join(c.select(col("c_custkey").as("o_custkey")),
-        Seq("o_custkey"), "left_anti")
-      .agg(count(lit(1)).as("n_violations"))
-      .crossJoin(broadcast(o.agg(count(lit(1)).as("n_rows"))))
-      .select(lit("orders.o_custkey -> customer")
-        .as("constraint_name"), col("n_rows"), col("n_violations"))
-    Seq(liReport, oReport, fkOrders, fkCust)
+    Seq(liReport, oReport)
       .reduce(_ unionByName _)
       .select(col("constraint_name"), col("n_rows"),
         col("n_violations"),

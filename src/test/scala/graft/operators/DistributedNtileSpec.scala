@@ -220,4 +220,58 @@ class DistributedNtileSpec extends SparkSpec {
       p.contains("hashpartitioning(____ta_rank_pid"),
       s"tilesMany must keep the per-axis bucket exchange shape:\n$p")
   }
+
+  test("tilesFused equals independent tiles calls on every axis " +
+    "(one fused exchange changes nothing observable)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(417)
+    // duplicate-heavy axes with mixed directions and types — ties are
+    // the dangerous case (the masked-order window must break them by
+    // the same unique id as the per-axis windows); n % k != 0 so the
+    // uneven-tile arithmetic is exercised too
+    val df = (0 until 503).map(i =>
+      (i.toLong, rnd.nextInt(120), rnd.nextInt(40), rnd.nextDouble()))
+      .toDF("id", "a", "b", "c")
+    val axes = Seq(
+      ("ta", Seq(col("a").desc, col("id"))),
+      ("tb", Seq(col("b").asc, col("id"))),
+      ("tc", Seq(col("c").desc, col("id"))))
+    val fused = DistributedNtile.tilesFused(df, 4, Seq("id"), axes)
+    axes.foreach { case (out, order) =>
+      val got = fused.select(col("id"), col(out))
+      val want = DistributedNtile.tiles(df, 4, out, Seq("id"), order: _*)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"tilesFused axis $out diverges from tiles()")
+      val win = df.select(col("id"),
+        ntile(4).over(Window.orderBy(order: _*)).as(out))
+      assert(got.except(win).isEmpty && win.except(got).isEmpty,
+        s"tilesFused axis $out diverges from window ntile")
+    }
+    // ONE fused window exchange on (__ax, __pid), no single-partition
+    // exchange, and no per-axis rank exchanges left
+    val p = fused.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition") &&
+      p.contains("hashpartitioning(__ax") &&
+      !p.contains("hashpartitioning(____ta_rank_pid"),
+      s"tilesFused must serve every axis from the fused exchange:\n$p")
+  }
+
+  test("tilesFused handles null order values and n < k like the " +
+    "window form") {
+    import spark.implicits._
+    val df = Seq[(Long, java.lang.Integer)](
+      (1L, 5), (2L, null), (3L, 5), (4L, null), (5L, 1))
+      .toDF("id", "v")
+    val axes = Seq(
+      ("td", Seq(col("v").desc, col("id"))),
+      ("tu", Seq(col("v").asc_nulls_first, col("id"))))
+    val fused = DistributedNtile.tilesFused(df, 7, Seq("id"), axes)
+    axes.foreach { case (out, order) =>
+      val got = fused.select(col("id"), col(out))
+      val win = df.select(col("id"),
+        ntile(7).over(Window.orderBy(order: _*)).as(out))
+      assert(got.except(win).isEmpty && win.except(got).isEmpty,
+        s"tilesFused axis $out diverges from window ntile on nulls")
+    }
+  }
 }

@@ -169,9 +169,10 @@ class StatsSpec extends SparkSpec {
     }
     assert(unpartitioned.isEmpty,
       s"q82 must not plan an unpartitioned window: $unpartitioned")
-    assert(plan.contains("hashpartitioning(__r_rank_pid") ||
-      plan.contains("hashpartitioning(____r_rank_pid"),
-      s"the recency axis must shuffle on its explicit bucket id:\n$plan")
+    // round-14 (tilesFused): all three axes rank inside ONE exchange
+    // keyed by the explicit (axis, bucket) pair
+    assert(plan.contains("hashpartitioning(__ax"),
+      s"the axes must shuffle on the fused (axis, bucket) id:\n$plan")
   }
 
   test("q89: ABC classes partition the catalog; shares sum to 1 and " +
@@ -273,6 +274,29 @@ class StatsSpec extends SparkSpec {
       // the driver-generated fixture satisfies its own contracts
       assert(r.getAs[Boolean]("passed"), s"fixture violates: $r")
     }
+  }
+
+  test("q95 audits each fact table in ONE pass: every constraint " +
+    "(conditional aggregates AND the FK count) rides one scan " +
+    "(round-14)") {
+    // VERDICT r13 Next #5: the r13 form scanned lineitem 3× and
+    // orders 4× (report agg + anti-join probe + bare n_rows count);
+    // the round-14 fold left-joins the distinct parent keys and emits
+    // every per-table constraint from one combined aggregate. Pin:
+    // exactly one lineitem scan, two orders scans (its own audit pass
+    // + the parent-key side of lineitem's FK join), one customer scan.
+    val df = graft.SparkEntry.queries("q95_dq_audit")(spark, dir)
+    df.collect()
+    // the adaptive plan prints Final AND Initial sections — census
+    // the final one only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    def scans(t: String) =
+      s"$t\\.parquet".r.findAllIn(plan).size
+    assert(scans("lineitem") == 1 && scans("orders") == 2 &&
+      scans("customer") == 1,
+      s"q95 scan census moved: li=${scans("lineitem")} " +
+        s"o=${scans("orders")} c=${scans("customer")}:\n$plan")
   }
 
   test("llm_curation_funnel: counts are monotone down the stages and " +
