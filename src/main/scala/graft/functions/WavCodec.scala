@@ -33,8 +33,16 @@ import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
 object WavCodec {
 
   val writer: AudioFileWriter = {
+    // context classloader first (falling back to the SPI class's own)
+    // so provider discovery sees the same application-classpath
+    // providers AudioSystem's JDK13Services dispatch would — with the
+    // platform loader alone, a third-party codec on the app classpath
+    // would be invisible here and selection could silently diverge
+    // from the facade (ADVICE r13 #2)
+    val cl = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(classOf[AudioFileWriter].getClassLoader)
     val it = java.util.ServiceLoader
-      .load(classOf[AudioFileWriter], classOf[AudioFileWriter].getClassLoader)
+      .load(classOf[AudioFileWriter], cl)
       .iterator()
     var found: AudioFileWriter = null
     while (found == null && it.hasNext) {
@@ -55,8 +63,11 @@ object WavCodec {
         AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
+    // same loader discipline as `writer` (ADVICE r13 #2)
+    val rcl = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(classOf[AudioFileReader].getClassLoader)
     val it = java.util.ServiceLoader
-      .load(classOf[AudioFileReader], classOf[AudioFileReader].getClassLoader)
+      .load(classOf[AudioFileReader], rcl)
       .iterator()
     var found: AudioFileReader = null
     while (found == null && it.hasNext) {
