@@ -60,4 +60,25 @@ object OrderRanks {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
   }
+
+  /** q55's ranked frame: the `o_orderstatus = 'P'` SUBSET ranked
+    * within o_orderpriority under the same total order. Subset ranks
+    * are NOT derivable from the full-corpus ranks (scaladoc above),
+    * so this keeps its own build — but the build is still a pure
+    * function of the corpus snapshot, so round-14 caches and
+    * persists it exactly like the full frame (the r13 form re-ran
+    * the sketch + count construction jobs and the rank exchange on
+    * every invocation). */
+  def pStatusByPriorityPrice(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "orders")
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+    cache.get(base, "rank:P/o_orderpriority/o_totalprice,o_orderkey") {
+      DistributedNtile
+        .withGroupRank(base, "o_orderpriority", "rn", "n",
+          col("o_totalprice"), col("o_orderkey"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+  }
 }

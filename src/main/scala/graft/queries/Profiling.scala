@@ -250,12 +250,28 @@ object Profiling {
   // over the 10-row decile aggregate (bounded by k forever, the q89
   // catalog-bounded justification). Ratios are double divisions of
   // exact integer (DECIMAL) products — identical on both engines.
+  // session-persisted document rank/tile frames (round-14, the
+  // OrderRanks precedent): q100's length deciles and q105's global
+  // score ranks are pure functions of the corpus snapshot, yet each
+  // invocation re-ran the DistributedNtile sketch + count
+  // construction jobs and the rank exchange. O(corpus) skinny rows,
+  // MEMORY_AND_DISK. snapshot semantics on graft.operators.PlanCache
+  private val docRanksCache =
+    new graft.operators.PlanCache[String, DataFrame](df => {
+      df.unpersist(); ()
+    })
+
+  /** Test hook: drop the persisted document rank frames. */
+  private[graft] def clearDocRanks(): Unit = docRanksCache.clear()
+
   private val q100: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-    val tiled = graft.operators.DistributedNtile.withNtile(
-      docs, 10, "decile", col("n_chars").desc, col("doc_id"))
+    val tiled = docRanksCache.get(docs, "decile10:n_chars desc,doc_id")(
+      graft.operators.DistributedNtile.withNtile(
+        docs, 10, "decile", col("n_chars").desc, col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val perDecile = tiled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
     val d18 = DecimalType(18, 0)
@@ -439,8 +455,10 @@ object Profiling {
       .filter(col("n_chars").isNotNull)
       .select(col("doc_id"), col("n_chars").as("score"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-    val ranked = graft.operators.DistributedNtile
-      .withGlobalRank(docs, "rk", col("score"), col("doc_id"))
+    val ranked = docRanksCache.get(docs, "rank:score,doc_id")(
+      graft.operators.DistributedNtile
+        .withGlobalRank(docs, "rk", col("score"), col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ties = ranked.groupBy(col("score"))
       .agg(min(col("rk")).as("mn"), count(lit(1)).as("ts"))
     val sums = ranked
