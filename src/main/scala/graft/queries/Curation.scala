@@ -45,14 +45,17 @@ object Curation {
 
   // snapshot semantics documented on graft.operators.PlanCache
   private val termStatsCache =
-    new graft.operators.PlanCache[Unit, DataFrame](df => { df.unpersist(); () })
+    new graft.operators.PlanCache[Unit, DataFrame](
+      graft.operators.ArtifactStore.evict)
 
   /** Session-persisted per-(source, word) term statistics for
-    * `documents` (build-once artifact; see note above). */
+    * `documents` (build-once artifact; see note above). Stored as a
+    * session parquet table (ArtifactStore) so the many consumers
+    * analyze a file scan, not the tokenize derivation. */
   private[queries] def termStats(documents: DataFrame): DataFrame =
     termStatsCache.get(documents, ())(
-      termStatsFor(documents)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore
+        .stored(termStatsFor(documents), "term_stats"))
 
   /** Global document frequency per term (w, df) = Σ over sources of
     * sdf — the ONE shared derivation for every idf consumer
@@ -69,25 +72,26 @@ object Curation {
   // keeps the idf definition drift-free across consumers (the
   // globalDf argument, one level up).
   private val idfModelCache =
-    new graft.operators.PlanCache[Unit, DataFrame](df => {
-      df.unpersist(); ()
-    })
+    new graft.operators.PlanCache[Unit, DataFrame](
+      graft.operators.ArtifactStore.evict)
 
   private[queries] def idfModel(documents: DataFrame): DataFrame = {
     val base = globalDf(documents) // resolve dependency pre-cache
     idfModelCache.get(documents, ())(
-      base
-        .crossJoin(broadcast(
-          documents.agg(count(lit(1)).as("n_docs"))))
-        .select(col("w"), col("df"),
-          log(col("n_docs").cast(DoubleType) / col("df")).as("idf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore.stored(
+        base
+          .crossJoin(broadcast(
+            documents.agg(count(lit(1)).as("n_docs"))))
+          .select(col("w"), col("df"),
+            log(col("n_docs").cast(DoubleType) / col("df")).as("idf")),
+        "idf_model"))
   }
 
   /** Test hook: drop persisted term-stats frames (and the unigram /
     * bigram artifacts derived from the same corpus snapshot). */
   private[graft] def clearTermStats(): Unit = {
     termStatsCache.clear()
+    bm25ScoresCache.clear()
     unigramCache.clear()
     bigramStatsCache.clear()
     lmModelCache.clear()
@@ -687,17 +691,16 @@ object Curation {
   // partitioning it saw (same retry-stability argument as the
   // uncached form; snapshot semantics on graft.operators.PlanCache).
   private val mixCache =
-    new graft.operators.PlanCache[String, DataFrame](df => {
-      df.unpersist(); ()
-    })
+    new graft.operators.PlanCache[String, DataFrame](
+      graft.operators.ArtifactStore.evict)
 
   /** Test hook: drop the persisted mixer state. */
   private[queries] def clearMixState(): Unit = mixCache.clear()
 
   private val mix: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val quotas = mixCache.get(docs, "quotas")(docs
+    val quotas = mixCache.get(docs, "quotas")(
+      graft.operators.ArtifactStore.stored(docs
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"))
       .withColumn("w", sqrt(col("n").cast(DoubleType)))
@@ -710,8 +713,8 @@ object Curation {
         .orderBy((col("exact") - col("base")).desc, col("source"))))
       .withColumn("quota",
         col("base") + when(col("rrk") <= col("short"), 1L).otherwise(0L))
-      .select(col("source"), col("quota"))
-      .persist(lvl))
+      .select(col("source"), col("quota")),
+      "mix_quotas"))
     // per-group top-K in two phases: a source's global smallest-md5
     // quota set is a subset of every partitioning's partition-local
     // top-MixTarget for that source, so phase 1 ranks within
@@ -723,15 +726,16 @@ object Curation {
     // survivors. Input partitioning is a deterministic table scan, so
     // the survivor superset is retry-stable; the final filter is
     // partitioning-independent either way.
-    val hashed = mixCache.get(docs, "phase1")(docs
-      .select(col("doc_id"), col("source"),
-        md5(encode(col("doc_id").cast(StringType), "UTF-8")).as("h"))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("prk", row_number().over(
-        Window.partitionBy(col("pid"), col("source"))
-          .orderBy(col("h"), col("doc_id"))))
-      .filter(col("prk") <= MixTarget)
-      .persist(lvl))
+    val hashed = mixCache.get(docs, "phase1")(
+      graft.operators.ArtifactStore.stored(docs
+        .select(col("doc_id"), col("source"),
+          md5(encode(col("doc_id").cast(StringType), "UTF-8")).as("h"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("prk", row_number().over(
+          Window.partitionBy(col("pid"), col("source"))
+            .orderBy(col("h"), col("doc_id"))))
+        .filter(col("prk") <= MixTarget),
+        "mix_phase1"))
     val ranked = hashed
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("source"))
@@ -896,11 +900,13 @@ object Curation {
     * bigram-LM/PMI wall-clock diagnosis). */
   private[queries] def unigramCounts(documents: DataFrame): DataFrame =
     unigramCache.get(documents, ())(
-      termStats(documents).groupBy(col("w")).agg(sum(col("tf")).as("u"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore.stored(
+        termStats(documents).groupBy(col("w")).agg(sum(col("tf")).as("u")),
+        "unigram_counts"))
 
   private val unigramCache =
-    new graft.operators.PlanCache[Unit, DataFrame](df => { df.unpersist(); () })
+    new graft.operators.PlanCache[Unit, DataFrame](
+      graft.operators.ArtifactStore.evict)
 
   // ---- the per-(w1, w2) bigram-stats ARTIFACT ------------------------
   // The bigram companion of term-stats (VERDICT r5 #2): corpus bigram
@@ -920,14 +926,15 @@ object Curation {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
 
   private val bigramStatsCache =
-    new graft.operators.PlanCache[Unit, DataFrame](df => { df.unpersist(); () })
+    new graft.operators.PlanCache[Unit, DataFrame](
+      graft.operators.ArtifactStore.evict)
 
   /** Session-persisted per-(w1, w2) bigram counts for `documents`
     * (build-once artifact; see note above). */
   private[queries] def bigramStats(documents: DataFrame): DataFrame =
     bigramStatsCache.get(documents, ())(
-      bigramStatsFor(documents)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore
+        .stored(bigramStatsFor(documents), "bigram_stats"))
 
   private[queries] def bigramLmFor(documents: DataFrame): DataFrame = {
     val bi = bigramRows(documents)
@@ -1062,14 +1069,13 @@ object Curation {
   // bucketing, any future perplexity filter) re-reads the persisted
   // frame instead of re-scanning the corpus.
   private val lmScoresCache =
-    new graft.operators.PlanCache[Unit, DataFrame](df => {
-      df.unpersist(); ()
-    })
+    new graft.operators.PlanCache[Unit, DataFrame](
+      graft.operators.ArtifactStore.evict)
 
   private[queries] def lmScoresFor(documents: DataFrame): DataFrame =
     lmScoresCache.get(documents, ())(
-      bigramLmScanFor(documents)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore
+        .stored(bigramLmScanFor(documents), "lm_scores"))
 
   /** Per-row LM scoring against a FIXED broadcast model — the scorer
     * both the per-corpus scan and the incremental maintainer
@@ -1664,8 +1670,8 @@ object Curation {
         .select(col("n_docs"),
           (col("nu").cast(DoubleType) / col("n_docs").cast(DoubleType))
             .as("avgdl"))
-      dfT.crossJoin(broadcast(statsDf))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.ArtifactStore
+        .stored(dfT.crossJoin(broadcast(statsDf)), "bm25_stats")
     })
   }
 
@@ -1673,10 +1679,25 @@ object Curation {
     * top-10s it) and llm_hybrid_rrf (which ranks its top-20 as the
     * lexical leg). Scores are rounded to 4 BEFORE any ranking so both
     * consumers (and both engines) order the identical values. */
+  // session-persisted (doc_id, bm25) scored corpus — the same
+  // statistics-artifact class as lmScores: THREE consumers (llm_bm25,
+  // llm_retrieval_ndcg's top-k, llm_hybrid_rrf's lexical leg) each
+  // re-ran the tokenize+score pass per invocation
+  private val bm25ScoresCache =
+    new graft.operators.PlanCache[Unit, DataFrame](
+      graft.operators.ArtifactStore.evict)
+
   private[queries] def bm25ScoredFor(documents: DataFrame): DataFrame = {
+    val model = bm25StatsFor(documents) // resolve dependency pre-cache
+    bm25ScoresCache.get(documents, ())(
+      graft.operators.ArtifactStore
+        .stored(bm25ScoredRaw(documents, model), "bm25_scores"))
+  }
+
+  private def bm25ScoredRaw(documents: DataFrame,
+      model: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val model = bm25StatsFor(documents)
     // the term filter rides INSIDE the array before the explode:
     // Generate emits |query terms ∩ doc| rows per doc, not |tokens|
     val tf = toks.select(col("doc_id"),
@@ -1794,11 +1815,13 @@ object Curation {
 
   private val retrievalNdcg: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val rel = relLabelsCache.get(docs, ())(docs.select(col("doc_id"),
-      Bm25Terms.map(t0 =>
-        when(array_contains(split(col("text"), " "), t0), 1)
-          .otherwise(0)).reduce(_ + _).as("rel"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rel = relLabelsCache.get(docs, ())(
+      graft.operators.ArtifactStore.stored(
+        docs.select(col("doc_id"),
+          Bm25Terms.map(t0 =>
+            when(array_contains(split(col("text"), " "), t0), 1)
+              .otherwise(0)).reduce(_ + _).as("rel")),
+        "rel_labels"))
     val topk = bm25ScoredFor(docs)
       .orderBy(col("bm25").desc, col("doc_id")).limit(10)
     val ks = s.range(1, 3).select((col("id") * 5).as("k")) // k = 5, 10
@@ -2276,9 +2299,8 @@ object Curation {
   // class — yet each invocation re-aggregated the corpus-sized score
   // artifact to rebuild it. snapshot semantics on PlanCache.
   private val lmHistCache =
-    new graft.operators.PlanCache[Unit, DataFrame](df => {
-      df.unpersist(); ()
-    })
+    new graft.operators.PlanCache[Unit, DataFrame](
+      graft.operators.ArtifactStore.evict)
 
   /** Test hook: drop the persisted LM-score histogram. */
   private[queries] def clearLmHist(): Unit = lmHistCache.clear()
@@ -2287,10 +2309,10 @@ object Curation {
     val docs = t(s, dir, "documents")
     val scored = lmScoresFor(docs)
       .select(col("doc_id"), col("avg_logp"))
-    val hist = lmHistCache.get(docs, ())(scored
-      .groupBy(col("avg_logp"))
-      .agg(count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val hist = lmHistCache.get(docs, ())(
+      graft.operators.ArtifactStore.stored(
+        scored.groupBy(col("avg_logp")).agg(count(lit(1)).as("m")),
+        "lm_hist"))
     val wc = Window.orderBy(col("avg_logp"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.select(col("avg_logp"),

@@ -558,7 +558,8 @@ object Multimodal {
   // snapshot semantics documented on graft.operators.PlanCache
   private val ivfIndexCache =
     new graft.operators.PlanCache[Unit, IvfIndex](ix => {
-      ix.cents.unpersist(); ix.assign.unpersist(); ()
+      graft.operators.ArtifactStore.evict(ix.cents)
+      graft.operators.ArtifactStore.evict(ix.assign)
     })
 
   /** Spherical top-1 assignment — THE one spelling of the
@@ -600,8 +601,9 @@ object Multimodal {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("n2").as("cn2"))
     val assign = sphericalAssign(e, cents)
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    IvfIndex(cents.persist(lvl), assign.persist(lvl))
+    IvfIndex(
+      graft.operators.ArtifactStore.stored(cents, "ivf_cents"),
+      graft.operators.ArtifactStore.stored(assign, "ivf_assign"))
   }
 
   /** Session-persisted IVF index (quantizer + cell assignment) for
@@ -617,7 +619,8 @@ object Multimodal {
   // per serve call)
   private val ivfTrainedIndexCache =
     new graft.operators.PlanCache[Int, IvfIndex](ix => {
-      ix.cents.unpersist(); ix.assign.unpersist(); ()
+      graft.operators.ArtifactStore.evict(ix.cents)
+      graft.operators.ArtifactStore.evict(ix.assign)
     })
 
   /** Session-persisted TRAINED IVF index: k = ⌈√n⌉ exact-Lloyd
@@ -632,9 +635,10 @@ object Multimodal {
       val cents = graft.operators.KMeans.fitCached(
         emb, "embedding", "vec_id", k, iters)
       val centsDF = centroidsDF(emb.sparkSession, cents)
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      IvfIndex(centsDF.persist(lvl),
-        sphericalAssign(e, centsDF).persist(lvl))
+      IvfIndex(
+        graft.operators.ArtifactStore.stored(centsDF, "ivf_t_cents"),
+        graft.operators.ArtifactStore
+          .stored(sphericalAssign(e, centsDF), "ivf_t_assign"))
     }
 
   /** Test hook. */
@@ -1010,14 +1014,20 @@ object Multimodal {
     val scale = e
       .select(posexplode(col("embedding")).as(Seq("idx", "x")))
       .agg(max(abs(col("x").cast(DoubleType))).as("s"))
-    val quantized = e.crossJoin(broadcast(scale))
-      .select(col("vec_id"), col("embedding"),
-        expr("""transform(embedding, x ->
-          cast(round(cast(x as double) / s * 127.0D, 0) as bigint))""")
-          .as("qv"))
-      .withColumn("q2",
-        expr("aggregate(transform(qv, x -> x * x), cast(0 as bigint), " +
-          "(acc, v) -> acc + v)"))
+    // the quantized code table IS the SQ8 flat index — build once per
+    // corpus snapshot like the PQ code tables (it was re-encoded per
+    // invocation before round 14's store)
+    val quantized = pqCodesCache.get(e, "sq8")(
+      graft.operators.ArtifactStore.stored(
+        e.crossJoin(broadcast(scale))
+          .select(col("vec_id"), col("embedding"),
+            expr("""transform(embedding, x ->
+              cast(round(cast(x as double) / s * 127.0D, 0) as bigint))""")
+              .as("qv"))
+          .withColumn("q2",
+            expr("aggregate(transform(qv, x -> x * x), cast(0 as bigint), " +
+              "(acc, v) -> acc + v)")),
+        "sq8_codes"))
     val q = quantized.filter(col("vec_id") === 0)
       .select(col("qv").as("qq"), col("embedding").as("qe"),
         col("q2").as("qq2"))
@@ -1084,21 +1094,21 @@ object Multimodal {
   // outlier audit (and any nearest-class-mean consumer). Tiny
   // (|labels| rows) but TWO exchanges to derive; build-once.
   private val centroidCache =
-    new graft.operators.PlanCache[Unit, DataFrame](df => {
-      df.unpersist(); ()
-    })
+    new graft.operators.PlanCache[Unit, DataFrame](
+      graft.operators.ArtifactStore.evict)
 
   private def labelCentroidArraysFor(e: DataFrame): DataFrame =
     centroidCache.get(e, ())(
-      e.select(col("label"),
-          posexplode(col("embedding")).as(Seq("idx", "x")))
-        .groupBy(col("label"), col("idx"))
-        .agg(round(avg(col("x").cast(DoubleType)), 6).as("c"))
-        .groupBy(col("label"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("idx"), col("c")))),
-          p => p.getField("c")).as("cent"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore.stored(
+        e.select(col("label"),
+            posexplode(col("embedding")).as(Seq("idx", "x")))
+          .groupBy(col("label"), col("idx"))
+          .agg(round(avg(col("x").cast(DoubleType)), 6).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("idx"), col("c")))),
+            p => p.getField("c")).as("cent")),
+        "label_centroids"))
 
   /** Test hook: drop persisted label centroids. */
   private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
@@ -1549,15 +1559,14 @@ object Multimodal {
   // index's bound. snapshot semantics on graft.operators.PlanCache
   private val hashFrameCache =
     new graft.operators.PlanCache[String, DataFrame](
-      df => { df.unpersist(); () })
+      graft.operators.ArtifactStore.evict)
 
   /** Session-cached perceptual-hash frame for `docs`, keyed by hash
     * family. */
   private def hashedFrame(docs: DataFrame, tag: String)(
       build: DataFrame => DataFrame): DataFrame =
     hashFrameCache.get(docs, tag)(
-      build(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore.stored(build(docs), s"hash_$tag"))
 
   private val phashDedup: Q = (s, dir) => {
     import s.implicits._
@@ -2138,7 +2147,7 @@ object Multimodal {
   // memory-compression artifact itself).
   // snapshot semantics documented on graft.operators.PlanCache
   private val pqCodesCache = new graft.operators.PlanCache[String, DataFrame](
-    df => { df.unpersist(); () })
+    graft.operators.ArtifactStore.evict)
 
   /** Session-cached [[pqCodes]]. Keyed by a STABLE source frame's plan
     * + a variant tag, NOT by the encode input itself: the OPQ path's
@@ -2150,8 +2159,8 @@ object Multimodal {
   private[graft] def pqCodesIndex(key: DataFrame, tag: String,
       vecs: DataFrame, cb: DataFrame): DataFrame =
     pqCodesCache.get(key, tag)(
-      pqCodes(vecs, cb)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore
+        .stored(pqCodes(vecs, cb), s"pq_codes_$tag"))
 
   /** ADC serving over an encoded frame: LUT + fold in subspace order
     * (see [[adcScores]]). */
@@ -2185,8 +2194,8 @@ object Multimodal {
     // the 16-row codebook is the other half of the PQ index: cache it
     // beside the codes (its per-invocation rebuild was an orderBy +
     // limit + window chain — pure scheduling quanta at serving time)
-    val cb = pqCodesCache.get(e, "pq-cb")(pqCodebook(e)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cb = pqCodesCache.get(e, "pq-cb")(
+      graft.operators.ArtifactStore.stored(pqCodebook(e), "pq_cb"))
     val q = e.filter(col("vec_id") === 0).select(col("ed").as("qe"))
     // serve from the session code table (the index); encode runs once
     // per corpus snapshot, exactly like ivfIndex's cell assignment
@@ -2282,13 +2291,14 @@ object Multimodal {
     val cbW = Window.orderBy(col("h"), col("vec_id"))
     // 16-row residual codebook — cached beside the code table
     // (pqCodesCache): it is the other half of the IVF-PQ index
-    val cb = pqCodesCache.get(emb, "ivfpq-cb")(e
-      .select(md5(col("vec_id").cast(StringType)).as("h"),
-        col("vec_id"), col("rd").as("cv"))
-      .orderBy(col("h"), col("vec_id")).limit(16)
-      .withColumn("cand", row_number().over(cbW) - 1) // 16-row frame
-      .select(col("cand"), col("cv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cb = pqCodesCache.get(emb, "ivfpq-cb")(
+      graft.operators.ArtifactStore.stored(e
+        .select(md5(col("vec_id").cast(StringType)).as("h"),
+          col("vec_id"), col("rd").as("cv"))
+        .orderBy(col("h"), col("vec_id")).limit(16)
+        .withColumn("cand", row_number().over(cbW) - 1) // 16-row frame
+        .select(col("cand"), col("cv")),
+        "ivfpq_cb"))
     val dist = e.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("cid"), col("cand"),
         posexplode(expr(
@@ -2303,11 +2313,12 @@ object Multimodal {
     // residual code table is the IVF-PQ index — build once per corpus
     // snapshot, serve per query. Keyed on (emb, "ivfpq"): the residual
     // frame is a pure function of emb through the cached ivfIndex.
-    val codes = pqCodesCache.get(emb, "ivfpq")(dist
-      .groupBy(col("vec_id"), col("cid"), col("s"))
-      .agg(min_by(col("cand"), struct(col("d2"), col("cand")))
-        .as("code"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val codes = pqCodesCache.get(emb, "ivfpq")(
+      graft.operators.ArtifactStore.stored(dist
+        .groupBy(col("vec_id"), col("cid"), col("s"))
+        .agg(min_by(col("cand"), struct(col("d2"), col("cand")))
+          .as("code")),
+        "ivfpq_codes"))
     val q = emb.filter(col("vec_id") === 0)
       .select(expr("transform(embedding, x -> cast(x as double))")
         .as("qe"))
@@ -2492,11 +2503,12 @@ object Multimodal {
     // index artifact like the codes and codebook (round 13; it was a
     // per-invocation lazy checkpoint before, so every serving call
     // re-ran the n×64 variance pass once)
-    val perm = pqCodesCache.get(e, "opq-perm")(ranked
-      .agg(expr(
-        "transform(sort_array(collect_list(struct(s, r, dim)))," +
-          " x -> x.dim)").as("pm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val perm = pqCodesCache.get(e, "opq-perm")(
+      graft.operators.ArtifactStore.stored(ranked
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(s, r, dim)))," +
+            " x -> x.dim)").as("pm")),
+        "opq_perm"))
     val pe = e.crossJoin(broadcast(perm))
       .select(col("vec_id"), col("ed"), expr(
         "transform(sequence(1, 64), i -> element_at(ed, element_at(pm, i)))")
@@ -2504,8 +2516,8 @@ object Multimodal {
     // from here: the SHARED PQ pipeline (pqCodebook + adcScores —
     // llm_ann_pq's exact trees) over the permuted vectors
     val pev = pe.select(col("vec_id"), col("pd").as("ed"))
-    val cb = pqCodesCache.get(e, "opq-cb")(pqCodebook(pev)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cb = pqCodesCache.get(e, "opq-cb")(
+      graft.operators.ArtifactStore.stored(pqCodebook(pev), "opq_cb"))
     val q = pe.filter(col("vec_id") === 0)
       .select(col("ed").as("qe"), col("pd").as("qd"))
     // cached on (e, "opq"): pev is a pure function of e (variance

@@ -34,7 +34,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object OrderRanks {
 
-  private val cache = new PlanCache[String, DataFrame](_.unpersist())
+  private val cache = new PlanCache[String, DataFrame](
+    graft.operators.ArtifactStore.evict)
 
   /** Exact integer cents for o_totalprice — the shared presentation
     * discipline (integer cells cannot diverge across engine
@@ -54,10 +55,11 @@ object OrderRanks {
       .select(col("o_orderpriority"), col("o_totalprice"),
         col("o_orderkey"), centsCol.as("cents"))
     cache.get(base, "rank:o_orderpriority/o_totalprice,o_orderkey") {
-      DistributedNtile
-        .withGroupRank(base, "o_orderpriority", "rn", "n",
-          col("o_totalprice"), col("o_orderkey"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      graft.operators.ArtifactStore.stored(
+        DistributedNtile
+          .withGroupRank(base, "o_orderpriority", "rn", "n",
+            col("o_totalprice"), col("o_orderkey")),
+        "order_ranks")
     }
   }
 
@@ -75,10 +77,11 @@ object OrderRanks {
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice"))
     cache.get(base, "rank:P/o_orderpriority/o_totalprice,o_orderkey") {
-      DistributedNtile
-        .withGroupRank(base, "o_orderpriority", "rn", "n",
-          col("o_totalprice"), col("o_orderkey"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      graft.operators.ArtifactStore.stored(
+        DistributedNtile
+          .withGroupRank(base, "o_orderpriority", "rn", "n",
+            col("o_totalprice"), col("o_orderkey")),
+        "order_ranks_p")
     }
   }
 }

@@ -257,9 +257,8 @@ object Profiling {
   // construction jobs and the rank exchange. O(corpus) skinny rows,
   // MEMORY_AND_DISK. snapshot semantics on graft.operators.PlanCache
   private val docRanksCache =
-    new graft.operators.PlanCache[String, DataFrame](df => {
-      df.unpersist(); ()
-    })
+    new graft.operators.PlanCache[String, DataFrame](
+      graft.operators.ArtifactStore.evict)
 
   /** Test hook: drop the persisted document rank frames. */
   private[graft] def clearDocRanks(): Unit = docRanksCache.clear()
@@ -269,9 +268,10 @@ object Profiling {
       .select(col("doc_id"), col("n_chars"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
     val tiled = docRanksCache.get(docs, "decile10:n_chars desc,doc_id")(
-      graft.operators.DistributedNtile.withNtile(
-        docs, 10, "decile", col("n_chars").desc, col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore.stored(
+        graft.operators.DistributedNtile.withNtile(
+          docs, 10, "decile", col("n_chars").desc, col("doc_id")),
+        "doc_deciles"))
     val perDecile = tiled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
     val d18 = DecimalType(18, 0)
@@ -351,9 +351,8 @@ object Profiling {
   // so residency is KBs at any corpus size.
   // snapshot semantics documented on graft.operators.PlanCache
   private val psiCellsCache =
-    new graft.operators.PlanCache[Unit, DataFrame](df => {
-      df.unpersist(); ()
-    })
+    new graft.operators.PlanCache[Unit, DataFrame](
+      graft.operators.ArtifactStore.evict)
 
   /** Test hook: drop the persisted PSI cell frame. */
   private[graft] def clearPsiCells(): Unit = psiCellsCache.clear()
@@ -363,8 +362,8 @@ object Profiling {
     * streamed state and requires byte-identical rows). */
   private[graft] def psiFor(documents: DataFrame): DataFrame =
     psiOfCells(psiCellsCache.get(documents, ())(
-      bucketCells(documents)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+      graft.operators.ArtifactStore
+        .stored(bucketCells(documents), "psi_cells")))
 
   /** q104's bucketing — the ONE definition the batch/stream pair
     * shares (HistStream maintains exactly these cells). */
@@ -456,9 +455,10 @@ object Profiling {
       .select(col("doc_id"), col("n_chars").as("score"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
     val ranked = docRanksCache.get(docs, "rank:score,doc_id")(
-      graft.operators.DistributedNtile
-        .withGlobalRank(docs, "rk", col("score"), col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore.stored(
+        graft.operators.DistributedNtile
+          .withGlobalRank(docs, "rk", col("score"), col("doc_id")),
+        "doc_score_ranks"))
     val ties = ranked.groupBy(col("score"))
       .agg(min(col("rk")).as("mn"), count(lit(1)).as("ts"))
     val sums = ranked

@@ -26,9 +26,8 @@ object Stats {
 
   // ---- session artifacts (build-once/serve-many, PlanCache rules) ---
   private val artifactCache =
-    new graft.operators.PlanCache[String, DataFrame](df => {
-      df.unpersist(); ()
-    })
+    new graft.operators.PlanCache[String, DataFrame](
+      graft.operators.ArtifactStore.evict)
 
   /** Per-order sorted distinct part arrays — shared base of the
     * market-basket queries. ONE exchange (groupBy orderkey with
@@ -39,9 +38,10 @@ object Stats {
     * only other exchange in q83 is the final pair aggregation. */
   private def basketArraysFor(li: DataFrame): DataFrame =
     artifactCache.get(li, "basket_arrays")(
-      li.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore.stored(
+        li.groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("parts")),
+        "basket_arrays"))
 
   /** Thresholded supplier co-occurrence edges (u < v, pair count ≥
     * P95) — the q84 graph. Built ONCE per corpus snapshot: the
@@ -81,9 +81,9 @@ object Stats {
           }.collectFirst { case (v, c) if c >= k => v }.get
           pc.filter(col("cnt") >= thr)
         }
-      val out = edges.select(col("u"), col("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count() // materialize so pc can be dropped
+      // store is eager (parquet write), so pc can be dropped after
+      val out = graft.operators.ArtifactStore
+        .stored(edges.select(col("u"), col("v")), "supplier_edges")
       pc.unpersist()
       out
     })
@@ -97,14 +97,15 @@ object Stats {
   private def basketPairCountsFor(li: DataFrame): DataFrame = {
     val baskets = basketArraysFor(li)
     artifactCache.get(li, "basket_pair_counts")(
-      baskets
-        .filter(size(col("parts")) >= 2)
-        .select(explode(
-          graft.functions.ArrayPairs.ordered_pairs(col("parts"))).as("p"))
-        .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
-        .groupBy(col("part_a"), col("part_b"))
-        .agg(count(lit(1)).as("pc"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore.stored(
+        baskets
+          .filter(size(col("parts")) >= 2)
+          .select(explode(
+            graft.functions.ArrayPairs.ordered_pairs(col("parts"))).as("p"))
+          .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
+          .agg(count(lit(1)).as("pc")),
+        "basket_pair_counts"))
   }
 
   /** Per-part basket membership counts — the item marginals of the
@@ -112,11 +113,12 @@ object Stats {
   private def basketItemCountsFor(li: DataFrame): DataFrame = {
     val baskets = basketArraysFor(li)
     artifactCache.get(li, "basket_item_counts")(
-      baskets
-        .select(explode(col("parts")).as("l_partkey"))
-        .groupBy(col("l_partkey"))
-        .agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore.stored(
+        baskets
+          .select(explode(col("parts")).as("l_partkey"))
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("cnt")),
+        "basket_item_counts"))
   }
 
   /** Degree census of the supplier co-occurrence graph (node, deg) —
@@ -128,10 +130,11 @@ object Stats {
   private def supplierDegFor(li: DataFrame): DataFrame = {
     val edges = supplierEdgesFor(li)
     artifactCache.get(li, "supplier_deg")(
-      edges.select(col("u").as("node"))
-        .union(edges.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore.stored(
+        edges.select(col("u").as("node"))
+          .union(edges.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg")),
+        "supplier_deg"))
   }
 
   /** Degree-ordered orientation of the edge artifact (s → t with
@@ -146,17 +149,18 @@ object Stats {
     artifactCache.get(li, "supplier_oriented")({
       val degU = deg.select(col("node").as("u"), col("deg").as("udeg"))
       val degV = deg.select(col("node").as("v"), col("deg").as("vdeg"))
-      edges.join(degU, Seq("u")).join(degV, Seq("v"))
-        .select(
-          when(col("udeg") < col("vdeg") ||
-            (col("udeg") === col("vdeg") && col("u") < col("v")),
-            struct(col("u").as("s"), col("v").as("t"),
-              col("vdeg").as("tdeg")))
-            .otherwise(struct(col("v").as("s"), col("u").as("t"),
-              col("udeg").as("tdeg"))).as("e"))
-        .select(col("e.s").as("s"), col("e.t").as("t"),
-          col("e.tdeg").as("tdeg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.ArtifactStore.stored(
+        edges.join(degU, Seq("u")).join(degV, Seq("v"))
+          .select(
+            when(col("udeg") < col("vdeg") ||
+              (col("udeg") === col("vdeg") && col("u") < col("v")),
+              struct(col("u").as("s"), col("v").as("t"),
+                col("vdeg").as("tdeg")))
+              .otherwise(struct(col("v").as("s"), col("u").as("t"),
+                col("udeg").as("tdeg"))).as("e"))
+          .select(col("e.s").as("s"), col("e.t").as("t"),
+            col("e.tdeg").as("tdeg")),
+        "supplier_oriented")
     })
   }
 
@@ -289,12 +293,15 @@ object Stats {
   // residency is a few MB at any corpus size.
   // snapshot semantics documented on graft.operators.PlanCache
   private val cellsCache = new graft.operators.PlanCache[Unit, DataFrame](
-    df => { df.unpersist(); () })
+    df => { df.unpersist(); graft.operators.ArtifactStore.drop(df) })
 
-  /** Session-cached [[valueCells]] for an events frame. */
+  /** Session-cached [[valueCells]] for an events frame. Stored as a
+    * session parquet table (ArtifactStore) so consumers analyze a
+    * file scan, not the cells derivation, then persisted for
+    * memory-speed serving. */
   private[graft] def valueCellsIndex(events: DataFrame): DataFrame =
     cellsCache.get(events, ())(
-      valueCells(events)
+      graft.operators.ArtifactStore.store(valueCells(events), "value_cells")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Witness quantiles over a (key, value, c) HISTOGRAM: the value at
@@ -448,20 +455,26 @@ object Stats {
   // anywhere; VERDICT r7 flagged the previous global ntile windows as
   // the one-task straggler at 100×). Pinned window-free in StatsSpec.
   private val q82: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
     // recency ordering needs no reference date: days-since-last-order
     // ASC is exactly last-order-DAY DESC (same custkey tiebreak), so
     // the max-date scalar subquery + crossJoin stages are dropped and
-    // the recency tile sorts on the per-customer aggregate directly
-    val cust = t(s, dir, "orders")
-      .groupBy(col("o_custkey"))
-      .agg(max(col("o_orderdate").cast(DateType)).as("last_day"),
-        count(lit(1)).as("frequency"),
-        sum(dec2(col("o_totalprice"))).as("monetary"))
-      // seven consumers read this aggregate (the base join + 3 tile
-      // axes x 2 subtrees each): checkpoint it once instead of
-      // re-running the orders scan+agg per subtree (the r6 artifact
-      // lesson) — partition-count-preserving, executor-local storage
-      .localCheckpoint(false)
+    // the recency tile sorts on the per-customer aggregate directly.
+    // The per-customer RFM aggregate and the tile frame below are
+    // both pure functions of the orders snapshot — session artifacts
+    // like the q100/q105 rank frames (round 14 §11), keyed on the
+    // STABLE orders frame (the per-invocation localCheckpoint this
+    // replaces had a non-key-stable RDD-scan plan — the r13 OPQ
+    // lesson). Previously every invocation re-ran the orders agg +
+    // checkpoint AND the tile sketch/count construction jobs.
+    val cust = artifactCache.get(orders, "rfm_cust")(
+      graft.operators.ArtifactStore.stored(
+        orders
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate").cast(DateType)).as("last_day"),
+            count(lit(1)).as("frequency"),
+            sum(dec2(col("o_totalprice"))).as("monetary")),
+        "rfm_cust"))
     val nt = graft.operators.DistributedNtile
     // three INDEPENDENT tile axes. tilesMany (round 13) shared ONE
     // sketch pass and ONE count job across the axes (6 → 2 eager
@@ -472,10 +485,13 @@ object Stats {
     // and two of the three re-joins (17 → ~10 jobs at sf0.1). Ranks,
     // and therefore tiles, are identical to the per-axis form
     // (parity pinned in DistributedNtileSpec).
-    val tilesDf = nt.tilesFused(cust, 4, Seq("o_custkey"), Seq(
-      ("r", Seq(col("last_day").desc, col("o_custkey"))),
-      ("f", Seq(col("frequency").desc, col("o_custkey"))),
-      ("m", Seq(col("monetary").desc, col("o_custkey")))))
+    val tilesDf = artifactCache.get(orders, "rfm_tiles")(
+      graft.operators.ArtifactStore.stored(
+        nt.tilesFused(cust, 4, Seq("o_custkey"), Seq(
+          ("r", Seq(col("last_day").desc, col("o_custkey"))),
+          ("f", Seq(col("frequency").desc, col("o_custkey"))),
+          ("m", Seq(col("monetary").desc, col("o_custkey"))))),
+        "rfm_tiles"))
     val seg = cust
       .join(tilesDf, Seq("o_custkey"))
     seg.groupBy(col("r"), col("f"), col("m"))
@@ -827,8 +843,9 @@ object Stats {
     // flagging pass re-reads it instead of re-aggregating the corpus)
     val ev = Events.events(s, dir)
     val profBase = artifactCache.get(ev, "seasonal_profile")(
-      graft.streaming.SeasonalProfileStream.batchProfile(ev)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.operators.ArtifactStore.stored(
+        graft.streaming.SeasonalProfileStream.batchProfile(ev),
+        "seasonal_profile"))
     val prof = profBase
       // mean4: round-half-up(sx/n · 10⁴) in exact integer arithmetic
       // (sx is DECIMAL scale 2, so 2·sx·10⁴ is integral) — computed
@@ -956,9 +973,15 @@ object Stats {
   // no such bound — it rides DistributedNtile instead); a corpus-
   // scale cumulative share would ride q52's sketch.
   private val q89: Q = (s, dir) => {
-    val rev = t(s, dir, "lineitem")
-      .groupBy(col("l_partkey"))
-      .agg(sum(dec2(col("l_extendedprice"))).as("rev"))
+    // the per-part revenue aggregate is catalog-bounded and a pure
+    // function of the lineitem snapshot — session artifact (one
+    // corpus pass per snapshot; the ABC windows serve from it)
+    val li = t(s, dir, "lineitem")
+    val rev = artifactCache.get(li, "part_revenue")(
+      graft.operators.ArtifactStore.stored(
+        li.groupBy(col("l_partkey"))
+          .agg(sum(dec2(col("l_extendedprice"))).as("rev")),
+        "part_revenue"))
     // ONE sorted window stage serves both the running sum and the
     // grand total (unbounded-both frame on the same sort) — the
     // separate scalar-aggregate + crossJoin cost two extra stages
@@ -1021,9 +1044,16 @@ object Stats {
   // tiebreak never mattered for VALUE selection). Values pass
   // through untouched: no rounding needed, the output IS input data.
   private val q90: Q = (s, dir) => {
-    val cells = Events.events(s, dir)
-      .groupBy(col("event_type"), col("value"))
-      .agg(count(lit(1)).as("c"))
+    // the (event_type, value, c) histogram is bounded by the value
+    // grid and a pure function of the events snapshot — a session
+    // artifact like the q80 cents cells / q104 PSI cells (one corpus
+    // pass per snapshot; the witness selection serves from it)
+    val ev = Events.events(s, dir)
+    val cells = artifactCache.get(ev, "q90_value_cells")(
+      graft.operators.ArtifactStore.stored(
+        ev.groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("c")),
+        "q90_value_cells"))
     val wc = Window.partitionBy(col("event_type")).orderBy(col("value"))
     def pos(p: Double) =
       greatest(ceil(lit(p) * col("n")), lit(1)).cast(LongType)

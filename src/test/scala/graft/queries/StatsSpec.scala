@@ -169,10 +169,30 @@ class StatsSpec extends SparkSpec {
     }
     assert(unpartitioned.isEmpty,
       s"q82 must not plan an unpartitioned window: $unpartitioned")
-    // round-14 (tilesFused): all three axes rank inside ONE exchange
-    // keyed by the explicit (axis, bucket) pair
-    assert(plan.contains("hashpartitioning(__ax"),
-      s"the axes must shuffle on the fused (axis, bucket) id:\n$plan")
+    // round-14 (tilesFused + stored tile artifact): the serve plan
+    // reads the per-customer tile table — no Window at all; the ONE
+    // fused (axis, bucket) exchange lives in the artifact's BUILD
+    // plan (traced through the ArtifactStore registry)
+    val served = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(served.isEmpty,
+      s"q82's serve plan must be window-free (tiles served from the " +
+        s"stored artifact): $served")
+    val buildPlans = df.queryExecution.optimizedPlan.collect {
+      // stored artifacts serve as InMemoryRelation over the session
+      // parquet scan — unwrap to the scan before the registry lookup
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation
+        if graft.operators.ArtifactStore
+          .buildPlanFor(m.cacheBuilder.logicalPlan).isDefined =>
+        graft.operators.ArtifactStore
+          .buildPlanFor(m.cacheBuilder.logicalPlan).get
+      case l if graft.operators.ArtifactStore.buildPlanFor(l).isDefined =>
+        graft.operators.ArtifactStore.buildPlanFor(l).get
+    }
+    assert(buildPlans.exists(_.toString.contains("__ax")),
+      "the tile artifact's build plan must rank all axes in the one " +
+        s"fused (__ax, __pid) exchange; builds seen: ${buildPlans.size}")
   }
 
   test("q89: ABC classes partition the catalog; shares sum to 1 and " +

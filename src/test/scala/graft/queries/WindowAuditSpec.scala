@@ -52,6 +52,12 @@ class WindowAuditSpec extends SparkSpec {
     // the cache (round 13)
     case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
       aggCovered(m.cacheBuilder.logicalPlan)
+    // a STORED session artifact (ArtifactStore, round 14) substitutes
+    // a parquet scan of the session temp table for the derivation;
+    // audit the registered BUILD plan, so a bounded-cells frame stays
+    // recognized when served from its stored table
+    case l if graft.operators.ArtifactStore.buildPlanFor(l).isDefined =>
+      aggCovered(graft.operators.ArtifactStore.buildPlanFor(l).get)
     case l if l.children.isEmpty => false
     case n => n.children.forall(aggCovered)
   }
