@@ -540,8 +540,7 @@ object Events {
   private val q76: Q = (s, dir) => {
     val cents = (col("value").cast(DecimalType(18, 2)) * lit(100))
       .cast(LongType)
-    val b = Stats.histWitnesses(
-        Stats.valueCellsIndex(events(s, dir)), "event_type", "cents",
+    val b = Stats.cellWitnessIndex(events(s, dir), "q14",
         Seq(("q1x4", 1, 4), ("q3x4", 3, 4)))
       .select(col("event_type"),
         (lit(5L) * col("q1x4") - lit(3L) * col("q3x4"))

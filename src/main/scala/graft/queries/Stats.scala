@@ -292,17 +292,33 @@ object Stats {
   // the cents grid (≤ ~49k buckets × event types), so MEMORY_AND_DISK
   // residency is a few MB at any corpus size.
   // snapshot semantics documented on graft.operators.PlanCache
-  private val cellsCache = new graft.operators.PlanCache[Unit, DataFrame](
-    df => { df.unpersist(); graft.operators.ArtifactStore.drop(df) })
+  private val cellsCache = new graft.operators.PlanCache[String, DataFrame](
+    graft.operators.ArtifactStore.evict)
 
   /** Session-cached [[valueCells]] for an events frame. Stored as a
     * session parquet table (ArtifactStore) so consumers analyze a
     * file scan, not the cells derivation, then persisted for
     * memory-speed serving. */
   private[graft] def valueCellsIndex(events: DataFrame): DataFrame =
-    cellsCache.get(events, ())(
-      graft.operators.ArtifactStore.store(valueCells(events), "value_cells")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cellsCache.get(events, "cells")(
+      graft.operators.ArtifactStore.stored(valueCells(events),
+        "value_cells"))
+
+  /** Session-cached witness frame over the value cells — the per-type
+    * quantile statistics (median, quartiles) a monitoring pipeline
+    * keeps next to the histogram itself (QuantileHistStream maintains
+    * the cells; these are its servable summaries). One |event_type|-
+    * row frame per spec set; q80's serve previously re-ran the median
+    * witness subtree 2-3x PER INVOCATION (it feeds both the deviation
+    * histogram and the final join), q76's the quartile one. */
+  private[graft] def cellWitnessIndex(events: DataFrame, tag: String,
+      specs: Seq[(String, Int, Int)]): DataFrame = {
+    val cells = valueCellsIndex(events) // resolve dependency pre-cache
+    cellsCache.get(events, s"wit:$tag")(
+      graft.operators.ArtifactStore.stored(
+        histWitnesses(cells, "event_type", "cents", specs),
+        s"cell_wit_$tag"))
+  }
 
   /** Witness quantiles over a (key, value, c) HISTOGRAM: the value at
     * rank r is the smallest bucket whose cumulative count reaches r —
@@ -336,11 +352,18 @@ object Stats {
   /** The (event_type, cents, c) cells → (median_cents_x2,
     * mad_cents_x4) derivation — witness ranks from cumulative
     * histogram counts; exact integers end to end. */
-  private[graft] def madOfCells(cells: DataFrame): DataFrame = {
+  private[graft] def madOfCells(cells: DataFrame,
+      medPre: Option[DataFrame] = None): DataFrame = {
     def witnessX2(hist: DataFrame, v: String): DataFrame =
       histWitnesses(hist, "event_type", v, Seq(("m2", 1, 2)))
-    val med = witnessX2(cells, "cents")
-      .withColumnRenamed("m2", "median_cents_x2")
+    // medPre: the session-cached median witness (cellWitnessIndex) —
+    // same derivation, computed once per snapshot instead of 2-3x
+    // per invocation (it feeds dev AND the final join). The stream
+    // parity path (QuantileHistStream) passes None and keeps the
+    // fully inline tree.
+    val med = medPre.getOrElse(
+      witnessX2(cells, "cents")
+        .withColumnRenamed("m2", "median_cents_x2"))
     val dev = cells.join(broadcast(med), Seq("event_type"))
       .groupBy(col("event_type"),
         abs(col("cents") * lit(2L) - col("median_cents_x2")).as("dev2"))
@@ -353,8 +376,12 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
-  private val q80: Q = (s, dir) =>
-    madOfCells(valueCellsIndex(Events.events(s, dir)))
+  private val q80: Q = (s, dir) => {
+    val ev = Events.events(s, dir)
+    madOfCells(valueCellsIndex(ev),
+      Some(cellWitnessIndex(ev, "med", Seq(("m2", 1, 2)))
+        .withColumnRenamed("m2", "median_cents_x2")))
+  }
 
   private val q80Sql =
     """WITH w AS (
